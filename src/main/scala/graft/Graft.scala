@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * The reference runtime's `MRContext` singleton (reference
+  * `src/mapreduce.c:19-26`) is the moral equivalent of the SparkSession:
+  * it owns partitions, workers and lifecycle. Here the session carries the
+  * scale-oriented defaults instead: AQE (runtime re-planning, partition
+  * coalescing, skew-join splitting), UTC for oracle parity, and shuffle
+  * partitions sized to the actual parallelism rather than Spark's default
+  * 200 (local mode; on a real cluster this is sized to `sf`).
+  */
+object Graft {
+  val DefaultCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def session(
+      master: String = s"local[$DefaultCpus]",
+      shufflePartitions: Int = DefaultCpus,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // The testdata `events` table stores TIMESTAMP(NANOS) which Spark's
+      // parquet reader rejects; read the raw int64 and convert in the
+      // loader (Tables.load) instead.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Analytic surface: rollup/cube grouping sets, ranking and analytic
+  * window functions, JSON/array scalar functions, exact dedup, and batch
+  * time-bucketing (the batch rendering of the streaming tumbling window —
+  * see graft.streaming for the readStream form).
+  *
+  * None of this exists in the reference (SURVEY.md §2.5); all of it is
+  * built-in Catalyst. Window functions shuffle once on their partition
+  * key; rollup/cube use Expand (one pass, no re-shuffle per grouping set).
+  */
+object Analytics {
+
+  def queries: Map[String, Q] = Map(
+    "q11_rollup" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          col("g_rf"), col("g_ls"),
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("g_rf", "g_ls", "rf", "ls")
+    }),
+
+    "q12_cube" -> ((spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pr"),
+          round(sum("o_totalprice"), 2).as("total_price"),
+          count(lit(1)).as("n"))
+        .select(
+          col("g_st"), col("g_pr"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("total_price"), col("n"))
+        .orderBy("g_st", "g_pr", "status", "priority")
+    }),
+
+    "q13_window_ranking" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.load(spark, dir, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "q14_window_analytic" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(spark, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)), 2).as("prev_price"),
+          round(coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0)), 2).as("next_price"),
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q22_json_fns" -> ((spark, dir) => {
+      Tables.load(spark, dir, "events")
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .withColumn("bucket", col("k") % 10)
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "q23_array_fns" -> ((spark, dir) => {
+      Tables.load(spark, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)), 4).as("l2_norm"),
+          // + 0.0 normalizes IEEE negative zero (round(-1e-18, 4) is -0.0
+          // in DuckDB, 0.0 in Spark; -0.0 + 0.0 == +0.0 in both)
+          (round(aggregate(
+            transform(col("embedding"), x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 4) + lit(0.0)).as("mean_val"))
+        .orderBy("vec_id")
+    }),
+
+    "q24_exact_dedup" -> ((spark, dir) => {
+      // Exact-dedup tier: fingerprint every doc, keeper = min doc_id per
+      // group (north-star dedup; at this sf each group has size 1, the
+      // planted near-dups are caught by the MinHash/shingle tier).
+      Tables.load(spark, dir, "documents")
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+        .orderBy("fingerprint")
+    }),
+
+    "q25_time_buckets" -> ((spark, dir) => {
+      Tables.load(spark, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_bucket", "event_type")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q11_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |       coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
+        |       coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       round(sum(o_totalprice), 2) AS total_price,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_st, g_pr, status, priority""".stripMargin,
+
+    "q13_window_ranking" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       round(c_acctbal, 2) AS acctbal,
+        |       row_number() OVER w AS rn,
+        |       rank() OVER w AS rk,
+        |       dense_rank() OVER w AS drk
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q14_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(o_totalprice, 2) AS price,
+        |       round(coalesce(lag(o_totalprice, 1) OVER w, -1.0), 2) AS prev_price,
+        |       round(coalesce(lead(o_totalprice, 1) OVER w, -1.0), 2) AS next_price,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q22_json_fns" ->
+      """SELECT event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+        |       count(*) AS n,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q23_array_fns" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(sqrt(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+        |       round(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE))) / len(embedding), 4) + 0.0 AS mean_val
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "q24_exact_dedup" ->
+      """SELECT md5(text) AS fingerprint,
+        |       count(*) AS n_dups,
+        |       min(doc_id) AS keeper
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fingerprint""".stripMargin,
+
+    "q25_time_buckets" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+        |       event_type,
+        |       count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_bucket, event_type""".stripMargin)
+}

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Join surface: inner, multiway, broadcast, left-outer, semi, anti,
+  * top-k per group, set ops.
+  *
+  * The reference has no joins at all (SURVEY.md §2.5) — this is the
+  * declared capability extension. Scale posture: dimension tables
+  * (region/nation/part/supplier/customer) are explicitly broadcast where
+  * small; the fact-side joins shuffle on their equi-keys and AQE handles
+  * skew/coalescing at runtime. Join order for the multiway query starts
+  * from the most selective dimension (region filter) so Catalyst's
+  * broadcast chain keeps the fact table un-shuffled until the final agg.
+  */
+object Joins {
+
+  def queries: Map[String, Q] = Map(
+    "q04_join_inner" -> ((spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders")
+      val customer = Tables.load(spark, dir, "customer")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum("o_totalprice"), 2).as("total_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q05_join_multiway" -> ((spark, dir) => {
+      val region = Tables.load(spark, dir, "region")
+      val nation = Tables.load(spark, dir, "nation")
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders")
+      val lineitem = Tables.load(spark, dir, "lineitem")
+      // Most-selective-first: filter the 5-row region, broadcast the whole
+      // dim chain so the lineitem fact never shuffles before the agg.
+      val asiaNations = nation
+        .join(broadcast(region.filter(col("r_name") === "ASIA")),
+          nation("n_regionkey") === region("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val custs = customer
+        .join(broadcast(asiaNations), customer("c_nationkey") === asiaNations("n_nationkey"))
+        .select("c_custkey", "n_name")
+      val ords = orders
+        .join(broadcast(custs), orders("o_custkey") === custs("c_custkey"))
+        .select("o_orderkey", "n_name")
+      lineitem
+        .join(broadcast(ords), lineitem("l_orderkey") === ords("o_orderkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "q06_join_broadcast" -> ((spark, dir) => {
+      val lineitem = Tables.load(spark, dir, "lineitem")
+      val part = Tables.load(spark, dir, "part")
+      lineitem
+        .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    "q07_join_left_outer" -> ((spark, dir) => {
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders")
+      customer
+        .join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "q08_join_semi" -> ((spark, dir) => {
+      val customer = Tables.load(spark, dir, "customer")
+      val bigOrders = Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+      customer
+        .join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q09_join_anti" -> ((spark, dir) => {
+      val customer = Tables.load(spark, dir, "customer")
+      val bigOrders = Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+      customer
+        .join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q15_topk_per_group" -> ((spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders")
+      val customer = Tables.load(spark, dir, "customer")
+      val oc = orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      oc.select(
+          col("c_mktsegment"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "q18_set_ops" -> ((spark, dir) => {
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders")
+      val a = customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = orders.filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val u = a.union(b).distinct().withColumn("op", lit("union"))
+      val i = a.intersect(b).withColumn("op", lit("intersect"))
+      val e = a.except(b).withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e)
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q04_join_inner" ->
+      """SELECT c_mktsegment,
+        |       round(sum(o_totalprice), 2) AS total_price,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q05_join_multiway" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q06_join_broadcast" ->
+      """SELECT p_brand,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q07_join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_join_semi" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, price, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey,
+        |         round(o_totalprice, 2) AS price,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q18_set_ops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000)
+        |SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY op, c_custkey""".stripMargin)
+}
