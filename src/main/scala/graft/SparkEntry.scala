@@ -20,11 +20,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MapReduceShim.queries ++ Relational.queries ++ Joins.queries ++ Analytics.queries
+    MapReduceShim.queries ++ Relational.queries ++ Joins.queries ++
+      Analytics.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    MapReduceShim.oracles ++ Relational.oracles ++ Joins.oracles ++ Analytics.oracles
+    MapReduceShim.oracles ++ Relational.oracles ++ Joins.oracles ++
+      Analytics.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
 }

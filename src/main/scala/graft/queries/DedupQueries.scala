@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Oracle-gated dedup queries over `documents` (SURVEY.md §2.5
+  * approx/sketches row + the north-star dedup extension).
+  *
+  * Data note (sf0.01): the corpus has 25 planted near-dup pairs at
+  * shingle-Jaccard ≈ 0.9–0.99 and nothing between ~0.3 and 0.9, so the
+  * 0.7/0.8 thresholds sit in a wide margin; SimHash Hamming distances
+  * are ≤ 8 for the planted pairs and ≥ 13 for noise, so 10 is stable.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTEs: whitespace shingles + exact Jaccard (1-based
+    * list indexing vs Spark's 0-based).
+    */
+  private val ShinglesSql =
+    """ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+      |       FROM ws, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3)""".stripMargin
+
+  private val JaccardSql =
+    """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jac AS (SELECT i, j, ix.c * 1.0 / (s1.n + s2.n - ix.c) AS jaccard
+      |        FROM inter ix JOIN sz s1 ON ix.i = s1.doc_id JOIN sz s2 ON ix.j = s2.doc_id)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q26_dedup_ngram" -> ((spark, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"), n = 3, threshold = 0.8)
+        .orderBy("i", "j")),
+
+    "q27_dedup_minhash" -> ((spark, dir) =>
+      Dedup.minhashPairs(Tables.load(spark, dir, "documents"),
+          n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7)
+        .orderBy("i", "j")),
+
+    "q28_dedup_simhash_sig" -> ((spark, dir) =>
+      Dedup.simhashSignatures(Tables.load(spark, dir, "documents"), n = 3)
+        .orderBy("doc_id")),
+
+    "q29_dedup_simhash_pairs" -> ((spark, dir) =>
+      Dedup.simhashPairs(Tables.load(spark, dir, "documents"), maxHamming = 10, n = 3)
+        .orderBy("i", "j")))
+
+  def oracles: Map[String, String] = Map(
+    "q26_dedup_ngram" ->
+      s"""WITH $ShinglesSql,
+         |$JaccardSql
+         |SELECT i, j, round(jaccard, 4) AS jaccard
+         |FROM jac WHERE jaccard >= 0.8
+         |ORDER BY i, j""".stripMargin,
+
+    "q27_dedup_minhash" ->
+      s"""WITH $ShinglesSql,
+         |seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+         |sig AS (SELECT doc_id, s, min(CAST('0x' || substr(md5(s || '|' || g), 1, 15) AS BIGINT)) AS minh
+         |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+         |bands AS (SELECT doc_id, s // 4 AS b,
+         |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
+         |          FROM sig GROUP BY doc_id, s // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |$JaccardSql
+         |SELECT jac.i, jac.j, round(jac.jaccard, 4) AS jaccard
+         |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+         |WHERE jac.jaccard >= 0.7
+         |ORDER BY jac.i, jac.j""".stripMargin,
+
+    "q28_dedup_simhash_sig" ->
+      s"""WITH $ShinglesSql,
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5('sh|' || g), 1, 15) AS BIGINT) AS hv FROM sh),
+         |bits AS (SELECT doc_id, b,
+         |                CASE WHEN sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |                     THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |         FROM h, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q29_dedup_simhash_pairs" ->
+      s"""WITH $ShinglesSql,
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5('sh|' || g), 1, 15) AS BIGINT) AS hv FROM sh),
+         |bits AS (SELECT doc_id, b,
+         |                CASE WHEN sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |                     THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |         FROM h, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY doc_id, b),
+         |sims AS (SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
+         |         FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         |ORDER BY i, j""".stripMargin)
+}
