@@ -65,9 +65,41 @@ object Dedup {
       .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("c"))
+    // `sz` grows O(corpus): no broadcast hint — these are equi-joins AQE
+    // plans on its own (and can still broadcast when actually small).
     inter
-      .join(broadcast(sz.as("s1")), col("i") === col("s1.doc_id"))
-      .join(broadcast(sz.as("s2")), col("j") === col("s2.doc_id"))
+      .join(sz.as("s1"), col("i") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("j") === col("s2.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact Jaccard restricted to the given candidate (i, j) pairs.
+    *
+    * Cost is O(|candidates| × shingles-per-doc), independent of the
+    * number of non-candidate pairs: shingle sets are first semi-joined
+    * down to docs that appear in some candidate pair, then the
+    * intersection count is computed per candidate pair only (join the
+    * pair to i's shingles, match them against j's). This is what makes
+    * LSH an actual scale path — verification work tracks the candidate
+    * set, never the full pair space.
+    */
+  private[operators] def jaccardOfCandidates(
+      sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val candDocs = cand.select(col("i").as("doc_id"))
+      .union(cand.select(col("j").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shc.as("sa"), col("i") === col("sa.doc_id"))
+      .join(shc.as("sb"), col("j") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("s1"), col("i") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("j") === col("s2.doc_id"))
       .select(col("i"), col("j"),
         (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -110,8 +142,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    jaccardOf(sh, threshold).as("jac")
-      .join(cand.as("c"), col("jac.i") === col("c.i") && col("jac.j") === col("c.j"), "left_semi")
+    jaccardOfCandidates(sh, cand, threshold)
   }
 
   /** SimHash: 60-bit signature per doc. Bit b of the signature is the
@@ -121,24 +152,53 @@ object Dedup {
   def simhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
     val h = shingles(docs, n)
       .select(col("doc_id"), expr(h60("concat('sh|', g)")).as("hv"))
-    h.select(col("doc_id"), col("hv"), explode(expr("sequence(0, 59)")).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(expr(
-        "case when sum(case when (shiftright(hv, b) & 1) = 1 then 1 else -1 end) > 0 " +
-          "then cast(1 as bigint) else cast(0 as bigint) end").as("bit"))
-      .groupBy("doc_id")
-      .agg(expr("sum(shiftleft(bit, b))").as("simhash"))
+    // One aggregation pass: 60 conditional ±1 sums (one per signature
+    // bit) in a single groupBy — no row explosion, so the shuffle moves
+    // one row per (doc, shingle), not 60. The bit columns then fold into
+    // the signature in a plain projection.
+    val bitSums = (0 until 60).map { b =>
+      sum(expr(s"case when (shiftright(hv, $b) & 1) = 1 then 1 else -1 end")).as(s"b$b")
+    }
+    val sigExpr = (0 until 60)
+      .map(b => s"shiftleft(cast(case when b$b > 0 then 1 else 0 end as bigint), $b)")
+      .mkString(" + ")
+    h.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(sigExpr).as("simhash"))
   }
 
-  /** Candidate near-dup pairs by SimHash Hamming distance ≤ `maxHamming`.
-    * The pair scan runs over 8-byte signatures, not documents; at scale,
-    * block by signature prefix instead of the full self-join.
+  /** Near-dup pairs by SimHash Hamming distance ≤ `maxHamming`, found by
+    * pigeonhole blocking (Manku et al., WWW'07 shape): the 60-bit
+    * signature is split into `maxHamming + 1` contiguous blocks, so any
+    * pair within the distance bound must agree exactly on at least one
+    * block. Candidates = pairs sharing a (block index, block value)
+    * bucket — an equi self-join, never the all-pairs cross join — then
+    * exact Hamming verification. No false negatives by construction.
+    *
+    * Scale note: block width is 60/(maxHamming+1) bits, so tighter
+    * distance bounds give wider blocks and sharper buckets; for loose
+    * bounds at very large corpora, widen the signature (this layout
+    * generalizes) rather than shrinking blocks below ~8 bits.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 10, n: Int = 3): DataFrame = {
     val sig = simhashSignatures(docs, n)
-    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val nb = maxHamming + 1
+    val blocks = (0 until nb).map { k =>
+      val lo = k * 60 / nb
+      val width = (k + 1) * 60 / nb - lo
+      struct(lit(k).as("k"),
+        expr(s"shiftright(simhash, $lo) & ${(1L << width) - 1}").as("v"))
+    }
+    val blocked = sig.select(col("doc_id"), col("simhash"),
+      explode(array(blocks: _*)).as("blk"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
+        col("a.simhash").as("si"), col("b.simhash").as("sj"))
+      .distinct()
+      .select(col("i"), col("j"),
+        expr("cast(bit_count(si ^ sj) as bigint)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }
