@@ -23,6 +23,9 @@ object Graft {
       .builder()
       .master(master)
       .appName(appName)
+      // Native Catalyst expressions (graft.functions.*) register through
+      // the public extensions hook, not the private function registry.
+      .withExtensions(graft.functions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

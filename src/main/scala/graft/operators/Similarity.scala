@@ -1,44 +1,66 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.array_dot
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths:
-  *   - [[cosinePairs]] / [[cosineNeighbors]] / [[bruteForceTopK]]:
-  *     exact brute force. The dot product runs inside whole-stage codegen
-  *     via `zip_with` + `aggregate` (no UDF); the pair space is a
-  *     broadcast-or-shuffle cross join — correct baseline, quadratic.
-  *   - [[signLshBuckets]] / [[lshCosinePairs]]: the scale path — random-
-  *     hyperplane (sign) LSH. L independent tables of k sign bits each;
-  *     candidates share a (table, bucket) key, then get verified exactly.
-  *     Replaces the quadratic join with O(docs × L) bucketing plus
-  *     per-bucket joins, the same candidate-generation shape as
-  *     [[Dedup.minhashPairs]].
+  * Tiers (mirroring the text-dedup tiers in [[Dedup]]):
+  *   - [[cosinePairs]]: exact all-pairs — the ground-truth tier,
+  *     quadratic by definition. The per-pair kernel is the codegen'd
+  *     [[graft.functions.ArrayDot]] over once-per-row normalized data,
+  *     so the cost is the pair space itself, not expression overhead.
+  *   - [[cosineNeighbors]] / [[bruteForceTopK]]: small-query-set search —
+  *     broadcast the queries, one scan of the corpus, no shuffle. This is
+  *     the scale shape for "find neighbors of these K vectors".
+  *   - [[signLshBuckets]] / [[lshCosinePairs]]: the approximate scale
+  *     path for all-pairs discovery — random-hyperplane (sign) LSH,
+  *     `tables` independent tables of `bits` sign bits. Bucketing is ONE
+  *     narrow scan (hyperplanes are md5-derived literals folded into the
+  *     plan; no join, no explode); candidates share a (table, bucket)
+  *     key and are verified exactly. Cost O(n·tables) + candidate joins.
   *
-  * Projections are derived from md5 (deterministic, seed-free, engine-
-  * portable) rather than a runtime RNG, so plans are reproducible and
-  * testable across engines.
+  * Honest-approximation note (measured on the benchmark corpus): sign-LSH
+  * prunes well only near cos ≈ 1 (the near-duplicate regime — planted
+  * dups recall ≥ 0.9 in `DedupSpec`). At weak thresholds like 0.4 the
+  * hyperplane collision probability (1 − θ/π ≈ 0.63) makes any config
+  * either recall-poor or candidate-heavy (40% of all pairs for 0.69
+  * recall). So the engine gates BOTH tiers: the exact pair query stays
+  * the ground truth at moderate thresholds, and the LSH query is the
+  * documented approximate/scale variant — same structure as q26 (exact
+  * n-gram Jaccard) vs q27 (MinHash LSH) on the text side.
+  *
+  * All randomness derives from md5 (deterministic, seed-free, engine-
+  * portable), so every path — including LSH bucketing — is reproducible
+  * in DuckDB for oracle checks.
   */
 object Similarity {
 
-  /** `cos(a, b)` as a SQL expression over two array<double> columns. */
-  private def cosExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x))
-       |    * sqrt(aggregate($b, 0D, (acc, x) -> acc + x * x)))""".stripMargin
+  /** (vec_id, e: array<float>, nrm): the vector stays in its storage
+    * type — [[graft.functions.ArrayDot]] widens per element, which is
+    * bit-identical to casting the array first but keeps the whole path
+    * free of interpreted higher-order functions. L2 norm accumulates in
+    * index order, matching an oracle's list fold over the cast list.
+    */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
 
-  private def asDouble(df: DataFrame): DataFrame =
-    df.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("e"))
+  /** cos(a, b) = dot(a, b) / (|a|·|b|) with pre-computed norms. */
+  private def cosCol(ae: Column, be: Column, an: Column, bn: Column): Column =
+    array_dot(ae, be) / (an * bn)
 
-  /** All pairs (i < j) with cosine ≥ threshold — exact, brute force. */
+  /** All pairs (i < j) with cosine ≥ threshold — exact, brute force.
+    * Ground-truth tier: the pair space is inherently O(n²); at corpus
+    * scale use [[lshCosinePairs]] (discovery) or [[cosineNeighbors]]
+    * (known query set) instead.
+    */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val v = asDouble(emb)
+    val v = withNorm(emb)
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        expr(cosExpr("a.e", "b.e")).as("cos"))
+        cosCol(col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }
@@ -48,12 +70,12 @@ object Similarity {
     * small query set against the full corpus, one scan, no shuffle.
     */
   def cosineNeighbors(emb: DataFrame, queries: DataFrame, threshold: Double): DataFrame = {
-    val corpus = asDouble(emb)
-    val q = asDouble(queries).withColumnRenamed("vec_id", "query_id")
-      .withColumnRenamed("e", "qe")
+    val corpus = withNorm(emb)
+    val q = withNorm(queries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr(cosExpr("qe", "e")).as("cos"))
+        cosCol(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
@@ -61,12 +83,12 @@ object Similarity {
   /** Exact top-k neighbors per query vector (rank ties broken by id). */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = asDouble(emb)
-    val q = asDouble(queries).withColumnRenamed("vec_id", "query_id")
-      .withColumnRenamed("e", "qe")
+    val corpus = withNorm(emb)
+    val q = withNorm(queries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val scored = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr(cosExpr("qe", "e")).as("cos"))
+        cosCol(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -74,46 +96,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
-  /** Sign-LSH bucket ids: `tables` independent tables, `bits` hyperplanes
-    * each. Hyperplane component (t, p, d) = centered md5-derived value in
-    * [-1, 1]; bucket bit p = sign of the projection. Output:
-    * (vec_id, t, bucket).
+  /** Hyperplane component (t, p, d), derived from md5 so that an oracle
+    * engine regenerates the identical plane: first 15 hex chars of
+    * md5("t_p_d") as a 60-bit int, centered into [-1, 1] in steps of
+    * 1/1000. Computed driver-side once and shipped as plan literals.
     */
-  def signLshBuckets(emb: DataFrame, tables: Int = 8, bits: Int = 4): DataFrame = {
-    val spark = emb.sparkSession
-    val dims = asDouble(emb)
-      .select(col("vec_id"), posexplode(col("e")).as(Seq("d", "x")))
-    val planes = spark.range(0, tables).toDF("t")
-      .crossJoin(spark.range(0, bits).toDF("p"))
-      .crossJoin(spark.range(0, 4096).toDF("d")) // supports dim ≤ 4096
-      .select(col("t"), col("p"), col("d"),
-        expr(s"(${Dedup.h60("concat(t, '_', p, '_', d)")} % 2001 - 1000) / 1000.0").as("r"))
-    dims.join(broadcast(planes), "d")
-      .groupBy("vec_id", "t", "p")
-      .agg(sum(col("x") * col("r")).as("proj"))
-      .groupBy("vec_id", "t")
-      .agg(expr("sum(shiftleft(case when proj > 0 then cast(1 as bigint) else cast(0 as bigint) end, p))")
-        .as("bucket"))
+  private[graft] def planeComponent(t: Int, p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${p}_$d".getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
+  }
+
+  /** Sign-LSH bucket ids: `tables` independent tables, `bits` hyperplanes
+    * each, over vectors of exactly `dim` dimensions. Output: one row per
+    * (vec_id, t) with the table's `bits`-bit bucket.
+    *
+    * The hyperplane matrix is materialized driver-side (it is
+    * tables×bits×dim md5-derived constants, a few KB) and folded into the
+    * plan as array literals, so bucketing is a single narrow projection —
+    * no per-dimension explode, no plane join, no shuffle. Vectors whose
+    * length differs from `dim` fail loudly (`raise_error`) instead of
+    * being silently truncated.
+    */
+  def signLshBuckets(emb: DataFrame, tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    require(bits <= 62, "bits must fit a long bucket id")
+    val v = withNorm(emb).withColumn("e",
+      when(size(col("e")) === dim, col("e"))
+        .otherwise(expr(
+          s"raise_error(concat('embedding dim ', size(e), ' != configured dim $dim'))")))
+    val tableBuckets = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { p =>
+        val plane = typedlit((0 until dim).map(d => planeComponent(t, p, d)))
+        when(array_dot(col("e"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t.toLong).as("t"), bucket.as("bucket"))
+    }
+    v.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
   /** LSH-accelerated near-dup pairs: same-(table, bucket) candidates,
-    * exact cosine verification ≥ threshold.
+    * exact cosine verification ≥ threshold. Verification cost tracks the
+    * candidate set (same contract as [[Dedup.jaccardOfCandidates]]).
     */
   def lshCosinePairs(
       emb: DataFrame, threshold: Double,
-      tables: Int = 8, bits: Int = 4): DataFrame = {
-    val buckets = signLshBuckets(emb, tables, bits)
+      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val buckets = signLshBuckets(emb, tables, bits, dim)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .distinct()
-    val v = asDouble(emb)
+    val v = withNorm(emb)
     cand
       .join(v.as("a"), col("i") === col("a.vec_id"))
       .join(v.as("b"), col("j") === col("b.vec_id"))
-      .select(col("i"), col("j"), expr(cosExpr("a.e", "b.e")).as("cos"))
+      .select(col("i"), col("j"),
+        cosCol(col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }

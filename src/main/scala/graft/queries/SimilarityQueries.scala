@@ -8,9 +8,17 @@ import graft.sources.Tables
   *
   * Data note (sf0.01): pairwise cosines top out ≈ 0.51 (no planted
   * embedding near-dups), so thresholds are sized to the data: 0.4 keeps
-  * 59 pairs, 0.3 keeps a handful of neighbors per query vector. The LSH
-  * variant is exercised by tests (recall vs brute force), not an oracle —
-  * its output is a subset of the exact pairs by construction.
+  * 59 pairs, 0.3 keeps a handful of neighbors per query vector.
+  *
+  * Tier split (see the [[graft.operators.Similarity]] doc for the
+  * measured recall/cost tradeoff): q30 gates the exact pair tier —
+  * ground truth, quadratic by definition, fast via the codegen'd
+  * dot-product kernel; q33 gates the sign-LSH approximate tier, whose
+  * md5-deterministic bucketing DuckDB reproduces exactly. Its output is
+  * a subset of q30's by construction (bucketed candidates, exact
+  * verification); recall at this weak threshold is ~0.4 and documented —
+  * the near-dup regime where LSH actually prunes is property-tested in
+  * DedupSpec with planted duplicates.
   */
 object SimilarityQueries {
 
@@ -41,7 +49,12 @@ object SimilarityQueries {
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    "q33_ann_lsh_pairs" -> ((spark, dir) =>
+      Similarity.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
+          threshold = 0.4, tables = 16, bits = 8, dim = 64)
+        .orderBy("i", "j")))
 
   def oracles: Map[String, String] = Map(
     "q30_embedding_pairs" ->
@@ -72,5 +85,36 @@ object SimilarityQueries {
          |           FROM scored)
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Reproduces the sign-LSH bucketing bit-for-bit: hyperplane (t, p, d)
+    // = md5-derived 60-bit int centered into [-1, 1] (the same h60
+    // derivation as the minhash oracle), projections summed in list
+    // order, bucket = packed sign bits, candidates = same-(t, bucket)
+    // pairs, then exact cosine verification — tables=16, bits=8, dim=64.
+    "q33_ann_lsh_pairs" ->
+      s"""WITH $VecSql,
+         |planes AS (
+         |  SELECT t.t, p.p,
+         |         list_transform(generate_series(1, 64), k ->
+         |           (CAST('0x' || substr(md5(t.t || '_' || p.p || '_' || (k - 1)), 1, 15) AS BIGINT)
+         |            % 2001 - 1000) / 1000.0) AS pr
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS t) t,
+         |       (SELECT unnest(generate_series(0, 7)) AS p) p),
+         |proj AS (
+         |  SELECT vec_id, t, p,
+         |         list_sum(list_transform(generate_series(1, 64), k -> e[k] * pr[k])) AS proj
+         |  FROM v CROSS JOIN planes),
+         |buckets AS (
+         |  SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT i, j, round(cos, 4) AS cos FROM (
+         |  SELECT i, j, ${cosSql("a.e", "b.e")} AS cos
+         |  FROM cand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
+         |WHERE cos >= 0.4
+         |ORDER BY i, j""".stripMargin)
 }
