@@ -1,29 +1,53 @@
 package graft
 
+import java.util.Locale
+
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"value":N,"unit":"sec","queries":
-  * {...},"sf":...}. One warm-up pass (JIT + codegen + parquet footer
-  * cache), then one timed pass per query.
+  * {...},"errors":{...},"sf":...}.
+  *
+  * Protocol (BASELINE.md): per query, one warm-up run (JIT + codegen +
+  * parquet footer cache), then the MEDIAN of 3 timed runs. A query that
+  * throws is reported as -1 with its error in the "errors" map — never
+  * silently recorded as a fast success. All numbers format under
+  * Locale.ROOT so the output is valid JSON regardless of host locale.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session(appName = "graft-bench")
 
-    def runAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
 
-    runAll() // warm-up
-    val results = runAll()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        once(fn) // warm-up
+        val timed = Seq.fill(3)(once(fn)).sorted
+        name -> timed(1) // median of 3
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          name -> -1.0
+      }
+    }
+
+    def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

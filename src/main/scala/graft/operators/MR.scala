@@ -97,11 +97,16 @@ object MR {
 
   /** djb2 — bit-compatible with the reference's default partitioner
     * (reference `src/mapreduce.c:129-138`), exposed for parity tests.
+    * The reference accumulates in a 64-bit `unsigned long`: JVM `Long`
+    * overflow wraps identically, and the final `hash % num_partitions`
+    * on an unsigned value maps to `Long.remainderUnsigned` (plain `%`
+    * would go negative once the accumulator's top bit is set, which any
+    * key of ~10+ chars reaches).
     */
   def defaultHashPartition(key: String, numPartitions: Int): Int = {
     var hash = 5381L
-    key.foreach(c => hash = ((hash << 5) + hash + c) & 0xFFFFFFFFL)
-    math.floorMod(hash, numPartitions.toLong).toInt
+    key.foreach(c => hash = (hash << 5) + hash + c)
+    java.lang.Long.remainderUnsigned(hash, numPartitions.toLong).toInt
   }
 
   /** Group a key-sorted iterator into (key, streaming-values) runs —

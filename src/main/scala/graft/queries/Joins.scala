@@ -8,12 +8,17 @@ import graft.sources.Tables
   * top-k per group, set ops.
   *
   * The reference has no joins at all (SURVEY.md §2.5) — this is the
-  * declared capability extension. Scale posture: dimension tables
-  * (region/nation/part/supplier/customer) are explicitly broadcast where
-  * small; the fact-side joins shuffle on their equi-keys and AQE handles
-  * skew/coalescing at runtime. Join order for the multiway query starts
-  * from the most selective dimension (region filter) so Catalyst's
-  * broadcast chain keeps the fact table un-shuffled until the final agg.
+  * declared capability extension. Scale posture: explicit `broadcast()`
+  * hints ONLY on tables whose size is bounded by the schema itself
+  * (region = 5 rows, nation = 25 — and anything derived by joining down
+  * to them). Everything that grows with the data — customer, part,
+  * orders and any frame derived from them — is left unhinted: a forced
+  * broadcast of a linearly-scaling table is an executor OOM at 100×,
+  * while AQE picks broadcast at runtime whenever the side is actually
+  * under the threshold, and falls back to shuffle joins (with skew
+  * splitting) when it isn't. Join order for the multiway query starts
+  * from the most selective dimension (region filter) so the bounded dim
+  * chain reduces before touching the fact table.
   */
 object Joins {
 
@@ -22,7 +27,7 @@ object Joins {
       val orders = Tables.load(spark, dir, "orders")
       val customer = Tables.load(spark, dir, "customer")
       orders
-        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
           round(sum("o_totalprice"), 2).as("total_price"),
@@ -36,8 +41,9 @@ object Joins {
       val customer = Tables.load(spark, dir, "customer")
       val orders = Tables.load(spark, dir, "orders")
       val lineitem = Tables.load(spark, dir, "lineitem")
-      // Most-selective-first: filter the 5-row region, broadcast the whole
-      // dim chain so the lineitem fact never shuffles before the agg.
+      // Most-selective-first: filter the 5-row region and hint only the
+      // bounded dims (region, and nations-joined-to-region ≤ 25 rows).
+      // custs/ords scale with the data — AQE chooses their join strategy.
       val asiaNations = nation
         .join(broadcast(region.filter(col("r_name") === "ASIA")),
           nation("n_regionkey") === region("r_regionkey"))
@@ -46,10 +52,10 @@ object Joins {
         .join(broadcast(asiaNations), customer("c_nationkey") === asiaNations("n_nationkey"))
         .select("c_custkey", "n_name")
       val ords = orders
-        .join(broadcast(custs), orders("o_custkey") === custs("c_custkey"))
+        .join(custs, orders("o_custkey") === custs("c_custkey"))
         .select("o_orderkey", "n_name")
       lineitem
-        .join(broadcast(ords), lineitem("l_orderkey") === ords("o_orderkey"))
+        .join(ords, lineitem("l_orderkey") === ords("o_orderkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy("n_name")
@@ -58,8 +64,11 @@ object Joins {
     "q06_join_broadcast" -> ((spark, dir) => {
       val lineitem = Tables.load(spark, dir, "lineitem")
       val part = Tables.load(spark, dir, "part")
+      // part grows ~linearly with sf: no hint — AQE broadcasts it while
+      // it fits and shuffles when it doesn't (the plan, not the query,
+      // decides "broadcast join").
       lineitem
-        .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+        .join(part, lineitem("l_partkey") === part("p_partkey"))
         .groupBy("p_brand")
         .agg(
           round(avg("l_extendedprice"), 4).as("avg_price"),
@@ -101,7 +110,7 @@ object Joins {
       val orders = Tables.load(spark, dir, "orders")
       val customer = Tables.load(spark, dir, "customer")
       val oc = orders
-        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       oc.select(

@@ -19,13 +19,15 @@ object Tables {
   /** Load one table. `events` needs special-casing: the parquet stores
     * TIMESTAMP(NANOS) which Spark reads as a raw long (see
     * `spark.sql.legacy.parquet.nanosAsLong`); convert to a microsecond
-    * timestamp here (floor division — the same truncation DuckDB applies
-    * when it narrows ns → µs).
+    * timestamp here. `div` is exact 64-bit integer division — a
+    * float-division-then-floor would round through double, whose 2^53
+    * exact-integer range epoch-nanosecond values exceed, and could land
+    * 1µs off DuckDB's exact truncation near second boundaries.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

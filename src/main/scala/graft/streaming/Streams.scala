@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming tier over the `events` dataflow (SURVEY.md §2.5
+  * streaming row, §7 step 7).
+  *
+  * Every transform here is written against the unified Dataset model: the
+  * SAME function plans over a batch DataFrame and a `readStream` frame.
+  * That is the differential-test contract (SURVEY §5.2 t3): the streaming
+  * rendering fed the full event log must equal the batch rendering — e.g.
+  * [[tumblingCounts]] over a stream ≡ the q25 batch buckets — because a
+  * stream is just a table being incrementally materialized.
+  *
+  * Scale posture: windowed aggregations shuffle once on (window, key);
+  * `withWatermark` bounds state (late rows beyond the delay are dropped
+  * and window state older than the watermark is evicted, so state size
+  * tracks the watermark horizon, not the stream length);
+  * [[runningUserState]] keys state by user so it distributes across
+  * executors with the shuffle and lives in the state store (RocksDB at
+  * scale), never on the driver.
+  */
+object Streams {
+
+  /** Tumbling 1-hour counts/sums per event_type — the streaming form of
+    * q25 (`window(ts, 1h)` buckets align with `date_trunc('hour')`).
+    * Pass a watermark to bound state / drop late data on streams.
+    */
+  def tumblingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame =
+    withWm(events, watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows: each event lands in `size`/`slide` overlapping
+    * buckets (Spark plans this as a generate + single shuffle, not one
+    * aggregation per offset).
+    */
+  def slidingCounts(
+      events: DataFrame, size: String = "1 hour", slide: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame =
+    withWm(events, watermark)
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user: a session extends while consecutive events
+    * arrive within `gap`; on streams, sessions finalize once the
+    * watermark passes their close (append mode).
+    */
+  def sessionCounts(
+      events: DataFrame, gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame =
+    withWm(events, watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  private def withWm(events: DataFrame, watermark: Option[String]): DataFrame =
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+
+  /** Typed event row for the stateful API (subset of the events schema). */
+  case class UserEvent(user_id: Long, event_type: String, value: Double,
+      ts: java.sql.Timestamp)
+
+  /** Running per-user state: event count, value total, last event time. */
+  case class UserState(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom running state per user via `mapGroupsWithState` — the
+    * arbitrary-stateful-processing surface (the streaming analogue of the
+    * reference's user-defined Reducer: the framework shuffles by key and
+    * hands the user code each key's values plus durable state).
+    *
+    * Emits the updated state for every group touched in a (micro-)batch.
+    * On a batch Dataset the same code runs with initial-empty state, so
+    * the result must equal a plain groupBy aggregation — that equivalence
+    * is the differential test.
+    */
+  def runningUserState(events: Dataset[UserEvent]): Dataset[UserState] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stateEnc: Encoder[UserState] = Encoders.product[UserState]
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserState(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -86,10 +86,24 @@ class MRSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("djb2 reference parity on known values") {
-    // djb2("") = 5381; djb2("a") = 5381*33 + 97 = 177670 (mod 2^32)
+  test("djb2 reference parity, including keys that overflow 64 bits") {
     assert(MR.defaultHashPartition("", 1000000) == 5381 % 1000000)
     assert(MR.defaultHashPartition("a", 1000000) == 177670 % 1000000)
+    // independent model of the reference's unsigned-64 accumulate + mod
+    // (mapreduce.c:129-138): BigInt with explicit 2^64 wraparound
+    val two64 = BigInt(1) << 64
+    def ref(key: String, n: Int): Int = {
+      var h = BigInt(5381)
+      key.foreach(c => h = (h * 33 + c.toInt) % two64)
+      (h % n).toInt
+    }
+    val keys = Seq("hello", "hello world", "the quick brown fox jumps over the lazy dog",
+      "supercalifragilisticexpialidocious", "aaaaaaaaaaaaaaaaaaaaaaaaaaaa")
+    for (k <- keys; n <- Seq(3, 7, 26, 1000)) {
+      // these keys all overflow 64 bits (top bit set), exercising the
+      // unsigned-remainder path
+      assert(MR.defaultHashPartition(k, n) == ref(k, n), s"key=$k n=$n")
+    }
   }
 
   test("groupedRuns: runs reconstruct the sorted input; partial consumption is safe") {

@@ -1,0 +1,183 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.Tables
+import graft.streaming.Streams
+import graft.streaming.Streams.{UserEvent, UserState}
+
+/** Streaming-tier differential tests (SURVEY.md §5.2 t3): the same
+  * transforms planned over a stream must equal their batch rendering;
+  * watermarks drop exactly the late rows; session windows merge by gap;
+  * mapGroupsWithState accumulates across micro-batches.
+  *
+  * No DuckDB oracle here by design — streaming semantics are checked
+  * against the engine's own batch results (which ARE oracle-gated, q25).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** events rows (sf0.001) as typed tuples for MemoryStream replay. */
+  private lazy val eventRows: Seq[(Long, Timestamp, Long, String, Double)] =
+    Tables.load(spark, TestSpark.Sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toIndexedSeq
+
+  test("tumbling windows: streaming replay of the full event log == batch q25 buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamed = Streams.tumblingCounts(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val query = streamed.writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete").start()
+    try {
+      stream.addData(eventRows)
+      query.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .orderBy("hour_bucket", "event_type").collect().map(_.toSeq)
+      // batch rendering via the same transform...
+      val batch = Streams.tumblingCounts(Tables.load(spark, TestSpark.Sf0001, "events"))
+        .orderBy("hour_bucket", "event_type").collect().map(_.toSeq)
+      assert(got.toSeq == batch.toSeq)
+      // ...which itself must equal the oracle-gated q25 (date_trunc form)
+      val q25 = graft.queries.Analytics.queries("q25_time_buckets")(spark, TestSpark.Sf0001)
+        .collect().map(_.toSeq)
+      assert(batch.toSeq == q25.toSeq)
+    } finally query.stop()
+  }
+
+  test("sliding windows: events land in every size/slide bucket they overlap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "a", 1.0),
+      (2L, ts("2024-01-01 10:35:00"), 1L, "a", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Streams.slidingCounts(df, "1 hour", "30 minutes")
+      .orderBy("window_start")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 09:30:00", 1L, 1.0),   // only 10:05
+      ("2024-01-01 10:00:00", 2L, 3.0),   // both
+      ("2024-01-01 10:30:00", 1L, 2.0)))  // only 10:35
+  }
+
+  test("watermark drops exactly the rows behind it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val agg = Streams.tumblingCounts(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      watermark = Some("1 hour"))
+    val query = agg.writeStream
+      .format("memory").queryName("wm_out").outputMode("update").start()
+    try {
+      // batch 1: event at 12:00 → after this batch the watermark is 11:00
+      stream.addData(Seq((1L, ts("2024-01-01 12:00:00"), 1L, "a", 1.0)))
+      query.processAllAvailable()
+      val afterB1 = spark.table("wm_out").count()
+      assert(afterB1 == 1) // the 12:00 bucket update
+      // batch 2: 09:30 is behind the watermark (bucket closes 10:00 ≤ 11:00)
+      // → dropped; 11:30's bucket closes 12:00 > 11:00 → kept
+      stream.addData(Seq(
+        (2L, ts("2024-01-01 09:30:00"), 1L, "a", 1.0),
+        (3L, ts("2024-01-01 11:30:00"), 1L, "a", 1.0)))
+      query.processAllAvailable()
+      val rows = spark.table("wm_out")
+        .select("hour_bucket").collect().map(_.getString(0)).toSeq
+      assert(rows.count(_ == "2024-01-01 11:00:00") == 1, s"on-time row must aggregate: $rows")
+      assert(!rows.contains("2024-01-01 09:00:00"), s"late row must be dropped: $rows")
+    } finally query.stop()
+  }
+
+  test("session windows merge events within the gap and split across it (batch)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "a", 2.0),
+      (3L, ts("2024-01-01 10:25:00"), 7L, "a", 3.0),  // still same session (gap 30m)
+      (4L, ts("2024-01-01 12:00:00"), 7L, "a", 4.0),  // new session
+      (5L, ts("2024-01-01 10:05:00"), 8L, "a", 5.0))  // other user
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Streams.sessionCounts(df, "30 minutes")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(2), r.getString(0), r.getString(1), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (7L, "2024-01-01 10:00:00", "2024-01-01 10:55:00", 3L),
+      (7L, "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1L),
+      (8L, "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1L)))
+  }
+
+  test("session windows finalize on a stream once the watermark passes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val agg = Streams.sessionCounts(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      gap = "30 minutes", watermark = Some("10 minutes"))
+    val query = agg.writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0),
+        (2L, ts("2024-01-01 10:10:00"), 7L, "a", 2.0)))
+      query.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // session still open
+      // far-future event pushes the watermark past 10:40 + 10m
+      stream.addData(Seq((3L, ts("2024-01-01 15:00:00"), 9L, "a", 0.0)))
+      query.processAllAvailable()
+      stream.addData(Seq((4L, ts("2024-01-01 18:00:00"), 9L, "a", 0.0)))
+      query.processAllAvailable()
+      val done = spark.table("sess_out")
+        .collect().map(r => (r.getLong(2), r.getString(0), r.getLong(3))).toSeq
+      assert(done.contains((7L, "2024-01-01 10:00:00", 2L)),
+        s"user 7's closed session must be appended, got $done")
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    val states = Streams.runningUserState(stream.toDS())
+    val query = states.writeStream
+      .format("memory").queryName("state_out").outputMode("update").start()
+    try {
+      stream.addData(Seq(
+        UserEvent(1L, "a", 10.0, ts("2024-01-01 10:00:00")),
+        UserEvent(1L, "a", 5.0, ts("2024-01-01 10:01:00")),
+        UserEvent(2L, "b", 7.0, ts("2024-01-01 10:02:00"))))
+      query.processAllAvailable()
+      stream.addData(Seq(UserEvent(1L, "a", 2.5, ts("2024-01-01 11:00:00"))))
+      query.processAllAvailable()
+      val byBatch = spark.table("state_out").as[UserState].collect()
+      // last update for user 1 reflects all 3 events (state survived batches)
+      assert(byBatch.filter(_.user_id == 1L).map(_.n_events).max == 3)
+      assert(byBatch.filter(_.user_id == 1L).map(_.total_value).max == 17.5)
+      assert(byBatch.filter(_.user_id == 2L).map(_.n_events).max == 1)
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState on a batch Dataset equals plain aggregation (differential)") {
+    import spark.implicits._
+    val events = Tables.load(spark, TestSpark.Sf0001, "events")
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[UserEvent]
+    val viaState = Streams.runningUserState(events)
+      .collect().map(s => (s.user_id, (s.n_events, math.rint(s.total_value * 100) / 100)))
+      .toMap
+    val viaAgg = events.toDF().groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), math.rint(r.getDouble(2) * 100) / 100)))
+      .toMap
+    assert(viaState == viaAgg)
+  }
+}
