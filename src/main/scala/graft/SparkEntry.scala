@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MapReduceShim.queries ++ Relational.queries ++ Joins.queries ++
-      Analytics.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      Analytics.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     MapReduceShim.oracles ++ Relational.oracles ++ Joins.oracles ++
-      Analytics.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
+      Analytics.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      SketchQueries.oracles
 }

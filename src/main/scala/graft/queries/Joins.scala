@@ -121,6 +121,18 @@ object Joins {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    "q36_supplier_stats" -> ((spark, dir) => {
+      val supplier = Tables.load(spark, dir, "supplier")
+      val nation = Tables.load(spark, dir, "nation")
+      supplier
+        .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          round(avg("s_acctbal"), 2).as("avg_acctbal"))
+        .orderBy("n_name")
+    }),
+
     "q18_set_ops" -> ((spark, dir) => {
       val customer = Tables.load(spark, dir, "customer")
       val orders = Tables.load(spark, dir, "orders")
@@ -193,6 +205,14 @@ object Joins {
         |  FROM orders JOIN customer ON o_custkey = c_custkey) t
         |WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q36_supplier_stats" ->
+      """SELECT n_name,
+        |       count(*) AS n_suppliers,
+        |       round(avg(s_acctbal), 2) AS avg_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     "q18_set_ops" ->
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

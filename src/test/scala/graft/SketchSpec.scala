@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Aggregators
+import graft.sources.Tables
+
+/** Approx/UDAF/CLI-tier tests (SURVEY.md §2.5 approx + UDF/UDAF rows):
+  * the HLL sketch stays inside its error bound against the exact count,
+  * the typed Aggregator matches its algebraic form, and the word-count
+  * CLI reproduces the reference's found / not-found contract.
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("approx_count_distinct within 3*rsd of exact countDistinct") {
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    val rsd = 0.02
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), rsd).as("approx")).head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 3 * rsd,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("wavg Aggregator equals sum(v*w)/sum(w) per group") {
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    val got = li.groupBy("l_returnflag")
+      .agg(
+        Aggregators.wavg(col("l_extendedprice"), col("l_quantity")).as("wavg"),
+        (sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")))
+          .as("algebraic"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-6,
+        s"${r.getString(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
+
+  test("wavg returns NaN on zero total weight") {
+    import spark.implicits._
+    val df = Seq((1.0, 0.0), (2.0, 0.0)).toDF("v", "w")
+    val out = df.agg(Aggregators.wavg(col("v"), col("w"))).head().getDouble(0)
+    assert(out.isNaN)
+  }
+
+  test("WordCount CLI contract: found term, exact count; missing term, None") {
+    val file = TestSpark.resource("words.txt")
+    assert(WordCount.lookup(spark, Seq(file), "Hello").contains(2L))
+    assert(WordCount.lookup(spark, Seq(file), "hello").contains(1L))
+    assert(WordCount.lookup(spark, Seq(file), "zebra").isEmpty)
+  }
+}
