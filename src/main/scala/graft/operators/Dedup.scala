@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Portable 60-bit hash of a string SQL expression (see class doc). */
-  private[operators] def h60(sqlExpr: String): String =
+  private[graft] def h60(sqlExpr: String): String =
     s"cast(conv(substr(md5($sqlExpr), 1, 15), 16, 10) as bigint)"
 
   /** Distinct word n-gram shingles per document: (doc_id, g).

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis tier for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. The reference's own
+  * word count is the seed of this category (text → per-key statistics);
+  * these operators are the corpus-scale versions a 100 TB pipeline runs
+  * before/alongside dedup.
+  *
+  * Scale posture: every operator is a linear scan plus bounded shuffles —
+  * token/trigram explodes are proportional to corpus bytes, profiles are
+  * bounded (languages × k) so the classify join broadcasts, and argmax
+  * uses one window shuffle on doc_id. No collects, no quadratic joins.
+  */
+object TextAnalysis {
+
+  /** Whitespace word array (trim + split + drop empties) — the
+    * reference's tokenizer with the SURVEY §2.2 Q1 fix.
+    */
+  private val WordsExpr = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+
+  /** Character trigrams per doc: (doc_id, lang, g). Docs shorter than 3
+    * chars yield no rows (guarded: Spark's `sequence(1, n)` counts DOWN
+    * when n < 1, unlike DuckDB's empty `generate_series`).
+    */
+  def charTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(if(length(text) >= 3, sequence(1, length(text) - 2), " +
+          "array()), i -> substring(text, i, 3))")).as("g"))
+
+  /** N-gram-profile language ID (Cavnar & Trenkle '94 shape, trained on
+    * the labeled corpus): profile = top-`k` char trigrams per language
+    * by frequency; a doc's predicted language is the profile sharing the
+    * most of its distinct trigrams (ties → language asc, docs matching
+    * no profile → "unknown"). Output: (doc_id, lang, pred_lang, score).
+    */
+  def languageId(docs: DataFrame, k: Int = 200): DataFrame = {
+    val tri = charTrigrams(docs)
+    val topK = Window.partitionBy("lang").orderBy(col("c").desc, col("g"))
+    val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(topK)).filter(col("rk") <= k)
+      .select(col("lang").as("plang"), col("g"))
+    val docTri = tri.select("doc_id", "g").distinct()
+    // profiles are bounded (langs × k) — AQE broadcasts this join
+    val scores = docTri.join(profiles, "g")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+    val best = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
+    val pred = scores.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1).select("doc_id", "plang", "score")
+    docs.select("doc_id", "lang").join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("plang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Per-doc quality signals: char/word/distinct-word counts, type-token
+    * ratio, mean word length, and a composite score = min(1, words/100)
+    * × TTR (longer docs with diverse vocabulary score higher). One scan,
+    * no shuffle — every measure folds over the doc's own word array.
+    */
+  def qualityScores(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr(WordsExpr).as("w"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        col("w"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_words"), 4).as("ttr"),
+        round(expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double")
+          / col("n_words"), 4).as("mean_wlen"),
+        round(least(lit(1.0), col("n_words").cast("double") / 100.0)
+          * (col("n_distinct").cast("double") / col("n_words")), 4).as("quality"))
+
+  /** Per-doc token counts: whitespace words and a BPE-ish segmentation
+    * (maximal alnum runs + single non-alnum marks) — the cheap proxy for
+    * "how many tokens will the tokenizer bill for this doc".
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      expr(s"size($WordsExpr)").cast("long").as("ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0))").cast("long")
+        .as("re_tokens"))
+
+  /** Rolling-hash document fingerprints (winnowing-lite): min/max of the
+    * portable 60-bit hash over word `n`-gram shingles plus the shingle
+    * count. Equal fingerprints ⇒ near-identical content; the min-hash
+    * value is exactly the k=1 MinHash signature, so this composes with
+    * the dedup tier.
+    */
+  def fingerprints(docs: DataFrame, n: Int = 5): DataFrame =
+    Dedup.shingles(docs, n)
+      .select(col("doc_id"), expr(Dedup.h60("g")).as("h"))
+      .groupBy("doc_id")
+      .agg(min("h").as("fp_min"), max("h").as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.sources.Tables
+
+/** Oracle-gated text-analysis + multimodal-metadata + dedup-pipeline
+  * queries over `documents` (the training-data-pipeline tier beyond the
+  * reference's word count).
+  *
+  * q37 language ID trains its trigram profiles on the corpus itself (the
+  * labeled `lang` column), so the whole train-then-classify pipeline is
+  * inside the query and reproducible in DuckDB. q42 is the end-to-end
+  * dedup decision: MinHash-LSH near-dup pairs → per-doc drop/keep
+  * verdicts (the lowest-id pair partner is kept).
+  */
+object TextQueries {
+
+  private val WsSql =
+    """ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)"""
+
+  def queries: Map[String, Q] = Map(
+    "q37_lang_id" -> ((spark, dir) =>
+      TextAnalysis.languageId(Tables.load(spark, dir, "documents"), k = 200)
+        .orderBy("doc_id")),
+
+    "q38_quality" -> ((spark, dir) =>
+      TextAnalysis.qualityScores(Tables.load(spark, dir, "documents"))
+        .orderBy("doc_id")),
+
+    "q39_token_count" -> ((spark, dir) =>
+      TextAnalysis.tokenCounts(Tables.load(spark, dir, "documents"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("total_ws_tokens"),
+          sum("re_tokens").as("total_re_tokens"),
+          round(avg("ws_tokens"), 4).as("avg_ws_tokens"))
+        .orderBy("source")),
+
+    "q40_doc_fingerprint" -> ((spark, dir) =>
+      TextAnalysis.fingerprints(Tables.load(spark, dir, "documents"), n = 5)
+        .orderBy("doc_id")),
+
+    "q41_blob_meta" -> ((spark, dir) =>
+      Multimodal.blobMeta(Tables.load(spark, dir, "documents"))
+        .orderBy("doc_id")),
+
+    "q42_dedup_keep" -> ((spark, dir) =>
+      Dedup.minhashPairs(Tables.load(spark, dir, "documents"),
+          n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7)
+        .groupBy(col("j"))
+        .agg(min("i").as("keep_id"), count(lit(1)).as("n_pairs"))
+        .select(col("j").as("drop_id"), col("keep_id"), col("n_pairs"))
+        .orderBy("drop_id")))
+
+  def oracles: Map[String, String] = Map(
+    "q37_lang_id" ->
+      """WITH tri AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(generate_series(1, len(text) - 2),
+        |                               i -> substr(text, i, 3))) AS g
+        |  FROM documents),
+        |cnt AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY lang, g),
+        |prof AS (SELECT lang AS plang, g FROM (
+        |           SELECT lang, g, row_number() OVER (PARTITION BY lang
+        |                    ORDER BY c DESC, g) AS rk FROM cnt) t
+        |         WHERE rk <= 200),
+        |doctri AS (SELECT DISTINCT doc_id, g FROM tri),
+        |scores AS (SELECT doc_id, plang, count(*) AS score
+        |           FROM doctri JOIN prof USING (g) GROUP BY doc_id, plang),
+        |pred AS (SELECT doc_id, plang, score FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY score DESC, plang) AS rk FROM scores) t
+        |         WHERE rk = 1)
+        |SELECT d.doc_id, d.lang,
+        |       coalesce(p.plang, 'unknown') AS pred_lang,
+        |       coalesce(p.score, 0) AS score
+        |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q38_quality" ->
+      s"""WITH wsq AS (SELECT doc_id, len(text) AS n_chars0,
+         |                    list_filter(string_split_regex(trim(text), '\\s+'),
+         |                                x -> x != '') AS w
+         |             FROM documents),
+         |m AS (SELECT doc_id,
+         |             CAST(n_chars0 AS BIGINT) AS n_chars,
+         |             CAST(len(w) AS BIGINT) AS n_words,
+         |             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         |             CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) AS sum_wlen
+         |      FROM wsq)
+         |SELECT doc_id, n_chars, n_words, n_distinct,
+         |       round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS ttr,
+         |       round(sum_wlen / n_words, 4) AS mean_wlen,
+         |       round(least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+         |             * (CAST(n_distinct AS DOUBLE) / n_words), 4) AS quality
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
+
+    "q39_token_count" ->
+      s"""WITH $WsSql,
+         |t AS (SELECT ws.doc_id, d.source,
+         |             CAST(len(list_filter(w, x -> x != '')) AS BIGINT) AS ws_tokens,
+         |             CAST(len(regexp_extract_all(d.text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+         |      FROM ws JOIN documents d ON ws.doc_id = d.doc_id)
+         |SELECT source,
+         |       count(*) AS n_docs,
+         |       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         |       CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+         |       round(avg(ws_tokens), 4) AS avg_ws_tokens
+         |FROM t
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
+
+    "q40_doc_fingerprint" ->
+      s"""WITH $WsSql,
+         |sh5 AS (SELECT DISTINCT doc_id,
+         |               concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
+         |        FROM ws, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+         |        WHERE len(w) >= 5),
+         |h AS (SELECT doc_id,
+         |             CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+         |      FROM sh5)
+         |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, count(*) AS n_shingles
+         |FROM h
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q41_blob_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       hex(substring(text, 1, 8)::BLOB) AS head_hex,
+        |       hex(substring(text, 17, 4)::BLOB) || ':' ||
+        |         hex(substring(text, 33, 4)::BLOB) AS frame_sample
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q42_dedup_keep" ->
+      """WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+        |       FROM ws, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+        |sig AS (SELECT doc_id, s, min(CAST('0x' || substr(md5(s || '|' || g), 1, 15) AS BIGINT)) AS minh
+        |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+        |bands AS (SELECT doc_id, s // 4 AS b,
+        |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
+        |          FROM sig GROUP BY doc_id, s // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |         FROM bands a JOIN bands b
+        |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT i, j, ix.c * 1.0 / (s1.n + s2.n - ix.c) AS jaccard
+        |        FROM inter ix JOIN sz s1 ON ix.i = s1.doc_id JOIN sz s2 ON ix.j = s2.doc_id),
+        |pairs AS (SELECT jac.i, jac.j FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+        |          WHERE jac.jaccard >= 0.7)
+        |SELECT j AS drop_id, min(i) AS keep_id, count(*) AS n_pairs
+        |FROM pairs
+        |GROUP BY j
+        |ORDER BY drop_id""".stripMargin)
+}

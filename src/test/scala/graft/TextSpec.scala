@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.sources.Tables
+
+/** Text-analysis + multimodal tier tests: language ID accuracy on the
+  * labeled corpus, quality-score invariants, token-count parity on a
+  * hand-checked doc, fingerprint determinism, and the binary-payload
+  * feature-extraction contract (histogram conserves bytes).
+  */
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+
+  // The sf corpus draws every doc from one shared vocabulary, so its lang
+  // labels carry no textual signal; accuracy there is chance. Test the
+  // classifier on a corpus whose languages have distinct trigram stock.
+  test("languageId recovers the label when trigram signal exists") {
+    import spark.implicits._
+    val aa = "zyx wvu tsr zyx qpo wvu nml zyx tsr qpo"
+    val bb = "abc def ghi abc jkl def mno abc ghi jkl"
+    val train = (1L to 6L).map { i =>
+      if (i % 2 == 0) (i, "aa", aa + s" zyx$i") else (i, "bb", bb + s" abc$i")
+    }
+    val df = train.toDF("doc_id", "lang", "text")
+    val pred = TextAnalysis.languageId(df, k = 50)
+    assert(pred.filter(col("pred_lang") === col("lang")).count() === 6L)
+  }
+
+  test("languageId labels docs matching no profile as unknown with score 0") {
+    import spark.implicits._
+    val df = Seq((1L, "aa", "abcdefghij"), (2L, "bb", "")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.languageId(df, k = 10).orderBy("doc_id").collect()
+    assert(r(1).getString(2) === "unknown" && r(1).getLong(3) === 0L)
+  }
+
+  test("qualityScores invariants: 0 <= quality <= 1, distinct <= words <= chars") {
+    val q = TextAnalysis.qualityScores(docs)
+    val bad = q.filter(
+      col("quality") < 0 || col("quality") > 1 ||
+        col("n_distinct") > col("n_words") || col("n_words") > col("n_chars") ||
+        col("ttr") < 0 || col("ttr") > 1).count()
+    assert(bad === 0L)
+  }
+
+  test("tokenCounts parity on a hand-checked doc") {
+    import spark.implicits._
+    val df = Seq((1L, "src", "the cat, the hat!")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.tokenCounts(df).head()
+    assert(r.getAs[Long]("ws_tokens") === 4L)   // the | cat, | the | hat!
+    assert(r.getAs[Long]("re_tokens") === 6L)   // the cat , the hat !
+  }
+
+  test("fingerprints: identical text yields identical fingerprint, shifted text does not") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq((1L, t), (2L, t), (3L, "X " + t)).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("extractFeatures: histogram buckets sum to byte count") {
+    val feats = Multimodal.extractFeatures(Multimodal.blobs(docs.limit(50)))
+    val rows = feats.collect()
+    assert(rows.length === 50)
+    rows.foreach { f =>
+      assert(f.histogram.length === 16)
+      assert(f.histogram.sum === f.n_bytes, s"doc ${f.doc_id}")
+    }
+  }
+
+  test("blobMeta content_md5 matches md5 over the text column") {
+    val m = Multimodal.blobMeta(docs)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("want")), "doc_id")
+    assert(m.filter(col("content_md5") =!= col("want")).count() === 0L)
+  }
+}
