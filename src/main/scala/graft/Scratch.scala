@@ -1,0 +1,16 @@
+package graft
+
+// Throwaway profiling harness — not part of the engine surface.
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val name = args.headOption.getOrElse("q27_dedup_minhash")
+    val df = SparkEntry.queries(name)(spark, dir)
+    if (args.contains("explain")) df.explain("formatted")
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MapReduceShim.queries ++ Relational.queries ++ Joins.queries ++
       Analytics.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      SketchQueries.queries ++ TextQueries.queries
+      SketchQueries.queries ++ TextQueries.queries ++ TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MapReduceShim.oracles ++ Relational.oracles ++ Joins.oracles ++
       Analytics.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      SketchQueries.oracles ++ TextQueries.oracles
+      SketchQueries.oracles ++ TextQueries.oracles ++ TemporalQueries.oracles
 }

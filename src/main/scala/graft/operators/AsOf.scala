@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") join: for each left row, the single latest
+  * right row with the same key and `rightTs <= leftTs` (or `<` in strict
+  * mode). The join Spark's built-in operators don't express directly —
+  * composed here from a union and ONE window pass, per the
+  * compose-existing-ops preference over a custom physical operator.
+  *
+  * Plan shape (the canonical distributed as-of): tag both sides, union,
+  * shuffle ONCE on the key, sort each partition by (ts, side), and carry
+  * the latest right payload forward with `last(_, ignoreNulls)` over
+  * rows-unbounded-preceding. Left rows then read their match from the
+  * running value. Cost is a single hash shuffle + per-partition sort —
+  * identical asymptotics to a sort-merge equi-join, with no range
+  * explosion and no per-row probe, so it survives a 100× scale-up; skewed
+  * keys are handled by AQE the same as any shuffle join.
+  *
+  * Left-outer semantics: left rows with no qualifying right row keep NULL
+  * match columns. Ties on (key, ts) between right rows resolve to the
+  * largest `tiebreak` value (deterministic).
+  */
+object AsOf {
+
+  /** @param left     left (probe) frame; all its columns are preserved
+    * @param right    right (reference) frame: `key`, `rightTs`, payload
+    * @param key      equi-join key column present on both sides
+    * @param leftTs   left timestamp column
+    * @param rightTs  right timestamp column (emitted as `asof_<rightTs>`)
+    * @param payload  right columns to carry onto matches
+    * @param tiebreak right column ordering equal-ts right rows (max wins)
+    * @param strict   require `rightTs < leftTs` instead of `<=`
+    */
+  def join(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      payload: Seq[String], tiebreak: String,
+      strict: Boolean = false): DataFrame = {
+
+    val matchCols = (rightTs +: payload.filterNot(_ == rightTs))
+    val matchStruct = struct(
+      col(tiebreak).as("_tb") +: matchCols.map(c => col(c).as(c)): _*)
+
+    val r = right.select(
+      col(key).as(key), col(rightTs).as("_ats"), lit(0).as("_side"),
+      matchStruct.as("_m"))
+    val l = left
+      .withColumn("_ats", col(leftTs))
+      .withColumn("_side", lit(1))
+
+    // At equal ts: inclusive ⇒ right rows sort before left rows (visible);
+    // strict ⇒ after (invisible). Among equal-ts right rows the largest
+    // tiebreak must sort LAST so `last()` lands on it.
+    val sideOrder = if (strict) col("_side").desc else col("_side").asc
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ats").asc, sideOrder, col("_m._tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val leftCols = left.columns.toIndexedSeq.map(col)
+    val outMatch = matchCols.map(c =>
+      col(s"_best.$c").as(if (c == rightTs) s"asof_$rightTs" else c))
+
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_best", last(col("_m"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols ++ outMatch: _*)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Sessions}
+import graft.sources.Tables
+
+/** Temporal operators over `events`: point-in-time (as-of) join and batch
+  * sessionization — the event-time surface a training-data pipeline needs
+  * beyond plain time bucketing (q25).
+  *
+  * q43 is click→purchase attribution: each purchase matched to the same
+  * user's latest prior-or-same click (left-outer; purchases before any
+  * click keep NULLs). The DuckDB oracle is the independent formulation —
+  * a native `ASOF LEFT JOIN` — against our union+window plan.
+  * Deterministic: (user_id, ts) is unique in the corpus at every sf
+  * (verified), so "latest" is unambiguous.
+  *
+  * q44 is 30-minute gap-and-island sessionization; the oracle formulates
+  * the same islands with lag/running-sum windows. All timestamps cross
+  * the oracle boundary as exact epoch microseconds.
+  */
+object TemporalQueries {
+
+  def queries: Map[String, Q] = Map(
+    "q43_asof_join" -> ((spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOf.join(purchases, clicks, key = "user_id",
+          leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id"), tiebreak = "click_id")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_ts_us"),
+          col("click_id"),
+          unix_micros(col("asof_ts")).as("click_ts_us"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    "q44_sessionize" -> ((spark, dir) =>
+      Sessions.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
+        .orderBy("user_id", "session_start_us")))
+
+  def oracles: Map[String, String] = Map(
+    "q43_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+        |       c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q44_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, value, event_id,
+        |             lag(ts) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS pts
+        |           FROM events),
+        |f AS (SELECT *, CASE WHEN pts IS NULL
+        |                       OR epoch_us(ts) - epoch_us(pts) > 1800000000
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM o),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS sess
+        |      FROM f)
+        |SELECT user_id,
+        |       min(epoch_us(ts)) AS session_start_us,
+        |       max(epoch_us(ts)) AS session_end_us,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM s
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, session_start_us""".stripMargin)
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Sessions}
+import graft.sources.Tables
+
+/** Temporal-operator laws: as-of join semantics on crafted rows plus an
+  * argmax law over the real corpus; sessionization gap/island laws plus a
+  * differential check against the streaming `session_window` rendering.
+  */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val crafted = {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 9.0),
+      (1L, ts("2024-01-01 10:05:00"), 101L, 9.5),
+      (1L, ts("2024-01-01 10:05:00"), 102L, 9.7), // same-ts tie: larger id wins
+      (2L, ts("2024-01-01 11:00:00"), 200L, 5.0)
+    ).toDF("key", "qts", "qid", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1000L), // == quote ts: inclusive sees it
+      (1L, ts("2024-01-01 10:07:00"), 1001L),
+      (1L, ts("2024-01-01 09:00:00"), 1002L), // before any quote → NULL
+      (2L, ts("2024-01-01 12:00:00"), 1003L),
+      (3L, ts("2024-01-01 12:00:00"), 1004L)  // key with no quotes → NULL
+    ).toDF("key", "tts", "tid")
+    (quotes, trades)
+  }
+
+  test("as-of join: inclusive mode matches latest right with rightTs <= leftTs") {
+    val (quotes, trades) = crafted
+    val got = AsOf.join(trades, quotes, key = "key", leftTs = "tts",
+        rightTs = "qts", payload = Seq("qid", "px"), tiebreak = "qid")
+      .orderBy("tid")
+      .select("tid", "qid", "px")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(got.toSeq == Seq(
+      (1000L, Some(102L), Some(9.7)), // equal-ts visible, tie → larger qid
+      (1001L, Some(102L), Some(9.7)),
+      (1002L, None, None),            // trade precedes every quote
+      (1003L, Some(200L), Some(5.0)),
+      (1004L, None, None)))           // key absent on right
+  }
+
+  test("as-of join: strict mode excludes equal-timestamp right rows") {
+    val (quotes, trades) = crafted
+    val got = AsOf.join(trades, quotes, key = "key", leftTs = "tts",
+        rightTs = "qts", payload = Seq("qid"), tiebreak = "qid", strict = true)
+      .orderBy("tid").select("tid", "qid")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    // trade 1000 at 10:05 must now see only the 10:00 quote (qid 100)
+    assert(got.toSeq.take(2) == Seq((1000L, Some(100L)), (1001L, Some(102L))))
+  }
+
+  test("as-of join law on corpus: match is the argmax prior click, row count preserved") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val joined = AsOf.join(purchases, clicks, key = "user_id",
+      leftTs = "ts", rightTs = "ts", payload = Seq("click_id"), tiebreak = "click_id")
+
+    assert(joined.count() == purchases.count()) // left-outer: no row loss/dup
+
+    // every match must be the max click ts <= purchase ts: no qualifying
+    // click may exist strictly later than the one the join picked
+    val viol = joined.alias("j")
+      .join(clicks.alias("c"), col("j.user_id") === col("c.user_id") &&
+        col("c.ts") <= col("j.ts") &&
+        (col("j.asof_ts").isNull || col("c.ts") > col("j.asof_ts")), "inner")
+    assert(viol.count() == 0, "found a later qualifying click than the as-of match")
+  }
+
+  test("sessionize: islands split exactly at gaps > threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "a", 2.0),
+      (3L, ts("2024-01-01 10:40:00"), 7L, "a", 3.0),  // gap 30m == threshold: same session
+      (4L, ts("2024-01-01 11:10:01"), 7L, "a", 4.0),  // gap 30m1s: new session
+      (5L, ts("2024-01-01 10:00:00"), 8L, "b", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.sessionize(df, gapSeconds = 1800L)
+      .orderBy("user_id", "session_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((7L, 3L, 6.0), (7L, 1L, 4.0), (8L, 1L, 5.0)))
+  }
+
+  test("sessionize conservation laws on corpus") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val sess = Sessions.sessionize(ev, gapSeconds = 1800L).cache()
+    try {
+      // every event lands in exactly one session
+      assert(sess.agg(sum("n_events")).head.getLong(0) == ev.count())
+      // sessions of one user never overlap (start > previous end by > gap)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("session_start_us")
+      val bad = sess
+        .withColumn("prev_end", lag(col("session_end_us"), 1).over(w))
+        .filter(col("prev_end").isNotNull &&
+          col("session_start_us") - col("prev_end") <= 1800L * 1000000L)
+      assert(bad.count() == 0, "adjacent sessions within the gap must have merged")
+    } finally sess.unpersist()
+  }
+
+  test("sessionize differential: batch islands == streaming session_window rollup") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val batch = Sessions.sessionize(ev, gapSeconds = 1800L)
+      .select("user_id", "session_start_us", "n_events")
+      .orderBy("user_id", "session_start_us")
+      .collect().map(_.toSeq)
+    // session_window end = last event + gap; start/count must agree
+    val sw = ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+      .collect().map(_.toSeq)
+    assert(batch.toSeq == sw.toSeq)
+  }
+}
