@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the transitive-
+  * closure step that turns pairwise near-dup matches ([[Dedup]] /
+  * [[Similarity]]) into dedup clusters: if a~b and b~c, all three are one
+  * group even when a~c was never emitted.
+  *
+  * Algorithm: iterative min-label propagation (the MapReduce-era
+  * hash-to-min shape). Each round every node takes the minimum label
+  * among itself and its neighbors; convergence when no label changes.
+  * Rounds are bounded by the component diameter — near-dup clusters are
+  * stars/cliques around a source document, so 2–3 rounds in practice;
+  * `maxIter` caps adversarial chains. Every round is two shuffles (join
+  * edges with labels, min-aggregate by neighbor) at O(|E|) — no
+  * all-pairs, no driver-side graph. Labels persist per round and the
+  * lineage is cut with a local checkpoint every few rounds so plans stay
+  * flat no matter how many iterations run.
+  */
+object Components {
+
+  /** (node, component) for every endpoint of `edges` (columns i, j);
+    * component = minimum node id reachable through the edge set.
+    */
+  def connected(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("i").as("src"), col("j").as("dst"))
+      .union(edges.select(col("j").as("src"), col("i").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = sym.join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("node2"))
+        .agg(min(col("component")).as("nbr_min"))
+      var next = labels.drop("_chg")
+        .join(msgs, col("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"),
+          coalesce(col("nbr_min") < col("component"), lit(false)).as("_chg"))
+      if (iter % 5 == 4) next = next.localCheckpoint(true)
+      next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("_chg")).isEmpty // materializes the cache
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.drop("_chg")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Band (range) self-join: all row pairs whose timestamps lie within
+  * `windowSeconds` of each other — the join shape Spark's built-ins
+  * plan as a BroadcastNestedLoopJoin (quadratic) when written naively
+  * as `abs(a.ts - b.ts) <= w`.
+  *
+  * Scale shape: bucketize time into `windowSeconds`-wide bins. Any
+  * qualifying pair differs by at most one bin, so candidates are an
+  * EQUI-join of each left row's bin against the right side exploded to
+  * its three adjacent bins — one hash shuffle, 3× amplification of one
+  * side, then exact |Δts| verification. A candidate pair matches on
+  * exactly one probe bin (the left row's), so no distinct pass is
+  * needed. Hot bins (load spikes) are ordinary shuffle skew — AQE's
+  * skew-join split applies; at extreme densities widen the bin or add a
+  * secondary salt on the verify join.
+  */
+object RangeJoin {
+
+  /** Pairs (i, j, i < j by `idCol`) of `df` rows with
+    * |ts_i − ts_j| ≤ `windowSeconds`, with the signed microsecond delta
+    * (ts_j − ts_i).
+    */
+  def timeBandPairs(df: DataFrame, idCol: String, tsCol: String,
+      windowSeconds: Long): DataFrame = {
+    val wUs = windowSeconds * 1000000L
+    val base = df.select(col(idCol).as("id"), unix_micros(col(tsCol)).as("us"))
+      .withColumn("bin", expr(s"us div $wUs"))
+    val probes = base.withColumn("bin",
+      explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+    base.as("a")
+      .join(probes.as("b"),
+        col("a.bin") === col("b.bin") && col("a.id") < col("b.id"))
+      .filter(abs(col("b.us") - col("a.us")) <= wUs)
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        (col("b.us") - col("a.us")).as("delta_us"))
+  }
+}

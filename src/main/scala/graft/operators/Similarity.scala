@@ -96,6 +96,63 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the cell-probe scale path
+    * for repeated ANN queries, complementing [[lshCosinePairs]] (all-pairs
+    * discovery) and [[bruteForceTopK]] (exact small-query search).
+    *
+    * Index: a deterministic sample of the corpus serves as coarse
+    * centroids (`vec_id % centroidEvery == 0` — seed-free and
+    * oracle-reproducible; production would k-means, which only moves the
+    * centroid positions, not the plan shape). Every vector is assigned to
+    * its nearest centroid in ONE corpus scan against the broadcast
+    * centroid set (centroids are O(√n)-scale by construction — bounded,
+    * legitimately broadcastable). Search: each query probes its `nProbe`
+    * nearest centroids, and only vectors assigned to those cells are
+    * scored — an equi-join on cell id, so recall trades against the
+    * fraction of the corpus scanned (nProbe/centroids on average) and
+    * nothing is quadratic. Ties everywhere resolve by (rounded cosine
+    * desc, id asc) — deterministic and engine-portable.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int = 20, nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = withNorm(emb.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0))
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+
+    // one scan: nearest centroid per vector (argmax by rounded cos, min cid)
+    val assigned = withNorm(emb).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+        round(cosCol(col("e"), col("ce"), col("nrm"), col("cn")), 6).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("e")).as("e"), first(col("nrm")).as("nrm"),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+
+    // each query probes its nProbe nearest cells
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    val probes = withNorm(queries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("qn"), col("cid"),
+        round(cosCol(col("qe"), col("ce"), col("qn"), col("cn")), 6).as("qcos"))
+      .withColumn("pr", row_number().over(qw))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cid").as("cell"))
+
+    // score only vectors in probed cells; exact top-k within them
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+    assigned.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosCol(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Hyperplane component (t, p, d), derived from md5 so that an oracle
     * engine regenerates the identical plane: first 15 hex chars of
     * md5("t_p_d") as a 60-bit int, centered into [-1, 1] in steps of

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Components, Dedup}
 import graft.sources.Tables
 
 /** Oracle-gated dedup queries over `documents` (SURVEY.md §2.5
@@ -45,7 +45,13 @@ object DedupQueries {
 
     "q29_dedup_simhash_pairs" -> ((spark, dir) =>
       Dedup.simhashPairs(Tables.load(spark, dir, "documents"), maxHamming = 10, n = 3)
-        .orderBy("i", "j")))
+        .orderBy("i", "j")),
+
+    "q47_dedup_components" -> ((spark, dir) =>
+      Components.connected(
+          Dedup.minhashPairs(Tables.load(spark, dir, "documents"),
+            n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7))
+        .orderBy("node")))
 
   def oracles: Map[String, String] = Map(
     "q26_dedup_ngram" ->
@@ -96,5 +102,31 @@ object DedupQueries {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
-         |ORDER BY i, j""".stripMargin)
+         |ORDER BY i, j""".stripMargin,
+
+    // q27's pipeline produces the edges; min-reachable-id per node via a
+    // recursive closure (oracle scale) == the engine's iterative
+    // min-label propagation.
+    "q47_dedup_components" ->
+      s"""WITH RECURSIVE $ShinglesSql,
+         |seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+         |sig AS (SELECT doc_id, s, min(CAST('0x' || substr(md5(s || '|' || g), 1, 15) AS BIGINT)) AS minh
+         |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+         |bands AS (SELECT doc_id, s // 4 AS b,
+         |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
+         |          FROM sig GROUP BY doc_id, s // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |$JaccardSql,
+         |pairs AS (SELECT jac.i, jac.j FROM jac
+         |          JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+         |          WHERE jac.jaccard >= 0.7),
+         |e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+         |r AS (SELECT i AS n, i AS m FROM e
+         |      UNION
+         |      SELECT r.n, e.j AS m FROM r JOIN e ON r.m = e.i)
+         |SELECT n AS node, min(m) AS component
+         |FROM r GROUP BY n
+         |ORDER BY node""".stripMargin)
 }

@@ -54,7 +54,14 @@ object SimilarityQueries {
     "q33_ann_lsh_pairs" -> ((spark, dir) =>
       Similarity.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
           threshold = 0.4, tables = 16, bits = 8, dim = 64)
-        .orderBy("i", "j")))
+        .orderBy("i", "j")),
+
+    "q45_ann_ivf" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          centroidEvery = 20, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }))
 
   def oracles: Map[String, String] = Map(
     "q30_embedding_pairs" ->
@@ -116,5 +123,46 @@ object SimilarityQueries {
          |  SELECT i, j, ${cosSql("a.e", "b.e")} AS cos
          |  FROM cand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
          |WHERE cos >= 0.4
-         |ORDER BY i, j""".stripMargin)
+         |ORDER BY i, j""".stripMargin,
+
+    // IVF: centroids = vec_id % 20 == 0; every vector assigned to its
+    // nearest centroid (rounded-cos desc, cid asc — the same argmax the
+    // Spark side takes); queries probe their 3 nearest cells; exact
+    // top-5 within probed cells only.
+    "q45_ann_ivf" ->
+      s"""WITH $VecSql,
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 20 = 0),
+         |assigned AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT t.vec_id, t.cid,
+         |           row_number() OVER (PARTITION BY t.vec_id
+         |             ORDER BY t.ccos DESC, t.cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid,
+         |                 round(${cosSql("v.e", "c.ce")}, 6) AS ccos
+         |          FROM v CROSS JOIN cents c) t)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cid AS cell FROM (
+         |    SELECT t.query_id, t.cid,
+         |           row_number() OVER (PARTITION BY t.query_id
+         |             ORDER BY t.qcos DESC, t.cid) AS rn
+         |    FROM (SELECT q.vec_id AS query_id, c.cid,
+         |                 round(${cosSql("q.e", "c.ce")}, 6) AS qcos
+         |          FROM v q CROSS JOIN cents c WHERE q.vec_id < 10) t)
+         |  WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         ${cosSql("q.e", "a.e")} AS cos
+         |  FROM probes p
+         |  JOIN assigned av ON p.cell = av.cell
+         |  JOIN v a ON av.vec_id = a.vec_id
+         |  JOIN v q ON p.query_id = q.vec_id
+         |  WHERE p.query_id <> a.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin)
 }

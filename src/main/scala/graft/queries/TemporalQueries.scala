@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOf, Sessions}
+import graft.operators.{AsOf, RangeJoin, Sessions}
 import graft.sources.Tables
 
 /** Temporal operators over `events`: point-in-time (as-of) join and batch
@@ -41,7 +41,13 @@ object TemporalQueries {
 
     "q44_sessionize" -> ((spark, dir) =>
       Sessions.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
-        .orderBy("user_id", "session_start_us")))
+        .orderBy("user_id", "session_start_us")),
+
+    "q46_range_band" -> ((spark, dir) =>
+      RangeJoin.timeBandPairs(
+          Tables.load(spark, dir, "events").filter(col("event_type") === "purchase"),
+          idCol = "event_id", tsCol = "ts", windowSeconds = 5L)
+        .orderBy("i", "j")))
 
   def oracles: Map[String, String] = Map(
     "q43_asof_join" ->
@@ -72,5 +78,16 @@ object TemporalQueries {
         |       round(sum(value), 2) AS sum_value
         |FROM s
         |GROUP BY user_id, sess
-        |ORDER BY user_id, session_start_us""".stripMargin)
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // Naive inequality formulation — correct at oracle scale; the engine
+    // side runs the bucketed band join (equi-shuffle + verify) instead.
+    "q46_range_band" ->
+      """SELECT a.event_id AS i, b.event_id AS j,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 5000000
+        |ORDER BY i, j""".stripMargin)
 }
