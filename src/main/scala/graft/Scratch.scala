@@ -8,9 +8,18 @@ object Scratch {
     val name = args.headOption.getOrElse("q27_dedup_minhash")
     val df = SparkEntry.queries(name)(spark, dir)
     if (args.contains("explain")) df.explain("formatted")
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (args.contains("bnlj")) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val fin = plan.split("== Initial Plan ==").head
+      println(s"PLANCHECK $name BNLJ=${fin.contains("BroadcastNestedLoopJoin")} CART=${fin.contains("CartesianProduct")}")
+      if (fin.contains("BroadcastNestedLoopJoin") || fin.contains("CartesianProduct"))
+        println(fin)
+    } else {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+
+/** Plan-quality gates: the shapes that make queries survive a 100×
+  * scale-up, asserted on the actual (post-AQE) physical plans so a
+  * regression to a quadratic join, a lost pushdown, or a forced
+  * broadcast fails the build — not just a slower benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Execute (small sf) and return the FINAL AQE physical plan text
+    * (the string form appends the pre-AQE "Initial Plan", which must not
+    * be graded — AQE exists to replace it).
+    */
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, TestSpark.Sf0001)
+
+  test("q03 filters and projection reach the parquet scan") {
+    val plan = executedPlan(q("q03_filter_project"))
+    assert(plan.contains("LessThan(l_shipdate") && plan.contains("GreaterThan(l_quantity"),
+      s"filters not pushed to the scan:\n$plan")
+    val scanCols = plan.linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail("no FileScan in plan"))
+    assert(!scanCols.contains("l_comment#") && !scanCols.contains("l_partkey#"),
+      s"scan reads columns the query never uses: $scanCols")
+  }
+
+  test("q16 global top-k plans as TakeOrderedAndProject, never a full sort") {
+    assert(executedPlan(q("q16_topk_global")).contains("TakeOrderedAndProject"))
+  }
+
+  test("join hints only ever pin bounded dimension tables (region/nation)") {
+    for (name <- Seq("q04_join_inner", "q05_join_multiway", "q06_join_broadcast",
+        "q15_topk_per_group")) {
+      val hints = q(name).queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      val offenders = hints.filterNot(_.child.output.map(_.name)
+        .forall(n => n.startsWith("n_") || n.startsWith("r_")))
+      assert(offenders.isEmpty,
+        s"$name hints a scaling table: ${offenders.map(_.child.output.map(_.name))}")
+    }
+  }
+
+  // q45 is excluded by design: its one BroadcastNestedLoopJoin is the
+  // corpus × broadcast-centroids scoring product, whose build side is
+  // bounded (O(√n) centroids) — the candidate join itself is an equi-join
+  // on cell and is covered by the IVF tests in ScaleOpsSpec.
+  test("bucketed scale paths never fall back to nested-loop or cartesian joins") {
+    for (name <- Seq("q27_dedup_minhash", "q29_dedup_simhash_pairs",
+        "q33_ann_lsh_pairs", "q46_range_band")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name plans a quadratic join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("q10 aggregation is map-side partial (two HashAggregate phases)") {
+    val plan = executedPlan(q("q10_agg_tpch_q1"))
+    assert(plan.contains("partial"), s"no partial aggregation:\n${plan.take(1500)}")
+  }
+
+  test("q30 cosine kernel runs inside whole-stage codegen") {
+    val plan = executedPlan(q("q30_embedding_pairs"))
+    // codegen'd stages carry the *(id) marker; the dot-product must sit
+    // inside one, not in an interpreted Project
+    val scoring = plan.linesIterator.find(_.contains("graft_array_dot"))
+      .getOrElse(fail("dot-product kernel missing from plan"))
+    assert(scoring.contains("*("), s"pair scoring fell out of codegen: $scoring")
+  }
+
+  test("q44 sessionization reuses one exchange for windows and rollup") {
+    val plan = executedPlan(q("q44_sessionize"))
+    // one shuffle on user_id shared by both window passes and the
+    // aggregation, plus the final presentation sort — nothing else
+    val exchanges = plan.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("q43 as-of join is one shuffle, no range-condition join") {
+    val plan = executedPlan(q("q43_asof_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "as-of degraded to a nested-loop join")
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("+- Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"as-of should shuffle once, got $hashExchanges")
+  }
+}
