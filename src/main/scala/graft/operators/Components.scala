@@ -48,7 +48,9 @@ object Components {
           coalesce(col("nbr_min") < col("component"), lit(false)).as("_chg"))
       if (iter % 5 == 4) next = next.localCheckpoint(true)
       next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.filter(col("_chg")).isEmpty // materializes the cache
+      // count (not isEmpty): isEmpty's limit-1 would leave the persist
+      // only partially materialized and the next round would recompute
+      converged = next.filter(col("_chg")).count() == 0
       labels.unpersist()
       labels = next
       iter += 1

@@ -69,6 +69,24 @@ object Streams {
   private def withWm(events: DataFrame, watermark: Option[String]): DataFrame =
     watermark.fold(events)(w => events.withWatermark("ts", w))
 
+  /** Streaming ingest dedup, unbounded state: the first event per
+    * `event_id` survives, replays are dropped — exactly-once semantics
+    * over an at-least-once transport. State grows with distinct keys;
+    * use [[dedupWithinWatermark]] on long-running streams.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  /** Streaming ingest dedup with BOUNDED state: duplicates are dropped
+    * only while their key's first arrival is younger than the watermark
+    * delay, after which the key's state is evicted — state size tracks
+    * the watermark horizon, not the stream length. The contract a 100 TB
+    * ingest needs: replays land within the transport's redelivery window,
+    * so eviction beyond it is safe and keeps the state store flat.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Typed event row for the stateful API (subset of the events schema). */
   case class UserEvent(user_id: Long, event_type: String, value: Double,
       ts: java.sql.Timestamp)

@@ -97,6 +97,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup: replayed event_ids are dropped across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val deduped = Streams.dedupEvents(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+        (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0), // same-batch dup
+        (2L, ts("2024-01-01 10:01:00"), 1L, "a", 2.0)))
+      query.processAllAvailable()
+      stream.addData(Seq(
+        (2L, ts("2024-01-01 10:01:00"), 1L, "a", 2.0), // cross-batch replay
+        (3L, ts("2024-01-01 10:02:00"), 1L, "a", 3.0)))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("watermarked dedup: state evicts beyond the delay, replay within it drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val deduped = Streams.dedupWithinWatermark(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      delay = "10 minutes")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_wm_out").outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0)))
+      query.processAllAvailable()
+      // replay inside the redelivery window → dropped
+      stream.addData(Seq((1L, ts("2024-01-01 10:05:00"), 1L, "a", 1.0)))
+      query.processAllAvailable()
+      // push the watermark far past key 1's expiry, then replay it:
+      // its state was evicted, so the replay is (by contract) re-admitted
+      stream.addData(Seq((2L, ts("2024-01-01 12:00:00"), 1L, "a", 2.0)))
+      query.processAllAvailable()
+      stream.addData(Seq((1L, ts("2024-01-01 12:00:30"), 1L, "a", 1.0)))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_wm_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.count(_ == 1L) == 2, s"evicted key must re-admit: $ids")
+      assert(ids.count(_ == 2L) == 1)
+    } finally query.stop()
+  }
+
   test("session windows merge events within the gap and split across it (batch)") {
     import spark.implicits._
     val df = Seq(
