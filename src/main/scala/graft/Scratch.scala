@@ -16,9 +16,14 @@ object Scratch {
       if (fin.contains("BroadcastNestedLoopJoin") || fin.contains("CartesianProduct"))
         println(fin)
     } else {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val runs = if (args.contains("warm")) 4 else 1
+      val times = (1 to runs).map { _ =>
+        val fresh = SparkEntry.queries(name)(spark, dir)
+        val t0 = System.nanoTime()
+        fresh.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMED $name ${times.last}%.2f s  (all: ${times.map(t => f"$t%.2f").mkString(" ")})")
     }
     spark.stop()
   }

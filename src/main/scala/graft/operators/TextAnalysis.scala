@@ -39,6 +39,13 @@ object TextAnalysis {
     * no profile → "unknown"). Output: (doc_id, lang, pred_lang, score).
     */
   def languageId(docs: DataFrame, k: Int = 200): DataFrame = {
+    // The trigram explode feeds two branches with DIFFERENT shuffle keys
+    // (profiles: (lang, g); per-doc distinct: (doc_id, g)), so the scan
+    // genuinely runs twice — hanging both off one (doc_id, lang, g)
+    // aggregation was measured slower (Catalyst collapses the agg levels
+    // per branch, defeating exchange reuse while adding an agg pass).
+    // Linear re-scan, acceptable; at 100 TB the profile side trains on a
+    // bounded labeled sample, not the full corpus.
     val tri = charTrigrams(docs)
     val topK = Window.partitionBy("lang").orderBy(col("c").desc, col("g"))
     val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
