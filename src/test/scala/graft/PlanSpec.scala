@@ -49,15 +49,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  // q45 is excluded by design: its one BroadcastNestedLoopJoin is the
-  // corpus × broadcast-centroids scoring product, whose build side is
-  // bounded (O(√n) centroids) — the candidate join itself is an equi-join
-  // on cell and is covered by the IVF tests in ScaleOpsSpec.
+  // An Inner BNLJ (the shape a non-equi pair join lowers to) or a
+  // CartesianProduct is quadratic in data and banned outright. A Cross
+  // BNLJ against a bounded broadcast literal frame is the sanctioned
+  // fan-out idiom (minhash seeds ×16, IVF centroids O(√n)) — pipelined,
+  // combined by partial aggregation before any exchange.
   test("bucketed scale paths never fall back to nested-loop or cartesian joins") {
     for (name <- Seq("q27_dedup_minhash", "q29_dedup_simhash_pairs",
-        "q33_ann_lsh_pairs", "q46_range_band")) {
+        "q33_ann_lsh_pairs", "q45_ann_ivf", "q46_range_band")) {
       val plan = executedPlan(q(name))
-      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+        !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
+        !plan.contains("CartesianProduct"),
         s"$name plans a quadratic join:\n${plan.take(2000)}")
     }
   }
