@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MapReduceShim.queries ++ Relational.queries ++ Joins.queries ++
       Analytics.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      SketchQueries.queries ++ TextQueries.queries ++ TemporalQueries.queries
+      SketchQueries.queries ++ TextQueries.queries ++ TemporalQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MapReduceShim.oracles ++ Relational.oracles ++ Joins.oracles ++
       Analytics.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      SketchQueries.oracles ++ TextQueries.oracles ++ TemporalQueries.oracles
+      SketchQueries.oracles ++ TextQueries.oracles ++ TemporalQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the pass an LLM-training pipeline runs
+  * over raw documents, chaining the engine's tiers into one verdict per
+  * document:
+  *
+  *   1. quality gate ([[TextAnalysis.qualityScores]] composite < min →
+  *      `low_quality`);
+  *   2. exact dedup among survivors (md5 fingerprint groups, lowest
+  *      doc_id kept; others → `exact_dup`);
+  *   3. near-dup clustering among exact-keepers
+  *      ([[Dedup.minhashPairs]] edges → [[Components.connected]]
+  *      transitive clusters; non-representative members → `near_dup`);
+  *   4. everything else → `kept`.
+  *
+  * `ref_id` names the document that superseded a dropped one (its exact
+  * keeper or its cluster representative; NULL for `low_quality`/`kept`).
+  *
+  * Scale shape: stages 1–2 are one scan + one fingerprint shuffle; stage
+  * 3 runs only over quality-passing exact-keepers (the corpus after the
+  * cheap gates), so the expensive near-dup machinery sees the smallest
+  * possible input — the ordering a 100 TB pass depends on.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, minQuality: Double = 0.15,
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val scored = base.join(
+      TextAnalysis.qualityScores(docs).select("doc_id", "quality"), "doc_id")
+
+    val passed = scored.filter(col("quality") >= minQuality)
+      .withColumn("fp", md5(col("text")))
+    val keep1 = passed.groupBy("fp").agg(min("doc_id").as("exact_keep"))
+    val exactTagged = passed.join(keep1, "fp")
+      .select("doc_id", "text", "exact_keep")
+
+    val exactKept = exactTagged.filter(col("doc_id") === col("exact_keep"))
+      .select("doc_id", "text")
+    val comp = Components.connected(
+      Dedup.minhashPairs(exactKept, n, numHashes, rowsPerBand, threshold))
+
+    scored
+      .join(exactTagged.select("doc_id", "exact_keep"), Seq("doc_id"), "left")
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        when(col("quality") < minQuality, "low_quality")
+          .when(col("doc_id") =!= col("exact_keep"), "exact_dup")
+          .when(col("component").isNotNull && col("component") =!= col("doc_id"),
+            "near_dup")
+          .otherwise("kept").as("verdict"),
+        when(col("quality") < minQuality, lit(null).cast("long"))
+          .when(col("doc_id") =!= col("exact_keep"), col("exact_keep"))
+          .when(col("component").isNotNull && col("component") =!= col("doc_id"),
+            col("component"))
+          .otherwise(lit(null).cast("long")).as("ref_id"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.sources.Tables
+
+/** Laws for the end-to-end curation pass (q48). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("crafted corpus: every verdict branch fires with the right ref") {
+    import spark.implicits._
+    val rich = (1 to 120).map(i => s"word$i unique token number $i").mkString(" ")
+    val docs = Seq(
+      (1L, rich),                 // kept
+      (2L, rich),                 // exact dup of 1 → exact_dup ref 1
+      (3L, "tiny"),               // low_quality (few words)
+      (4L, rich + " trailing near duplicate tail"), // near-dup of 1
+      (5L, (1 to 150).map(i => s"other vocabulary item $i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Curation.curate(docs, minQuality = 0.15, threshold = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      (1L, "kept", None),
+      (2L, "exact_dup", Some(1L)),
+      (3L, "low_quality", None),
+      (4L, "near_dup", Some(1L)),
+      (5L, "kept", None)))
+  }
+
+  test("corpus laws: verdicts partition the corpus, refs point at kept docs") {
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val out = Curation.curate(docs, minQuality = 0.15).cache()
+    try {
+      assert(out.count() == docs.count()) // one verdict per doc, no loss
+      // dropped-for-duplication docs must reference a doc that was kept
+      val refs = out.filter(col("ref_id").isNotNull)
+        .select(col("ref_id").as("doc_id")).distinct()
+      val notKept = refs.join(out.filter(col("verdict") === "kept"), Seq("doc_id"), "left_anti")
+      assert(notKept.isEmpty, "a dropped doc references a non-kept doc")
+      // kept and low_quality rows never carry a ref
+      assert(out.filter(col("verdict").isin("kept", "low_quality")
+        && col("ref_id").isNotNull).isEmpty)
+    } finally out.unpersist()
+  }
+}
