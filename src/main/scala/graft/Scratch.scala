@@ -18,9 +18,12 @@ object Scratch {
     } else {
       val runs = if (args.contains("warm")) 4 else 1
       val times = (1 to runs).map { _ =>
-        val fresh = SparkEntry.queries(name)(spark, dir)
+        // construction inside the timer — iterative operators and eager
+        // checkpoints do real work before the final write (Bench times
+        // the same way)
         val t0 = System.nanoTime()
-        fresh.write.format("noop").mode("overwrite").save()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"TIMED $name ${times.last}%.2f s  (all: ${times.map(t => f"$t%.2f").mkString(" ")})")

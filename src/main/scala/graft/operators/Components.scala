@@ -34,26 +34,32 @@ object Components {
       .withColumn("component", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val msgs = sym.join(labels, col("src") === col("node"))
+    def hop(lbl: DataFrame): DataFrame = {
+      val msgs = sym.join(lbl, col("src") === col("node"))
         .groupBy(col("dst").as("node2"))
         .agg(min(col("component")).as("nbr_min"))
-      var next = labels.drop("_chg")
+      lbl.drop("_chg")
         .join(msgs, col("node") === col("node2"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
           coalesce(col("nbr_min") < col("component"), lit(false)).as("_chg"))
-      if (iter % 5 == 4) next = next.localCheckpoint(true)
-      next = next.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    var round = 0
+    var converged = false
+    while (!converged && round * 2 < maxIter) {
+      // two hops per materialized round: label distance covered doubles
+      // per action, halving the count of job-launching convergence
+      // checks — the dominant cost for small graphs, harmless for big
+      // ones. A no-change double hop implies the single-hop fixed point.
+      val next = hop(hop(labels)).localCheckpoint(false)
       // count (not isEmpty): isEmpty's limit-1 would leave the persist
       // only partially materialized and the next round would recompute
       converged = next.filter(col("_chg")).count() == 0
       labels.unpersist()
       labels = next
-      iter += 1
+      round += 1
     }
     sym.unpersist()
     labels.drop("_chg")

@@ -29,23 +29,30 @@ object Curation {
   def curate(docs: DataFrame, minQuality: Double = 0.15,
       n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    // Downstream branches re-derive what they need from narrow scans
+    // instead of sharing wide text-carrying intermediates: Spark has no
+    // cross-branch subtree reuse, so the cheap form of "used twice" is a
+    // re-scan with column pruning, never a re-shuffle of document text.
+    // Text stays out of every shuffle — the only frames that move wide
+    // rows are the per-branch scans themselves.
     val base = docs.select(col("doc_id"), col("text"))
-    val scored = base.join(
-      TextAnalysis.qualityScores(docs).select("doc_id", "quality"), "doc_id")
-
-    val passed = scored.filter(col("quality") >= minQuality)
+    val quality = TextAnalysis.qualityScores(docs).select("doc_id", "quality")
+    val passed = base
+      .join(quality.filter(col("quality") >= minQuality), "doc_id")
       .withColumn("fp", md5(col("text")))
     val keep1 = passed.groupBy("fp").agg(min("doc_id").as("exact_keep"))
-    val exactTagged = passed.join(keep1, "fp")
-      .select("doc_id", "text", "exact_keep")
+    // (doc_id, exact_keep): two longs through the fingerprint join
+    val exactTag = passed.select("doc_id", "fp").join(keep1, "fp")
+      .select("doc_id", "exact_keep")
 
-    val exactKept = exactTagged.filter(col("doc_id") === col("exact_keep"))
-      .select("doc_id", "text")
+    // keepers' text re-enters via a semi-join against the pruned scan
+    val exactKept = base.join(
+      keep1.select(col("exact_keep").as("doc_id")), Seq("doc_id"), "left_semi")
     val comp = Components.connected(
       Dedup.minhashPairs(exactKept, n, numHashes, rowsPerBand, threshold))
 
-    scored
-      .join(exactTagged.select("doc_id", "exact_keep"), Seq("doc_id"), "left")
+    quality
+      .join(exactTag, Seq("doc_id"), "left")
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         when(col("quality") < minQuality, "low_quality")
