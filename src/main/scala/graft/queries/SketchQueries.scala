@@ -33,6 +33,20 @@ object SketchQueries {
           round(Aggregators.wavg(col("l_extendedprice"), col("l_quantity")), 4)
             .as("qty_weighted_price"),
           count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // GK-summary quantiles: mergeable bounded state (the scale shape for
+    // "p99 latency over 100 TB"), vs exact percentile's full sort. Like
+    // q34, no cross-engine oracle — rows-only check here, rank-error
+    // bound property-tested in SketchSpec.
+    "q49_approx_percentile" -> ((spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
+          count(lit(1)).as("n"))
         .orderBy("l_returnflag")))
 
   def oracles: Map[String, String] = Map(

@@ -25,6 +25,24 @@ class SketchSpec extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("percentile_approx rank error stays within the GK accuracy bound") {
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    val accuracy = 10000
+    val vals = li.select("l_extendedprice").orderBy("l_extendedprice")
+      .collect().map(_.getDouble(0))
+    val n = vals.length
+    for (q <- Seq(0.5, 0.95, 0.99)) {
+      val approx = li.agg(
+        percentile_approx(col("l_extendedprice"), lit(q), lit(accuracy))).head.getDouble(0)
+      // GK summaries guarantee rank error <= n/accuracy; find the
+      // approx value's rank and compare against the target rank
+      val rank = vals.count(_ <= approx)
+      val target = q * n
+      assert(math.abs(rank - target) <= n.toDouble / accuracy + 1,
+        s"q=$q approx=$approx rank=$rank target=$target n=$n")
+    }
+  }
+
   test("wavg Aggregator equals sum(v*w)/sum(w) per group") {
     val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
     val got = li.groupBy("l_returnflag")
