@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
-/** Join surface: inner, multiway, broadcast, left-outer, semi, anti,
-  * top-k per group, set ops.
+/** Join surface: inner, multiway, broadcast, left-outer, full-outer,
+  * cross (bounded dims only), semi, anti, top-k per group, set ops.
   *
   * The reference has no joins at all (SURVEY.md §2.5) — this is the
   * declared capability extension. Scale posture: explicit `broadcast()`
@@ -145,6 +145,33 @@ object Joins {
       u.unionByName(i).unionByName(e)
         .select("op", "c_custkey")
         .orderBy("op", "c_custkey")
+    }),
+
+    "q50_join_full_outer" -> ((spark, dir) => {
+      // both sides have unmatched rows: machinery-segment customers vs
+      // high-value orders. Sort keys coalesce to non-null so row order
+      // is engine-independent (Spark sorts NULLS FIRST, DuckDB LAST).
+      val cust = Tables.load(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select("c_custkey", "c_acctbal")
+      val ords = Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 150000)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+          col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(coalesce(col("c_custkey"), col("o_orderkey") * -1),
+          coalesce(col("o_orderkey"), lit(-1L)))
+    }),
+
+    "q51_join_cross" -> ((spark, dir) => {
+      // cartesian flavor on the bounded dims (5 × 25 rows) — the ONLY
+      // place a cross product is sanctioned: both sides fixed by schema.
+      val region = Tables.load(spark, dir, "region").select("r_regionkey", "r_name")
+      val nation = Tables.load(spark, dir, "nation").select("n_nationkey", "n_name")
+      region.crossJoin(nation)
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+        .orderBy("r_regionkey", "n_nationkey")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -222,5 +249,21 @@ object Joins {
         |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
         |UNION ALL
         |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
-        |ORDER BY op, c_custkey""".stripMargin)
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q50_join_full_outer" ->
+      """SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal,
+        |       o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
+        |FROM (SELECT c_custkey, c_acctbal FROM customer
+        |      WHERE c_mktsegment = 'MACHINERY') c
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |                 WHERE o_totalprice > 150000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY coalesce(c.c_custkey, o.o_orderkey * -1),
+        |         coalesce(o.o_orderkey, -1)""".stripMargin,
+
+    "q51_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin)
 }
