@@ -87,6 +87,43 @@ object Streams {
   def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: each event picks up its user's customer
+    * segment. The static side is a plain DataFrame — Spark re-plans it
+    * per micro-batch and broadcasts it when small, the standard shape
+    * for dimension enrichment of a 100 TB/day event stream (no state
+    * store involved; left join keeps events with no dimension row).
+    */
+  def withCustomerSegment(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      customer.select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+      Seq("user_id"), "left")
+
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks at most `windowSeconds` earlier. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's state store holds only the watermark horizon — the
+    * requirements Structured Streaming imposes for an unbounded
+    * stream-stream inner join to run with bounded state. The same
+    * transform over batch frames is the differential oracle.
+    */
+  def clickToPurchase(events: DataFrame, watermarkDelay: String = "1 hour",
+      windowSeconds: Long = 3600L): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Typed event row for the stateful API (subset of the events schema). */
   case class UserEvent(user_id: Long, event_type: String, value: Double,
       ts: java.sql.Timestamp)

@@ -97,6 +97,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-static join: streamed events enrich with customer segment == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val customer = Tables.load(spark, TestSpark.Sf0001, "customer")
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val enriched = Streams.withCustomerSegment(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"), customer)
+    val query = enriched.writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      stream.addData(eventRows)
+      query.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("event_id", "c_mktsegment").orderBy("event_id")
+        .collect().map(_.toSeq)
+      val batch = Streams.withCustomerSegment(
+          Tables.load(spark, TestSpark.Sf0001, "events"), customer)
+        .select("event_id", "c_mktsegment").orderBy("event_id")
+        .collect().map(_.toSeq)
+      assert(got.nonEmpty && got.toSeq == batch.toSeq)
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join: streamed click->purchase pairs == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val joined = Streams.clickToPurchase(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val query = joined.writeStream
+      .format("memory").queryName("ss_join_out").outputMode("append").start()
+    try {
+      stream.addData(eventRows)
+      query.processAllAvailable()
+      val got = spark.table("ss_join_out")
+        .select("purchase_id", "click_id").orderBy("purchase_id", "click_id")
+        .collect().map(_.toSeq)
+      val batch = Streams.clickToPurchase(
+          Tables.load(spark, TestSpark.Sf0001, "events"))
+        .select("purchase_id", "click_id").orderBy("purchase_id", "click_id")
+        .collect().map(_.toSeq)
+      assert(got.nonEmpty && got.toSeq == batch.toSeq)
+    } finally query.stop()
+  }
+
   test("streaming dedup: replayed event_ids are dropped across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
