@@ -33,6 +33,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("orc round-trip: columnar sibling format preserves schema and values") {
+    val orig = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    orig.write.mode("overwrite").orc(tmp("lineitem_orc"))
+    val back = spark.read.orc(tmp("lineitem_orc"))
+    assert(back.schema == orig.schema)
+    assert(back.count() == orig.count())
+    val a = orig.orderBy("l_orderkey", "l_linenumber").limit(100).collect().map(_.toSeq)
+    val b = back.orderBy("l_orderkey", "l_linenumber").limit(100).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("date-partitioned sink prunes partitions at the scan") {
     val ev = Tables.load(spark, TestSpark.Sf0001, "events")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
