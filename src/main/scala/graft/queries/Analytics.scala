@@ -121,6 +121,18 @@ object Analytics {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("hour_bucket", "event_type")
+    }),
+
+    "q52_pivot" -> ((spark, dir) => {
+      // pivot with EXPLICIT values: one aggregation pass (no extra
+      // distinct-values job) and a schema that cannot drift with data —
+      // the only form that is deterministic at 100 TB
+      Tables.load(spark, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -202,5 +214,17 @@ object Analytics {
         |       round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY hour_bucket, event_type""".stripMargin)
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    // conditional-sum rendering == Spark's pivot-with-explicit-values
+    "q52_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'view') AS view,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'error') AS error
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
 }

@@ -131,6 +131,12 @@ object Streams {
   /** Running per-user state: event count, value total, last event time. */
   case class UserState(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Open-session state for [[sessionCloseEvents]] (epoch µs). */
+  case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+  /** A closed session, emitted once (epoch µs bounds). */
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
   /** Custom running state per user via `mapGroupsWithState` — the
     * arbitrary-stateful-processing surface (the streaming analogue of the
     * reference's user-defined Reducer: the framework shuffles by key and
@@ -141,6 +147,64 @@ object Streams {
     * the result must equal a plain groupBy aggregation — that equivalence
     * is the differential test.
     */
+  /** Session-close events via `flatMapGroupsWithState` + event-time
+    * timeout — the 0..n-outputs-per-group stateful surface (vs
+    * [[runningUserState]]'s exactly-one). Sessions that close INSIDE a
+    * micro-batch (next event arrives past the gap) emit immediately;
+    * the trailing open session is parked in the state store with a
+    * timeout at `last + gap`, and emits when the watermark passes it.
+    * State per key is one `OpenSession` — bounded, evicted on close.
+    *
+    * Differential contract (tested): streamed closed sessions ==
+    * [[graft.operators.Sessions.sessionize]] batch islands, once the
+    * watermark has flushed every trailing session.
+    */
+  def sessionCloseEvents(events: DataFrame, gapSeconds: Long = 1800L,
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ueEnc: Encoder[UserEvent] = Encoders.product[UserEvent]
+    implicit val osEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
+    implicit val csEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val gapUs = gapSeconds * 1000000L
+
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.start_us, s.last_us, s.n))
+          } else {
+            val times = it
+              .map(e => e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L)
+              .toArray.sorted
+            var open = state.getOption
+            val closed = List.newBuilder[ClosedSession]
+            for (t <- times) {
+              open match {
+                case Some(s) if t - s.last_us <= gapUs =>
+                  open = Some(s.copy(last_us = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.start_us, s.last_us, s.n)
+                  open = Some(OpenSession(t, t, 1L))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   def runningUserState(events: Dataset[UserEvent]): Dataset[UserState] = {
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     implicit val stateEnc: Encoder[UserState] = Encoders.product[UserState]

@@ -239,6 +239,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState: streamed session-close events == batch islands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val closed = Streams.sessionCloseEvents(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      gapSeconds = 1800L)
+    val query = closed.writeStream
+      .format("memory").queryName("sess_close_out").outputMode("append").start()
+    try {
+      stream.addData(eventRows)
+      query.processAllAvailable()
+      // sentinel far past every timeout pushes the watermark so all
+      // trailing open sessions flush
+      val maxTs = eventRows.map(_._2.getTime).max
+      stream.addData(Seq((999999L, new Timestamp(maxTs + 86400L * 1000L), 999L, "x", 0.0)))
+      query.processAllAvailable()
+      val got = spark.table("sess_close_out")
+        .filter(col("user_id") =!= 999L)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .orderBy("user_id", "start_us").collect().map(_.toSeq)
+      val batch = graft.operators.Sessions.sessionize(
+          Tables.load(spark, TestSpark.Sf0001, "events"), gapSeconds = 1800L)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .orderBy("user_id", "session_start_us").collect().map(_.toSeq)
+      assert(got.nonEmpty && got.toSeq == batch.toSeq)
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
