@@ -123,6 +123,18 @@ object Analytics {
         .orderBy("hour_bucket", "event_type")
     }),
 
+    "q53_window_distribution" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.load(spark, dir, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     "q52_pivot" -> ((spark, dir) => {
       // pivot with EXPLICIT values: one aggregation pass (no extra
       // distinct-values job) and a schema that cannot drift with data —
@@ -215,6 +227,16 @@ object Analytics {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q53_window_distribution" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     // conditional-sum rendering == Spark's pivot-with-explicit-values
     "q52_pivot" ->
