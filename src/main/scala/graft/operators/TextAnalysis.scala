@@ -64,25 +64,40 @@ object TextAnalysis {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
-  /** Per-doc quality signals: char/word/distinct-word counts, type-token
-    * ratio, mean word length, and a composite score = min(1, words/100)
-    * × TTR (longer docs with diverse vocabulary score higher). One scan,
-    * no shuffle — every measure folds over the doc's own word array.
+  /** Words counted as stopwords by [[qualityScores]] (a fixed bounded
+    * set, folded into the plan as a literal — no dictionary join).
     */
-  def qualityScores(docs: DataFrame): DataFrame =
+  private val Stopwords =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** Per-doc quality signals: char/word/distinct-word counts, type-token
+    * ratio, mean word length, punctuation ratio (chars outside
+    * `[a-z0-9 ]`), stopword ratio, and a composite score = min(1,
+    * words/100) × TTR (longer docs with diverse vocabulary score
+    * higher). One scan, no shuffle — every measure folds over the doc's
+    * own text/word array.
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
     docs.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long")
+          .as("n_punct"),
         expr(WordsExpr).as("w"))
-      .select(col("doc_id"), col("n_chars"),
+      .select(col("doc_id"), col("n_chars"), col("n_punct"),
         size(col("w")).cast("long").as("n_words"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        expr(s"size(filter(w, x -> x IN ($stopList)))").cast("long").as("n_stop"),
         col("w"))
       .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
         round(col("n_distinct").cast("double") / col("n_words"), 4).as("ttr"),
         round(expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double")
           / col("n_words"), 4).as("mean_wlen"),
+        round(col("n_punct").cast("double") / col("n_chars"), 4).as("punct_ratio"),
+        round(col("n_stop").cast("double") / col("n_words"), 4).as("stop_ratio"),
         round(least(lit(1.0), col("n_words").cast("double") / 100.0)
           * (col("n_distinct").cast("double") / col("n_words")), 4).as("quality"))
+  }
 
   /** Per-doc token counts: whitespace words and a BPE-ish segmentation
     * (maximal alnum runs + single non-alnum marks) — the cheap proxy for

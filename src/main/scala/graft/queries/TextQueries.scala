@@ -81,18 +81,25 @@ object TextQueries {
 
     "q38_quality" ->
       s"""WITH wsq AS (SELECT doc_id, len(text) AS n_chars0,
+         |                    len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct0,
          |                    list_filter(string_split_regex(trim(text), '\\s+'),
          |                                x -> x != '') AS w
          |             FROM documents),
          |m AS (SELECT doc_id,
          |             CAST(n_chars0 AS BIGINT) AS n_chars,
+         |             CAST(n_punct0 AS BIGINT) AS n_punct,
          |             CAST(len(w) AS BIGINT) AS n_words,
          |             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         |             CAST(len(list_filter(w, x -> x IN
+         |               ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is', 'it', 'that')))
+         |               AS BIGINT) AS n_stop,
          |             CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) AS sum_wlen
          |      FROM wsq)
          |SELECT doc_id, n_chars, n_words, n_distinct,
          |       round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS ttr,
          |       round(sum_wlen / n_words, 4) AS mean_wlen,
+         |       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+         |       round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
          |       round(least(1.0, CAST(n_words AS DOUBLE) / 100.0)
          |             * (CAST(n_distinct AS DOUBLE) / n_words), 4) AS quality
          |FROM m
