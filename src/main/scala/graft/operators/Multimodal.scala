@@ -60,6 +60,27 @@ object Multimodal {
       it.map(fakeDecode)
     }
 
+  /** STUB of the media resize step (bytes → smaller bytes): deterministic
+    * decimation to at most `targetBytes` by uniform stride sampling —
+    * the stand-in for "decode, scale, re-encode". Runs inside the same
+    * per-partition pipeline as [[extractFeatures]], so a real codec
+    * shares its per-partition init. Output payloads are bounded, which
+    * is the property downstream stages (shuffles, feature batches)
+    * depend on at 100 TB.
+    */
+  def resize(payload: Dataset[Blob], targetBytes: Int): Dataset[Blob] =
+    payload.mapPartitions { it =>
+      // (real codec init would happen here, once per partition)
+      it.map { b =>
+        if (b.bytes.length <= targetBytes) b
+        else {
+          val stride = b.bytes.length.toDouble / targetBytes
+          Blob(b.doc_id,
+            Array.tabulate(targetBytes)(i => b.bytes((i * stride).toInt)))
+        }
+      }
+    }
+
   /** Pure-expression payload metadata: byte length, content hash, magic
     * head bytes, and fixed-offset sample slices (the "frame sample"
     * shape for media payloads) — all codegen'd, oracle-checkable.

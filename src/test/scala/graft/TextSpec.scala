@@ -63,6 +63,22 @@ class TextSpec extends AnyFunSuite {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("resize: payloads bound to target, short ones untouched, deterministic") {
+    val blobs = Multimodal.blobs(docs.limit(50))
+    val resized = Multimodal.resize(blobs, targetBytes = 64).collect()
+    val orig = blobs.collect().map(b => b.doc_id -> b.bytes).toMap
+    assert(resized.nonEmpty)
+    resized.foreach { b =>
+      assert(b.bytes.length <= 64)
+      if (orig(b.doc_id).length <= 64)
+        assert(b.bytes.sameElements(orig(b.doc_id)), "short payload must pass through")
+    }
+    // deterministic: a second run produces identical bytes
+    val again = Multimodal.resize(Multimodal.blobs(docs.limit(50)), 64)
+      .collect().map(b => b.doc_id -> b.bytes.toSeq).toMap
+    resized.foreach(b => assert(again(b.doc_id) == b.bytes.toSeq))
+  }
+
   test("extractFeatures: histogram buckets sum to byte count") {
     val feats = Multimodal.extractFeatures(Multimodal.blobs(docs.limit(50)))
     val rows = feats.collect()
