@@ -144,7 +144,11 @@ object Dedup {
       docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.7): DataFrame = {
     val sh = shingles(docs, n)
+    // persist the band frame ((doc_id, b, band_key) — tiny) so the
+    // candidate self-join reads it twice instead of running the whole
+    // shingle→md5→min signature pipeline once per side
     val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.band_key") === col("b.band_key") &&
