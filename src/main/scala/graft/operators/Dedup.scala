@@ -88,11 +88,17 @@ object Dedup {
     */
   private[operators] def jaccardOfCandidates(
       sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val candDocs = cand.select(col("i").as("doc_id"))
-      .union(cand.select(col("j").as("doc_id"))).distinct()
+    // cand feeds two branches and shc three (sizes + both join sides);
+    // both are bounded by the candidate set — the LSH already shrank
+    // them — so persisting is cheap and saves re-running the shingle
+    // explode per consumer.
+    val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocs = candP.select(col("i").as("doc_id"))
+      .union(candP.select(col("j").as("doc_id"))).distinct()
     val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    val inter = candP
       .join(shc.as("sa"), col("i") === col("sa.doc_id"))
       .join(shc.as("sb"), col("j") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
       .groupBy("i", "j")
@@ -202,8 +208,12 @@ object Dedup {
       struct(lit(k).as("k"),
         expr(s"shiftright(simhash, $lo) & ${(1L << width) - 1}").as("v"))
     }
+    // (doc_id, simhash, blk) is ~12 small rows per doc; persisting it
+    // keeps the self-join from rebuilding the signature aggregation
+    // (shingle explode + 60 bit-sums) once per side
     val blocked = sig.select(col("doc_id"), col("simhash"),
-      explode(array(blocks: _*)).as("blk"))
+        explode(array(blocks: _*)).as("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
