@@ -20,7 +20,14 @@ object Bench {
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // operators persist small intermediate frames; each run constructs
+      // fresh DataFrames, so drop the run's cache entries afterwards —
+      // every run pays its own cache build and nothing accumulates
+      // across the 4x-per-query protocol (the clear is outside the
+      // timed region; the build cost is inside, where it belongs)
+      spark.catalog.clearCache()
+      t
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

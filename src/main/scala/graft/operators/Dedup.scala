@@ -88,17 +88,11 @@ object Dedup {
     */
   private[operators] def jaccardOfCandidates(
       sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    // cand feeds two branches and shc three (sizes + both join sides);
-    // both are bounded by the candidate set — the LSH already shrank
-    // them — so persisting is cheap and saves re-running the shingle
-    // explode per consumer.
-    val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candDocs = candP.select(col("i").as("doc_id"))
-      .union(candP.select(col("j").as("doc_id"))).distinct()
+    val candDocs = cand.select(col("i").as("doc_id"))
+      .union(cand.select(col("j").as("doc_id"))).distinct()
     val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = candP
+    val inter = cand
       .join(shc.as("sa"), col("i") === col("sa.doc_id"))
       .join(shc.as("sb"), col("j") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
       .groupBy("i", "j")
@@ -150,11 +144,7 @@ object Dedup {
       docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.7): DataFrame = {
     val sh = shingles(docs, n)
-    // persist the band frame ((doc_id, b, band_key) — tiny) so the
-    // candidate self-join reads it twice instead of running the whole
-    // shingle→md5→min signature pipeline once per side
     val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.band_key") === col("b.band_key") &&
@@ -208,12 +198,8 @@ object Dedup {
       struct(lit(k).as("k"),
         expr(s"shiftright(simhash, $lo) & ${(1L << width) - 1}").as("v"))
     }
-    // (doc_id, simhash, blk) is ~12 small rows per doc; persisting it
-    // keeps the self-join from rebuilding the signature aggregation
-    // (shingle explode + 60 bit-sums) once per side
     val blocked = sig.select(col("doc_id"), col("simhash"),
-        explode(array(blocks: _*)).as("blk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      explode(array(blocks: _*)).as("blk"))
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))

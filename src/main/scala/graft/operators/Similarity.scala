@@ -200,11 +200,7 @@ object Similarity {
   def lshCosinePairs(
       emb: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
-    // persist the bucket frame (3 long columns — tiny) so the self-join
-    // reads it twice instead of recomputing tables×bits dot products
-    // per vector on each side
     val buckets = signLshBuckets(emb, tables, bits, dim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
