@@ -38,6 +38,9 @@ object Bench {
         name -> timed(1) // median of 3
       } catch {
         case e: Throwable =>
+          // a failing query may already have persisted frames — clear
+          // here too or they'd contaminate the next query's runs
+          spark.catalog.clearCache()
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> -1.0
       }

@@ -44,7 +44,11 @@ object AsOf {
     val matchStruct = struct(
       col(tiebreak).as("_tb") +: matchCols.map(c => col(c).as(c)): _*)
 
-    val r = right.select(
+    // equi-join semantics: a NULL key matches nothing. Dropping NULL-key
+    // right rows up front keeps them out of the shared window partition
+    // (left NULL-key rows then see no right rows and keep NULL matches,
+    // exactly as an ASOF LEFT JOIN oracle renders them).
+    val r = right.filter(col(key).isNotNull).select(
       col(key).as(key), col(rightTs).as("_ats"), lit(0).as("_side"),
       matchStruct.as("_m"))
     val l = left

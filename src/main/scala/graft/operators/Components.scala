@@ -48,7 +48,7 @@ object Components {
 
     var round = 0
     var converged = false
-    while (!converged && round * 2 < maxIter) {
+    while (!converged && round * 2 + 2 <= maxIter) {
       // two hops per materialized round: label distance covered doubles
       // per action, halving the count of job-launching convergence
       // checks — the dominant cost for small graphs, harmless for big

@@ -58,12 +58,16 @@ object Curation {
       .join(exactTag, Seq("doc_id"), "left")
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
-        when(col("quality") < minQuality, "low_quality")
+        // NULL quality (empty/whitespace-only doc: 0/0 words) is junk,
+        // not a keeper — the isNull arm keeps it out of the silent
+        // fall-through to "kept"
+        when(col("quality").isNull || col("quality") < minQuality, "low_quality")
           .when(col("doc_id") =!= col("exact_keep"), "exact_dup")
           .when(col("component").isNotNull && col("component") =!= col("doc_id"),
             "near_dup")
           .otherwise("kept").as("verdict"),
-        when(col("quality") < minQuality, lit(null).cast("long"))
+        when(col("quality").isNull || col("quality") < minQuality,
+            lit(null).cast("long"))
           .when(col("doc_id") =!= col("exact_keep"), col("exact_keep"))
           .when(col("component").isNotNull && col("component") =!= col("doc_id"),
             col("component"))

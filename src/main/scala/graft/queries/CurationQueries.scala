@@ -60,13 +60,13 @@ object CurationQueries {
         |      SELECT r.nd, e.j AS m FROM r JOIN e ON r.m = e.i),
         |compo AS (SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY nd)
         |SELECT d.doc_id, d.quality,
-        |       CASE WHEN d.quality < 0.15 THEN 'low_quality'
+        |       CASE WHEN d.quality IS NULL OR d.quality < 0.15 THEN 'low_quality'
         |            WHEN et.exact_keep IS NOT NULL AND d.doc_id <> et.exact_keep
         |              THEN 'exact_dup'
         |            WHEN c.component IS NOT NULL AND c.component <> d.doc_id
         |              THEN 'near_dup'
         |            ELSE 'kept' END AS verdict,
-        |       CASE WHEN d.quality < 0.15 THEN NULL
+        |       CASE WHEN d.quality IS NULL OR d.quality < 0.15 THEN NULL
         |            WHEN et.exact_keep IS NOT NULL AND d.doc_id <> et.exact_keep
         |              THEN et.exact_keep
         |            WHEN c.component IS NOT NULL AND c.component <> d.doc_id

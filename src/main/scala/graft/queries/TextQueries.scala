@@ -134,14 +134,18 @@ object TextQueries {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // BYTE offsets, not char offsets (Spark slices the binary): DuckDB
+    // has no BLOB substring and `substring(text,...)::BLOB` both slices
+    // by character and errors on non-ASCII — so hex the encoded text
+    // once and slice the hex string at 2x the byte positions.
     "q41_blob_meta" ->
-      """SELECT doc_id,
-        |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      """WITH h AS (SELECT doc_id, text, hex(encode(text)) AS hx FROM documents)
+        |SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,
-        |       hex(substring(text, 1, 8)::BLOB) AS head_hex,
-        |       hex(substring(text, 17, 4)::BLOB) || ':' ||
-        |         hex(substring(text, 33, 4)::BLOB) AS frame_sample
-        |FROM documents
+        |       substr(hx, 1, 16) AS head_hex,
+        |       substr(hx, 33, 8) || ':' || substr(hx, 65, 8) AS frame_sample
+        |FROM h
         |ORDER BY doc_id""".stripMargin,
 
     "q42_dedup_keep" ->

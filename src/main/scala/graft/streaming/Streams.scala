@@ -180,27 +180,39 @@ object Streams {
             state.remove()
             Iterator.single(ClosedSession(uid, s.start_us, s.last_us, s.n))
           } else {
+            // Interval merge, robust to out-of-order arrivals (allowed
+            // whenever watermarkDelay > 0): fold the batch's sorted
+            // times into islands, add the parked open session as one
+            // more island, and merge overlapping-within-gap neighbors —
+            // an early straggler can extend the open session BACKWARD
+            // or bridge into it, never regress its end.
             val times = it
               .map(e => e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L)
               .toArray.sorted
-            var open = state.getOption
-            val closed = List.newBuilder[ClosedSession]
-            for (t <- times) {
-              open match {
-                case Some(s) if t - s.last_us <= gapUs =>
-                  open = Some(s.copy(last_us = t, n = s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(uid, s.start_us, s.last_us, s.n)
-                  open = Some(OpenSession(t, t, 1L))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L))
-              }
+            val fresh = times.foldLeft(List.empty[OpenSession]) {
+              case (cur :: done, t) if t - cur.last_us <= gapUs =>
+                cur.copy(last_us = t, n = cur.n + 1) :: done
+              case (acc, t) => OpenSession(t, t, 1L) :: acc
             }
-            open.foreach { s =>
+            val merged = (state.getOption.toList ++ fresh)
+              .sortBy(s => (s.start_us, s.last_us))
+              .foldLeft(List.empty[OpenSession]) {
+                case (cur :: done, s) if s.start_us - cur.last_us <= gapUs =>
+                  OpenSession(cur.start_us, math.max(cur.last_us, s.last_us),
+                    cur.n + s.n) :: done
+                case (acc, s) => s :: acc
+              }.reverse
+            merged.lastOption.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L)
+              // the parked session's deadline may already sit behind the
+              // watermark (a very late straggler reopened it); clamp the
+              // timeout forward — Spark rejects timestamps <= watermark
+              state.setTimeoutTimestamp(math.max(
+                (s.last_us + gapUs) / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
             }
-            closed.result().iterator
+            merged.dropRight(1).iterator
+              .map(s => ClosedSession(uid, s.start_us, s.last_us, s.n))
           }
       }
   }

@@ -100,10 +100,18 @@ class MRSpec extends AnyFunSuite {
     val keys = Seq("hello", "hello world", "the quick brown fox jumps over the lazy dog",
       "supercalifragilisticexpialidocious", "aaaaaaaaaaaaaaaaaaaaaaaaaaaa")
     for (k <- keys; n <- Seq(3, 7, 26, 1000)) {
-      // these keys all overflow 64 bits (top bit set), exercising the
-      // unsigned-remainder path
+      // the longer keys (12+ chars) wrap 64 bits with the top bit set,
+      // exercising the unsigned-remainder path; the short ones pin the
+      // non-overflow agreement
       assert(MR.defaultHashPartition(k, n) == ref(k, n), s"key=$k n=$n")
     }
+    // explicit sign-bit check: the 28-a key's djb2 value must be
+    // "negative" as a signed Long or the test isn't covering unsigned mod
+    assert({
+      var h = 5381L
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaa".foreach(c => h = h * 33 + c.toInt)
+      h < 0
+    }, "test corpus no longer exercises the unsigned-remainder branch")
   }
 
   test("groupedRuns: runs reconstruct the sorted input; partial consumption is safe") {

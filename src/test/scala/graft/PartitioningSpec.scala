@@ -52,9 +52,7 @@ class PartitioningSpec extends AnyFunSuite {
         .join(spark.table("ord_b").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey").agg(sum("l_quantity"), first("o_totalprice"))
-      joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
+      val plan = TestSpark.finalPlan(joined)
       val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
       assert(exchanges == 0,
         s"bucketed join must be exchange-free, got $exchanges:\n${plan.take(2000)}")

@@ -12,14 +12,7 @@ import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
 class PlanSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Execute (small sf) and return the FINAL AQE physical plan text
-    * (the string form appends the pre-AQE "Initial Plan", which must not
-    * be graded — AQE exists to replace it).
-    */
-  private def executedPlan(df: DataFrame): String = {
-    df.collect()
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-  }
+  private def executedPlan(df: DataFrame): String = TestSpark.finalPlan(df)
 
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, TestSpark.Sf0001)

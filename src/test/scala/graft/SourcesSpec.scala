@@ -56,9 +56,7 @@ class SourcesSpec extends AnyFunSuite {
 
     val filtered = spark.read.parquet(tmp("events_by_day"))
       .filter(col("day") === target)
-    filtered.collect()
-    val plan = filtered.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
+    val plan = TestSpark.finalPlan(filtered)
     assert(plan.contains(s"PartitionFilters: [isnotnull(day"),
       s"day filter did not become a partition filter:\n${plan.take(1500)}")
     // the physical scan must touch only the one matching directory

@@ -268,6 +268,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState: out-of-order straggler extends the session backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val closed = Streams.sessionCloseEvents(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      gapSeconds = 1800L, watermarkDelay = "2 hours")
+    val query = closed.writeStream
+      .format("memory").queryName("sess_ooo_out").outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0)))
+      query.processAllAvailable()
+      // straggler 20 minutes EARLIER, still above the watermark: must
+      // merge into the open session as its new start, not regress its end
+      stream.addData(Seq((2L, ts("2024-01-01 09:40:00"), 7L, "a", 1.0)))
+      query.processAllAvailable()
+      stream.addData(Seq((3L, ts("2024-01-02 12:00:00"), 999L, "x", 0.0)))
+      query.processAllAvailable()
+      val got = spark.table("sess_ooo_out")
+        .filter(col("user_id") === 7L)
+        .select("start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val s = Timestamp.valueOf("2024-01-01 09:40:00").getTime * 1000L
+      val e = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+      assert(got.toSeq == Seq((s, e, 2L)), s"got ${got.toSeq}")
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

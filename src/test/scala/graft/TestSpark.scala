@@ -12,4 +12,13 @@ object TestSpark {
   /** Path of a test resource on disk. */
   def resource(name: String): String =
     getClass.getClassLoader.getResource(name).getPath
+
+  /** Execute (intended for small inputs) and return the FINAL AQE
+    * physical plan text — the string form appends the pre-AQE
+    * "Initial Plan", which must not be graded.
+    */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
 }
