@@ -40,6 +40,15 @@ object AsOf {
       payload: Seq[String], tiebreak: String,
       strict: Boolean = false): DataFrame = {
 
+    // Internal working columns must never capture (and silently clobber)
+    // a caller column: derive a prefix no caller column starts with.
+    val taken = (left.columns ++ right.columns).toSet
+    val p = Iterator.iterate("_asof_")(_ + "_")
+      .find(pre => !taken.exists(_.startsWith(pre))).get
+    val (atsC, sideC, mC, bestC) = (p + "ts", p + "side", p + "m", p + "best")
+    require(!left.columns.contains(s"asof_$rightTs"),
+      s"left frame already has output column asof_$rightTs")
+
     val matchCols = (rightTs +: payload.filterNot(_ == rightTs))
     val matchStruct = struct(
       col(tiebreak).as("_tb") +: matchCols.map(c => col(c).as(c)): _*)
@@ -49,27 +58,27 @@ object AsOf {
     // (left NULL-key rows then see no right rows and keep NULL matches,
     // exactly as an ASOF LEFT JOIN oracle renders them).
     val r = right.filter(col(key).isNotNull).select(
-      col(key).as(key), col(rightTs).as("_ats"), lit(0).as("_side"),
-      matchStruct.as("_m"))
+      col(key).as(key), col(rightTs).as(atsC), lit(0).as(sideC),
+      matchStruct.as(mC))
     val l = left
-      .withColumn("_ats", col(leftTs))
-      .withColumn("_side", lit(1))
+      .withColumn(atsC, col(leftTs))
+      .withColumn(sideC, lit(1))
 
     // At equal ts: inclusive ⇒ right rows sort before left rows (visible);
     // strict ⇒ after (invisible). Among equal-ts right rows the largest
     // tiebreak must sort LAST so `last()` lands on it.
-    val sideOrder = if (strict) col("_side").desc else col("_side").asc
+    val sideOrder = if (strict) col(sideC).desc else col(sideC).asc
     val w = Window.partitionBy(key)
-      .orderBy(col("_ats").asc, sideOrder, col("_m._tb").asc_nulls_first)
+      .orderBy(col(atsC).asc, sideOrder, col(s"$mC._tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val leftCols = left.columns.toIndexedSeq.map(col)
     val outMatch = matchCols.map(c =>
-      col(s"_best.$c").as(if (c == rightTs) s"asof_$rightTs" else c))
+      col(s"$bestC.$c").as(if (c == rightTs) s"asof_$rightTs" else c))
 
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn("_best", last(col("_m"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn(bestC, last(col(mC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
       .select(leftCols ++ outMatch: _*)
   }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *   2. exact dedup among survivors (md5 fingerprint groups, lowest
   *      doc_id kept; others → `exact_dup`);
   *   3. near-dup clustering among exact-keepers
-  *      ([[Dedup.minhashPairs]] edges → [[Components.connected]]
+  *      ([[Dedup.nearDupEdges]] → [[Components.connected]]
   *      transitive clusters; non-representative members → `near_dup`);
   *   4. everything else → `kept`.
   *
@@ -26,33 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def curate(docs: DataFrame, minQuality: Double = 0.15,
-      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    // Downstream branches re-derive what they need from narrow scans
-    // instead of sharing wide text-carrying intermediates: Spark has no
-    // cross-branch subtree reuse, so the cheap form of "used twice" is a
-    // re-scan with column pruning, never a re-shuffle of document text.
-    // Text stays out of every shuffle — the only frames that move wide
-    // rows are the per-branch scans themselves. (Persisting the shared
-    // frames was measured ~2× SLOWER end-to-end: the cache pays columnar
-    // materialization and suspends AQE under the InMemoryRelation, and
-    // localCheckpoint variants added GC churn — re-scan wins here.)
+  def curate(docs: DataFrame, minQuality: Double = 0.15): DataFrame = {
+    // Wide rows never recur: document text appears only in per-branch
+    // pruned scans (Spark has no cross-branch subtree reuse, so "used
+    // twice" means a re-scan with column pruning, never a re-shuffle of
+    // text). The NARROW shared frames are a different story — since the
+    // dedup tier hashes shingles to longs at birth, the near-dup stage's
+    // shingle frame is 16 bytes/row and [[Dedup.minhashPairs]] local-
+    // checkpoints it once for all four of its consumers, which removed
+    // the ~2.4× lineage-recompute multiplier this pipeline used to pay.
     val base = docs.select(col("doc_id"), col("text"))
+    // (doc_id, quality): ~16 B/row, read by the quality gate AND the
+    // final verdict join — checkpoint so the scoring scan runs once
     val quality = TextAnalysis.qualityScores(docs).select("doc_id", "quality")
+      .localCheckpoint(true)
+    // (doc_id, fp): the exact-dedup key frame, read by the keeper
+    // aggregation, the per-doc tag join and the keeper semi-join —
+    // checkpoint so the md5 scan over text runs once
     val passed = base
       .join(quality.filter(col("quality") >= minQuality), "doc_id")
-      .withColumn("fp", md5(col("text")))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint(true)
     val keep1 = passed.groupBy("fp").agg(min("doc_id").as("exact_keep"))
     // (doc_id, exact_keep): two longs through the fingerprint join
-    val exactTag = passed.select("doc_id", "fp").join(keep1, "fp")
-      .select("doc_id", "exact_keep")
+    val exactTag = passed.join(keep1, "fp").select("doc_id", "exact_keep")
 
     // keepers' text re-enters via a semi-join against the pruned scan
     val exactKept = base.join(
       keep1.select(col("exact_keep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val comp = Components.connected(
-      Dedup.minhashPairs(exactKept, n, numHashes, rowsPerBand, threshold))
+    val comp = Components.connected(Dedup.nearDupEdges(exactKept))
 
     quality
       .join(exactTag, Seq("doc_id"), "left")

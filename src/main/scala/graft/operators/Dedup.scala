@@ -11,18 +11,27 @@ import org.apache.spark.sql.functions._
   * Tiers:
   *   - exact: hash-groupBy on a content fingerprint (md5) — one shuffle.
   *   - n-gram Jaccard: shingle → posting-list self-join → set overlap.
-  *   - MinHash + LSH: the scale path — per-doc signatures (k hashes),
-  *     banded into buckets; only same-bucket candidates are verified.
-  *     At 100 TB the candidate join replaces the quadratic all-pairs
-  *     join: cost ~ O(docs × bands) + O(sum over buckets of bucket²).
+  *   - MinHash + LSH: the scale path — per-doc signatures (k permuted
+  *     hashes), banded into buckets; only same-bucket candidates are
+  *     verified. At 100 TB the candidate join replaces the quadratic
+  *     all-pairs join: cost ~ O(docs × bands) + O(sum over buckets of
+  *     bucket²).
   *   - SimHash: 60-bit signature per doc; near-dups = small Hamming
   *     distance. Signature build is one shuffle; pair scan is over
   *     signatures (8 bytes/doc), not documents.
   *
-  * All hash derivations go through md5 (not Spark's `hash`/`xxhash64`)
+  * Width discipline (the property that decides the 100 TB bill): every
+  * shingle is hashed to a 60-bit long AT BIRTH ([[shingles]]), so every
+  * downstream distinct / posting-list join / signature shuffle moves
+  * 16-byte (doc_id, gh) rows — never multi-word shingle strings. Document
+  * text itself only ever appears in the initial pruned scans.
+  *
+  * All hash derivations bottom out in md5 (not Spark's `hash`/`xxhash64`)
   * so results are engine-portable and oracle-checkable: the first 15 hex
   * chars of an md5 give a uniform 60-bit non-negative value that DuckDB
-  * reproduces with `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`.
+  * reproduces with `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`. The
+  * minhash permutations on top are integer arithmetic mod a 31-bit prime
+  * (multiply-shift family) — same portability, no per-(shingle, seed) md5.
   */
 object Dedup {
 
@@ -30,9 +39,13 @@ object Dedup {
   private[graft] def h60(sqlExpr: String): String =
     s"cast(conv(substr(md5($sqlExpr), 1, 15), 16, 10) as bigint)"
 
-  /** Distinct word n-gram shingles per document: (doc_id, g).
+  /** Distinct word n-gram shingles per document, hashed at birth:
+    * (doc_id, gh: long) with gh = 60-bit md5 of the shingle text.
     * Tokenization matches the reference's word model (whitespace split,
     * drop empties — reference src/main.c:19, fixed per SURVEY.md §2.2 Q1).
+    * Jaccard over gh equals Jaccard over raw shingles up to md5
+    * collisions (~2^-60 per pair); an oracle hashing the same way sees
+    * the identical sets either way.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val gram = (0 until n).map(k => s"w[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
@@ -41,6 +54,7 @@ object Dedup {
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("g"))
+      .select(col("doc_id"), expr(h60("g")).as("gh"))
       .distinct()
   }
 
@@ -53,8 +67,8 @@ object Dedup {
 
   /** Pairwise shingle-set Jaccard via posting-list self-join:
     * J(a,b) = |A∩B| / (|A|+|B|-|A∩B|). The join shuffles on the shingle
-    * (equi-key), so work is proportional to posting-list sizes squared —
-    * use [[minhashPairs]] at scale; this is the exact tier.
+    * hash (equi-key), so work is proportional to posting-list sizes
+    * squared — use [[minhashPairs]] at scale; this is the exact tier.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame =
     jaccardOf(shingles(docs, n), threshold)
@@ -62,7 +76,7 @@ object Dedup {
   private[operators] def jaccardOf(sh: DataFrame, threshold: Double): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("c"))
     // `sz` grows O(corpus): no broadcast hint — these are equi-joins AQE
@@ -94,7 +108,7 @@ object Dedup {
     val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shc.as("sa"), col("i") === col("sa.doc_id"))
-      .join(shc.as("sb"), col("j") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .join(shc.as("sb"), col("j") === col("sb.doc_id") && col("sa.gh") === col("sb.gh"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("c"))
     inter
@@ -106,106 +120,186 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingles. Returned long: (doc_id, s, minh).
-    *
-    * Shape note: the broadcast seed fan-out IS the measured-fastest form
-    * (a nested-loop product against a bounded `numHashes`-row literal
-    * frame, fully pipelined). The 16× intermediate rows never reach the
-    * wire — partial min aggregation combines them to `numHashes` rows
-    * per doc per partition before the exchange. The alternative (all
-    * minima as aggregate columns of one groupBy) shuffles the same bytes
-    * but evaluates the md5s in the aggregate update path, ~1.5× slower
-    * end-to-end at sf0.1.
+  /** Prime modulus of the minhash permutation family (2^31 − 1). */
+  private[graft] val MinhashP = 2147483647L
+
+  /** Multiplier / offset of permutation `s`, md5-derived so an oracle
+    * regenerates them: a_s ∈ [1, P−1], b_s ∈ [0, P−1].
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame = {
-    val seeds = sh.sparkSession.range(0, numHashes).toDF("s")
-    sh.crossJoin(broadcast(seeds))
-      .select(col("doc_id"), col("s"),
-        expr(h60("concat(s, '|', g)")).as("h"))
-      .groupBy("doc_id", "s")
-      .agg(min("h").as("minh"))
+  private[graft] def minhashA(s: Int): Long = seed60(s"mh_a_$s") % (MinhashP - 1) + 1
+  private[graft] def minhashB(s: Int): Long = seed60(s"mh_b_$s") % MinhashP
+
+  private def seed60(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.substring(0, 15), 16)
   }
 
-  /** LSH bands: group each doc's signature rows into `numHashes/rowsPerBand`
-    * bands; band key = md5 of the ordered minhash values. Docs sharing any
-    * (band, key) bucket are candidate pairs.
+  /** Permutation `s` of the 60-bit shingle hash: (a_s·(gh mod P) + b_s)
+    * mod P — pure 64-bit-safe integer arithmetic (a·x < 2^62), identical
+    * in any engine, no md5 per (shingle, seed).
     */
-  def lshBands(sig: DataFrame, rowsPerBand: Int = 4): DataFrame =
-    sig.groupBy(col("doc_id"), expr(s"s div $rowsPerBand").as("b"))
-      .agg(expr(
-        "md5(array_join(transform(array_sort(collect_list(struct(s, minh))), x -> cast(x.minh as string)), ','))")
-        .as("band_key"))
+  private def perm(s: Int): Column =
+    (lit(minhashA(s)) * (col("gh") % MinhashP) + lit(minhashB(s))) % MinhashP
 
-  /** Full MinHash-LSH near-dup pipeline: shingle → signature → band →
-    * same-bucket candidates → exact Jaccard verification ≥ `threshold`.
+  /** One row per doc with all `numHashes` signature minima as columns
+    * m0..m{k-1}: ONE groupBy over the (doc_id, gh) frame, partial-agg
+    * combined map-side, so the shuffle moves one narrow row per doc —
+    * no seed fan-out, no md5 in the aggregate update path (the
+    * permutations are two multiplies and two mods each).
     */
-  def minhashPairs(
-      docs: DataFrame, n: Int = 3, numHashes: Int = 16,
-      rowsPerBand: Int = 4, threshold: Double = 0.7): DataFrame = {
-    val sh = shingles(docs, n)
-    val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
-    val cand = bands.as("a")
+  private def minhashWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(s => min(perm(s)).as(s"m$s"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash signatures in long form: (doc_id, s, minh) — the classic
+    * rendering, unpivoted from [[minhashWide]]'s single aggregation pass.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val sm = (0 until numHashes).map(s =>
+      struct(lit(s.toLong).as("s"), col(s"m$s").as("minh")))
+    minhashWide(sh, numHashes)
+      .select(col("doc_id"), explode(array(sm: _*)).as("sm"))
+      .select(col("doc_id"), col("sm.s").as("s"), col("sm.minh").as("minh"))
+  }
+
+  /** LSH band keys: (doc_id, b, band_key) with band_key = md5 of the
+    * band's `rowsPerBand` minima joined in seed order. Projected straight
+    * off the wide signature row — banding adds NO aggregation or shuffle
+    * beyond the signature groupBy itself.
+    */
+  def lshBands(sh: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val nb = numHashes / rowsPerBand
+    val bands = (0 until nb).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => col(s"m$s").cast("string"))
+      struct(lit(b.toLong).as("b"), md5(concat_ws(",", ms: _*)).as("band_key"))
+    }
+    minhashWide(sh, numHashes)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.b").as("b"), col("bb.band_key").as("band_key"))
+  }
+
+  /** Same-bucket candidate pairs (i < j) from the banded signatures. */
+  private[graft] def minhashCandidates(
+      sh: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bands = lshBands(sh, numHashes, rowsPerBand)
+    bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    jaccardOfCandidates(sh, cand, threshold)
   }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → signature → band →
+    * same-bucket candidates → exact Jaccard verification ≥ `threshold`.
+    *
+    * The hashed shingle frame feeds four consumers (signature build,
+    * candidate-doc semi-join, both sides of the intersection join), so it
+    * is locally checkpointed ONCE — 16 bytes/doc/shingle of RDD blocks —
+    * and every consumer reads blocks instead of re-deriving the text
+    * scan + shingle distinct. A/B at sf0.1 (warm, checkpoint build inside
+    * the timer): q27 2.49s vs 2.72s re-derive, q29 3.08s vs 3.70s, and
+    * q48 — where this frame's lineage is deepest — 7.7s stable vs 11.7s+
+    * degrading run-over-run. The round-2 measurement that rejected
+    * operator-internal persists predated the narrow-frame layout: a
+    * checkpoint of 8-byte hashes costs almost nothing to build, so the
+    * re-derive tradeoff flips.
+    */
+  def minhashPairs(
+      docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val sh = shingles(docs, n).localCheckpoint(eager = true)
+    jaccardOfCandidates(sh, minhashCandidates(sh, numHashes, rowsPerBand), threshold)
+  }
+
+  /** The engine's ONE canonical near-dup edge definition — every surface
+    * that consumes near-dup pairs (q42 keep/drop verdicts, q47 connected
+    * components, q48 curation) calls this, so the shingle width, hash
+    * count, banding and verification threshold cannot drift apart
+    * between them.
+    */
+  def nearDupEdges(docs: DataFrame): DataFrame =
+    minhashPairs(docs, n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7)
 
   /** SimHash: 60-bit signature per doc. Bit b of the signature is the
     * sign of the sum over shingles of ±1 depending on bit b of the
-    * shingle hash. Near-duplicate docs differ in few bits.
+    * shingle hash `gh` — the shingle hash IS the bit source; no second
+    * hash pass.
     */
   def simhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val h = shingles(docs, n)
-      .select(col("doc_id"), expr(h60("concat('sh|', g)")).as("hv"))
     // One aggregation pass: 60 conditional ±1 sums (one per signature
     // bit) in a single groupBy — no row explosion, so the shuffle moves
     // one row per (doc, shingle), not 60. The bit columns then fold into
     // the signature in a plain projection.
     val bitSums = (0 until 60).map { b =>
-      sum(expr(s"case when (shiftright(hv, $b) & 1) = 1 then 1 else -1 end")).as(s"b$b")
+      sum(expr(s"case when (shiftright(gh, $b) & 1) = 1 then 1 else -1 end")).as(s"b$b")
     }
     val sigExpr = (0 until 60)
       .map(b => s"shiftleft(cast(case when b$b > 0 then 1 else 0 end as bigint), $b)")
       .mkString(" + ")
-    h.groupBy("doc_id")
+    shingles(docs, n).groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), expr(sigExpr).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ `maxHamming`, found by
-    * pigeonhole blocking (Manku et al., WWW'07 shape): the 60-bit
-    * signature is split into `maxHamming + 1` contiguous blocks, so any
-    * pair within the distance bound must agree exactly on at least one
-    * block. Candidates = pairs sharing a (block index, block value)
-    * bucket — an equi self-join, never the all-pairs cross join — then
-    * exact Hamming verification. No false negatives by construction.
+  /** Candidate pairs within `maxHamming` bits by pigeonhole blocking
+    * (Manku et al., WWW'07 shape), never the all-pairs cross join:
     *
-    * Scale note: block width is 60/(maxHamming+1) bits, so tighter
-    * distance bounds give wider blocks and sharper buckets; for loose
-    * bounds at very large corpora, widen the signature (this layout
-    * generalizes) rather than shrinking blocks below ~8 bits.
+    *   - tight bounds (block width 60/(d+1) ≥ 8 bits): split into d+1
+    *     contiguous blocks; any pair within distance d agrees exactly on
+    *     at least one block, so candidates share a (block, value) key.
+    *   - loose bounds (width < 8 bits — e.g. the default d=10, where
+    *     5-bit keys would admit ~n²/32 of the pair space): split into
+    *     d+2 blocks; within distance d at most d blocks differ, so at
+    *     least TWO agree, and candidates share a (block-pair, value-pair)
+    *     key — C(d+2, 2) keys of doubled width (~10 bits at d=10),
+    *     squaring the per-key selectivity at the cost of more key rows.
+    *
+    * Both shapes are equi self-joins with no false negatives by
+    * construction. Carries (si, sj) through for exact verification.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 10, n: Int = 3): DataFrame = {
-    val sig = simhashSignatures(docs, n)
-    val nb = maxHamming + 1
-    val blocks = (0 until nb).map { k =>
-      val lo = k * 60 / nb
-      val width = (k + 1) * 60 / nb - lo
-      struct(lit(k).as("k"),
-        expr(s"shiftright(simhash, $lo) & ${(1L << width) - 1}").as("v"))
+  private[graft] def simhashCandidates(sig: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 58, s"maxHamming $maxHamming out of range")
+    def blockVal(k: Int, m: Int): String = {
+      val lo = k * 60 / m
+      val width = (k + 1) * 60 / m - lo
+      s"shiftright(simhash, $lo) & ${(1L << width) - 1}"
     }
+    val keys: Seq[Column] =
+      if (60 / (maxHamming + 1) >= 8) {
+        val m = maxHamming + 1
+        (0 until m).map(k =>
+          struct(lit(k.toLong).as("k1"), lit(-1L).as("k2"),
+            expr(blockVal(k, m)).as("v1"), lit(0L).as("v2")))
+      } else {
+        val m = maxHamming + 2
+        for { k1 <- 0 until m; k2 <- k1 + 1 until m } yield
+          struct(lit(k1.toLong).as("k1"), lit(k2.toLong).as("k2"),
+            expr(blockVal(k1, m)).as("v1"), expr(blockVal(k2, m)).as("v2"))
+      }
     val blocked = sig.select(col("doc_id"), col("simhash"),
-      explode(array(blocks: _*)).as("blk"))
+      explode(array(keys: _*)).as("blk"))
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.simhash").as("si"), col("b.simhash").as("sj"))
       .distinct()
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ `maxHamming`:
+    * pigeonhole-blocked candidates ([[simhashCandidates]]), then exact
+    * Hamming verification. The (doc_id, simhash) frame — 16 bytes/doc —
+    * is locally checkpointed before the blocked self-join so the
+    * signature pipeline (text scan + shingle distinct + 60-sum groupBy)
+    * runs ONCE, not once per join side.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 10, n: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs, n).localCheckpoint(eager = true)
+    simhashCandidates(sig, maxHamming)
       .select(col("i"), col("j"),
         expr("cast(bit_count(si ^ sj) as bigint)").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -97,15 +97,20 @@ object MR {
 
   /** djb2 — bit-compatible with the reference's default partitioner
     * (reference `src/mapreduce.c:129-138`), exposed for parity tests.
-    * The reference accumulates in a 64-bit `unsigned long`: JVM `Long`
-    * overflow wraps identically, and the final `hash % num_partitions`
-    * on an unsigned value maps to `Long.remainderUnsigned` (plain `%`
-    * would go negative once the accumulator's top bit is set, which any
-    * key of ~10+ chars reaches).
+    * The reference walks the key's raw bytes as C `char` (SIGNED on the
+    * reference's x86-64 Linux target, so multi-byte UTF-8 units fold in
+    * sign-extended), accumulating in a 64-bit `unsigned long`: folding
+    * the UTF-8 bytes as JVM signed `Byte`s wraps identically, and the
+    * final `hash % num_partitions` on an unsigned value maps to
+    * `Long.remainderUnsigned` (plain `%` would go negative once the
+    * accumulator's top bit is set, which any key of ~10+ chars reaches).
+    * Scope: keys without NUL (C strings end there; the word model never
+    * produces one).
     */
   def defaultHashPartition(key: String, numPartitions: Int): Int = {
     var hash = 5381L
-    key.foreach(c => hash = (hash << 5) + hash + c)
+    key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .foreach(b => hash = (hash << 5) + hash + b)
     java.lang.Long.remainderUnsigned(hash, numPartitions.toLong).toInt
   }
 

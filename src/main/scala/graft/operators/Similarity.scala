@@ -101,9 +101,16 @@ object Similarity {
     * discovery) and [[bruteForceTopK]] (exact small-query search).
     *
     * Index: a deterministic sample of the corpus serves as coarse
-    * centroids (`vec_id % centroidEvery == 0` — seed-free and
+    * centroids (`vec_id % stride == 0` — seed-free and
     * oracle-reproducible; production would k-means, which only moves the
-    * centroid positions, not the plan shape). Every vector is assigned to
+    * centroid positions, not the plan shape). The stride defaults to
+    * ⌈√n⌉, derived from an up-front `count()` of the corpus (one cheap
+    * scan — index construction time, not query time), which keeps BOTH
+    * the broadcast centroid set and the average cell population at
+    * O(√n) no matter the corpus size — the invariant the whole
+    * cell-probe cost model rests on, now enforced instead of entrusted
+    * to the caller. Pass `centroidEvery > 0` to pin it. Every vector is
+    * assigned to
     * its nearest centroid in ONE corpus scan against the broadcast
     * centroid set (centroids are O(√n)-scale by construction — bounded,
     * legitimately broadcastable). Search: each query probes its `nProbe`
@@ -114,9 +121,11 @@ object Similarity {
     * desc, id asc) — deterministic and engine-portable.
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      centroidEvery: Int = 20, nProbe: Int = 3): DataFrame = {
+      centroidEvery: Int = 0, nProbe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = withNorm(emb.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0))
+    val stride =
+      if (centroidEvery > 0) centroidEvery else derivedStride(emb.count())
+    val cents = withNorm(emb.filter(pmod(col("vec_id"), lit(stride)) === 0))
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
 
     // one scan: nearest centroid per vector (argmax by rounded cos, min cid)
@@ -152,6 +161,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"), col("rank"))
   }
+
+  /** Default IVF centroid stride: ⌈√n⌉ ⇒ ~√n centroids of ~√n vectors. */
+  private[graft] def derivedStride(n: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 
   /** Hyperplane component (t, p, d), derived from md5 so that an oracle
     * engine regenerates the identical plane: first 15 hex chars of

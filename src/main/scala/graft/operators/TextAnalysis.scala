@@ -117,8 +117,7 @@ object TextAnalysis {
     */
   def fingerprints(docs: DataFrame, n: Int = 5): DataFrame =
     Dedup.shingles(docs, n)
-      .select(col("doc_id"), expr(Dedup.h60("g")).as("h"))
       .groupBy("doc_id")
-      .agg(min("h").as("fp_min"), max("h").as("fp_max"),
+      .agg(min("gh").as("fp_min"), max("gh").as("fp_max"),
         count(lit(1)).as("n_shingles"))
 }

@@ -19,7 +19,7 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_curation" ->
-      """WITH RECURSIVE
+      ("""WITH RECURSIVE
         |wsq AS (SELECT doc_id, text,
         |               list_filter(string_split_regex(trim(text), '\s+'),
         |                           x -> x != '') AS w
@@ -34,27 +34,10 @@ object CurationQueries {
         |exact_tag AS (SELECT p.doc_id, p.text, k.exact_keep
         |              FROM passed p JOIN keep1 k USING (fp)),
         |ek AS (SELECT doc_id, text FROM exact_tag WHERE doc_id = exact_keep),
-        |ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM ek),
-        |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
-        |       FROM ws, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3),
-        |seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
-        |sig AS (SELECT doc_id, s, min(CAST('0x' || substr(md5(s || '|' || g), 1, 15) AS BIGINT)) AS minh
-        |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
-        |bands AS (SELECT doc_id, s // 4 AS b,
-        |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
-        |          FROM sig GROUP BY doc_id, s // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        |         FROM bands a JOIN bands b
-        |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |jac AS (SELECT i, j, ix.c * 1.0 / (s1.n + s2.n - ix.c) AS jaccard
-        |        FROM inter ix JOIN sz s1 ON ix.i = s1.doc_id JOIN sz s2 ON ix.j = s2.doc_id),
-        |pairs AS (SELECT jac.i, jac.j FROM jac
-        |          JOIN cand ON jac.i = cand.i AND jac.j = cand.j
-        |          WHERE jac.jaccard >= 0.7),
-        |e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+        |""".stripMargin +
+      DedupQueries.shinglesSql("ek") + ",\n" +
+      DedupQueries.NearDupPairsSql + ",\n" +
+      """e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
         |r AS (SELECT i AS nd, i AS m FROM e
         |      UNION
         |      SELECT r.nd, e.j AS m FROM r JOIN e ON r.m = e.i),
@@ -75,5 +58,5 @@ object CurationQueries {
         |FROM q d
         |LEFT JOIN exact_tag et ON d.doc_id = et.doc_id
         |LEFT JOIN compo c ON d.doc_id = c.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin))
 }

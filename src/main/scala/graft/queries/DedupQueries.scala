@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.functions._
 import graft.operators.{Components, Dedup}
 import graft.sources.Tables
 
@@ -10,24 +9,72 @@ import graft.sources.Tables
   * Data note (sf0.01): the corpus has 25 planted near-dup pairs at
   * shingle-Jaccard ≈ 0.9–0.99 and nothing between ~0.3 and 0.9, so the
   * 0.7/0.8 thresholds sit in a wide margin; SimHash Hamming distances
-  * are ≤ 8 for the planted pairs and ≥ 13 for noise, so 10 is stable.
+  * (bits sourced from the 60-bit shingle hash) are ≤ 7 for the planted
+  * pairs and ≥ 15 for noise, so 10 is stable.
+  *
+  * The SQL CTE blocks below are THE rendering of the engine's dedup
+  * chain and are shared by every oracle that embeds it (q26–q29, q47
+  * here; q42 in [[TextQueries]]; q48 in [[CurationQueries]]) — one
+  * definition on the Scala side ([[Dedup.nearDupEdges]]), one here.
   */
 object DedupQueries {
 
-  /** Shared DuckDB CTEs: whitespace shingles + exact Jaccard (1-based
-    * list indexing vs Spark's 0-based).
+  /** Whitespace 3-gram shingles hashed to 60-bit longs (1-based list
+    * indexing vs Spark's 0-based), over the given source relation.
     */
-  private val ShinglesSql =
-    """ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
-      |       FROM ws, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3)""".stripMargin
+  private[queries] def shinglesSql(src: String): String =
+    s"""ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $src),
+       |sh AS (SELECT DISTINCT doc_id,
+       |              CAST('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15) AS BIGINT) AS gh
+       |       FROM ws, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3)""".stripMargin
 
-  private val JaccardSql =
+  private[queries] val ShinglesSql: String = shinglesSql("documents")
+
+  /** Exact Jaccard over the hashed shingle sets. */
+  private[queries] val JaccardSql: String =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |          FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |jac AS (SELECT i, j, ix.c * 1.0 / (s1.n + s2.n - ix.c) AS jaccard
       |        FROM inter ix JOIN sz s1 ON ix.i = s1.doc_id JOIN sz s2 ON ix.j = s2.doc_id)""".stripMargin
+
+  /** MinHash-LSH candidate pairs: 16 arithmetic permutations of the
+    * shingle hash mod P = 2^31−1 (multipliers/offsets md5-derived, same
+    * constants as `Dedup.minhashA/B`), 4-row bands keyed by md5 of the
+    * ordered minima, same-bucket pairs.
+    */
+  private[queries] val MinhashCandSql: String =
+    """seeds AS (SELECT s,
+      |                 CAST('0x' || substr(md5('mh_a_' || s), 1, 15) AS BIGINT) % 2147483646 + 1 AS pa,
+      |                 CAST('0x' || substr(md5('mh_b_' || s), 1, 15) AS BIGINT) % 2147483647 AS pb
+      |          FROM (SELECT unnest(generate_series(0, 15)) AS s)),
+      |sig AS (SELECT doc_id, s, min((pa * (gh % 2147483647) + pb) % 2147483647) AS minh
+      |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+      |bands AS (SELECT doc_id, s // 4 AS b,
+      |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
+      |          FROM sig GROUP BY doc_id, s // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |         FROM bands a JOIN bands b
+      |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Verified near-dup edges at the canonical 0.7 threshold — the SQL
+    * twin of `Dedup.nearDupEdges`.
+    */
+  private[queries] val NearDupPairsSql: String =
+    s"""$MinhashCandSql,
+       |$JaccardSql,
+       |pairs AS (SELECT jac.i, jac.j FROM jac
+       |          JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+       |          WHERE jac.jaccard >= 0.7)""".stripMargin
+
+  /** SimHash signatures from the shingle-hash bit columns. */
+  private[queries] val SimhashSql: String =
+    """bits AS (SELECT doc_id, b,
+      |                CASE WHEN sum(CASE WHEN ((gh >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      |                     THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |         FROM sh, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY doc_id, b),
+      |sims AS (SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
+      |         FROM bits GROUP BY doc_id)""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "q26_dedup_ngram" -> ((spark, dir) =>
@@ -49,8 +96,7 @@ object DedupQueries {
 
     "q47_dedup_components" -> ((spark, dir) =>
       Components.connected(
-          Dedup.minhashPairs(Tables.load(spark, dir, "documents"),
-            n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7))
+          Dedup.nearDupEdges(Tables.load(spark, dir, "documents")))
         .orderBy("node")))
 
   def oracles: Map[String, String] = Map(
@@ -63,15 +109,7 @@ object DedupQueries {
 
     "q27_dedup_minhash" ->
       s"""WITH $ShinglesSql,
-         |seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
-         |sig AS (SELECT doc_id, s, min(CAST('0x' || substr(md5(s || '|' || g), 1, 15) AS BIGINT)) AS minh
-         |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
-         |bands AS (SELECT doc_id, s // 4 AS b,
-         |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
-         |          FROM sig GROUP BY doc_id, s // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-         |         FROM bands a JOIN bands b
-         |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |$MinhashCandSql,
          |$JaccardSql
          |SELECT jac.i, jac.j, round(jac.jaccard, 4) AS jaccard
          |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
@@ -80,24 +118,13 @@ object DedupQueries {
 
     "q28_dedup_simhash_sig" ->
       s"""WITH $ShinglesSql,
-         |h AS (SELECT doc_id, CAST('0x' || substr(md5('sh|' || g), 1, 15) AS BIGINT) AS hv FROM sh),
-         |bits AS (SELECT doc_id, b,
-         |                CASE WHEN sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-         |                     THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-         |         FROM h, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY doc_id, b)
-         |SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id
+         |$SimhashSql
+         |SELECT doc_id, simhash FROM sims
          |ORDER BY doc_id""".stripMargin,
 
     "q29_dedup_simhash_pairs" ->
       s"""WITH $ShinglesSql,
-         |h AS (SELECT doc_id, CAST('0x' || substr(md5('sh|' || g), 1, 15) AS BIGINT) AS hv FROM sh),
-         |bits AS (SELECT doc_id, b,
-         |                CASE WHEN sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-         |                     THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-         |         FROM h, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY doc_id, b),
-         |sims AS (SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
-         |         FROM bits GROUP BY doc_id)
+         |$SimhashSql
          |SELECT a.doc_id AS i, b.doc_id AS j,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
@@ -109,19 +136,7 @@ object DedupQueries {
     // min-label propagation.
     "q47_dedup_components" ->
       s"""WITH RECURSIVE $ShinglesSql,
-         |seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
-         |sig AS (SELECT doc_id, s, min(CAST('0x' || substr(md5(s || '|' || g), 1, 15) AS BIGINT)) AS minh
-         |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
-         |bands AS (SELECT doc_id, s // 4 AS b,
-         |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
-         |          FROM sig GROUP BY doc_id, s // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-         |         FROM bands a JOIN bands b
-         |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |$JaccardSql,
-         |pairs AS (SELECT jac.i, jac.j FROM jac
-         |          JOIN cand ON jac.i = cand.i AND jac.j = cand.j
-         |          WHERE jac.jaccard >= 0.7),
+         |$NearDupPairsSql,
          |e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
          |r AS (SELECT i AS n, i AS m FROM e
          |      UNION

@@ -58,8 +58,9 @@ object SimilarityQueries {
 
     "q45_ann_ivf" -> ((spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          centroidEvery = 20, nProbe = 3)
+      // centroid stride derived (⌈√n⌉) — the oracle recomputes it from
+      // its own count(*) so the check stays honest at any SF
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
         .orderBy("query_id", "rank")
     }))
 
@@ -125,13 +126,15 @@ object SimilarityQueries {
          |WHERE cos >= 0.4
          |ORDER BY i, j""".stripMargin,
 
-    // IVF: centroids = vec_id % 20 == 0; every vector assigned to its
-    // nearest centroid (rounded-cos desc, cid asc — the same argmax the
-    // Spark side takes); queries probe their 3 nearest cells; exact
-    // top-5 within probed cells only.
+    // IVF: centroids = vec_id % ceil(sqrt(n)) == 0 (the engine's derived
+    // stride, recomputed here from the corpus count); every vector
+    // assigned to its nearest centroid (rounded-cos desc, cid asc — the
+    // same argmax the Spark side takes); queries probe their 3 nearest
+    // cells; exact top-5 within probed cells only.
     "q45_ann_ivf" ->
       s"""WITH $VecSql,
-         |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 20 = 0),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+         |          WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v) = 0),
          |assigned AS (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT t.vec_id, t.cid,

@@ -47,8 +47,7 @@ object TextQueries {
         .orderBy("doc_id")),
 
     "q42_dedup_keep" -> ((spark, dir) =>
-      Dedup.minhashPairs(Tables.load(spark, dir, "documents"),
-          n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7)
+      Dedup.nearDupEdges(Tables.load(spark, dir, "documents"))
         .groupBy(col("j"))
         .agg(min("i").as("keep_id"), count(lit(1)).as("n_pairs"))
         .select(col("j").as("drop_id"), col("keep_id"), col("n_pairs"))
@@ -149,27 +148,10 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q42_dedup_keep" ->
-      """WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
-        |       FROM ws, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3),
-        |seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
-        |sig AS (SELECT doc_id, s, min(CAST('0x' || substr(md5(s || '|' || g), 1, 15) AS BIGINT)) AS minh
-        |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
-        |bands AS (SELECT doc_id, s // 4 AS b,
-        |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
-        |          FROM sig GROUP BY doc_id, s // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        |         FROM bands a JOIN bands b
-        |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |jac AS (SELECT i, j, ix.c * 1.0 / (s1.n + s2.n - ix.c) AS jaccard
-        |        FROM inter ix JOIN sz s1 ON ix.i = s1.doc_id JOIN sz s2 ON ix.j = s2.doc_id),
-        |pairs AS (SELECT jac.i, jac.j FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
-        |          WHERE jac.jaccard >= 0.7)
-        |SELECT j AS drop_id, min(i) AS keep_id, count(*) AS n_pairs
-        |FROM pairs
-        |GROUP BY j
-        |ORDER BY drop_id""".stripMargin)
+      s"""WITH ${DedupQueries.ShinglesSql},
+         |${DedupQueries.NearDupPairsSql}
+         |SELECT j AS drop_id, min(i) AS keep_id, count(*) AS n_pairs
+         |FROM pairs
+         |GROUP BY j
+         |ORDER BY drop_id""".stripMargin)
 }

@@ -131,8 +131,13 @@ object Streams {
   /** Running per-user state: event count, value total, last event time. */
   case class UserState(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Open-session state for [[sessionCloseEvents]] (epoch µs). */
+  /** Open-session island for [[sessionCloseEvents]] (epoch µs). */
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+  /** [[sessionCloseEvents]] state: ALL islands not yet sealed by the
+    * watermark, earliest first — not just the trailing one.
+    */
+  case class OpenSessions(islands: List[OpenSession])
 
   /** A closed session, emitted once (epoch µs bounds). */
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
@@ -149,21 +154,30 @@ object Streams {
     */
   /** Session-close events via `flatMapGroupsWithState` + event-time
     * timeout — the 0..n-outputs-per-group stateful surface (vs
-    * [[runningUserState]]'s exactly-one). Sessions that close INSIDE a
-    * micro-batch (next event arrives past the gap) emit immediately;
-    * the trailing open session is parked in the state store with a
-    * timeout at `last + gap`, and emits when the watermark passes it.
-    * State per key is one `OpenSession` — bounded, evicted on close.
+    * [[runningUserState]]'s exactly-one).
     *
-    * Differential contract (tested): streamed closed sessions ==
-    * [[graft.operators.Sessions.sessionize]] batch islands, once the
-    * watermark has flushed every trailing session.
+    * Append-once semantics mirror Spark's own `session_window` append
+    * mode: an island [start, end] is emitted only once the event-time
+    * watermark strictly passes end + gap — before that, an admissible
+    * straggler (event-time ≥ watermark, allowed whenever watermarkDelay
+    * > 0) could still land within the gap and merge with or bridge into
+    * it, which batch [[graft.operators.Sessions.sessionize]] would fold
+    * into one island. So state holds EVERY unsealed island, not just
+    * the trailing one; the event-time timeout is set to the earliest
+    * unsealed deadline, and each wake-up (new data or timeout) emits
+    * exactly the islands the watermark has sealed. State per key is
+    * bounded by the watermark horizon (islands older than delay + gap
+    * are always sealed), evicted when no island remains.
+    *
+    * Differential contract (tested at delay 0 and 2h): streamed closed
+    * sessions == batch sessionize islands, once the watermark has
+    * flushed every trailing session.
     */
   def sessionCloseEvents(events: DataFrame, gapSeconds: Long = 1800L,
       watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.OutputMode
     implicit val ueEnc: Encoder[UserEvent] = Encoders.product[UserEvent]
-    implicit val osEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
+    implicit val osEnc: Encoder[OpenSessions] = Encoders.product[OpenSessions]
     implicit val csEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     val gapUs = gapSeconds * 1000000L
@@ -172,48 +186,46 @@ object Streams {
       .select(col("user_id"), col("event_type"), col("value"), col("ts"))
       .as[UserEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(uid, s.start_us, s.last_us, s.n))
-          } else {
-            // Interval merge, robust to out-of-order arrivals (allowed
-            // whenever watermarkDelay > 0): fold the batch's sorted
-            // times into islands, add the parked open session as one
-            // more island, and merge overlapping-within-gap neighbors —
-            // an early straggler can extend the open session BACKWARD
-            // or bridge into it, never regress its end.
-            val times = it
-              .map(e => e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L)
-              .toArray.sorted
-            val fresh = times.foldLeft(List.empty[OpenSession]) {
-              case (cur :: done, t) if t - cur.last_us <= gapUs =>
-                cur.copy(last_us = t, n = cur.n + 1) :: done
-              case (acc, t) => OpenSession(t, t, 1L) :: acc
-            }
-            val merged = (state.getOption.toList ++ fresh)
-              .sortBy(s => (s.start_us, s.last_us))
-              .foldLeft(List.empty[OpenSession]) {
-                case (cur :: done, s) if s.start_us - cur.last_us <= gapUs =>
-                  OpenSession(cur.start_us, math.max(cur.last_us, s.last_us),
-                    cur.n + s.n) :: done
-                case (acc, s) => s :: acc
-              }.reverse
-            merged.lastOption.foreach { s =>
-              state.update(s)
-              // the parked session's deadline may already sit behind the
-              // watermark (a very late straggler reopened it); clamp the
-              // timeout forward — Spark rejects timestamps <= watermark
-              state.setTimeoutTimestamp(math.max(
-                (s.last_us + gapUs) / 1000L + 1L,
-                state.getCurrentWatermarkMs() + 1L))
-            }
-            merged.dropRight(1).iterator
-              .map(s => ClosedSession(uid, s.start_us, s.last_us, s.n))
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSessions]) =>
+          // One unified path for data batches AND timeout wake-ups (where
+          // `it` is empty): fold the batch's sorted times into islands,
+          // merge them with the parked ones (an early straggler can
+          // extend an island backward or bridge two — never regress an
+          // end), then emit exactly the islands the watermark has sealed.
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val parked = state.getOption.map(_.islands).getOrElse(Nil)
+          val times = it
+            .map(e => e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L)
+            .toArray.sorted
+          val fresh = times.foldLeft(List.empty[OpenSession]) {
+            case (cur :: done, t) if t - cur.last_us <= gapUs =>
+              cur.copy(last_us = t, n = cur.n + 1) :: done
+            case (acc, t) => OpenSession(t, t, 1L) :: acc
           }
+          val merged = (parked ++ fresh)
+            .sortBy(s => (s.start_us, s.last_us))
+            .foldLeft(List.empty[OpenSession]) {
+              case (cur :: done, s) if s.start_us - cur.last_us <= gapUs =>
+                OpenSession(cur.start_us, math.max(cur.last_us, s.last_us),
+                  cur.n + s.n) :: done
+              case (acc, s) => s :: acc
+            }.reverse
+          // strict <: a boundary event at exactly watermark == end + gap
+          // is still admissible, so the island is not sealed yet
+          val (flushed, pending) = merged.partition(_.last_us + gapUs < wmUs)
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(pending))
+            // wake when the earliest deadline passes; a deadline may
+            // already sit behind the watermark (late straggler reopened
+            // it) — clamp forward, Spark rejects timestamps <= watermark
+            state.setTimeoutTimestamp(math.max(
+              pending.map(s => (s.last_us + gapUs) / 1000L + 1L).min,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          flushed.iterator.map(s => ClosedSession(uid, s.start_us, s.last_us, s.n))
       }
   }
 

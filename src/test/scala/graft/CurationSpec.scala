@@ -19,7 +19,9 @@ class CurationSpec extends AnyFunSuite {
       (4L, rich + " trailing near duplicate tail"), // near-dup of 1
       (5L, (1 to 150).map(i => s"other vocabulary item $i").mkString(" "))
     ).toDF("doc_id", "text")
-    val got = Curation.curate(docs, minQuality = 0.15, threshold = 0.5)
+    // doc 4 shares all but its 4 trailing shingles with doc 1 (J ≈ 0.99),
+    // well above the canonical nearDupEdges threshold
+    val got = Curation.curate(docs, minQuality = 0.15)
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(2), Option(r.get(3))))
     assert(got.toSeq == Seq(

@@ -90,15 +90,21 @@ class MRSpec extends AnyFunSuite {
     assert(MR.defaultHashPartition("", 1000000) == 5381 % 1000000)
     assert(MR.defaultHashPartition("a", 1000000) == 177670 % 1000000)
     // independent model of the reference's unsigned-64 accumulate + mod
-    // (mapreduce.c:129-138): BigInt with explicit 2^64 wraparound
+    // (mapreduce.c:129-138): BigInt with explicit 2^64 wraparound over
+    // the key's UTF-8 bytes as SIGNED chars (the reference's x86-64
+    // Linux `char` sign-extends bytes >= 0x80 into the accumulator)
     val two64 = BigInt(1) << 64
     def ref(key: String, n: Int): Int = {
       var h = BigInt(5381)
-      key.foreach(c => h = (h * 33 + c.toInt) % two64)
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => h = (h * 33 + b).mod(two64))
       (h % n).toInt
     }
     val keys = Seq("hello", "hello world", "the quick brown fox jumps over the lazy dog",
-      "supercalifragilisticexpialidocious", "aaaaaaaaaaaaaaaaaaaaaaaaaaaa")
+      "supercalifragilisticexpialidocious", "aaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      // non-ASCII: multi-byte UTF-8 with sign-extending high bytes — the
+      // case the old UTF-16 code-unit fold diverged on
+      "héllo wörld", "日本語テキスト", "naïve café", "Ω≈ç√∫ß", "😀ok")
     for (k <- keys; n <- Seq(3, 7, 26, 1000)) {
       // the longer keys (12+ chars) wrap 64 bits with the top bit set,
       // exercising the unsigned-remainder path; the short ones pin the

@@ -59,6 +59,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.toSeq.take(2) == Seq((1000L, Some(100L)), (1001L, Some(102L))))
   }
 
+  test("as-of join: caller columns named like old internals survive untouched") {
+    import spark.implicits._
+    // left frame carries the exact names the implementation once used
+    // internally — they must pass through unharmed, not be clobbered
+    val left = Seq((1L, ts("2024-01-01 10:06:00"), "keepA", "keepB", 7L))
+      .toDF("key", "tts", "_ats", "_best", "_side")
+    val (quotes, _) = crafted
+    val got = AsOf.join(left, quotes, key = "key", leftTs = "tts",
+        rightTs = "qts", payload = Seq("qid"), tiebreak = "qid")
+      .select("_ats", "_best", "_side", "qid")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("keepA", "keepB", 7L, 102L)))
+  }
+
   test("as-of join law on corpus: match is the argmax prior click, row count preserved") {
     val ev = Tables.load(spark, TestSpark.Sf0001, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
