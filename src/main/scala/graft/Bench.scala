@@ -57,7 +57,16 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // cumulative per-run history so round-over-round per-query regressions
+    // are machine-diffable (driver reads the stdout line; this appends)
+    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(hist),
+      s"""{"at_ms":${System.currentTimeMillis()},${line.drop(1)}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable => System.err.println(s"[bench] history append failed: $e") }
     spark.stop()
   }
 }

@@ -58,6 +58,53 @@ class DedupSpec extends AnyFunSuite {
     assert(found.subsetOf(exact))
   }
 
+  test("pruning gate: bucketed candidate volumes stay far below the pair space") {
+    // a parameter change that silently degrades pruning (narrower block
+    // keys, fewer bands, coarser buckets) must fail CI the same way a
+    // BNLJ regression already does
+    val n = docs.count().toDouble
+    val pairSpace = n * (n - 1) / 2.0
+    val mh = Dedup.minhashCandidates(Dedup.shingles(docs, 3), 16, 4).count()
+    assert(mh / pairSpace < 0.01, s"minhash candidates $mh of ${pairSpace.toLong} pairs")
+    val sim = Dedup.simhashCandidates(Dedup.simhashSignatures(docs, 3), 10).count()
+    assert(sim / pairSpace < 0.10, s"simhash candidates $sim of ${pairSpace.toLong} pairs")
+    val m = emb.count().toDouble
+    val embPairs = m * (m - 1) / 2.0
+    val b = Similarity.signLshBuckets(emb, tables = 16, bits = 8, dim = 64)
+    val lsh = b.as("a").join(b.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    assert(lsh / embPairs < 0.10, s"sign-LSH candidates $lsh of ${embPairs.toLong} pairs")
+  }
+
+  test("simhash blocking: candidate fraction stays flat as a noise corpus scales") {
+    // worst case for blocking: mutually unrelated docs → near-uniform
+    // signatures. Two-block 10-bit keys bound the expected candidate
+    // fraction at ~C(12,2)/2^10 ≈ 6.4% of the pair space INDEPENDENT of
+    // n — candidates track the pair count with a flat small constant.
+    // (The 5-bit single-block scheme this replaced sat at ~30% here.)
+    def synth(n: Int) = spark.range(n).selectExpr("id as doc_id",
+      "concat_ws(' ', transform(sequence(0, 59), " +
+        "k -> substr(md5(concat(id, '_', k)), 1, 8))) as text")
+    def frac(n: Int): Double = {
+      val c = Dedup.simhashCandidates(Dedup.simhashSignatures(synth(n), 3), 10).count()
+      c.toDouble / (n.toLong * (n - 1) / 2)
+    }
+    val f1 = frac(300)
+    val f2 = frac(950) // ~10x the pair space
+    assert(f1 < 0.09, s"fraction at n=300: $f1")
+    assert(f2 < 0.09, s"fraction at n=950: $f2")
+    assert(f2 < f1 * 1.5, s"pruning degrades with scale: $f1 -> $f2")
+  }
+
+  test("IVF derived centroid stride is ceil(sqrt(n))") {
+    assert(Similarity.derivedStride(500L) == 23)
+    assert(Similarity.derivedStride(1L) == 1)
+    assert(Similarity.derivedStride(0L) == 1)
+    assert(Similarity.derivedStride(1000000L) == 1000)
+  }
+
   test("brute-force topk rank-1 equals scala-side argmax") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap

@@ -296,6 +296,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("checkpointed restart: session state and sink survive stop/resume exactly-once") {
+    import org.apache.spark.sql.Row
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val sch = ev.schema
+    // chronological phases: with watermarkDelay 0 the file order must be
+    // time-ordered or later files would mark earlier ones late
+    val rows = ev.orderBy("ts").collect()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val maxTs = rows.map(_.getTimestamp(1).getTime).max
+    val sentinel = Row(999999L, new Timestamp(maxTs + 86400L * 1000L), 999L, "x", 0.0)
+
+    def drop(phase: String, rs: Seq[Row]): Unit = {
+      val tmp = new java.io.File(root, s"tmp_$phase")
+      spark.createDataFrame(spark.sparkContext.parallelize(rs, 1), sch)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"${phase}_$i.parquet").toPath)
+      }
+    }
+    // each run is a FRESH query resuming from the shared checkpoint —
+    // two full stop/restart cycles over the stream's lifetime
+    def run(): Unit = {
+      val stream = spark.readStream.schema(sch).parquet(src.getAbsolutePath)
+      val q = Streams.sessionCloseEvents(stream, gapSeconds = 1800L)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    drop("p1", h1.toIndexedSeq); run()
+    val afterP1 = spark.read.parquet(sink).count()
+    assert(afterP1 > 0, "phase 1 must already close some sessions")
+    drop("p2", h2.toIndexedSeq); run()
+    drop("p3", Seq(sentinel)); run() // flush trailing open sessions
+
+    val got = spark.read.parquet(sink) // sink read honors _spark_metadata
+      .filter(col("user_id") =!= 999L)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .orderBy("user_id", "start_us").collect().map(_.toSeq)
+    val batch = graft.operators.Sessions.sessionize(
+        Tables.load(spark, TestSpark.Sf0001, "events"), gapSeconds = 1800L)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .orderBy("user_id", "session_start_us").collect().map(_.toSeq)
+    assert(got.length == batch.length,
+      s"lost or duplicated sessions across restarts: ${got.length} vs ${batch.length}")
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
