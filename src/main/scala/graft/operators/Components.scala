@@ -26,8 +26,12 @@ object Components {
     * component = minimum node id reachable through the edge set.
     */
   def connected(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("i").as("src"), col("j").as("dst"))
-      .union(edges.select(col("j").as("src"), col("i").as("dst")))
+    // both union branches (and every loop round) read the edge list; cut
+    // its lineage ONCE up front — otherwise an expensive producer (the
+    // LSH verification pipeline feeding q47/q48) runs once per branch
+    val e = edges.localCheckpoint(true)
+    val sym = e.select(col("i").as("src"), col("j").as("dst"))
+      .union(e.select(col("j").as("src"), col("i").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = sym.select(col("src").as("node")).distinct()

@@ -71,6 +71,9 @@ object Dedup {
     * squared — use [[minhashPairs]] at scale; this is the exact tier.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame =
+    // no checkpoint here: the posting self-join dominates and the full
+    // per-occurrence frame is large — A/B at sf0.1 read 1.92s re-derive
+    // vs 2.14s checkpointed (materialization outweighs the saved scans)
     jaccardOf(shingles(docs, n), threshold)
 
   private[operators] def jaccardOf(sh: DataFrame, threshold: Double): DataFrame = {
@@ -184,7 +187,9 @@ object Dedup {
   /** Same-bucket candidate pairs (i < j) from the banded signatures. */
   private[graft] def minhashCandidates(
       sh: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val bands = lshBands(sh, numHashes, rowsPerBand)
+    // the band frame feeds both sides of the bucket self-join; cut the
+    // lineage so the signature aggregation runs once, not per side
+    val bands = lshBands(sh, numHashes, rowsPerBand).localCheckpoint(true)
     bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.band_key") === col("b.band_key") &&

@@ -213,7 +213,10 @@ object Similarity {
   def lshCosinePairs(
       emb: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
-    val buckets = signLshBuckets(emb, tables, bits, dim)
+    // the bucketing projection (tables × bits × dim multiplies per
+    // vector) feeds BOTH sides of the candidate self-join; checkpoint
+    // the narrow (vec_id, t, bucket) result so it runs once
+    val buckets = signLshBuckets(emb, tables, bits, dim).localCheckpoint(true)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&

@@ -43,9 +43,12 @@ object TextAnalysis {
     // (profiles: (lang, g); per-doc distinct: (doc_id, g)), so the scan
     // genuinely runs twice — hanging both off one (doc_id, lang, g)
     // aggregation was measured slower (Catalyst collapses the agg levels
-    // per branch, defeating exchange reuse while adding an agg pass).
-    // Linear re-scan, acceptable; at 100 TB the profile side trains on a
-    // bounded labeled sample, not the full corpus.
+    // per branch, defeating exchange reuse while adding an agg pass),
+    // and a localCheckpoint of the exploded rows lost too (4.54s →
+    // 4.84s at sf0.1: the per-occurrence frame is ~1000 rows/doc, so
+    // materializing it costs more than re-exploding). Linear re-scan,
+    // acceptable; at 100 TB the profile side trains on a bounded
+    // labeled sample, not the full corpus.
     val tri = charTrigrams(docs)
     val topK = Window.partitionBy("lang").orderBy(col("c").desc, col("g"))
     val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
