@@ -296,6 +296,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState: straggler bridges into an island that closed within a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val closed = Streams.sessionCloseEvents(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      gapSeconds = 1800L, watermarkDelay = "3 hours")
+    val query = closed.writeStream
+      .format("memory").queryName("sess_bridge_out").outputMode("append").start()
+    try {
+      // one micro-batch, two islands for user 7 (10:00 and 13:00): the
+      // earlier island "closes inside the batch", but with a 3h delay an
+      // admissible straggler may still land in its gap — it must be HELD,
+      // not emitted (the round-2 advice finding)
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0),
+        (2L, ts("2024-01-01 13:00:00"), 7L, "a", 1.0)))
+      query.processAllAvailable()
+      assert(spark.table("sess_bridge_out").isEmpty,
+        "no island may be emitted while the watermark can still admit a merge")
+      // straggler at 10:20 — watermark is 13:00 − 3h = 10:00, so this is
+      // admissible and within the first island's gap: it must extend it
+      stream.addData(Seq((3L, ts("2024-01-01 10:20:00"), 7L, "a", 1.0)))
+      query.processAllAvailable()
+      // flush everything
+      stream.addData(Seq((4L, ts("2024-01-02 20:00:00"), 999L, "x", 0.0)))
+      query.processAllAvailable()
+      val got = spark.table("sess_bridge_out")
+        .filter(col("user_id") === 7L)
+        .select("start_us", "end_us", "n_events")
+        .orderBy("start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+      assert(got.toSeq == Seq(
+        (us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00"), 2L),
+        (us("2024-01-01 13:00:00"), us("2024-01-01 13:00:00"), 1L)),
+        s"got ${got.toSeq}")
+    } finally query.stop()
+  }
+
   test("checkpointed restart: session state and sink survive stop/resume exactly-once") {
     import org.apache.spark.sql.Row
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt_").toFile
