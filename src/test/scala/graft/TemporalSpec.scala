@@ -71,6 +71,13 @@ class TemporalSpec extends AnyFunSuite {
       .select("_ats", "_best", "_side", "qid")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(("keepA", "keepB", 7L, 102L)))
+    // the output column name itself is the one reserved name — fail fast
+    val clash = left.withColumnRenamed("_ats", "asof_qts")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(clash, quotes, key = "key", leftTs = "tts",
+        rightTs = "qts", payload = Seq("qid"), tiebreak = "qid")
+    }
+    assert(e.getMessage.contains("asof_qts"))
   }
 
   test("as-of join law on corpus: match is the argmax prior click, row count preserved") {
