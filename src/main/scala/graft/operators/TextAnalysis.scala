@@ -41,14 +41,17 @@ object TextAnalysis {
   def languageId(docs: DataFrame, k: Int = 200): DataFrame = {
     // The trigram explode feeds two branches with DIFFERENT shuffle keys
     // (profiles: (lang, g); per-doc distinct: (doc_id, g)), so the scan
-    // genuinely runs twice — hanging both off one (doc_id, lang, g)
-    // aggregation was measured slower (Catalyst collapses the agg levels
-    // per branch, defeating exchange reuse while adding an agg pass),
-    // and a localCheckpoint of the exploded rows lost too (4.54s →
-    // 4.84s at sf0.1: the per-occurrence frame is ~1000 rows/doc, so
-    // materializing it costs more than re-exploding). Linear re-scan,
-    // acceptable; at 100 TB the profile side trains on a bounded
-    // labeled sample, not the full corpus.
+    // genuinely runs twice — and every sharing variant measured SLOWER
+    // at sf0.1: an unmaterialized shared (doc_id, lang, g) parent agg
+    // (round 2: Catalyst collapses the agg levels per branch, explode
+    // still runs twice plus an agg pass), a localCheckpoint of the raw
+    // explode (4.54s → 4.84s: ~1000 rows/doc to materialize), and a
+    // checkpointed per-doc aggregation feeding both branches (4.65s →
+    // 5.88s: it introduces a full 3-key shuffle where the profile
+    // branch previously map-side-combined to ~langs × trigrams before
+    // its exchange). The double linear scan IS the cheap shape; at
+    // 100 TB the profile side trains on a bounded labeled sample, not
+    // the full corpus.
     val tri = charTrigrams(docs)
     val topK = Window.partitionBy("lang").orderBy(col("c").desc, col("g"))
     val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
