@@ -98,6 +98,28 @@ class DedupSpec extends AnyFunSuite {
     assert(f2 < f1 * 1.5, s"pruning degrades with scale: $f1 -> $f2")
   }
 
+  test("simhash blocked pairs == brute-force Hamming pairs under BOTH block schemes") {
+    // no-false-negatives is claimed "by construction" — pin it against a
+    // Scala-side brute force across bounds that exercise the single-block
+    // scheme (d <= 6: width >= 8), the two-block scheme (the d = 10
+    // default), and the degenerate exact-match bound (d = 0)
+    val docs = spark.range(120).selectExpr("id as doc_id",
+      "concat_ws(' ', transform(sequence(0, 39), " +
+        "k -> substr(md5(concat(id % 37, '_', k)), 1, 6))) as text")
+    val sigs = graft.operators.Dedup.simhashSignatures(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (d <- Seq(0, 3, 10, 15)) {
+      val want = (for {
+        (i, si) <- sigs; (j, sj) <- sigs if i < j
+        h = java.lang.Long.bitCount(si ^ sj) if h <= d
+      } yield (i, j, h.toLong)).toSet
+      val got = Dedup.simhashPairs(docs, maxHamming = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"d=$d missed ${want -- got} spurious ${got -- want}")
+    }
+  }
+
   test("IVF derived centroid stride is ceil(sqrt(n))") {
     assert(Similarity.derivedStride(500L) == 23)
     assert(Similarity.derivedStride(1L) == 1)
