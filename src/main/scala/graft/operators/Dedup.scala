@@ -187,12 +187,35 @@ object Dedup {
       .select(col("doc_id"), col("bb.b").as("b"), col("bb.band_key").as("band_key"))
   }
 
-  /** Same-bucket candidate pairs (i < j) from the banded signatures. */
+  /** Same-bucket candidate pairs (i < j) from the banded signatures.
+    *
+    * `maxBucketSize` (0 = unbounded, the oracle-gated default) is the
+    * LSH skew guard for corpus scale: a single hot bucket of m docs
+    * contributes m(m−1)/2 candidate pairs — at 100 TB one boilerplate
+    * bucket of 10⁶ docs would emit 5·10¹¹ pairs and own the shuffle.
+    * Buckets above the cap are dropped BEFORE the self-join (one extra
+    * aggregation over the narrow band frame, no extra scan of anything
+    * wide). Recall note: run exact dedup first (as [[Curation.curate]]
+    * does) so true duplicates are already collapsed — the mega-buckets
+    * this drops are then boilerplate collisions, whose pairs either
+    * fail verification or resurface via the doc's other bands.
+    */
   private[graft] def minhashCandidates(
-      sh: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      sh: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
+      maxBucketSize: Int = 0): DataFrame = {
     // the band frame feeds both sides of the bucket self-join; cut the
     // lineage so the signature aggregation runs once, not per side
-    val bands = lshBands(sh, numHashes, rowsPerBand).localCheckpoint(true)
+    val all = lshBands(sh, numHashes, rowsPerBand).localCheckpoint(true)
+    val bands =
+      if (maxBucketSize <= 0) all
+      else {
+        val sizes = all.groupBy("b", "band_key")
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBucketSize)
+          .select(col("b").as("_fb"), col("band_key").as("_fk"))
+        all.join(sizes,
+          col("b") === col("_fb") && col("band_key") === col("_fk"), "left_semi")
+      }
     bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.band_key") === col("b.band_key") &&
@@ -218,9 +241,11 @@ object Dedup {
     */
   def minhashPairs(
       docs: DataFrame, n: Int = 3, numHashes: Int = 16,
-      rowsPerBand: Int = 4, threshold: Double = 0.7): DataFrame = {
+      rowsPerBand: Int = 4, threshold: Double = 0.7,
+      maxBucketSize: Int = 0): DataFrame = {
     val sh = shingles(docs, n).localCheckpoint(eager = true)
-    jaccardOfCandidates(sh, minhashCandidates(sh, numHashes, rowsPerBand), threshold)
+    jaccardOfCandidates(sh,
+      minhashCandidates(sh, numHashes, rowsPerBand, maxBucketSize), threshold)
   }
 
   /** The engine's ONE canonical near-dup edge definition — every surface

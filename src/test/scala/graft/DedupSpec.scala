@@ -98,6 +98,25 @@ class DedupSpec extends AnyFunSuite {
     assert(f2 < f1 * 1.5, s"pruning degrades with scale: $f1 -> $f2")
   }
 
+  test("LSH skew guard: oversized buckets are dropped, small buckets survive") {
+    import spark.implicits._
+    // 300 boilerplate docs sharing a 100-word base (NOT exact dups — each
+    // appends a unique tail) collapse into hot band buckets; unguarded,
+    // they alone emit tens of thousands of candidate pairs
+    val boiler = (1 to 100).map(i => s"common$i").mkString(" ")
+    val hot = (0 until 300).map(i => (i.toLong, s"$boiler unique$i"))
+    val small = Seq(
+      (9001L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailA"),
+      (9002L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailB"))
+    val sh = Dedup.shingles((hot ++ small).toDF("doc_id", "text"), 3)
+    val unbounded = Dedup.minhashCandidates(sh).count()
+    val capped = Dedup.minhashCandidates(sh, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded > 30000L, s"hot bucket should dominate unguarded: $unbounded")
+    assert(capped.size < 2000, s"cap must drop the hot buckets: ${capped.size}")
+    assert(capped.contains((9001L, 9002L)), "small-bucket pair must survive the cap")
+  }
+
   test("simhash blocked pairs == brute-force Hamming pairs under BOTH block schemes") {
     // no-false-negatives is claimed "by construction" — pin it against a
     // Scala-side brute force across bounds that exercise the single-block
