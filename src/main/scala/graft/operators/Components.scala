@@ -29,7 +29,7 @@ object Components {
     // both union branches (and every loop round) read the edge list; cut
     // its lineage ONCE up front — otherwise an expensive producer (the
     // LSH verification pipeline feeding q47/q48) runs once per branch
-    val e = edges.localCheckpoint(true)
+    val e = Ckpt.narrow(edges)
     val sym = e.select(col("i").as("src"), col("j").as("dst"))
       .union(e.select(col("j").as("src"), col("i").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -57,7 +57,7 @@ object Components {
       // per action, halving the count of job-launching convergence
       // checks — the dominant cost for small graphs, harmless for big
       // ones. A no-change double hop implies the single-hop fixed point.
-      val next = hop(hop(labels)).localCheckpoint(false)
+      val next = Ckpt.narrowLazy(hop(hop(labels)))
       // count (not isEmpty): isEmpty's limit-1 would leave the persist
       // only partially materialized and the next round would recompute
       converged = next.filter(col("_chg")).count() == 0
@@ -66,6 +66,18 @@ object Components {
       round += 1
     }
     sym.unpersist()
+    // fail loudly rather than hand back partially-propagated labels: a
+    // silently wrong clustering poisons every downstream keep/drop
+    // verdict. Hitting this means a component's diameter exceeds
+    // maxIter hops — raise it for graphs with longer chains (near-dup
+    // clusters are stars/cliques, so the default 25 is ample there).
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"Components.connected did not converge within maxIter=$maxIter " +
+          "label-propagation hops; raise maxIter for graphs with " +
+          "longer chain diameters")
+    }
     labels.drop("_chg")
   }
 }

@@ -38,15 +38,14 @@ object Curation {
     val base = docs.select(col("doc_id"), col("text"))
     // (doc_id, quality): ~16 B/row, read by the quality gate AND the
     // final verdict join — checkpoint so the scoring scan runs once
-    val quality = TextAnalysis.qualityScores(docs).select("doc_id", "quality")
-      .localCheckpoint(true)
+    val quality = Ckpt.narrow(
+      TextAnalysis.qualityScores(docs).select("doc_id", "quality"))
     // (doc_id, fp): the exact-dedup key frame, read by the keeper
     // aggregation, the per-doc tag join and the keeper semi-join —
     // checkpoint so the md5 scan over text runs once
-    val passed = base
+    val passed = Ckpt.narrow(base
       .join(quality.filter(col("quality") >= minQuality), "doc_id")
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), md5(col("text")).as("fp")))
     val keep1 = passed.groupBy("fp").agg(min("doc_id").as("exact_keep"))
     // (doc_id, exact_keep): two longs through the fingerprint join
     val exactTag = passed.join(keep1, "fp").select("doc_id", "exact_keep")

@@ -205,7 +205,7 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     // the band frame feeds both sides of the bucket self-join; cut the
     // lineage so the signature aggregation runs once, not per side
-    val all = lshBands(sh, numHashes, rowsPerBand).localCheckpoint(true)
+    val all = Ckpt.narrow(lshBands(sh, numHashes, rowsPerBand))
     val bands =
       if (maxBucketSize <= 0) all
       else {
@@ -243,7 +243,7 @@ object Dedup {
       docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.7,
       maxBucketSize: Int = 0): DataFrame = {
-    val sh = shingles(docs, n).localCheckpoint(eager = true)
+    val sh = Ckpt.narrow(shingles(docs, n))
     jaccardOfCandidates(sh,
       minhashCandidates(sh, numHashes, rowsPerBand, maxBucketSize), threshold)
   }
@@ -331,7 +331,7 @@ object Dedup {
     * runs ONCE, not once per join side.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 10, n: Int = 3): DataFrame = {
-    val sig = simhashSignatures(docs, n).localCheckpoint(eager = true)
+    val sig = Ckpt.narrow(simhashSignatures(docs, n))
     simhashCandidates(sig, maxHamming)
       .select(col("i"), col("j"),
         expr("cast(bit_count(si ^ sj) as bigint)").as("hamming"))

@@ -216,7 +216,7 @@ object Similarity {
     // the bucketing projection (tables × bits × dim multiplies per
     // vector) feeds BOTH sides of the candidate self-join; checkpoint
     // the narrow (vec_id, t, bucket) result so it runs once
-    val buckets = signLshBuckets(emb, tables, bits, dim).localCheckpoint(true)
+    val buckets = Ckpt.narrow(signLshBuckets(emb, tables, bits, dim))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&

@@ -61,6 +61,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 >= 200L).forall(_._2 == 200L))
   }
 
+  test("components: non-convergence at maxIter fails loudly, not silently wrong") {
+    import spark.implicits._
+    // a 13-node path needs ~12 propagation hops; maxIter=4 cannot finish
+    val edges = (100L until 112L).map(k => (k, k + 1)).toDF("i", "j")
+    val ex = intercept[IllegalStateException] {
+      Components.connected(edges, maxIter = 4).collect()
+    }
+    assert(ex.getMessage.contains("maxIter"))
+  }
+
   test("components: every near-dup edge ends up inside one cluster, ids are minima") {
     val pairs = Dedup.minhashPairs(
       Tables.load(spark, TestSpark.Sf0001, "documents"),
