@@ -175,14 +175,20 @@ object Dedup {
     * off the wide signature row — banding adds NO aggregation or shuffle
     * beyond the signature groupBy itself.
     */
-  def lshBands(sh: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  def lshBands(sh: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bandsOfWide(minhashWide(sh, numHashes), numHashes, rowsPerBand)
+
+  /** Band-key projection off an existing wide signature frame — pure
+    * narrow projection, no aggregation or shuffle of its own.
+    */
+  private def bandsOfWide(wide: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nb = numHashes / rowsPerBand
     val bands = (0 until nb).map { b =>
       val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(s => col(s"m$s").cast("string"))
       struct(lit(b.toLong).as("b"), md5(concat_ws(",", ms: _*)).as("band_key"))
     }
-    minhashWide(sh, numHashes)
+    wide
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.b").as("b"), col("bb.band_key").as("band_key"))
   }
@@ -202,10 +208,18 @@ object Dedup {
     */
   private[graft] def minhashCandidates(
       sh: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
-      maxBucketSize: Int = 0): DataFrame = {
-    // the band frame feeds both sides of the bucket self-join; cut the
-    // lineage so the signature aggregation runs once, not per side
-    val all = Ckpt.narrow(lshBands(sh, numHashes, rowsPerBand))
+      maxBucketSize: Int = 0): DataFrame =
+    candidatesOfBands(lshBands(sh, numHashes, rowsPerBand), maxBucketSize)
+
+  /** Same-bucket pairs from a band frame (see [[minhashCandidates]] for
+    * the skew-guard contract).
+    */
+  private def candidatesOfBands(
+      bandFrame: DataFrame, maxBucketSize: Int): DataFrame = {
+    // the band frame feeds both sides of the bucket self-join (and the
+    // skew-guard aggregation); cut the lineage so its producer pipeline
+    // runs once, not per consumer
+    val all = Ckpt.narrow(bandFrame)
     val bands =
       if (maxBucketSize <= 0) all
       else {
@@ -256,6 +270,35 @@ object Dedup {
     */
   def nearDupEdges(docs: DataFrame): DataFrame =
     minhashPairs(docs, n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7)
+
+  /** Estimated-Jaccard near-dup pairs: the pure-sketch tier above
+    * [[minhashPairs]]. Candidates come from the same banded buckets, but
+    * verification is the signature agreement fraction (matching minima /
+    * numHashes — an unbiased Jaccard estimator, ±~1/√numHashes), so the
+    * verify step touches ONLY the 8-byte-per-hash signature rows and
+    * never rejoins the shingle sets. At 100 TB this is the tier to run
+    * when even candidate-restricted exact verification is too expensive:
+    * cost = one signature aggregation + an equi bucket join + a
+    * per-candidate row lookup — nothing proportional to document size
+    * past the first scan. Deterministic (fixed md5-derived permutations),
+    * so the DuckDB oracle reproduces every estimate bit-for-bit.
+    */
+  def minhashEstimatePairs(
+      docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    // ONE signature aggregation serves banding AND both verify sides
+    val wide = Ckpt.narrow(minhashWide(shingles(docs, n), numHashes))
+    val agree = (0 until numHashes)
+      .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    candidatesOfBands(bandsOfWide(wide, numHashes, rowsPerBand), 0)
+      .join(wide.as("a"), col("i") === col("a.doc_id"))
+      .join(wide.as("b"), col("j") === col("b.doc_id"))
+      .select(col("i"), col("j"),
+        (agree.cast("double") / numHashes).as("est"))
+      .filter(col("est") >= threshold)
+      .select(col("i"), col("j"), round(col("est"), 4).as("est_jaccard"))
+  }
 
   /** SimHash: 60-bit signature per doc. Bit b of the signature is the
     * sign of the sum over shingles of ±1 depending on bit b of the

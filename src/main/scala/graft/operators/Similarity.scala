@@ -232,4 +232,29 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }
+
+  /** SemDeDup-shaped embedding-space dedup verdict: sign-LSH cosine
+    * edges ([[lshCosinePairs]]) → transitive clusters
+    * ([[Components.connected]]) → one row per corpus vector with its
+    * cluster id (minimum vec_id reachable through cosine ≥ `threshold`
+    * edges; singletons are their own cluster) and kept = 1 for the
+    * cluster representative. The embedding twin of the document chain
+    * (`Dedup.nearDupEdges` → components → verdict): same bucketed
+    * candidate generation, same O(|E|)-per-round clustering, nothing
+    * quadratic — the semantic-dedup pass a training pipeline runs after
+    * lexical dedup has collapsed the near-identical text.
+    */
+  def semanticDedup(
+      emb: DataFrame, threshold: Double,
+      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val edges = lshCosinePairs(emb, threshold, tables, bits, dim).select("i", "j")
+    val comp = Components.connected(edges).withColumnRenamed("node", "vec_id")
+    emb.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      // bigint (not boolean) so the verdict hashes identically across
+      // engines in the oracle compare
+      .withColumn("kept", (col("cluster_id") === col("vec_id")).cast("bigint"))
+  }
 }

@@ -97,7 +97,12 @@ object DedupQueries {
     "q47_dedup_components" -> ((spark, dir) =>
       Components.connected(
           Dedup.nearDupEdges(Tables.load(spark, dir, "documents")))
-        .orderBy("node")))
+        .orderBy("node")),
+
+    "q55_dedup_minhash_estimate" -> ((spark, dir) =>
+      Dedup.minhashEstimatePairs(Tables.load(spark, dir, "documents"),
+          n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+        .orderBy("i", "j")))
 
   def oracles: Map[String, String] = Map(
     "q26_dedup_ngram" ->
@@ -143,5 +148,22 @@ object DedupQueries {
          |      SELECT r.n, e.j AS m FROM r JOIN e ON r.m = e.i)
          |SELECT n AS node, min(m) AS component
          |FROM r GROUP BY n
-         |ORDER BY node""".stripMargin)
+         |ORDER BY node""".stripMargin,
+
+    // Sketch-only verification: same banded candidates as q27, but the
+    // "Jaccard" is the signature agreement fraction — the sig CTE is the
+    // only thing rejoined, never the shingle sets.
+    "q55_dedup_minhash_estimate" ->
+      s"""WITH $ShinglesSql,
+         |$MinhashCandSql,
+         |est AS (SELECT c.i, c.j,
+         |               CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE)
+         |                 / 16 AS est
+         |        FROM cand c
+         |        JOIN sig sa ON c.i = sa.doc_id
+         |        JOIN sig sb ON c.j = sb.doc_id AND sa.s = sb.s
+         |        GROUP BY c.i, c.j)
+         |SELECT i, j, round(est, 4) AS est_jaccard
+         |FROM est WHERE est >= 0.5
+         |ORDER BY i, j""".stripMargin)
 }

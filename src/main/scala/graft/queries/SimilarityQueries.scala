@@ -34,6 +34,33 @@ object SimilarityQueries {
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |      FROM embeddings)""".stripMargin
 
+  /** Sign-LSH bucketing + same-bucket candidates, reproduced bit-for-bit
+    * (tables=16, bits=8, dim=64): hyperplane (t, p, d) = md5-derived
+    * 60-bit int centered into [-1, 1] (the same h60 derivation as the
+    * minhash oracle), projections summed in list order, bucket = packed
+    * sign bits, candidates = same-(t, bucket) pairs. Shared by q33 and
+    * q54 so the bucketing definition cannot drift between them.
+    */
+  private val LshCandSql: String =
+    """planes AS (
+      |  SELECT t.t, p.p,
+      |         list_transform(generate_series(1, 64), k ->
+      |           (CAST('0x' || substr(md5(t.t || '_' || p.p || '_' || (k - 1)), 1, 15) AS BIGINT)
+      |            % 2001 - 1000) / 1000.0) AS pr
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS t) t,
+      |       (SELECT unnest(generate_series(0, 7)) AS p) p),
+      |proj AS (
+      |  SELECT vec_id, t, p,
+      |         list_sum(list_transform(generate_series(1, 64), k -> e[k] * pr[k])) AS proj
+      |  FROM v CROSS JOIN planes),
+      |buckets AS (
+      |  SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id, t),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  FROM buckets a JOIN buckets b
+      |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q30_embedding_pairs" -> ((spark, dir) =>
       Similarity.cosinePairs(Tables.load(spark, dir, "embeddings"), threshold = 0.4)
@@ -62,7 +89,12 @@ object SimilarityQueries {
       // its own count(*) so the check stays honest at any SF
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    "q54_semantic_dedup" -> ((spark, dir) =>
+      Similarity.semanticDedup(Tables.load(spark, dir, "embeddings"),
+          threshold = 0.4, tables = 16, bits = 8, dim = 64)
+        .orderBy("vec_id")))
 
   def oracles: Map[String, String] = Map(
     "q30_embedding_pairs" ->
@@ -95,31 +127,9 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
-    // Reproduces the sign-LSH bucketing bit-for-bit: hyperplane (t, p, d)
-    // = md5-derived 60-bit int centered into [-1, 1] (the same h60
-    // derivation as the minhash oracle), projections summed in list
-    // order, bucket = packed sign bits, candidates = same-(t, bucket)
-    // pairs, then exact cosine verification — tables=16, bits=8, dim=64.
     "q33_ann_lsh_pairs" ->
       s"""WITH $VecSql,
-         |planes AS (
-         |  SELECT t.t, p.p,
-         |         list_transform(generate_series(1, 64), k ->
-         |           (CAST('0x' || substr(md5(t.t || '_' || p.p || '_' || (k - 1)), 1, 15) AS BIGINT)
-         |            % 2001 - 1000) / 1000.0) AS pr
-         |  FROM (SELECT unnest(generate_series(0, 15)) AS t) t,
-         |       (SELECT unnest(generate_series(0, 7)) AS p) p),
-         |proj AS (
-         |  SELECT vec_id, t, p,
-         |         list_sum(list_transform(generate_series(1, 64), k -> e[k] * pr[k])) AS proj
-         |  FROM v CROSS JOIN planes),
-         |buckets AS (
-         |  SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
-         |  FROM proj GROUP BY vec_id, t),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-         |  FROM buckets a JOIN buckets b
-         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |$LshCandSql
          |SELECT i, j, round(cos, 4) AS cos FROM (
          |  SELECT i, j, ${cosSql("a.e", "b.e")} AS cos
          |  FROM cand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
@@ -167,5 +177,28 @@ object SimilarityQueries {
          |           FROM scored)
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Semantic dedup: q33's verified edges, min-reachable-id clusters via
+    // the recursive closure (oracle scale — the engine runs iterative
+    // min-label propagation), keep verdict = cluster representative.
+    "q54_semantic_dedup" ->
+      s"""WITH RECURSIVE $VecSql,
+         |$LshCandSql,
+         |pairs AS (
+         |  SELECT i, j FROM (
+         |    SELECT i, j, ${cosSql("a.e", "b.e")} AS cos
+         |    FROM cand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
+         |  WHERE cos >= 0.4),
+         |e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+         |r AS (SELECT i AS n, i AS m FROM e
+         |      UNION
+         |      SELECT r.n, e.j AS m FROM r JOIN e ON r.m = e.i),
+         |comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n)
+         |SELECT emb.vec_id,
+         |       coalesce(c.component, emb.vec_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(c.component, emb.vec_id) = emb.vec_id
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.node
+         |ORDER BY vec_id""".stripMargin)
 }

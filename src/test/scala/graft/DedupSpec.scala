@@ -41,6 +41,43 @@ class DedupSpec extends AnyFunSuite {
     assert((nearDups -- simPairs).isEmpty, s"simhash missed: ${nearDups -- simPairs}")
   }
 
+  test("minhash estimate: recalls planted dups, tracks exact Jaccard within sketch error") {
+    // sketch tier must keep every pair the exact-verified tier keeps at
+    // a margin below its threshold (planted dups are J ≈ 0.9+, and a
+    // 16-hash estimate of J ≥ 0.9 falls under 0.5 with prob ~1e-5)
+    val exact = Dedup.minhashPairs(docs, 3, 16, 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val est = Dedup.minhashEstimatePairs(docs, 3, 16, 4, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (i, j, jac) =>
+      val e = est.getOrElse((i, j), fail(s"estimate tier dropped planted pair ($i,$j)"))
+      // binomial(16, J) / 16: 4 sigma ≈ 4 * sqrt(J(1-J)/16) ≤ 0.5
+      assert(math.abs(e - jac) <= 0.5, s"($i,$j): est $e vs exact $jac")
+    }
+    // estimates are exact sixteenths — the sketch never reports values
+    // its 16-hash resolution cannot produce
+    est.values.foreach(e => assert((e * 16).isWhole, s"non-sixteenth estimate $e"))
+  }
+
+  test("semantic dedup: verdicts partition the corpus, one keeper per cluster") {
+    val verdict = Similarity.semanticDedup(emb, threshold = 0.4, tables = 16, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(verdict.length == emb.count(), "one verdict row per vector")
+    verdict.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.count(_._3 == 1L) == 1, s"cluster $cluster keeper count")
+      assert(members.map(_._1).min == cluster, s"cluster $cluster id not its min member")
+      assert(members.find(_._3 == 1L).get._1 == cluster, s"cluster $cluster keeper not the min")
+    }
+    // every verified edge's endpoints landed in the same cluster
+    val byId = verdict.map(v => v._1 -> v._2).toMap
+    Similarity.lshCosinePairs(emb, 0.4, tables = 16, bits = 8)
+      .collect().foreach { r =>
+        assert(byId(r.getLong(0)) == byId(r.getLong(1)),
+          s"edge (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+      }
+  }
+
   test("sign-LSH finds planted embedding near-duplicates") {
     // plant: perturb 20 vectors slightly (cos ≈ 1), offset ids by 100000
     val planted = emb.filter(col("vec_id") < 20)
