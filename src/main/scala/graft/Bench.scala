@@ -27,6 +27,9 @@ object Bench {
       // across the 4x-per-query protocol (the clear is outside the
       // timed region; the build cost is inside, where it belongs)
       spark.catalog.clearCache()
+      // localCheckpoint blocks are persistent RDDs outside the SQL cache
+      // — release them too or storage accumulates across the whole run
+      graft.operators.Ckpt.releaseAll(spark)
       t
     }
 
@@ -41,6 +44,7 @@ object Bench {
           // a failing query may already have persisted frames — clear
           // here too or they'd contaminate the next query's runs
           spark.catalog.clearCache()
+          graft.operators.Ckpt.releaseAll(spark)
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> -1.0
       }

@@ -48,6 +48,12 @@ object AsOf {
     val (atsC, sideC, mC, bestC) = (p + "ts", p + "side", p + "m", p + "best")
     require(!left.columns.contains(s"asof_$rightTs"),
       s"left frame already has output column asof_$rightTs")
+    // payload columns are emitted under their own names next to every
+    // left column — a shared name would yield a duplicate-named output
+    // that only fails far downstream (ambiguous reference)
+    val clash = payload.filterNot(_ == rightTs).filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"payload column(s) ${clash.mkString(", ")} collide with left columns")
 
     val matchCols = (rightTs +: payload.filterNot(_ == rightTs))
     val matchStruct = struct(

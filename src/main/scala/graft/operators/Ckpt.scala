@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The engine's ONE policy point for cutting lineage on narrow frames.
   *
@@ -31,4 +31,14 @@ private[graft] object Ckpt {
     * as [[narrow]] once materialized.
     */
   def narrowLazy(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
+  /** Drop every persistent RDD on the context — the run-boundary cleanup
+    * for bench/verify loops. `catalog.clearCache()` only empties the SQL
+    * CacheManager; localCheckpoint blocks live as plain persistent RDDs
+    * and otherwise linger until the driver GCs their handles
+    * (ContextCleaner), so a many-query run accumulates orphaned executor
+    * storage the protocol's per-run isolation claim says it doesn't.
+    */
+  def releaseAll(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 }

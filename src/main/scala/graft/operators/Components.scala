@@ -26,6 +26,9 @@ object Components {
     * component = minimum node id reachable through the edge set.
     */
   def connected(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // the loop advances two hops per round, so a budget below one round
+    // could never observe convergence — even on an already-converged graph
+    require(maxIter >= 2, s"maxIter must be >= 2 (one double-hop round), got $maxIter")
     // both union branches (and every loop round) read the edge list; cut
     // its lineage ONCE up front — otherwise an expensive producer (the
     // LSH verification pipeline feeding q47/q48) runs once per branch
@@ -74,9 +77,9 @@ object Components {
     if (!converged) {
       labels.unpersist()
       throw new IllegalStateException(
-        s"Components.connected did not converge within maxIter=$maxIter " +
-          "label-propagation hops; raise maxIter for graphs with " +
-          "longer chain diameters")
+        s"Components.connected did not converge within ${round * 2} " +
+          s"label-propagation hops (maxIter=$maxIter); raise maxIter for " +
+          "graphs with longer chain diameters")
     }
     labels.drop("_chg")
   }

@@ -135,7 +135,7 @@ object Dedup {
   private[graft] def minhashA(s: Int): Long = seed60(s"mh_a_$s") % (MinhashP - 1) + 1
   private[graft] def minhashB(s: Int): Long = seed60(s"mh_b_$s") % MinhashP
 
-  private def seed60(key: String): Long = {
+  private[graft] def seed60(key: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
     java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.substring(0, 15), 16)
@@ -182,6 +182,10 @@ object Dedup {
     * narrow projection, no aggregation or shuffle of its own.
     */
   private def bandsOfWide(wide: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    // a trailing partial band would silently never form (losing the
+    // recall its hashes paid for) — reject the configuration instead
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val nb = numHashes / rowsPerBand
     val bands = (0 until nb).map { b =>
       val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -215,11 +219,13 @@ object Dedup {
     * the skew-guard contract).
     */
   private def candidatesOfBands(
-      bandFrame: DataFrame, maxBucketSize: Int): DataFrame = {
+      bandFrame: DataFrame, maxBucketSize: Int, cut: Boolean = true): DataFrame = {
     // the band frame feeds both sides of the bucket self-join (and the
     // skew-guard aggregation); cut the lineage so its producer pipeline
-    // runs once, not per consumer
-    val all = Ckpt.narrow(bandFrame)
+    // runs once, not per consumer. `cut = false` when the caller's frame
+    // is already a narrow projection of checkpointed blocks — a second
+    // eager materialization there is pure overhead
+    val all = if (cut) Ckpt.narrow(bandFrame) else bandFrame
     val bands =
       if (maxBucketSize <= 0) all
       else {
@@ -291,7 +297,7 @@ object Dedup {
     val agree = (0 until numHashes)
       .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1L).otherwise(0L))
       .reduce(_ + _)
-    candidatesOfBands(bandsOfWide(wide, numHashes, rowsPerBand), 0)
+    candidatesOfBands(bandsOfWide(wide, numHashes, rowsPerBand), 0, cut = false)
       .join(wide.as("a"), col("i") === col("a.doc_id"))
       .join(wide.as("b"), col("j") === col("b.doc_id"))
       .select(col("i"), col("j"),

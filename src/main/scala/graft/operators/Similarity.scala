@@ -171,12 +171,8 @@ object Similarity {
     * md5("t_p_d") as a 60-bit int, centered into [-1, 1] in steps of
     * 1/1000. Computed driver-side once and shipped as plan literals.
     */
-  private[graft] def planeComponent(t: Int, p: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${t}_${p}_$d".getBytes("UTF-8"))
-    val hex = md.map(b => f"$b%02x").mkString.substring(0, 15)
-    ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
-  }
+  private[graft] def planeComponent(t: Int, p: Int, d: Int): Double =
+    ((Dedup.seed60(s"${t}_${p}_$d") % 2001) - 1000) / 1000.0
 
   /** Sign-LSH bucket ids: `tables` independent tables, `bits` hyperplanes
     * each, over vectors of exactly `dim` dimensions. Output: one row per
