@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation: deterministic splits and sequence packing —
+  * the last mile between a curated corpus ([[Curation]]) and a training
+  * run. Both operators are pure functions of (doc_id, text, source), so
+  * reruns, backfills, and multi-engine pipelines assign every document
+  * identically (oracle-checkable like the rest of the engine; all
+  * hashing bottoms out in the same portable md5 derivation as
+  * [[Dedup.h60]]).
+  */
+object Prep {
+
+  /** Deterministic train/val/test assignment by hash bucket:
+    * bucket = 60-bit md5 of "salt_doc_id" mod 100, test = buckets
+    * [0, testPct), val = [testPct, testPct+valPct), train = the rest.
+    *
+    * Hash-bucketing (vs `sample()`/`randomSplit`) is the contract a
+    * 100 TB pipeline needs: a document's split NEVER changes when other
+    * documents are added or removed, across reruns, engines, and
+    * partitionings — so eval sets stay stable under corpus growth and
+    * train/test contamination can be audited row-by-row. One narrow
+    * scan, no shuffle, no RNG state. `salt` derives independent split
+    * dimensions (e.g. a second holdout) from the same ids.
+    */
+  def split(docs: DataFrame, valPct: Int = 10, testPct: Int = 10,
+      salt: String = "split"): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"valPct ($valPct) + testPct ($testPct) must fit within 100")
+    val bucket =
+      expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))")) % 100
+    docs.select(col("doc_id"), bucket.cast("long").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train"))
+  }
+
+  /** Sequence packing: concatenate each source's documents in doc_id
+    * order and cut every `budget` tokens; a document belongs to the
+    * sequence where it starts (seq_id) at position seq_offset. Tokens
+    * are the BPE-ish [[TextAnalysis.tokenCounts]] `re_tokens` measure.
+    *
+    * One window pass per source (exclusive prefix sum of token counts),
+    * so the cost is one shuffle on `source` + a sort within partitions —
+    * no iteration, no driver-side packing loop. At corpus scale a
+    * single `source` can exceed one partition's worth of rows; the
+    * contract composes with sub-splitting (partition by (source, shard)
+    * with shard = bucket of doc_id) because the prefix sum within each
+    * shard stays deterministic — the same recipe the sessionization
+    * operator documents for hot keys.
+    */
+  def pack(docs: DataFrame, budget: Long = 512L): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("source"), col("re_tokens").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("seq_id"),
+        ((col("cum") - col("n_tokens")) % budget).as("seq_offset"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Prep
+import graft.sources.Tables
+
+/** Laws for the training-set preparation tier: split stability under
+  * corpus change (the property hash-bucketing exists to provide) and
+  * packing consistency against a linear-scan reference.
+  */
+class PrepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+
+  test("split: total partition, sane fractions, independent salts differ") {
+    val s = Prep.split(docs, valPct = 10, testPct = 10).collect()
+    assert(s.length == docs.count())
+    val byLabel = s.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    // 10% buckets of a uniform 60-bit hash: generous 3x bounds
+    assert(byLabel("train") > s.length / 2)
+    assert(byLabel("val") < s.length * 3 / 10 && byLabel("test") < s.length * 3 / 10)
+    val s2 = Prep.split(docs, valPct = 10, testPct = 10, salt = "holdout2")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s.exists(r => s2(r.getLong(0)) != r.getString(2)),
+      "independent salt must produce a different assignment somewhere")
+  }
+
+  test("split: a document's assignment never changes when the corpus shrinks") {
+    val full = Prep.split(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val half = Prep.split(docs.filter(col("doc_id") % 2 === 0)).collect()
+    assert(half.nonEmpty)
+    half.foreach(r => assert(full(r.getLong(0)) == r.getString(2)))
+  }
+
+  test("pack: equals a linear-scan packing reference; offsets stay under budget") {
+    val budget = 512L
+    val got = Prep.pack(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.forall(_._5 < budget), "a document must start inside its sequence")
+    // reference: per source in doc_id order, exclusive running token sum
+    val ref = got.groupBy(_._2).flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy(_._1).map { case (id, src, n, _, _) =>
+        val r = (id, src, n, cum / budget, cum % budget)
+        cum += n
+        r
+      }
+    }.toSet
+    assert(got.toSet == ref)
+  }
+}
