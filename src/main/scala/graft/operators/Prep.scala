@@ -53,6 +53,29 @@ object Prep {
     * shard stays deterministic — the same recipe the sessionization
     * operator documents for hot keys.
     */
+  /** Deterministic data mixing: per-source keep percentages (the
+    * "mixture weights" step that rebalances sources before training),
+    * applied with the same hash-bucket contract as [[split]] — a doc's
+    * keep/drop verdict is a pure function of (salt, doc_id, its
+    * source's rate), so remixing with new weights only moves documents
+    * whose source rate changed, and reruns are byte-identical. Emits
+    * the verdict for every doc (kept = 1/0) so sampling decisions are
+    * auditable; filter on kept for the mixed corpus. One narrow scan.
+    */
+  def mix(docs: DataFrame, ratesPct: Map[String, Int],
+      defaultPct: Int = 100, salt: String = "mix"): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "rates must be percentages in [0, 100]")
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, pct)) =>
+      when(col("source") === src, pct).otherwise(acc)
+    }
+    val bucket =
+      expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))")) % 100
+    docs.select(col("doc_id"), col("source"),
+        bucket.cast("long").as("bucket"), rate.cast("long").as("rate_pct"))
+      .withColumn("kept", (col("bucket") < col("rate_pct")).cast("bigint"))
+  }
+
   def pack(docs: DataFrame, budget: Long = 512L): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val w = Window.partitionBy("source").orderBy("doc_id")

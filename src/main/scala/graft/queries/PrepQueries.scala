@@ -16,6 +16,11 @@ object PrepQueries {
 
     "q57_seq_pack" -> ((spark, dir) =>
       Prep.pack(Tables.load(spark, dir, "documents"), budget = 512L)
+        .orderBy("doc_id")),
+
+    "q58_mix" -> ((spark, dir) =>
+      Prep.mix(Tables.load(spark, dir, "documents"),
+          ratesPct = Map("src0" -> 25, "src1" -> 50), defaultPct = 100)
         .orderBy("doc_id")))
 
   def oracles: Map[String, String] = Map(
@@ -47,5 +52,19 @@ object PrepQueries {
         |       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
         |       CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
         |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    "q58_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 AS bucket,
+        |         CAST(CASE WHEN source = 'src1' THEN 50
+        |                   WHEN source = 'src0' THEN 25
+        |                   ELSE 100 END AS BIGINT) AS rate_pct
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, rate_pct,
+        |       CAST(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM b
         |ORDER BY doc_id""".stripMargin)
 }

@@ -36,6 +36,18 @@ class PrepSpec extends AnyFunSuite {
     half.foreach(r => assert(full(r.getLong(0)) == r.getString(2)))
   }
 
+  test("mix: rate-0 drops all, rate-100 keeps all, remixing only moves changed sources") {
+    val m1 = Prep.mix(docs, Map("src0" -> 0, "src1" -> 100)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    assert(m1.filter(_._2 == "src0").forall(_._3 == 0L))
+    assert(m1.filter(_._2 == "src1").forall(_._3 == 1L))
+    // reweighting src0 must not disturb any other source's verdicts
+    val m2 = Prep.mix(docs, Map("src0" -> 50, "src1" -> 100)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    val v2 = m2.map(r => r._1 -> r._3).toMap
+    m1.filterNot(_._2 == "src0").foreach(r => assert(v2(r._1) == r._3))
+  }
+
   test("pack: equals a linear-scan packing reference; offsets stay under budget") {
     val budget = 512L
     val got = Prep.pack(docs, budget).collect()
