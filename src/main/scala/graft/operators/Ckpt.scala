@@ -32,13 +32,19 @@ private[graft] object Ckpt {
     */
   def narrowLazy(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
-  /** Drop every persistent RDD on the context — the run-boundary cleanup
+  /** Drop EVERY persistent RDD on the context — the run-boundary cleanup
     * for bench/verify loops. `catalog.clearCache()` only empties the SQL
     * CacheManager; localCheckpoint blocks live as plain persistent RDDs
     * and otherwise linger until the driver GCs their handles
     * (ContextCleaner), so a many-query run accumulates orphaned executor
     * storage the protocol's per-run isolation claim says it doesn't.
+    *
+    * CONTRACT: nothing may survive this call. A checkpointed DataFrame
+    * held across it is unrecoverable (truncated lineage cannot recompute
+    * dropped blocks — `Checkpoint block rdd_N_M not found`), and caches
+    * created by anything else on the context die too. Call it only at a
+    * boundary where every frame is about to be rebuilt from storage.
     */
-  def releaseAll(spark: SparkSession): Unit =
+  def releaseAllContextStorage(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 }

@@ -1,18 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Training-set preparation: deterministic splits and sequence packing —
-  * the last mile between a curated corpus ([[Curation]]) and a training
-  * run. Both operators are pure functions of (doc_id, text, source), so
-  * reruns, backfills, and multi-engine pipelines assign every document
-  * identically (oracle-checkable like the rest of the engine; all
-  * hashing bottoms out in the same portable md5 derivation as
-  * [[Dedup.h60]]).
+/** Training-set preparation: deterministic splits, mixture-weight
+  * sampling, and sequence packing — the last mile between a curated
+  * corpus ([[Curation]]) and a training run. Every operator is a pure
+  * function of (doc_id, text, source), so reruns, backfills, and
+  * multi-engine pipelines assign every document identically
+  * (oracle-checkable like the rest of the engine; all hashing bottoms
+  * out in the same portable md5 derivation as [[Dedup.h60]]).
   */
 object Prep {
+
+  /** 60-bit md5 hash of "salt_doc_id" mod 100 — the shared bucket
+    * derivation behind [[split]] and [[mix]]. The salt is interpolated
+    * into a SQL literal, so restrict it to identifier characters rather
+    * than risking a Catalyst parse error (or a silently different
+    * expression) on quotes/backslashes.
+    */
+  private def bucket100(salt: String): Column = {
+    require(salt.nonEmpty && salt.forall(c => c.isLetterOrDigit || c == '_'),
+      s"salt must be non-empty [A-Za-z0-9_], got '$salt'")
+    expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))")) % 100
+  }
 
   /** Deterministic train/val/test assignment by hash bucket:
     * bucket = 60-bit md5 of "salt_doc_id" mod 100, test = buckets
@@ -30,29 +42,13 @@ object Prep {
       salt: String = "split"): DataFrame = {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
       s"valPct ($valPct) + testPct ($testPct) must fit within 100")
-    val bucket =
-      expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))")) % 100
-    docs.select(col("doc_id"), bucket.cast("long").as("bucket"))
+    docs.select(col("doc_id"), bucket100(salt).cast("long").as("bucket"))
       .withColumn("split",
         when(col("bucket") < testPct, "test")
           .when(col("bucket") < testPct + valPct, "val")
           .otherwise("train"))
   }
 
-  /** Sequence packing: concatenate each source's documents in doc_id
-    * order and cut every `budget` tokens; a document belongs to the
-    * sequence where it starts (seq_id) at position seq_offset. Tokens
-    * are the BPE-ish [[TextAnalysis.tokenCounts]] `re_tokens` measure.
-    *
-    * One window pass per source (exclusive prefix sum of token counts),
-    * so the cost is one shuffle on `source` + a sort within partitions —
-    * no iteration, no driver-side packing loop. At corpus scale a
-    * single `source` can exceed one partition's worth of rows; the
-    * contract composes with sub-splitting (partition by (source, shard)
-    * with shard = bucket of doc_id) because the prefix sum within each
-    * shard stays deterministic — the same recipe the sessionization
-    * operator documents for hot keys.
-    */
   /** Deterministic data mixing: per-source keep percentages (the
     * "mixture weights" step that rebalances sources before training),
     * applied with the same hash-bucket contract as [[split]] — a doc's
@@ -69,13 +65,25 @@ object Prep {
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, pct)) =>
       when(col("source") === src, pct).otherwise(acc)
     }
-    val bucket =
-      expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))")) % 100
     docs.select(col("doc_id"), col("source"),
-        bucket.cast("long").as("bucket"), rate.cast("long").as("rate_pct"))
+        bucket100(salt).cast("long").as("bucket"), rate.cast("long").as("rate_pct"))
       .withColumn("kept", (col("bucket") < col("rate_pct")).cast("bigint"))
   }
 
+  /** Sequence packing: concatenate each source's documents in doc_id
+    * order and cut every `budget` tokens; a document belongs to the
+    * sequence where it starts (seq_id) at position seq_offset. Tokens
+    * are the BPE-ish [[TextAnalysis.tokenCounts]] `re_tokens` measure.
+    *
+    * One window pass per source (exclusive prefix sum of token counts),
+    * so the cost is one shuffle on `source` + a sort within partitions —
+    * no iteration, no driver-side packing loop. At corpus scale a
+    * single `source` can exceed one partition's worth of rows; the
+    * contract composes with sub-splitting (partition by (source, shard)
+    * with shard = bucket of doc_id) because the prefix sum within each
+    * shard stays deterministic — the same recipe the sessionization
+    * operator documents for hot keys.
+    */
   def pack(docs: DataFrame, budget: Long = 512L): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val w = Window.partitionBy("source").orderBy("doc_id")

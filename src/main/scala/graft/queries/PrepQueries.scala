@@ -4,8 +4,9 @@ import graft.operators.Prep
 import graft.sources.Tables
 
 /** Oracle-gated training-set preparation queries over `documents`:
-  * deterministic hash-bucket splits and fixed-token-budget sequence
-  * packing (see [[graft.operators.Prep]] for the scale contracts).
+  * deterministic hash-bucket splits, per-source mixture-weight
+  * sampling, and fixed-token-budget sequence packing (see
+  * [[graft.operators.Prep]] for the scale contracts).
   */
 object PrepQueries {
 
