@@ -129,6 +129,25 @@ object Dedup {
   /** Prime modulus of the minhash permutation family (2^31 − 1). */
   private[graft] val MinhashP = 2147483647L
 
+  /** Canonical LSH bucket-size cap — the default `maxBucketSize` on every
+    * minhash candidate path, including [[nearDupEdges]] (and therefore
+    * q42/q47/q48's [[Curation.curate]]).
+    *
+    * Why 1000: a band bucket of m docs emits m(m−1)/2 candidate pairs, so
+    * the cap bounds per-bucket join output at ~500k pairs — a single
+    * task's worth of work — independent of corpus size. Unbounded, one
+    * boilerplate bucket of 10⁶ docs at 100 TB emits 5·10¹¹ pairs and owns
+    * the shuffle. Recall trade (and why the cap is safe as a DEFAULT):
+    * the canonical pipeline runs exact dedup first, so a >1000-doc bucket
+    * that still exists is boilerplate collision, not true duplication;
+    * docs dropped from one hot band remain reachable through their other
+    * `numHashes/rowsPerBand − 1` bands; and the planted-dup recall == 1.0
+    * law in DedupSpec holds with the cap ON. The DuckDB oracle band CTE
+    * mirrors the same filter ([[graft.queries.DedupQueries]]), so the
+    * capped path — not an uncapped shadow — is what the hash gate checks.
+    */
+  val NearDupMaxBucket: Int = 1000
+
   /** Multiplier / offset of permutation `s`, md5-derived so an oracle
     * regenerates them: a_s ∈ [1, P−1], b_s ∈ [0, P−1].
     */
@@ -199,20 +218,21 @@ object Dedup {
 
   /** Same-bucket candidate pairs (i < j) from the banded signatures.
     *
-    * `maxBucketSize` (0 = unbounded, the oracle-gated default) is the
-    * LSH skew guard for corpus scale: a single hot bucket of m docs
-    * contributes m(m−1)/2 candidate pairs — at 100 TB one boilerplate
-    * bucket of 10⁶ docs would emit 5·10¹¹ pairs and own the shuffle.
-    * Buckets above the cap are dropped BEFORE the self-join (one extra
-    * aggregation over the narrow band frame, no extra scan of anything
-    * wide). Recall note: run exact dedup first (as [[Curation.curate]]
-    * does) so true duplicates are already collapsed — the mega-buckets
-    * this drops are then boilerplate collisions, whose pairs either
-    * fail verification or resurface via the doc's other bands.
+    * `maxBucketSize` (default [[NearDupMaxBucket]]; 0 = unbounded, for
+    * ground-truth comparisons only) is the LSH skew guard for corpus
+    * scale: a single hot bucket of m docs contributes m(m−1)/2 candidate
+    * pairs — at 100 TB one boilerplate bucket of 10⁶ docs would emit
+    * 5·10¹¹ pairs and own the shuffle. Buckets above the cap are dropped
+    * BEFORE the self-join (one extra aggregation over the narrow band
+    * frame, no extra scan of anything wide). Recall note: run exact
+    * dedup first (as [[Curation.curate]] does) so true duplicates are
+    * already collapsed — the mega-buckets this drops are then boilerplate
+    * collisions, whose pairs either fail verification or resurface via
+    * the doc's other bands.
     */
   private[graft] def minhashCandidates(
       sh: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
-      maxBucketSize: Int = 0): DataFrame =
+      maxBucketSize: Int = NearDupMaxBucket): DataFrame =
     candidatesOfBands(lshBands(sh, numHashes, rowsPerBand), maxBucketSize)
 
   /** Same-bucket pairs from a band frame (see [[minhashCandidates]] for
@@ -262,7 +282,7 @@ object Dedup {
   def minhashPairs(
       docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.7,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
     val sh = Ckpt.narrow(shingles(docs, n))
     jaccardOfCandidates(sh,
       minhashCandidates(sh, numHashes, rowsPerBand, maxBucketSize), threshold)
@@ -271,11 +291,14 @@ object Dedup {
   /** The engine's ONE canonical near-dup edge definition — every surface
     * that consumes near-dup pairs (q42 keep/drop verdicts, q47 connected
     * components, q48 curation) calls this, so the shingle width, hash
-    * count, banding and verification threshold cannot drift apart
-    * between them.
+    * count, banding, verification threshold and skew cap cannot drift
+    * apart between them. The [[NearDupMaxBucket]] guard is ON here: this
+    * is the path a 100 TB curation run takes, so it runs with the
+    * bucket cap a 100 TB corpus needs (and the oracle mirrors).
     */
   def nearDupEdges(docs: DataFrame): DataFrame =
-    minhashPairs(docs, n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7)
+    minhashPairs(docs, n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7,
+      maxBucketSize = NearDupMaxBucket)
 
   /** Estimated-Jaccard near-dup pairs: the pure-sketch tier above
     * [[minhashPairs]]. Candidates come from the same banded buckets, but
@@ -291,13 +314,14 @@ object Dedup {
     */
   def minhashEstimatePairs(
       docs: DataFrame, n: Int = 3, numHashes: Int = 16,
-      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
     // ONE signature aggregation serves banding AND both verify sides
     val wide = Ckpt.narrow(minhashWide(shingles(docs, n), numHashes))
     val agree = (0 until numHashes)
       .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1L).otherwise(0L))
       .reduce(_ + _)
-    candidatesOfBands(bandsOfWide(wide, numHashes, rowsPerBand), 0, cut = false)
+    candidatesOfBands(bandsOfWide(wide, numHashes, rowsPerBand), maxBucketSize, cut = false)
       .join(wide.as("a"), col("i") === col("a.doc_id"))
       .join(wide.as("b"), col("j") === col("b.doc_id"))
       .select(col("i"), col("j"),

@@ -41,21 +41,27 @@ object DedupQueries {
   /** MinHash-LSH candidate pairs: 16 arithmetic permutations of the
     * shingle hash mod P = 2^31−1 (multipliers/offsets md5-derived, same
     * constants as `Dedup.minhashA/B`), 4-row bands keyed by md5 of the
-    * ordered minima, same-bucket pairs.
+    * ordered minima, same-bucket pairs. The `fbands` QUALIFY mirrors the
+    * engine's canonical skew guard (`Dedup.NearDupMaxBucket` — buckets
+    * above the cap are dropped before the self-join), so the oracle gates
+    * the capped path the engine actually runs, not an uncapped shadow.
     */
   private[queries] val MinhashCandSql: String =
-    """seeds AS (SELECT s,
-      |                 CAST('0x' || substr(md5('mh_a_' || s), 1, 15) AS BIGINT) % 2147483646 + 1 AS pa,
-      |                 CAST('0x' || substr(md5('mh_b_' || s), 1, 15) AS BIGINT) % 2147483647 AS pb
-      |          FROM (SELECT unnest(generate_series(0, 15)) AS s)),
-      |sig AS (SELECT doc_id, s, min((pa * (gh % 2147483647) + pb) % 2147483647) AS minh
-      |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
-      |bands AS (SELECT doc_id, s // 4 AS b,
-      |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
-      |          FROM sig GROUP BY doc_id, s // 4),
-      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-      |         FROM bands a JOIN bands b
-      |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+    s"""seeds AS (SELECT s,
+       |                 CAST('0x' || substr(md5('mh_a_' || s), 1, 15) AS BIGINT) % 2147483646 + 1 AS pa,
+       |                 CAST('0x' || substr(md5('mh_b_' || s), 1, 15) AS BIGINT) % 2147483647 AS pb
+       |          FROM (SELECT unnest(generate_series(0, 15)) AS s)),
+       |sig AS (SELECT doc_id, s, min((pa * (gh % 2147483647) + pb) % 2147483647) AS minh
+       |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+       |bands AS (SELECT doc_id, s // 4 AS b,
+       |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
+       |          FROM sig GROUP BY doc_id, s // 4),
+       |fbands AS (SELECT doc_id, b, band_key FROM bands
+       |           QUALIFY count(*) OVER (PARTITION BY b, band_key)
+       |                   <= ${Dedup.NearDupMaxBucket}),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM fbands a JOIN fbands b
+       |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Verified near-dup edges at the canonical 0.7 threshold — the SQL
     * twin of `Dedup.nearDupEdges`.

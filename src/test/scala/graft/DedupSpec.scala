@@ -154,6 +154,35 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((9001L, 9002L)), "small-bucket pair must survive the cap")
   }
 
+  test("canonical nearDupEdges path engages the skew guard above NearDupMaxBucket") {
+    import spark.implicits._
+    // a boilerplate cluster LARGER than the canonical cap: ~96% of its
+    // docs share every band key (one unique trailing shingle in ~99), so
+    // each band's hot bucket holds ~1340 docs > NearDupMaxBucket — the
+    // exact shape that, unguarded, would emit ~n²/2 ≈ 1M candidate pairs
+    val boiler = (1 to 100).map(i => s"common$i").mkString(" ")
+    val n = 1400
+    val hot = (0 until n).map(i => (i.toLong, s"$boiler unique$i"))
+    val small = Seq(
+      (900001L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailA"),
+      (900002L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailB"))
+    val df = (hot ++ small).toDF("doc_id", "text")
+    val edges = Dedup.nearDupEdges(df).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.size < 10000,
+      s"guard did not engage on the canonical path: ${edges.size} edges")
+    assert(edges.contains((900001L, 900002L)), "small-bucket pair must survive the cap")
+    // and the curation surface consuming this path inherits the guard:
+    // boilerplate docs pass quality and exact-dedup (unique tails), so
+    // unguarded they would all be near_dup — capped, they stay kept
+    val verdicts = graft.operators.Curation.curate(df, minQuality = 0.15)
+      .groupBy("verdict").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(verdicts.getOrElse("kept", 0L) > n / 2,
+      s"curate must take the capped path (boilerplate kept, not near_dup): $verdicts")
+    assert(verdicts.getOrElse("near_dup", 0L) < n / 2, s"verdicts: $verdicts")
+  }
+
   test("simhash blocked pairs == brute-force Hamming pairs under BOTH block schemes") {
     // no-false-negatives is claimed "by construction" — pin it against a
     // Scala-side brute force across bounds that exercise the single-block
