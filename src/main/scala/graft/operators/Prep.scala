@@ -21,7 +21,12 @@ object Prep {
     * expression) on quotes/backslashes.
     */
   private def bucket100(salt: String): Column = {
-    require(salt.nonEmpty && salt.forall(c => c.isLetterOrDigit || c == '_'),
+    // ASCII-only (not isLetterOrDigit, which admits any Unicode letter):
+    // the documented contract is the [A-Za-z0-9_] identifier class, and
+    // keeping to it means both engines md5 the same single-byte UTF-8
+    require(salt.nonEmpty && salt.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'),
       s"salt must be non-empty [A-Za-z0-9_], got '$salt'")
     expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))")) % 100
   }
@@ -70,28 +75,40 @@ object Prep {
       .withColumn("kept", (col("bucket") < col("rate_pct")).cast("bigint"))
   }
 
-  /** Sequence packing: concatenate each source's documents in doc_id
-    * order and cut every `budget` tokens; a document belongs to the
-    * sequence where it starts (seq_id) at position seq_offset. Tokens
-    * are the BPE-ish [[TextAnalysis.tokenCounts]] `re_tokens` measure.
+  /** Sequence packing: concatenate documents in doc_id order within each
+    * (source, shard) group and cut every `budget` tokens; a document
+    * belongs to the sequence where it starts — sequence identity is
+    * (source, shard, seq_id), with the document at position seq_offset.
+    * Tokens are the BPE-ish [[TextAnalysis.tokenCounts]] `re_tokens`
+    * measure.
     *
-    * One window pass per source (exclusive prefix sum of token counts),
-    * so the cost is one shuffle on `source` + a sort within partitions —
-    * no iteration, no driver-side packing loop. At corpus scale a
-    * single `source` can exceed one partition's worth of rows; the
-    * contract composes with sub-splitting (partition by (source, shard)
-    * with shard = bucket of doc_id) because the prefix sum within each
-    * shard stays deterministic — the same recipe the sessionization
-    * operator documents for hot keys.
+    * `shard` is a deterministic hash bucket of doc_id (the same portable
+    * md5 derivation as [[split]]/[[mix]], salt "pack"), NOT a physical
+    * partition number — it is part of the output contract, so reruns and
+    * other engines shard identically. Sharding is what makes packing
+    * scale: a window partitioned by `source` alone serializes each
+    * source through one task (prefix sums don't parallelize within a
+    * partition), so a corpus dominated by a few giant sources packs on a
+    * few tasks no matter the cluster size. Partitioning by
+    * (source, shard) caps any task's work at ~1/`shards` of its source
+    * and keeps the plan ONE shuffle + per-partition sort — no iteration,
+    * no driver-side loop. The trade: sequences never span shards, so up
+    * to `shards` trailing sequences per source are under-filled (~shards
+    * × budget/2 wasted tokens per source — noise against any real
+    * source's token count; lower `shards` if sources are tiny).
     */
-  def pack(docs: DataFrame, budget: Long = 512L): DataFrame = {
+  def pack(docs: DataFrame, budget: Long = 512L, shards: Int = 64): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    val w = Window.partitionBy("source").orderBy("doc_id")
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     TextAnalysis.tokenCounts(docs)
       .select(col("doc_id"), col("source"), col("re_tokens").as("n_tokens"))
+      .withColumn("shard",
+        (expr(Dedup.h60("concat('pack_', cast(doc_id as string))")) % shards)
+          .cast("long"))
       .withColumn("cum", sum("n_tokens").over(w))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $budget").as("seq_id"),
         ((col("cum") - col("n_tokens")) % budget).as("seq_offset"))
   }

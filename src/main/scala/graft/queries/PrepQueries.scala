@@ -38,18 +38,22 @@ object PrepQueries {
         |FROM b
         |ORDER BY doc_id""".stripMargin,
 
+    // sequence scope is per (source, shard): shard = portable md5 bucket
+    // of doc_id (salt 'pack', 64 shards), same derivation as q56/q58
     "q57_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,
+        |         CAST('0x' || substr(md5('pack_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 64 AS shard,
         |         CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT)
         |           AS n_tokens
         |  FROM documents),
         |c AS (
-        |  SELECT doc_id, source, n_tokens,
-        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |  SELECT doc_id, source, shard, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t)
-        |SELECT doc_id, source, n_tokens,
+        |SELECT doc_id, source, shard, n_tokens,
         |       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
         |       CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
         |FROM c

@@ -48,20 +48,35 @@ class PrepSpec extends AnyFunSuite {
     m1.filterNot(_._2 == "src0").foreach(r => assert(v2(r._1) == r._3))
   }
 
-  test("pack: equals a linear-scan packing reference; offsets stay under budget") {
+  test("pack: equals a per-(source, shard) linear-scan reference; offsets under budget") {
     val budget = 512L
     val got = Prep.pack(docs, budget).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    assert(got.forall(_._5 < budget), "a document must start inside its sequence")
-    // reference: per source in doc_id order, exclusive running token sum
-    val ref = got.groupBy(_._2).flatMap { case (_, rows) =>
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.forall(_._6 < budget), "a document must start inside its sequence")
+    // reference: per (source, shard) in doc_id order, exclusive running sum
+    val ref = got.groupBy(r => (r._2, r._3)).flatMap { case (_, rows) =>
       var cum = 0L
-      rows.toSeq.sortBy(_._1).map { case (id, src, n, _, _) =>
-        val r = (id, src, n, cum / budget, cum % budget)
+      rows.toSeq.sortBy(_._1).map { case (id, src, sh, n, _, _) =>
+        val r = (id, src, sh, n, cum / budget, cum % budget)
         cum += n
         r
       }
     }.toSet
     assert(got.toSet == ref)
+  }
+
+  test("pack: sharding gives parallelism beyond the source count") {
+    val got = Prep.pack(docs).collect()
+    val sources = got.map(_.getString(1)).distinct.length
+    val groups = got.map(r => (r.getString(1), r.getLong(2))).distinct.length
+    // the window partitions by (source, shard): independent prefix-sum
+    // units must outnumber sources, or packing serializes per source
+    assert(groups > sources, s"$groups groups vs $sources sources")
+    // and the physical Window really partitions on both keys
+    val plan = Prep.pack(docs).queryExecution.executedPlan.toString
+    val winLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(winLine.contains("source") && winLine.contains("shard"),
+      s"window must partition by (source, shard): $winLine")
   }
 }
