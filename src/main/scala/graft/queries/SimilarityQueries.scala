@@ -35,20 +35,21 @@ object SimilarityQueries {
       |      FROM embeddings)""".stripMargin
 
   /** Sign-LSH bucketing + same-bucket candidates, reproduced bit-for-bit
-    * (tables=16, bits=8, dim=64): hyperplane (t, p, d) = md5-derived
-    * 60-bit int centered into [-1, 1] (the same h60 derivation as the
-    * minhash oracle), projections summed in list order, bucket = packed
-    * sign bits, candidates = same-(t, bucket) pairs. Shared by q33 and
-    * q54 so the bucketing definition cannot drift between them.
+    * for the given (tables, bits) at dim=64: hyperplane (t, p, d) =
+    * md5-derived 60-bit int centered into [-1, 1] (the same h60
+    * derivation as the minhash oracle), projections summed in list
+    * order, bucket = packed sign bits, candidates = same-(t, bucket)
+    * pairs. Shared by q33/q54 (16 tables × 8 bits) and q59 (16 × 12) so
+    * the bucketing definition cannot drift between them.
     */
-  private val LshCandSql: String =
-    """planes AS (
+  private def lshCandSql(tables: Int, bits: Int): String =
+    s"""planes AS (
       |  SELECT t.t, p.p,
       |         list_transform(generate_series(1, 64), k ->
       |           (CAST('0x' || substr(md5(t.t || '_' || p.p || '_' || (k - 1)), 1, 15) AS BIGINT)
       |            % 2001 - 1000) / 1000.0) AS pr
-      |  FROM (SELECT unnest(generate_series(0, 15)) AS t) t,
-      |       (SELECT unnest(generate_series(0, 7)) AS p) p),
+      |  FROM (SELECT unnest(generate_series(0, ${tables - 1})) AS t) t,
+      |       (SELECT unnest(generate_series(0, ${bits - 1})) AS p) p),
       |proj AS (
       |  SELECT vec_id, t, p,
       |         list_sum(list_transform(generate_series(1, 64), k -> e[k] * pr[k])) AS proj
@@ -60,6 +61,8 @@ object SimilarityQueries {
       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
       |  FROM buckets a JOIN buckets b
       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  private val LshCandSql: String = lshCandSql(16, 8)
 
   def queries: Map[String, Q] = Map(
     "q30_embedding_pairs" -> ((spark, dir) =>
@@ -94,6 +97,19 @@ object SimilarityQueries {
     "q54_semantic_dedup" -> ((spark, dir) =>
       Similarity.semanticDedup(Tables.load(spark, dir, "embeddings"),
           threshold = 0.4, tables = 16, bits = 8, dim = 64)
+        .orderBy("vec_id")),
+
+    // The regime SemDeDup actually runs in: cos >= 0.9 (near-duplicate
+    // embeddings). 12-bit buckets, 16 tables — at cos 0.9 the per-plane
+    // agreement is >= 1 - acos(0.9)/pi ~ 0.856, so per-table match prob
+    // ~ 0.856^12 ~ 0.15 and 16 tables give recall ~ 1 - 0.85^16 ~ 0.93
+    // (property-tested >= 0.9 on planted dups in DedupSpec), while
+    // uncorrelated pairs collide at ~16/2^12 ~ 0.4% of the pair space
+    // (CI-gated in DedupSpec). q54@0.4 stays as the documented
+    // weak-threshold variant.
+    "q59_semantic_dedup_strict" -> ((spark, dir) =>
+      Similarity.semanticDedup(Tables.load(spark, dir, "embeddings"),
+          threshold = 0.9, tables = 16, bits = 12, dim = 64)
         .orderBy("vec_id")))
 
   def oracles: Map[String, String] = Map(
@@ -190,6 +206,26 @@ object SimilarityQueries {
          |    SELECT i, j, ${cosSql("a.e", "b.e")} AS cos
          |    FROM cand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
          |  WHERE cos >= 0.4),
+         |e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+         |r AS (SELECT i AS n, i AS m FROM e
+         |      UNION
+         |      SELECT r.n, e.j AS m FROM r JOIN e ON r.m = e.i),
+         |comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n)
+         |SELECT emb.vec_id,
+         |       coalesce(c.component, emb.vec_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(c.component, emb.vec_id) = emb.vec_id
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.node
+         |ORDER BY vec_id""".stripMargin,
+
+    "q59_semantic_dedup_strict" ->
+      s"""WITH RECURSIVE $VecSql,
+         |${lshCandSql(16, 12)},
+         |pairs AS (
+         |  SELECT i, j FROM (
+         |    SELECT i, j, ${cosSql("a.e", "b.e")} AS cos
+         |    FROM cand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
+         |  WHERE cos >= 0.9),
          |e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
          |r AS (SELECT i AS n, i AS m FROM e
          |      UNION

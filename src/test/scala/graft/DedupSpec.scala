@@ -113,6 +113,37 @@ class DedupSpec extends AnyFunSuite {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
     assert(lsh / embPairs < 0.10, s"sign-LSH candidates $lsh of ${embPairs.toLong} pairs")
+    // q59's strict config (16 tables x 12 bits): uncorrelated vectors
+    // collide at ~16/2^12 of the pair space — candidates must stay far
+    // below even the q33/q54 config's volume
+    val bs = Similarity.signLshBuckets(emb, tables = 16, bits = 12, dim = 64)
+    val strict = bs.as("a").join(bs.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    assert(strict / embPairs < 0.02,
+      s"strict sign-LSH candidates $strict of ${embPairs.toLong} pairs")
+  }
+
+  test("strict semantic dedup (q59 config) clusters planted embedding dups") {
+    // the regime SemDeDup exists for: cos ~ 1 near-duplicates. Plant 20,
+    // require >= 0.9 of them to land in their original's cluster under
+    // the gated (16 tables x 12 bits, threshold 0.9) configuration.
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 1.01 + 0.001 as float))").as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val verdict = Similarity.semanticDedup(corpus, threshold = 0.9, tables = 16, bits = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val recalled = (0L until 20L).count(i => verdict(i + 100000L) == verdict(i))
+    assert(recalled >= 18, s"strict config clustered only $recalled/20 planted dups")
+    // nothing below the threshold clusters: the base corpus tops out at
+    // cos ~ 0.51, so every base vector keeps its own id as cluster_id
+    // (planted ids are offset above all base ids, so min-label never
+    // moves a base vector's cluster)
+    emb.select("vec_id").collect().map(_.getLong(0)).foreach { v =>
+      assert(verdict(v) == v, s"base vector $v joined cluster ${verdict(v)}")
+    }
   }
 
   test("simhash blocking: candidate fraction stays flat as a noise corpus scales") {
