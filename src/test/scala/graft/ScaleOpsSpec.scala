@@ -105,6 +105,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ranks.isEmpty)
   }
 
+  test("IVF: a built index serves repeated query sets identically to one-shots") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val idx = Similarity.ivfIndex(emb, centroidEvery = 20)
+    val q1 = emb.filter(col("vec_id") < 10)
+    val q2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // the checkpointed assignment answers BOTH query sets — and answers
+    // them exactly as a from-scratch one-shot build would
+    assert(rows(Similarity.ivfSearch(idx, q1, k = 5, nProbe = 3)) ==
+      rows(Similarity.ivfTopK(emb, q1, k = 5, centroidEvery = 20, nProbe = 3)))
+    assert(rows(Similarity.ivfSearch(idx, q2, k = 5, nProbe = 3)) ==
+      rows(Similarity.ivfTopK(emb, q2, k = 5, centroidEvery = 20, nProbe = 3)))
+  }
+
   test("IVF: recall@5 vs brute force clears the probe-budget floor") {
     val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 50)
