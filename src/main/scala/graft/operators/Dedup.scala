@@ -366,8 +366,20 @@ object Dedup {
     *
     * Both shapes are equi self-joins with no false negatives by
     * construction. Carries (si, sj) through for exact verification.
+    *
+    * `maxKeySize` (0 = off, the oracle-gated default — q29's oracle is a
+    * brute-force Hamming scan, so the gated path must stay exhaustive)
+    * is the same skew guard as the minhash band cap: a boilerplate
+    * cluster of m near-identical signatures shares most block keys and
+    * contributes ~m(m−1)/2 candidates per shared key, so one hot key of
+    * 10⁶ docs owns the shuffle at corpus scale. Keys above the cap are
+    * dropped BEFORE the self-join. Trade: pairs whose every common key
+    * is oversized are lost — i.e. members of a mega-cluster — which is
+    * the explicit point of capping; pairs with any small shared key
+    * survive.
     */
-  private[graft] def simhashCandidates(sig: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def simhashCandidates(
+      sig: DataFrame, maxHamming: Int, maxKeySize: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 58, s"maxHamming $maxHamming out of range")
     def blockVal(k: Int, m: Int): String = {
       val lo = k * 60 / m
@@ -388,8 +400,15 @@ object Dedup {
       }
     val blocked = sig.select(col("doc_id"), col("simhash"),
       explode(array(keys: _*)).as("blk"))
-    blocked.as("a")
-      .join(blocked.as("b"),
+    val kept =
+      if (maxKeySize <= 0) blocked
+      else {
+        val sizes = blocked.groupBy("blk").agg(count(lit(1)).as("_ksz"))
+          .filter(col("_ksz") <= maxKeySize).select(col("blk").as("_fk"))
+        blocked.join(sizes, col("blk") === col("_fk"), "left_semi")
+      }
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.simhash").as("si"), col("b.simhash").as("sj"))
@@ -403,9 +422,10 @@ object Dedup {
     * signature pipeline (text scan + shingle distinct + 60-sum groupBy)
     * runs ONCE, not once per join side.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 10, n: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 10, n: Int = 3,
+      maxKeySize: Int = 0): DataFrame = {
     val sig = Ckpt.narrow(simhashSignatures(docs, n))
-    simhashCandidates(sig, maxHamming)
+    simhashCandidates(sig, maxHamming, maxKeySize)
       .select(col("i"), col("j"),
         expr("cast(bit_count(si ^ sj) as bigint)").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -185,6 +185,26 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((9001L, 9002L)), "small-bucket pair must survive the cap")
   }
 
+  test("simhash blocking at adversarial density: hot-key guard bounds candidates") {
+    import spark.implicits._
+    // the flat-fraction test above uses uniform noise; this is the
+    // adversarial shape — a boilerplate cluster whose near-identical
+    // signatures share most block keys, so unguarded candidates grow as
+    // m^2/2 regardless of how selective the blocking is on random input
+    val boiler = (1 to 100).map(i => s"common$i").mkString(" ")
+    val hot = (0 until 300).map(i => (i.toLong, s"$boiler unique$i"))
+    val small = Seq(
+      (9001L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailA"),
+      (9002L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailB"))
+    val sig = Dedup.simhashSignatures((hot ++ small).toDF("doc_id", "text"), 3)
+    val unguarded = Dedup.simhashCandidates(sig, 10).count()
+    assert(unguarded > 40000L, s"hot keys should dominate unguarded: $unguarded")
+    val capped = Dedup.simhashCandidates(sig, 10, maxKeySize = 50)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size < 2000, s"guard must drop the hot keys: ${capped.size}")
+    assert(capped.contains((9001L, 9002L)), "small-key pair must survive the cap")
+  }
+
   test("canonical nearDupEdges path engages the skew guard above NearDupMaxBucket") {
     import spark.implicits._
     // a boilerplate cluster LARGER than the canonical cap: ~96% of its
