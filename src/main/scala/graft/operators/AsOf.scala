@@ -16,8 +16,21 @@ import org.apache.spark.sql.functions._
   * rows-unbounded-preceding. Left rows then read their match from the
   * running value. Cost is a single hash shuffle + per-partition sort —
   * identical asymptotics to a sort-merge equi-join, with no range
-  * explosion and no per-row probe, so it survives a 100× scale-up; skewed
-  * keys are handled by AQE the same as any shuffle join.
+  * explosion and no per-row probe, so it survives a 100× scale-up.
+  *
+  * Skew caveat: AQE's skew handling splits JOIN partitions, not window
+  * partitions — a pathologically hot key's full history still sorts and
+  * scans in ONE task here. For genuinely hot keys (a device emitting a
+  * large fraction of all rows), the scale recipe is a time-sliced
+  * two-pass variant: partition the window by (key, coarse time slice)
+  * so each slice sorts in its own task, then resolve rows whose match
+  * precedes their slice with a second window over ONE boundary row per
+  * slice (each slice's running-last right row, carried forward across
+  * slices — a frame with one row per (key, slice), tiny by
+  * construction). Unimplemented here because the as-of grain in this
+  * engine (per-customer order history) is bounded by construction; the
+  * composition is documented so a cluster operator recognizes both the
+  * symptom and the fix.
   *
   * Left-outer semantics: left rows with no qualifying right row keep NULL
   * match columns. Ties on (key, ts) between right rows resolve to the
@@ -54,6 +67,10 @@ object AsOf {
     val clash = payload.filterNot(_ == rightTs).filter(left.columns.contains)
     require(clash.isEmpty,
       s"payload column(s) ${clash.mkString(", ")} collide with left columns")
+    // a payload column literally named asof_<rightTs> would duplicate the
+    // emitted match-timestamp column even when the left frame is clean
+    require(!payload.filterNot(_ == rightTs).contains(s"asof_$rightTs"),
+      s"payload column asof_$rightTs collides with the emitted match timestamp")
 
     val matchCols = (rightTs +: payload.filterNot(_ == rightTs))
     val matchStruct = struct(
