@@ -29,7 +29,7 @@ object Bench {
       spark.catalog.clearCache()
       // localCheckpoint blocks are persistent RDDs outside the SQL cache
       // — release them too or storage accumulates across the whole run
-      graft.operators.Ckpt.releaseAllContextStorage(spark)
+      graft.operators.Ckpt.releaseGraftStorage(spark)
       t
     }
 
@@ -44,7 +44,7 @@ object Bench {
           // a failing query may already have persisted frames — clear
           // here too or they'd contaminate the next query's runs
           spark.catalog.clearCache()
-          graft.operators.Ckpt.releaseAllContextStorage(spark)
+          graft.operators.Ckpt.releaseGraftStorage(spark)
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> -1.0
       }

@@ -17,7 +17,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // operators persist small frames per run
-      graft.operators.Ckpt.releaseAllContextStorage(spark) // and checkpoint narrow ones
+      graft.operators.Ckpt.releaseGraftStorage(spark) // and checkpoint narrow ones
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -22,29 +22,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * call site.
   */
 private[graft] object Ckpt {
+
+  /** RDD ids persisted by [[narrow]]/[[narrowLazy]], so release touches
+    * only storage THIS engine created — a host application's caches on
+    * the shared SparkContext survive a graft run boundary.
+    */
+  private val tracked = scala.collection.mutable.Set[Int]()
+
+  private def register(df: DataFrame): DataFrame = {
+    // localCheckpoint wraps the persisted RDD in a LogicalRDD — record
+    // its id (the persist is registered with the context immediately,
+    // for lazy checkpoints too)
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        tracked.synchronized { tracked += l.rdd.id }
+      case _ => // unexpected plan shape: nothing to track — the block
+                // then lives until driver GC, as before tracking existed
+    }
+    df
+  }
+
   /** Eagerly materialize and cut the lineage of a NARROW frame. */
-  def narrow(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  def narrow(df: DataFrame): DataFrame = register(df.localCheckpoint(true))
 
   /** Lazy lineage cut for frames the caller materializes itself
     * immediately afterwards (e.g. a convergence-check `count()` in an
     * iterative loop): skips the extra eager job, same storage contract
     * as [[narrow]] once materialized.
     */
-  def narrowLazy(df: DataFrame): DataFrame = df.localCheckpoint(false)
+  def narrowLazy(df: DataFrame): DataFrame = register(df.localCheckpoint(false))
 
-  /** Drop EVERY persistent RDD on the context — the run-boundary cleanup
-    * for bench/verify loops. `catalog.clearCache()` only empties the SQL
-    * CacheManager; localCheckpoint blocks live as plain persistent RDDs
-    * and otherwise linger until the driver GCs their handles
-    * (ContextCleaner), so a many-query run accumulates orphaned executor
-    * storage the protocol's per-run isolation claim says it doesn't.
+  /** Drop every RDD persisted by [[narrow]]/[[narrowLazy]] — the
+    * run-boundary cleanup for bench/verify loops. `catalog.clearCache()`
+    * only empties the SQL CacheManager; localCheckpoint blocks live as
+    * plain persistent RDDs and otherwise linger until the driver GCs
+    * their handles (ContextCleaner), so a many-query run accumulates
+    * orphaned executor storage the protocol's per-run isolation claim
+    * says it doesn't.
     *
-    * CONTRACT: nothing may survive this call. A checkpointed DataFrame
-    * held across it is unrecoverable (truncated lineage cannot recompute
-    * dropped blocks — `Checkpoint block rdd_N_M not found`), and caches
-    * created by anything else on the context die too. Call it only at a
-    * boundary where every frame is about to be rebuilt from storage.
+    * Scoped to graft-created storage: caches other code holds on the
+    * shared context are untouched. CONTRACT: no graft-checkpointed
+    * DataFrame may survive this call — truncated lineage cannot
+    * recompute dropped blocks (`Checkpoint block rdd_N_M not found`).
+    * Call it only at a boundary where every graft frame is about to be
+    * rebuilt from storage.
     */
-  def releaseAllContextStorage(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  def releaseGraftStorage(spark: SparkSession): Unit = tracked.synchronized {
+    val persistent = spark.sparkContext.getPersistentRDDs
+    tracked.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
+    tracked.clear()
+  }
 }
