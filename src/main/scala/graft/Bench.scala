@@ -4,15 +4,53 @@ import java.util.Locale
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"value":N,"unit":"sec","queries":
-  * {...},"errors":{...},"sf":...}.
+  * {...},"errors":{...},"outliers":{...},"sf":...}.
   *
   * Protocol (BASELINE.md): per query, one warm-up run (JIT + codegen +
   * parquet footer cache), then the MEDIAN of 3 timed runs. A query that
   * throws is reported as -1 with its error in the "errors" map — never
   * silently recorded as a fast success. All numbers format under
   * Locale.ROOT so the output is valid JSON regardless of host locale.
+  *
+  * Host-noise self-labeling: each query's median is compared against the
+  * median of its prior runs at the same sf in BENCH_HISTORY.jsonl. A
+  * query more than 3× its history lands in "outliers.queries"; when that
+  * happens WHOLESALE (≥ max(3, 25%) of comparable queries), the run as a
+  * whole is marked "outliers.flag": true — a contaminated record labels
+  * itself at capture time instead of reading as a regression.
   */
 object Bench {
+
+  /** Per-query historical medians from the cumulative history file, for
+    * runs at the same sf. Parses our own single-line format with a
+    * narrow regex (query keys start with 'q' and carry numeric values;
+    * error-map entries have string values and don't match).
+    */
+  private[graft] def historyMedians(histPath: String, sfDir: String): Map[String, Double] = {
+    val qNum = """"(q[0-9][^"]*)"\s*:\s*(-?[0-9][0-9.]*)""".r
+    val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
+    // FIRST "queries" object only — later objects on the line (errors,
+    // outliers.queries ratios) must not be read as timings
+    val qObj = """"queries"\s*:\s*\{([^}]*)\}""".r
+    try {
+      val p = java.nio.file.Paths.get(histPath)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.toSeq
+          .filter(l => sfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir))
+          .flatMap(l => qObj.findFirstMatchIn(l).map(_.group(1)).toSeq)
+          .flatMap(o => qNum.findAllMatchIn(o).map(m => m.group(1) -> m.group(2).toDouble))
+          .filter(_._2 >= 0)
+          .groupBy(_._1)
+          .collect { case (name, vs) if vs.size >= 3 =>
+            val s = vs.map(_._2).sorted
+            name -> s(s.size / 2)
+          }
+      }
+    } catch { case _: Throwable => Map.empty } // unreadable history never fails a bench
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session(appName = "graft-bench")
@@ -61,11 +99,23 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+
+    // label host noise at capture time: compare against this sf's history
+    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
+    val histMed = historyMedians(hist, sfDir)
+    val ratios = results.collect {
+      case (name, v) if v > 0 && histMed.contains(name) => name -> v / histMed(name)
+    }
+    val high = ratios.filter(_._2 > 3.0)
+    val wholesale = ratios.nonEmpty && high.size >= math.max(3, ratios.size / 4)
+    val outliers = s"""{"flag":$wholesale,"compared":${ratios.size},""" +
+      s""""queries":${high.map { case (k, r) => jstr(k) + ":" + num(r) }
+        .mkString("{", ",", "}")}}"""
+
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"outliers":$outliers,"sf":${jstr(sfDir)}}"""
     println(line)
     // cumulative per-run history so round-over-round per-query regressions
     // are machine-diffable (driver reads the stdout line; this appends)
-    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(hist),
       s"""{"at_ms":${System.currentTimeMillis()},${line.drop(1)}""" + "\n",

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's host-noise self-labeling: history parsing must read the
+  * run's real per-query timings — never the outlier-ratio map appended
+  * later on the same line — and only compare against a same-sf history
+  * deep enough for a stable median.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("historyMedians: first queries object only, sf-filtered, >= 3 samples") {
+    val f = java.nio.file.Files.createTempFile("bh", ".jsonl")
+    val lines = Seq(
+      // an outliers.queries ratio (9.9) rides the same line and must be ignored
+      """{"at_ms":1,"metric":"total","value":9,"unit":"sec","queries":{"q01":1.0,"q02":2.0},"errors":{},"outliers":{"flag":false,"compared":0,"queries":{"q01":9.9}},"sf":"/x/sf0.1"}""",
+      """{"queries":{"q01":3.0,"q02":2.0,"q03":1.0},"errors":{},"sf":"/x/sf0.1"}""",
+      """{"queries":{"q01":2.0,"q02":2.0,"q03":1.0},"errors":{},"sf":"/x/sf0.1"}""",
+      // other sf: never mixed in
+      """{"queries":{"q01":100.0,"q02":100.0},"errors":{},"sf":"/y/sf0.01"}""")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    val m = Bench.historyMedians(f.toString, "/x/sf0.1")
+    assert(m.get("q01").contains(2.0), s"median of (1,3,2): $m")
+    assert(m.get("q02").contains(2.0))
+    assert(!m.contains("q03"), "two samples are not enough for a stable median")
+    assert(Bench.historyMedians(f.toString, "/z/none").isEmpty)
+    assert(Bench.historyMedians("/nonexistent/path.jsonl", "/x/sf0.1").isEmpty)
+    java.nio.file.Files.delete(f)
+  }
+}
