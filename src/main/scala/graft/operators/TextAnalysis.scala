@@ -115,6 +115,56 @@ object TextAnalysis {
       expr("size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0))").cast("long")
         .as("re_tokens"))
 
+  /** Word n-gram list as a SQL expr over the word array `w` — guarded
+    * against Spark's descending `sequence(1, n<1)` (see [[charTrigrams]]).
+    */
+  private def gramList(n: Int): String =
+    if (n == 1) "w"
+    else s"if(size(w) >= $n, transform(sequence(1, size(w) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice(w, i, $n))), array())"
+
+  /** Per-doc repetition signals (the Gopher/MassiveText repetition
+    * filters, adapted to the corpus' single-line docs): fraction of word
+    * occurrences taken by the most frequent word, same for word bigrams,
+    * and the fraction of word 5-gram occurrences that are duplicates of
+    * an earlier one. High values mark boilerplate/looping text that a
+    * training pipeline drops before tokenization. Docs with fewer than
+    * n words score 0 for that signal.
+    *
+    * Scale posture: one explode (≈3 gram rows per word) feeding a
+    * count agg keyed (doc_id, n, g) — partial aggregation combines
+    * map-side, so the shuffle carries per-doc distinct grams, not
+    * occurrences — then a per-doc fold. Linear in corpus bytes, no
+    * joins wider than the final broadcast-size left join back to docs.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), expr(WordsExpr).as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(array(
+           |  transform(${gramList(1)}, g -> struct(1L as n, g as g)),
+           |  transform(${gramList(2)}, g -> struct(2L as n, g as g)),
+           |  transform(${gramList(5)}, g -> struct(5L as n, g as g))))"""
+          .stripMargin)).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+    val counts = occ.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    val sig = counts.groupBy("doc_id").agg(
+      max(when(col("n") === 1, col("c"))).as("mx1"),
+      sum(when(col("n") === 1, col("c"))).as("tot1"),
+      max(when(col("n") === 2, col("c"))).as("mx2"),
+      sum(when(col("n") === 2, col("c"))).as("tot2"),
+      sum(when(col("n") === 5, col("c"))).as("tot5"),
+      count(when(col("n") === 5, lit(1))).as("dst5"))
+    docs.select("doc_id").join(sig, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tot1"), lit(0L)).as("n_words"),
+        round(coalesce(col("mx1").cast("double") / col("tot1"), lit(0.0)), 4)
+          .as("top_word_frac"),
+        round(coalesce(col("mx2").cast("double") / col("tot2"), lit(0.0)), 4)
+          .as("top_bigram_frac"),
+        round(coalesce((col("tot5") - col("dst5")).cast("double") / col("tot5"),
+          lit(0.0)), 4).as("dup_5gram_frac"))
+  }
+
   /** Rolling-hash document fingerprints (winnowing-lite): min/max of the
     * portable 60-bit hash over word `n`-gram shingles plus the shingle
     * count. Equal fingerprints ⇒ near-identical content; the min-hash

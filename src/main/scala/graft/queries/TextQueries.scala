@@ -51,7 +51,11 @@ object TextQueries {
         .groupBy(col("j"))
         .agg(min("i").as("keep_id"), count(lit(1)).as("n_pairs"))
         .select(col("j").as("drop_id"), col("keep_id"), col("n_pairs"))
-        .orderBy("drop_id")))
+        .orderBy("drop_id")),
+
+    "q60_repetition" -> ((spark, dir) =>
+      TextAnalysis.repetitionSignals(Tables.load(spark, dir, "documents"))
+        .orderBy("doc_id")))
 
   def oracles: Map[String, String] = Map(
     "q37_lang_id" ->
@@ -153,5 +157,38 @@ object TextQueries {
          |SELECT j AS drop_id, min(i) AS keep_id, count(*) AS n_pairs
          |FROM pairs
          |GROUP BY j
-         |ORDER BY drop_id""".stripMargin)
+         |ORDER BY drop_id""".stripMargin,
+
+    "q60_repetition" ->
+      """WITH ws AS (SELECT doc_id,
+        |              list_filter(string_split_regex(trim(text), '\s+'),
+        |                          x -> x != '') AS w
+        |            FROM documents),
+        |occ AS (
+        |  SELECT doc_id, 1 AS n, unnest(w) AS g FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n, w[i] || ' ' || w[i+1] AS g
+        |  FROM ws, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 5 AS n,
+        |         concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
+        |  FROM ws, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        |  WHERE len(w) >= 5),
+        |cnt AS (SELECT doc_id, n, g, count(*) AS c FROM occ GROUP BY doc_id, n, g),
+        |sig AS (SELECT doc_id,
+        |          max(CASE WHEN n = 1 THEN c END) AS mx1,
+        |          sum(CASE WHEN n = 1 THEN c END) AS tot1,
+        |          max(CASE WHEN n = 2 THEN c END) AS mx2,
+        |          sum(CASE WHEN n = 2 THEN c END) AS tot2,
+        |          sum(CASE WHEN n = 5 THEN c END) AS tot5,
+        |          count(CASE WHEN n = 5 THEN 1 END) AS dst5
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(tot1, 0) AS BIGINT) AS n_words,
+        |       round(coalesce(CAST(mx1 AS DOUBLE) / tot1, 0), 4) AS top_word_frac,
+        |       round(coalesce(CAST(mx2 AS DOUBLE) / tot2, 0), 4) AS top_bigram_frac,
+        |       round(coalesce(CAST(tot5 - dst5 AS DOUBLE) / tot5, 0), 4) AS dup_5gram_frac
+        |FROM documents d LEFT JOIN sig USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -53,6 +53,20 @@ class TextSpec extends AnyFunSuite {
     assert(r.getAs[Long]("re_tokens") === 6L)   // the cat , the hat !
   }
 
+  test("repetitionSignals parity on hand-checked docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),                 // 4 words, top word 3/4, bigrams (a a)x2 (a b)x1, no 5-grams
+      (2L, "x y z w v x y z w v"),     // 10 words, 6 5-grams, 5 distinct
+      (3L, "solo")                     // 1 word, no bigrams/5-grams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L) === ((4L, 0.75, 0.6667, 0.0)))
+    assert(r(2L) === ((10L, 0.2, 0.2222, 0.1667)))  // top bigram (x y) 2/9
+    assert(r(3L) === ((1L, 1.0, 0.0, 0.0)))
+  }
+
   test("fingerprints: identical text yields identical fingerprint, shifted text does not") {
     import spark.implicits._
     val t = "alpha beta gamma delta epsilon zeta eta theta"
