@@ -42,4 +42,40 @@ object Aggregators {
 
   /** Column form: `wavg(value, weight)`. */
   val wavg = udaf(WeightedAvg)
+
+  /** Element-wise sum of equal-length `array<bigint>` rows — the
+    * centroid-recompute step of distributed k-means
+    * ([[graft.operators.Similarity.ivfTrainedIndex]]). Long adds are
+    * exact and commutative, so the aggregate is bit-identical under any
+    * partitioning / merge order — the property that lets an oracle
+    * engine reproduce trained centroids exactly, where float sums could
+    * not. Partial aggregation applies (reduce map-side, merge after the
+    * shuffle), so the shuffle moves one 64-long buffer per (group,
+    * partition), never member vectors.
+    */
+  object VecSumLong extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    private def add(b: Array[Long], in: Array[Long]): Array[Long] =
+      if (b.isEmpty) in
+      else if (in.isEmpty) b
+      else {
+        require(b.length == in.length,
+          s"vec_sum_long over ragged arrays: ${b.length} vs ${in.length}")
+        val out = new Array[Long](b.length)
+        var i = 0
+        while (i < b.length) { out(i) = b(i) + in(i); i += 1 }
+        out
+      }
+    override def reduce(b: Array[Long], in: Array[Long]): Array[Long] = add(b, in)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = add(a, b)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = longArrEnc
+    override def outputEncoder: Encoder[Array[Long]] = longArrEnc
+  }
+
+  private implicit val longArrEnc: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  /** Column form: `vec_sum_long(array<bigint>)`. */
+  val vec_sum_long = udaf(VecSumLong)
 }

@@ -192,6 +192,71 @@ object Similarity {
       centroidEvery: Int = 0, nProbe: Int = 3): DataFrame =
     ivfSearch(ivfIndex(emb, centroidEvery, materialize = false), queries, k, nProbe)
 
+  /** Micro-unit quantization scale for exact-integer centroid means. */
+  private val KmQ = 1000000L
+
+  /** K-means-trained IVF index: [[ivfIndex]]'s deterministic sample
+    * seeds Lloyd's algorithm, and `iters` assign→recompute rounds move
+    * the centroids to their cells' means before the final assignment.
+    * Trained centroids cut the variance of cell populations, which is
+    * what bounds worst-case probe cost — the production upgrade the
+    * [[ivfIndex]] scaladoc promises.
+    *
+    * Determinism (the oracle contract): centroid means are computed in
+    * EXACT integer arithmetic — components quantized to micro-units
+    * (`round(x·10⁶)` as long), summed per cell with the commutative
+    * [[graft.functions.Aggregators.VecSumLong]], divided back once and
+    * rounded to 6 dp. Long sums are order-independent where float sums
+    * are not, so the trained centroids are bit-identical under any
+    * partitioning and reproducible in DuckDB. Assignment argmax rounds
+    * cosines to 6 dp, ties to the lower centroid id (as [[ivfIndex]]).
+    *
+    * Scale: each round is one corpus scan against O(√n) broadcast
+    * centroids plus a map-side-combined per-cell sum (the shuffle moves
+    * one 64-long buffer per cell per partition — never member vectors);
+    * cells that lose all members drop out, the rest keep their seed's
+    * cid. Training cost is `iters + 1` corpus scans — run it as the
+    * index-build job, then amortize over [[ivfSearch]] calls.
+    */
+  def ivfTrainedIndex(emb: DataFrame, iters: Int = 2,
+      centroidEvery: Int = 0, materialize: Boolean = true): IvfIndex = {
+    require(iters >= 1, "iters must be >= 1")
+    val cut: DataFrame => DataFrame = if (materialize) Ckpt.narrow else identity
+    val stride =
+      if (centroidEvery > 0) centroidEvery else derivedStride(emb.count())
+    val v = withNorm(emb)
+    // exact-integer view of the corpus, reused by every round
+    val q = cut(v.select(col("vec_id"), expr(
+      s"transform(e, x -> cast(round(cast(x as double) * $KmQ.0d) as bigint))")
+      .as("qv")))
+    val seed = withNorm(emb.filter(pmod(col("vec_id"), lit(stride)) === 0))
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val trained = (1 to iters).foldLeft(seed) { (cents, _) =>
+      val cells = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          round(cosCol(col("e"), col("ce"), col("nrm"), col("cn")), 6).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+      cells.join(q, "vec_id")
+        .groupBy(col("cell"))
+        .agg(graft.functions.Aggregators.vec_sum_long(col("qv")).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell").as("cid"), expr(
+          s"transform(s, x -> round(cast(x as double) / ($KmQ.0d * cnt), 6))")
+          .as("ce"))
+        .withColumn("cn", sqrt(array_dot(col("ce"), col("ce"))))
+    }
+    val cents = cut(trained)
+    val assigned = cut(v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+        round(cosCol(col("e"), col("ce"), col("nrm"), col("cn")), 6).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("e")).as("e"), first(col("nrm")).as("nrm"),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")))
+    IvfIndex(stride, cents, assigned)
+  }
+
   /** Default IVF centroid stride: ⌈√n⌉ ⇒ ~√n centroids of ~√n vectors. */
   private[graft] def derivedStride(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt

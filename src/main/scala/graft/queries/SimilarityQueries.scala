@@ -64,6 +64,34 @@ object SimilarityQueries {
 
   private val LshCandSql: String = lshCandSql(16, 8)
 
+  /** One Lloyd round in DuckDB (mirrors `Similarity.ivfTrainedIndex`):
+    * assign every vector to its nearest centroid from `prev` (rounded-cos
+    * desc, cid asc), then the element-wise EXACT-INTEGER mean per cell —
+    * micro-unit long sums divided back and rounded to 6 dp, the same
+    * order-independent arithmetic the Spark side uses, so trained
+    * centroids match bit-for-bit.
+    */
+  private def kmRoundSql(n: Int, prev: String): String =
+    s"""asg$n AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT t.vec_id, t.cid,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY t.ccos DESC, t.cid) AS rn
+       |    FROM (SELECT v.vec_id, c.cid,
+       |                 round(${cosSql("v.e", "c.ce")}, 6) AS ccos
+       |          FROM v CROSS JOIN $prev c) t)
+       |  WHERE rn = 1),
+       |agg$n AS (
+       |  SELECT a.cell, t.k, sum(q.qv[t.k]) AS s, count(*) AS cnt
+       |  FROM asg$n a JOIN qv q USING (vec_id),
+       |       UNNEST(generate_series(1, len(q.qv))) AS t(k)
+       |  GROUP BY a.cell, t.k),
+       |cents$n AS (
+       |  SELECT cell AS cid,
+       |         list_transform(list(s ORDER BY k), x ->
+       |           round(CAST(x AS DOUBLE) / (1000000.0 * cnt), 6)) AS ce
+       |  FROM agg$n GROUP BY cell, cnt)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q30_embedding_pairs" -> ((spark, dir) =>
       Similarity.cosinePairs(Tables.load(spark, dir, "embeddings"), threshold = 0.4)
@@ -110,7 +138,18 @@ object SimilarityQueries {
     "q59_semantic_dedup_strict" -> ((spark, dir) =>
       Similarity.semanticDedup(Tables.load(spark, dir, "embeddings"),
           threshold = 0.9, tables = 16, bits = 12, dim = 64)
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // the trained-index tier: 2 Lloyd rounds on the q45 seed, then the
+    // same probe/search contract — build is eager (index job), search
+    // amortizes it
+    "q61_ann_ivf_trained" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.ivfSearch(
+        Similarity.ivfTrainedIndex(emb, iters = 2),
+        emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }))
 
   def oracles: Map[String, String] = Map(
     "q30_embedding_pairs" ->
@@ -217,6 +256,49 @@ object SimilarityQueries {
          |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.node
          |ORDER BY vec_id""".stripMargin,
+
+    "q61_ann_ivf_trained" ->
+      s"""WITH $VecSql,
+         |qv AS (SELECT vec_id,
+         |              list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+         |       FROM v),
+         |cents0 AS (SELECT vec_id AS cid, e AS ce FROM v
+         |           WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v) = 0),
+         |${kmRoundSql(1, "cents0")},
+         |${kmRoundSql(2, "cents1")},
+         |assigned AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT t.vec_id, t.cid,
+         |           row_number() OVER (PARTITION BY t.vec_id
+         |             ORDER BY t.ccos DESC, t.cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid,
+         |                 round(${cosSql("v.e", "c.ce")}, 6) AS ccos
+         |          FROM v CROSS JOIN cents2 c) t)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cid AS cell FROM (
+         |    SELECT t.query_id, t.cid,
+         |           row_number() OVER (PARTITION BY t.query_id
+         |             ORDER BY t.qcos DESC, t.cid) AS rn
+         |    FROM (SELECT q.vec_id AS query_id, c.cid,
+         |                 round(${cosSql("q.e", "c.ce")}, 6) AS qcos
+         |          FROM v q CROSS JOIN cents2 c WHERE q.vec_id < 10) t)
+         |  WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         ${cosSql("q.e", "a.e")} AS cos
+         |  FROM probes p
+         |  JOIN assigned av ON p.cell = av.cell
+         |  JOIN v a ON av.vec_id = a.vec_id
+         |  JOIN v q ON p.query_id = q.vec_id
+         |  WHERE p.query_id <> a.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q59_semantic_dedup_strict" ->
       s"""WITH RECURSIVE $VecSql,

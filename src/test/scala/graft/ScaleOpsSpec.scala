@@ -120,6 +120,47 @@ class ScaleOpsSpec extends AnyFunSuite {
       rows(Similarity.ivfTopK(emb, q2, k = 5, centroidEvery = 20, nProbe = 3)))
   }
 
+  test("IVF k-means: planted clusters co-assign and training is bit-deterministic") {
+    import spark.implicits._
+    // 3 tight, well-separated clusters of 10 vectors each, ids interleaved
+    // so the stride-7 seed draws from more than one cluster
+    val rows = (0 until 30).map { id =>
+      val c = id % 3
+      val base = Array.fill(4)(0.02f * ((id * 7 + c) % 5))
+      base(c) = 1.0f
+      (id.toLong, base.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfTrainedIndex(emb, iters = 2, centroidEvery = 7)
+    val cells = idx.assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Lloyd keeps however many seeds land inside a tight cluster (it
+    // never merges centroids), so the invariant is cell PURITY: no cell
+    // mixes vectors from two planted clusters
+    val byCell = (0 until 30).groupBy(id => cells(id.toLong))
+    byCell.foreach { case (cell, ids) =>
+      assert(ids.map(_ % 3).toSet.size == 1, s"cell $cell mixes clusters: $ids")
+    }
+    // bit-determinism: a second training run yields identical centroids
+    def centRows(i: Similarity.IvfIndex) = i.cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).sortBy(_._1).toList
+    val again = Similarity.ivfTrainedIndex(emb, iters = 2, centroidEvery = 7)
+    assert(centRows(idx) == centRows(again))
+  }
+
+  test("IVF k-means: trained index clears the same recall floor on corpus data") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 50)
+    val idx = Similarity.ivfTrainedIndex(emb, iters = 2, centroidEvery = 20)
+    val ivf = Similarity.ivfSearch(idx, q, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id")
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = ivf.intersect(exact).count().toDouble
+    val total = exact.count().toDouble
+    assert(hits / total >= 0.35, s"trained recall ${hits / total}")
+  }
+
   test("IVF: recall@5 vs brute force clears the probe-budget floor") {
     val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 50)
