@@ -238,6 +238,21 @@ object Dedup {
   /** Same-bucket pairs from a band frame (see [[minhashCandidates]] for
     * the skew-guard contract).
     */
+  /** The LSH skew guard as a reusable step: drop band buckets larger
+    * than `maxBucketSize` (0 = off) BEFORE any candidate join — one
+    * aggregation over the narrow band frame, nothing wide rescanned.
+    */
+  private def capBuckets(all: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) all
+    else {
+      val sizes = all.groupBy("b", "band_key")
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBucketSize)
+        .select(col("b").as("_fb"), col("band_key").as("_fk"))
+      all.join(sizes,
+        col("b") === col("_fb") && col("band_key") === col("_fk"), "left_semi")
+    }
+
   private def candidatesOfBands(
       bandFrame: DataFrame, maxBucketSize: Int, cut: Boolean = true): DataFrame = {
     // the band frame feeds both sides of the bucket self-join (and the
@@ -245,17 +260,7 @@ object Dedup {
     // runs once, not per consumer. `cut = false` when the caller's frame
     // is already a narrow projection of checkpointed blocks — a second
     // eager materialization there is pure overhead
-    val all = if (cut) Ckpt.narrow(bandFrame) else bandFrame
-    val bands =
-      if (maxBucketSize <= 0) all
-      else {
-        val sizes = all.groupBy("b", "band_key")
-          .agg(count(lit(1)).as("_bsz"))
-          .filter(col("_bsz") <= maxBucketSize)
-          .select(col("b").as("_fb"), col("band_key").as("_fk"))
-        all.join(sizes,
-          col("b") === col("_fb") && col("band_key") === col("_fk"), "left_semi")
-      }
+    val bands = capBuckets(if (cut) Ckpt.narrow(bandFrame) else bandFrame, maxBucketSize)
     bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.band_key") === col("b.band_key") &&
@@ -299,6 +304,43 @@ object Dedup {
   def nearDupEdges(docs: DataFrame): DataFrame =
     minhashPairs(docs, n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7,
       maxBucketSize = NearDupMaxBucket)
+
+  /** Incremental near-dup edges: the ingest-time rendering of
+    * [[nearDupEdges]]. Given the existing `corpus` and a `delta` of new
+    * documents (doc_id sets MUST be disjoint), returns exactly the
+    * verified near-dup pairs that TOUCH the delta — i.e.
+    * `nearDupEdges(corpus ∪ delta)` restricted to pairs with ≥ 1 delta
+    * endpoint — without ever forming a corpus-side self-join.
+    *
+    * Why this is the 100 TB daily-ingest shape: bands are an equi-keyed
+    * index, so joining the full band frame against ONLY the delta's
+    * bands prunes every bucket the delta doesn't touch; candidate volume
+    * tracks the delta and its collisions, not the corpus pair space. In
+    * production the corpus' (doc_id, band) frame and hashed shingles are
+    * a stored index written by the previous run (they are exactly the
+    * checkpointed narrow frames this builds); the delta then costs one
+    * scan of the NEW docs plus bucket-local joins. Same skew cap,
+    * threshold and verification as the canonical path, so verdicts never
+    * drift from what a from-scratch run would say.
+    */
+  def incrementalNearDupEdges(
+      corpus: DataFrame, delta: DataFrame, n: Int = 3, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.7,
+      maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
+    // per-doc derivations, so union-of-shingles == shingles-of-union
+    val shAll = Ckpt.narrow(shingles(corpus, n).union(shingles(delta, n)))
+    val bands = capBuckets(
+      Ckpt.narrow(lshBands(shAll, numHashes, rowsPerBand)), maxBucketSize)
+    val bandsD = bands.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+    val cand = bands.as("a")
+      .join(bandsD.as("d"),
+        col("a.b") === col("d.b") && col("a.band_key") === col("d.band_key") &&
+          col("a.doc_id") =!= col("d.doc_id"))
+      .select(least(col("a.doc_id"), col("d.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("d.doc_id")).as("j"))
+      .distinct()
+    jaccardOfCandidates(shAll, cand, threshold)
+  }
 
   /** Estimated-Jaccard near-dup pairs: the pure-sketch tier above
     * [[minhashPairs]]. Candidates come from the same banded buckets, but

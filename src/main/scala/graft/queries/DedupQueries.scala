@@ -108,7 +108,21 @@ object DedupQueries {
     "q55_dedup_minhash_estimate" -> ((spark, dir) =>
       Dedup.minhashEstimatePairs(Tables.load(spark, dir, "documents"),
           n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
-        .orderBy("i", "j")))
+        .orderBy("i", "j")),
+
+    // daily-ingest rendering: the newest ~20% of docs arrive as a delta
+    // against the rest; result == the canonical edges that touch the
+    // delta (the oracle recomputes the same cut from its own max(doc_id))
+    "q62_incremental_dedup" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val nf = math.floor(
+        0.8 * docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+          .head.getLong(0)).toLong
+      Dedup.incrementalNearDupEdges(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < nf),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= nf))
+        .orderBy("i", "j")
+    }))
 
   def oracles: Map[String, String] = Map(
     "q26_dedup_ngram" ->
@@ -159,6 +173,20 @@ object DedupQueries {
     // Sketch-only verification: same banded candidates as q27, but the
     // "Jaccard" is the signature agreement fraction — the sig CTE is the
     // only thing rejoined, never the shingle sets.
+    // Same CTE chain as q27; the delta cut (floor of 0.8 · max id) makes
+    // "pair touches the delta" equivalent to j >= nf because pairs are
+    // (min, max)-normalized and delta ids are the high range.
+    "q62_incremental_dedup" ->
+      s"""WITH $ShinglesSql,
+         |$MinhashCandSql,
+         |$JaccardSql
+         |SELECT jac.i, jac.j, round(jac.jaccard, 4) AS jaccard
+         |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+         |WHERE jac.jaccard >= 0.7
+         |  AND jac.j >= (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT)
+         |                FROM documents)
+         |ORDER BY jac.i, jac.j""".stripMargin,
+
     "q55_dedup_minhash_estimate" ->
       s"""WITH $ShinglesSql,
          |$MinhashCandSql,

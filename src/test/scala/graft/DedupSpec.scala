@@ -146,6 +146,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup == full-run edges touching the delta") {
+    val cut = 0.8 * docs.agg(max("doc_id")).head.getLong(0)
+    val nf = math.floor(cut).toLong
+    val inc = Dedup.incrementalNearDupEdges(
+        docs.filter(col("doc_id") < nf), docs.filter(col("doc_id") >= nf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.nearDupEdges(docs)
+      .filter(col("j") >= nf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full, s"missed: ${full -- inc}, spurious: ${inc -- full}")
+    // and nothing corpus-internal leaks in
+    val corpusOnly = Dedup.nearDupEdges(docs).filter(col("j") < nf).count()
+    assert(corpusOnly > 0 || full.nonEmpty, "cut should split the planted pairs")
+  }
+
   test("simhash blocking: candidate fraction stays flat as a noise corpus scales") {
     // worst case for blocking: mutually unrelated docs → near-uniform
     // signatures. Two-block 10-bit keys bound the expected candidate
