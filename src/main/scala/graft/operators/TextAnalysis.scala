@@ -165,6 +165,38 @@ object TextAnalysis {
           lit(0.0)), 4).as("dup_5gram_frac"))
   }
 
+  /** Top-`k` characteristic terms per document by tf·idf, with
+    * idf = (n_docs + 1)/(df + 1) — the RATIONAL smoothed inverse document
+    * frequency, deliberately un-logged: rational arithmetic over exact
+    * integer counts is bit-identical across engines, where libm `ln`
+    * differs in final ulps and would poison the hash gate. The trade is
+    * documented, not hidden: rarity weighs more aggressively than with
+    * log damping (callers wanting classic scores can `ln()` the ratio —
+    * per-term order within a fixed tf is unchanged since log is
+    * monotone). Ranking ties break by term asc; ranking compares the
+    * ROUNDED score (4 dp), so order is engine-reproducible too.
+    *
+    * Scale posture: one word explode, a (doc, word) count, a vocab-sized
+    * document-frequency agg (AQE broadcasts the df side when the vocab
+    * is small; a natural-language vocab is bounded ≪ corpus), and one
+    * per-doc rank window — all linear, hot stopword keys ride the AQE
+    * skew-join split.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(expr(WordsExpr)).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf") * (col("n_docs") + 1.0) / (col("df") + 1.0), 4).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "word", "tf", "df", "score", "rank")
+  }
+
   /** Rolling-hash document fingerprints (winnowing-lite): min/max of the
     * portable 60-bit hash over word `n`-gram shingles plus the shingle
     * count. Equal fingerprints ⇒ near-identical content; the min-hash

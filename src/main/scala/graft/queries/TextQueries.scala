@@ -55,7 +55,11 @@ object TextQueries {
 
     "q60_repetition" -> ((spark, dir) =>
       TextAnalysis.repetitionSignals(Tables.load(spark, dir, "documents"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    "q63_tfidf" -> ((spark, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.load(spark, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rank")))
 
   def oracles: Map[String, String] = Map(
     "q37_lang_id" ->
@@ -190,5 +194,25 @@ object TextQueries {
         |       round(coalesce(CAST(mx2 AS DOUBLE) / tot2, 0), 4) AS top_bigram_frac,
         |       round(coalesce(CAST(tot5 - dst5 AS DOUBLE) / tot5, 0), 4) AS dup_5gram_frac
         |FROM documents d LEFT JOIN sig USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q63_tfidf" ->
+      """WITH wsq AS (SELECT doc_id,
+        |               list_filter(string_split_regex(trim(text), '\s+'),
+        |                           x -> x != '') AS w
+        |             FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS word FROM wsq),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+        |                  round(tf.tf * (n.n_docs + 1.0) / (dfq.df + 1.0), 4) AS score
+        |           FROM tf JOIN dfq USING (word) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                      ORDER BY score DESC, word) AS rank
+        |           FROM scored)
+        |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin)
 }

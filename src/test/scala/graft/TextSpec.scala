@@ -67,6 +67,23 @@ class TextSpec extends AnyFunSuite {
     assert(r(3L) === ((1L, 1.0, 0.0, 0.0)))
   }
 
+  test("tfidfTopTerms parity on hand-checked docs, ties break by term") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian durian durian")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    // idf: apple/durian (3+1)/(1+1)=2.0, banana/cherry (3+1)/(2+1)=1.3333
+    val r = TextAnalysis.tfidfTopTerms(df, k = 2).orderBy("doc_id", "rank")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(4), x.getLong(5)))
+    assert(r(0) === ((1L, "apple", 4.0, 1L)))      // tf 2 · 2.0
+    assert(r(2) === ((2L, "banana", 1.3333, 1L)))  // tied with cherry, word asc wins
+    assert(r(3) === ((2L, "cherry", 1.3333, 2L)))
+    assert(r(4) === ((3L, "durian", 6.0, 1L)))     // tf 3 · 2.0
+  }
+
   test("fingerprints: identical text yields identical fingerprint, shifted text does not") {
     import spark.implicits._
     val t = "alpha beta gamma delta epsilon zeta eta theta"
