@@ -62,6 +62,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-4 additions never fall back to nested-loop or cartesian joins") {
+    import org.apache.spark.sql.functions.col
+    for (name <- Seq("q62_incremental_dedup", "q63_tfidf")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+        !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
+        !plan.contains("CartesianProduct"),
+        s"$name plans a quadratic join:\n${plan.take(2000)}")
+    }
+    // trained IVF: gate the UNmaterialized build+search plan so the
+    // Lloyd rounds themselves (not just the search over checkpointed
+    // frames) are in view — q61's gated query materializes them away
+    val emb = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val idx = graft.operators.Similarity.ivfTrainedIndex(
+      emb, iters = 2, centroidEvery = 20, materialize = false)
+    val plan = executedPlan(graft.operators.Similarity.ivfSearch(
+      idx, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3))
+    assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+      !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
+      !plan.contains("CartesianProduct"),
+      s"trained IVF plans a quadratic join:\n${plan.take(2000)}")
+  }
+
   test("q10 aggregation is map-side partial (two HashAggregate phases)") {
     val plan = executedPlan(q("q10_agg_tpch_q1"))
     assert(plan.contains("partial"), s"no partial aggregation:\n${plan.take(1500)}")
