@@ -26,37 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def curate(docs: DataFrame, minQuality: Double = 0.15): DataFrame = {
-    // Wide rows never recur: document text appears only in per-branch
-    // pruned scans (Spark has no cross-branch subtree reuse, so "used
-    // twice" means a re-scan with column pruning, never a re-shuffle of
-    // text). The NARROW shared frames are a different story — since the
-    // dedup tier hashes shingles to longs at birth, the near-dup stage's
-    // shingle frame is 16 bytes/row and [[Dedup.minhashPairs]] local-
-    // checkpoints it once for all four of its consumers, which removed
-    // the ~2.4× lineage-recompute multiplier this pipeline used to pay.
+  /** The cheap gate stages (1–2) shared by [[curate]] and
+    * [[curateIncremental]]: quality scores, quality-passed fingerprints,
+    * exact-keeper tags. Wide rows never recur: document text appears
+    * only in per-branch pruned scans (Spark has no cross-branch subtree
+    * reuse, so "used twice" means a re-scan with column pruning, never a
+    * re-shuffle of text). The NARROW shared frames are checkpointed:
+    * (doc_id, quality) ~16 B/row is read by the gate AND the verdict
+    * join; (doc_id, fp) is read by the keeper aggregation, the per-doc
+    * tag join and the keeper semi-join.
+    */
+  private case class Gates(
+      quality: DataFrame, exactTag: DataFrame, keeperIds: DataFrame)
+
+  private def gates(docs: DataFrame, minQuality: Double): Gates = {
     val base = docs.select(col("doc_id"), col("text"))
-    // (doc_id, quality): ~16 B/row, read by the quality gate AND the
-    // final verdict join — checkpoint so the scoring scan runs once
     val quality = Ckpt.narrow(
       TextAnalysis.qualityScores(docs).select("doc_id", "quality"))
-    // (doc_id, fp): the exact-dedup key frame, read by the keeper
-    // aggregation, the per-doc tag join and the keeper semi-join —
-    // checkpoint so the md5 scan over text runs once
     val passed = Ckpt.narrow(base
       .join(quality.filter(col("quality") >= minQuality), "doc_id")
       .select(col("doc_id"), md5(col("text")).as("fp")))
     val keep1 = passed.groupBy("fp").agg(min("doc_id").as("exact_keep"))
     // (doc_id, exact_keep): two longs through the fingerprint join
     val exactTag = passed.join(keep1, "fp").select("doc_id", "exact_keep")
+    Gates(quality, exactTag, keep1.select(col("exact_keep").as("doc_id")))
+  }
 
-    // keepers' text re-enters via a semi-join against the pruned scan
-    val exactKept = base.join(
-      keep1.select(col("exact_keep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val comp = Components.connected(Dedup.nearDupEdges(exactKept))
-
-    quality
-      .join(exactTag, Seq("doc_id"), "left")
+  /** Stage-4 verdict assembly from the gate frames + a component map. */
+  private def verdicts(g: Gates, comp: DataFrame, minQuality: Double): DataFrame =
+    g.quality
+      .join(g.exactTag, Seq("doc_id"), "left")
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         // NULL quality (empty/whitespace-only doc: 0/0 words) is junk,
@@ -73,5 +72,64 @@ object Curation {
           .when(col("component").isNotNull && col("component") =!= col("doc_id"),
             col("component"))
           .otherwise(lit(null).cast("long")).as("ref_id"))
+
+  def curate(docs: DataFrame, minQuality: Double = 0.15): DataFrame = {
+    val g = gates(docs, minQuality)
+    // keepers' text re-enters via a semi-join against the pruned scan
+    val exactKept = docs.select(col("doc_id"), col("text"))
+      .join(g.keeperIds, Seq("doc_id"), "left_semi")
+    verdicts(g, Components.connected(Dedup.nearDupEdges(exactKept)), minQuality)
+  }
+
+  /** The quality-passing exact-keeper documents of a curation run — the
+    * frame whose canonical near-dup edges ([[Dedup.nearDupEdges]]) a
+    * production pipeline stores alongside the verdicts, to hand to the
+    * next day's [[curateIncremental]] as `corpusEdges`.
+    */
+  def exactKeepers(docs: DataFrame, minQuality: Double = 0.15): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .join(gates(docs, minQuality).keeperIds, Seq("doc_id"), "left_semi")
+
+  /** Ingest-time curation: verdicts over `corpus ∪ delta` where the
+    * near-dup tier — the only superlinear stage — does ONLY delta-
+    * touching work. `corpusEdges` is the stored edge list from the
+    * previous run (`Dedup.nearDupEdges(exactKeepers(corpus))` — i, j
+    * columns); new edges come from [[Dedup.incrementalNearDupEdges]] of
+    * the delta's keepers against the corpus' keepers, and components are
+    * recomputed over the union (edge lists are tiny next to the corpus;
+    * re-clustering them is linear and lets a delta doc legitimately
+    * MERGE two existing clusters).
+    *
+    * Contract: every delta doc_id must exceed every corpus doc_id
+    * (append-only ingest). That makes corpus keeper status immune to the
+    * delta (a group's min id can't move), so the output equals
+    * `curate(corpus ∪ delta)` EXACTLY — differentially tested — except
+    * in one documented corner: a band bucket that only exceeds the
+    * [[Dedup.NearDupMaxBucket]] skew cap once delta members join it
+    * would have been dropped by the from-scratch run but was already
+    * mined for `corpusEdges`; stored past edges are treated as
+    * authoritative (verdicts never retroactively un-learn), which is the
+    * production semantic.
+    *
+    * Cheap stages re-scan `corpus` here (they are linear and fuse into
+    * one pass); a production run would feed the stored (doc_id, quality)
+    * and (doc_id, fp) frames instead — the operator's contract point is
+    * the near-dup tier, where from-scratch cost is corpus-quadratic in
+    * the worst case and delta-proportional here.
+    */
+  def curateIncremental(
+      corpus: DataFrame, delta: DataFrame, corpusEdges: DataFrame,
+      minQuality: Double = 0.15): DataFrame = {
+    val all = corpus.select(col("doc_id"), col("text"))
+      .union(delta.select(col("doc_id"), col("text")))
+    val g = gates(all, minQuality)
+    val corpusKept = corpus.select(col("doc_id"), col("text"))
+      .join(g.keeperIds, Seq("doc_id"), "left_semi")
+    val deltaKept = delta.select(col("doc_id"), col("text"))
+      .join(g.keeperIds, Seq("doc_id"), "left_semi")
+    val edges = corpusEdges.select(col("i"), col("j"))
+      .union(Dedup.incrementalNearDupEdges(corpusKept, deltaKept)
+        .select(col("i"), col("j")))
+    verdicts(g, Components.connected(edges), minQuality)
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 import graft.sources.Tables
 
 /** q48: the flagship end-to-end curation pass (quality gate → exact
@@ -9,16 +9,36 @@ import graft.sources.Tables
   * fingerprint groups, the full q27 MinHash-LSH chain restricted to
   * quality-passing exact-keepers, and a recursive-closure rendering of
   * the component step.
+  *
+  * q64 runs the INCREMENTAL composition (stored corpus edges + delta-
+  * touching near-dup work only, `Curation.curateIncremental`) over the
+  * same corpus split at the q62 delta cut — and is gated against the
+  * SAME from-scratch oracle SQL as q48: the hash match IS the
+  * incremental-equals-full law, enforced by the driver.
   */
 object CurationQueries {
 
   def queries: Map[String, Q] = Map(
     "q48_corpus_curation" -> ((spark, dir) =>
       Curation.curate(Tables.load(spark, dir, "documents"), minQuality = 0.15)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    "q64_incremental_curation" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{col, max}
+      val docs = Tables.load(spark, dir, "documents")
+      val nf = math.floor(0.8 * docs.agg(max("doc_id")).head.getLong(0)).toLong
+      val corpus = docs.filter(col("doc_id") < nf)
+      val delta = docs.filter(col("doc_id") >= nf)
+      // what yesterday's run would have stored
+      val corpusEdges = Dedup.nearDupEdges(Curation.exactKeepers(corpus))
+      Curation.curateIncremental(corpus, delta, corpusEdges).orderBy("doc_id")
+    }))
 
   def oracles: Map[String, String] = Map(
-    "q48_corpus_curation" ->
+    "q48_corpus_curation" -> FullCurationSql,
+    "q64_incremental_curation" -> FullCurationSql)
+
+  private lazy val FullCurationSql: String =
       ("""WITH RECURSIVE
         |wsq AS (SELECT doc_id, text,
         |               list_filter(string_split_regex(trim(text), '\s+'),
@@ -58,5 +78,5 @@ object CurationQueries {
         |FROM q d
         |LEFT JOIN exact_tag et ON d.doc_id = et.doc_id
         |LEFT JOIN compo c ON d.doc_id = c.doc_id
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)
 }

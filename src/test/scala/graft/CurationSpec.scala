@@ -32,6 +32,41 @@ class CurationSpec extends AnyFunSuite {
       (5L, "kept", None)))
   }
 
+  test("incremental curation == from-scratch curation (crafted delta + sf corpus)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rich = (1 to 120).map(i => s"word$i unique token number $i").mkString(" ")
+    val other = (1 to 150).map(i => s"other vocabulary item $i").mkString(" ")
+    val corpus = Seq(
+      (1L, rich), (2L, rich), (3L, "tiny"), (4L, other)
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, rich),                                   // exact dup of a corpus keeper
+      (11L, rich + " trailing near duplicate tail"), // near-dup crossing the cut
+      (12L, other + " another close tail variant"),  // near-dup of corpus doc 4
+      (13L, "junk"),                                 // low quality
+      (14L, (1 to 130).map(i => s"fresh delta content piece $i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val all = corpus.union(delta)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        Option(r.get(3)))).toSet
+    val full = rows(Curation.curate(all))
+    val inc = rows(Curation.curateIncremental(
+      corpus, delta, Dedup.nearDupEdges(Curation.exactKeepers(corpus))))
+    assert(inc == full, s"diff: ${(full -- inc) ++ (inc -- full)}")
+
+    // and on the sf corpus at the q62/q64 cut
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val nf = math.floor(0.8 * docs.agg(max("doc_id")).head.getLong(0)).toLong
+    val c2 = docs.filter(col("doc_id") < nf)
+    val d2 = docs.filter(col("doc_id") >= nf)
+    val full2 = rows(Curation.curate(docs))
+    val inc2 = rows(Curation.curateIncremental(
+      c2, d2, Dedup.nearDupEdges(Curation.exactKeepers(c2))))
+    assert(inc2 == full2)
+  }
+
   test("corpus laws: verdicts partition the corpus, refs point at kept docs") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
     val out = Curation.curate(docs, minQuality = 0.15).cache()
