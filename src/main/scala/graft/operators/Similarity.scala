@@ -261,6 +261,56 @@ object Similarity {
   private[graft] def derivedStride(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 
+  /** The quantized-component expression shared by [[quantizeInt8]] and
+    * [[int8QuantAudit]] — one definition so the stored artifact and the
+    * audit can never drift. Requires columns `e` (array<double>) and
+    * `scale` (its max |component|); values land in [-127, 127] exactly.
+    */
+  private val QuantE =
+    "if(scale = 0d, transform(e, x -> cast(0 as tinyint)), " +
+      "transform(e, x -> cast(round((x / scale) * 127.0) as tinyint)))"
+
+  /** Int8 embedding quantization for storage: per-vector max-abs scaling
+    * to a tinyint array — 4× smaller than float32, ≤ scale/254 per-
+    * component absolute error. `scale` is the max |component| (a max, so
+    * order-independent and engine-portable); components map to
+    * round(x/scale · 127); all-zero vectors quantize to zeros with
+    * scale 0. At corpus scale this is a narrow projection — no shuffle,
+    * no state — run as part of the embedding ingest write.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("scale", expr("array_max(transform(e, x -> abs(x)))"))
+      .select(col("vec_id"), col("scale"), expr(QuantE).as("qe"))
+
+  /** Reconstruction-error audit of [[quantizeInt8]], rolled up per
+    * label: errors are measured in EXACT micro-units — |round(x·10⁶) −
+    * round(x̂·10⁶)| as longs per component, where x̂ = q·scale/127 —
+    * so every aggregate is an order-independent long sum/max (the same
+    * determinism discipline as [[ivfTrainedIndex]]) and the audit hashes
+    * identically in DuckDB. One scan, one bounded group-by.
+    */
+  def int8QuantAudit(emb: DataFrame): DataFrame = {
+    val per = emb.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("scale", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("qe", expr(QuantE))
+      .select(col("label"), col("scale"),
+        expr("zip_with(e, qe, (x, qv) -> abs(cast(round(x * 1000000.0) as bigint) - " +
+          "cast(round(((cast(qv as double) * scale) / 127.0) * 1000000.0) as bigint)))")
+          .as("errs"))
+      .select(col("label"), col("scale"),
+        expr("aggregate(errs, 0L, (a, x) -> a + x)").as("sum_err"),
+        expr("array_max(errs)").as("max_err"),
+        size(col("errs")).cast("long").as("n"))
+    per.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      max("max_err").as("max_err_micro"),
+      round(sum("sum_err").cast("double") / sum("n"), 4).as("avg_err_micro"),
+      round(max("scale"), 6).as("max_scale"))
+  }
+
   /** Hyperplane component (t, p, d), derived from md5 so that an oracle
     * engine regenerates the identical plane: first 15 hex chars of
     * md5("t_p_d") as a 60-bit int, centered into [-1, 1] in steps of

@@ -140,6 +140,10 @@ object SimilarityQueries {
           threshold = 0.9, tables = 16, bits = 12, dim = 64)
         .orderBy("vec_id")),
 
+    "q65_quantize_audit" -> ((spark, dir) =>
+      Similarity.int8QuantAudit(Tables.load(spark, dir, "embeddings"))
+        .orderBy("label")),
+
     // the trained-index tier: 2 Lloyd rounds on the q45 seed, then the
     // same probe/search contract — build is eager (index job), search
     // amortizes it
@@ -256,6 +260,34 @@ object SimilarityQueries {
          |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.node
          |ORDER BY vec_id""".stripMargin,
+
+    // int8 quantization audit: q mirrors the engine's tinyint cast as a
+    // round() double (identical values in [-127, 127]); every error is
+    // an exact micro-unit long so sums/maxes are order-independent
+    "q65_quantize_audit" ->
+      s"""WITH $VecSql,
+         |s AS (SELECT v.vec_id, emb.label, v.e,
+         |             list_max(list_transform(v.e, x -> abs(x))) AS scale
+         |      FROM v JOIN embeddings emb ON v.vec_id = emb.vec_id),
+         |qz AS (SELECT vec_id, label, e, scale,
+         |              list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+         |                ELSE round((x / scale) * 127.0) END) AS q
+         |       FROM s),
+         |er AS (SELECT vec_id, label, scale,
+         |              list_transform(generate_series(1, len(e)), k ->
+         |                abs(CAST(round(e[k] * 1000000.0) AS BIGINT) -
+         |                    CAST(round(((q[k] * scale) / 127.0) * 1000000.0) AS BIGINT))) AS errs
+         |       FROM qz),
+         |per AS (SELECT vec_id, label, scale,
+         |               list_sum(errs) AS sum_err, list_max(errs) AS max_err,
+         |               len(errs) AS n
+         |        FROM er)
+         |SELECT label, count(*) AS n_vecs,
+         |       CAST(max(max_err) AS BIGINT) AS max_err_micro,
+         |       round(CAST(sum(sum_err) AS DOUBLE) / sum(n), 4) AS avg_err_micro,
+         |       round(max(scale), 6) AS max_scale
+         |FROM per GROUP BY label
+         |ORDER BY label""".stripMargin,
 
     "q61_ann_ivf_trained" ->
       s"""WITH $VecSql,

@@ -161,6 +161,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(hits / total >= 0.35, s"trained recall ${hits / total}")
   }
 
+  test("int8 quantization: hand-checked values, zero-vector edge, error bound") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df).orderBy("vec_id").collect()
+    assert(q(0).getDouble(1) === 1.0)
+    assert(q(0).getSeq[Byte](2) == Seq[Byte](127, -64, 32)) // -63.5 rounds away from zero
+    assert(q(1).getDouble(1) === 0.0)
+    assert(q(1).getSeq[Byte](2) == Seq[Byte](0, 0, 0))
+    // corpus audit: worst error within the scale/254 quantization bound
+    // (+1 micro-unit measurement rounding slop)
+    val audit = Similarity.int8QuantAudit(
+      Tables.load(spark, TestSpark.Sf0001, "embeddings")).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val bound = r.getDouble(4) / 254.0 * 1e6 + 1
+      assert(r.getLong(2) <= bound,
+        s"label ${r.get(0)}: max_err ${r.getLong(2)} > bound $bound")
+    }
+  }
+
   test("IVF: recall@5 vs brute force clears the probe-budget floor") {
     val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 50)
