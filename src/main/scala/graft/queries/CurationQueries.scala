@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, Prep, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** q48: the flagship end-to-end curation pass (quality gate → exact
@@ -15,6 +16,13 @@ import graft.sources.Tables
   * same corpus split at the q62 delta cut — and is gated against the
   * SAME from-scratch oracle SQL as q48: the hash match IS the
   * incremental-equals-full law, enforced by the driver.
+  *
+  * q66 is the capstone manifest a training run consumes: one row per
+  * document joining the lexical verdict (q48), the strict semantic-dedup
+  * keeper flag (q59's config), the deterministic split (q56), and the
+  * token count — with the final `include` bit. Its oracle composes the
+  * same CTE chains in one statement (the semantic chain prefixed `s` to
+  * keep the namespace disjoint).
   */
 object CurationQueries {
 
@@ -24,7 +32,6 @@ object CurationQueries {
         .orderBy("doc_id")),
 
     "q64_incremental_curation" -> ((spark, dir) => {
-      import org.apache.spark.sql.functions.{col, max}
       val docs = Tables.load(spark, dir, "documents")
       val nf = math.floor(0.8 * docs.agg(max("doc_id")).head.getLong(0)).toLong
       val corpus = docs.filter(col("doc_id") < nf)
@@ -32,15 +39,42 @@ object CurationQueries {
       // what yesterday's run would have stored
       val corpusEdges = Dedup.nearDupEdges(Curation.exactKeepers(corpus))
       Curation.curateIncremental(corpus, delta, corpusEdges).orderBy("doc_id")
+    }),
+
+    "q66_training_manifest" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val emb = Tables.load(spark, dir, "embeddings")
+      val verd = Curation.curate(docs).select("doc_id", "verdict")
+      val sem = Similarity
+        .semanticDedup(emb, threshold = 0.9, tables = 16, bits = 12, dim = 64)
+        .select(col("vec_id").as("doc_id"), col("kept").as("sem_kept"))
+      val spl = Prep.split(docs).select("doc_id", "split")
+      val tok = TextAnalysis.tokenCounts(docs).select("doc_id", "ws_tokens")
+      // docs without an embedding keep sem_kept = 1 (nothing to dedup)
+      verd.join(sem, Seq("doc_id"), "left")
+        .join(spl, "doc_id")
+        .join(tok, "doc_id")
+        .select(col("doc_id"), col("verdict"),
+          coalesce(col("sem_kept"), lit(1L)).as("sem_kept"),
+          col("split"), col("ws_tokens"),
+          (col("verdict") === "kept" &&
+            coalesce(col("sem_kept"), lit(1L)) === 1)
+            .cast("bigint").as("include"))
+        .orderBy("doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_curation" -> FullCurationSql,
-    "q64_incremental_curation" -> FullCurationSql)
+    "q64_incremental_curation" -> FullCurationSql,
+    "q66_training_manifest" -> ManifestSql)
 
-  private lazy val FullCurationSql: String =
-      ("""WITH RECURSIVE
-        |wsq AS (SELECT doc_id, text,
+  /** The q48 CTE chain — quality gate, exact-keeper tags, the canonical
+    * near-dup pipeline over keepers, recursive components — WITHOUT the
+    * `WITH RECURSIVE` header or a final SELECT, so q66 can extend the
+    * namespace.
+    */
+  private lazy val CurationChainCtes: String =
+      ("""wsq AS (SELECT doc_id, text,
         |               list_filter(string_split_regex(trim(text), '\s+'),
         |                           x -> x != '') AS w
         |        FROM documents),
@@ -61,8 +95,13 @@ object CurationQueries {
         |r AS (SELECT i AS nd, i AS m FROM e
         |      UNION
         |      SELECT r.nd, e.j AS m FROM r JOIN e ON r.m = e.i),
-        |compo AS (SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY nd)
-        |SELECT d.doc_id, d.quality,
+        |compo AS (SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY nd)""".stripMargin)
+
+  /** The per-doc verdict projection over [[CurationChainCtes]] (no
+    * ORDER BY — q48/q64 append one; q66 wraps it as a CTE).
+    */
+  private lazy val VerdictSelect: String =
+      """SELECT d.doc_id, d.quality,
         |       CASE WHEN d.quality IS NULL OR d.quality < 0.15 THEN 'low_quality'
         |            WHEN et.exact_keep IS NOT NULL AND d.doc_id <> et.exact_keep
         |              THEN 'exact_dup'
@@ -77,6 +116,51 @@ object CurationQueries {
         |            ELSE NULL END AS ref_id
         |FROM q d
         |LEFT JOIN exact_tag et ON d.doc_id = et.doc_id
-        |LEFT JOIN compo c ON d.doc_id = c.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |LEFT JOIN compo c ON d.doc_id = c.doc_id""".stripMargin
+
+  private lazy val FullCurationSql: String =
+    s"WITH RECURSIVE\n$CurationChainCtes\n$VerdictSelect\nORDER BY d.doc_id"
+
+  /** q66: the curation chain + the strict semantic chain (prefixed `s`,
+    * q59's 16×12 config at cos ≥ 0.9) + the q56 split buckets + token
+    * counts, joined into the final one-row-per-doc training manifest.
+    */
+  private lazy val ManifestSql: String =
+    (s"WITH RECURSIVE\n$CurationChainCtes,\n" +
+      s"verd AS (\n$VerdictSelect),\n" +
+      SimilarityQueries.VecSql + ",\n" +
+      SimilarityQueries.lshCandSql(16, 12, "s") + ",\n" +
+      s"""spairs AS (
+        |  SELECT i, j FROM (
+        |    SELECT i, j, ${SimilarityQueries.cosSql("a.e", "b.e")} AS cos
+        |    FROM scand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
+        |  WHERE cos >= 0.9),
+        |se AS (SELECT i, j FROM spairs UNION SELECT j AS i, i AS j FROM spairs),
+        |sr AS (SELECT i AS n, i AS m FROM se
+        |       UNION
+        |       SELECT sr.n, se.j AS m FROM sr JOIN se ON sr.m = se.i),
+        |scomp AS (SELECT n AS node, min(m) AS component FROM sr GROUP BY n),
+        |skept AS (SELECT emb.vec_id AS doc_id,
+        |                 CAST(CASE WHEN coalesce(sc.component, emb.vec_id) = emb.vec_id
+        |                           THEN 1 ELSE 0 END AS BIGINT) AS sem_kept
+        |          FROM embeddings emb LEFT JOIN scomp sc ON emb.vec_id = sc.node),
+        |spl AS (SELECT doc_id,
+        |               CASE WHEN bkt < 10 THEN 'test'
+        |                    WHEN bkt < 20 THEN 'val'
+        |                    ELSE 'train' END AS split
+        |        FROM (SELECT doc_id,
+        |                     CAST('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |                          AS BIGINT) % 100 AS bkt
+        |              FROM documents)),
+        |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS ws_tokens FROM wsq)
+        |SELECT m.doc_id, m.verdict,
+        |       coalesce(k.sem_kept, 1) AS sem_kept,
+        |       spl.split, tok.ws_tokens,
+        |       CAST(CASE WHEN m.verdict = 'kept' AND coalesce(k.sem_kept, 1) = 1
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS include
+        |FROM verd m
+        |LEFT JOIN skept k ON m.doc_id = k.doc_id
+        |JOIN spl ON m.doc_id = spl.doc_id
+        |JOIN tok ON m.doc_id = tok.doc_id
+        |ORDER BY m.doc_id""".stripMargin)
 }

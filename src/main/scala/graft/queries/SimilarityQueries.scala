@@ -25,12 +25,12 @@ object SimilarityQueries {
   /** DuckDB-side exact cosine between two list<double> columns (1-based
     * index). Spark computes the same fold via zip_with + aggregate.
     */
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)), k -> $a[k] * $b[k]))
        | / (sqrt(list_sum(list_transform($a, x -> x * x)))
        |    * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
 
-  private val VecSql =
+  private[queries] val VecSql =
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |      FROM embeddings)""".stripMargin
 
@@ -40,26 +40,28 @@ object SimilarityQueries {
     * derivation as the minhash oracle), projections summed in list
     * order, bucket = packed sign bits, candidates = same-(t, bucket)
     * pairs. Shared by q33/q54 (16 tables × 8 bits) and q59 (16 × 12) so
-    * the bucketing definition cannot drift between them.
+    * the bucketing definition cannot drift between them. `p` prefixes
+    * the CTE names for composition into oracles whose namespace is
+    * already taken (q66 embeds this next to the q48 curation chain).
     */
-  private def lshCandSql(tables: Int, bits: Int): String =
-    s"""planes AS (
+  private[queries] def lshCandSql(tables: Int, bits: Int, p: String = ""): String =
+    s"""${p}planes AS (
       |  SELECT t.t, p.p,
       |         list_transform(generate_series(1, 64), k ->
       |           (CAST('0x' || substr(md5(t.t || '_' || p.p || '_' || (k - 1)), 1, 15) AS BIGINT)
       |            % 2001 - 1000) / 1000.0) AS pr
       |  FROM (SELECT unnest(generate_series(0, ${tables - 1})) AS t) t,
       |       (SELECT unnest(generate_series(0, ${bits - 1})) AS p) p),
-      |proj AS (
+      |${p}proj AS (
       |  SELECT vec_id, t, p,
       |         list_sum(list_transform(generate_series(1, 64), k -> e[k] * pr[k])) AS proj
-      |  FROM v CROSS JOIN planes),
-      |buckets AS (
+      |  FROM v CROSS JOIN ${p}planes),
+      |${p}buckets AS (
       |  SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
-      |  FROM proj GROUP BY vec_id, t),
-      |cand AS (
+      |  FROM ${p}proj GROUP BY vec_id, t),
+      |${p}cand AS (
       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-      |  FROM buckets a JOIN buckets b
+      |  FROM ${p}buckets a JOIN ${p}buckets b
       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
   private val LshCandSql: String = lshCandSql(16, 8)
