@@ -41,7 +41,9 @@ object Bench {
           .filter(l => sfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir))
           .flatMap(l => qObj.findFirstMatchIn(l).map(_.group(1)).toSeq)
           .flatMap(o => qNum.findAllMatchIn(o).map(m => m.group(1) -> m.group(2).toDouble))
-          .filter(_._2 >= 0)
+          // strictly positive: a 0.000 recorded timing would later put
+          // Infinity ratios (invalid JSON) into the outlier map
+          .filter(_._2 > 0)
           .groupBy(_._1)
           .collect { case (name, vs) if vs.size >= 3 =>
             val s = vs.map(_._2).sorted

@@ -11,6 +11,10 @@ object Verify {
     // optional extra args: query names to dump (dev fast path); the
     // driver passes exactly two args and gets the full surface
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — valid names: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = Graft.session(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -36,8 +36,14 @@ private[graft] object Ckpt {
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         tracked.synchronized { tracked += l.rdd.id }
-      case _ => // unexpected plan shape: nothing to track — the block
-                // then lives until driver GC, as before tracking existed
+      case other =>
+        // unexpected plan shape (e.g. a Spark upgrade wrapping the
+        // checkpoint result): the block then lives until driver GC, as
+        // before tracking existed — warn so the regression isn't silent
+        System.err.println(
+          s"[graft.Ckpt] untracked checkpoint: analyzed plan is " +
+            s"${other.getClass.getSimpleName}, not LogicalRDD; " +
+            "releaseGraftStorage will not free this block")
     }
     df
   }
@@ -65,7 +71,10 @@ private[graft] object Ckpt {
     * DataFrame may survive this call — truncated lineage cannot
     * recompute dropped blocks (`Checkpoint block rdd_N_M not found`).
     * Call it only at a boundary where every graft frame is about to be
-    * rebuilt from storage.
+    * rebuilt from storage. That includes held index objects whose
+    * frames are checkpointed — e.g. a built
+    * [[graft.operators.Similarity.IvfIndex]] — which must be rebuilt,
+    * not searched, after a release.
     */
   def releaseGraftStorage(spark: SparkSession): Unit = tracked.synchronized {
     val persistent = spark.sparkContext.getPersistentRDDs

@@ -235,9 +235,6 @@ object Dedup {
       maxBucketSize: Int = NearDupMaxBucket): DataFrame =
     candidatesOfBands(lshBands(sh, numHashes, rowsPerBand), maxBucketSize)
 
-  /** Same-bucket pairs from a band frame (see [[minhashCandidates]] for
-    * the skew-guard contract).
-    */
   /** The LSH skew guard as a reusable step: drop band buckets larger
     * than `maxBucketSize` (0 = off) BEFORE any candidate join — one
     * aggregation over the narrow band frame, nothing wide rescanned.
@@ -253,6 +250,9 @@ object Dedup {
         col("b") === col("_fb") && col("band_key") === col("_fk"), "left_semi")
     }
 
+  /** Same-bucket pairs from a band frame (see [[minhashCandidates]] for
+    * the skew-guard contract).
+    */
   private def candidatesOfBands(
       bandFrame: DataFrame, maxBucketSize: Int, cut: Boolean = true): DataFrame = {
     // the band frame feeds both sides of the bucket self-join (and the

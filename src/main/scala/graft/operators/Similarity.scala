@@ -101,6 +101,12 @@ object Similarity {
     * cell (vec_id, e, nrm, cell) — both checkpointed, so every
     * [[ivfSearch]] against the index reads stored blocks instead of
     * re-running the O(n·√n) nearest-centroid scan. Built by [[ivfIndex]].
+    *
+    * Lifetime: the checkpointed frames are storage tracked by
+    * [[Ckpt]] — `Ckpt.releaseGraftStorage` (called at Bench/Verify run
+    * boundaries) unpersists them, and truncated lineage cannot recompute
+    * them, so a held index does NOT survive a release. Build, search,
+    * and release within one run scope; rebuild after a release.
     */
   final case class IvfIndex private[operators] (
       stride: Int, cents: DataFrame, assigned: DataFrame)
