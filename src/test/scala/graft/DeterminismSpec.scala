@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Dedup, Prep, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** The engine's determinism claim, tested head-on: results must be
+  * BIT-IDENTICAL under different physical partitionings. Each case runs
+  * one representative of a determinism-sensitive mechanism over inputs
+  * repartitioned two different ways (coprime counts, so row→partition
+  * assignment genuinely differs) and asserts set equality of collected
+  * rows:
+  *
+  *   - minhashPairs: md5-derived permutations + band buckets;
+  *   - ivfTrainedIndex: k-means centroid means via exact long sums
+  *     (the mechanism that replaces order-dependent float averaging);
+  *   - int8QuantAudit: micro-unit integer error aggregates;
+  *   - pack: prefix-sum windows keyed (source, shard);
+  *   - repetitionSignals: count aggregates + rounded ratios.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+  lazy val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def assertStable(f: DataFrame => DataFrame, in: DataFrame): Unit = {
+    val a = rows(f(in.repartition(7)))
+    val b = rows(f(in.repartition(13)))
+    assert(a == b, s"partitioning changed the result: ${(a -- b) ++ (b -- a)}")
+  }
+
+  test("minhash near-dup pairs are partitioning-independent") {
+    assertStable(d => Dedup.minhashPairs(d), docs)
+  }
+
+  test("k-means-trained IVF centroids are partitioning-independent") {
+    assertStable(e =>
+      Similarity.ivfTrainedIndex(e, iters = 2, centroidEvery = 20).cents, emb)
+  }
+
+  test("int8 quantization audit is partitioning-independent") {
+    assertStable(e => Similarity.int8QuantAudit(e), emb)
+  }
+
+  test("sequence packing is partitioning-independent") {
+    assertStable(d => Prep.pack(d, budget = 512L), docs)
+  }
+
+  test("repetition signals are partitioning-independent") {
+    assertStable(d => TextAnalysis.repetitionSignals(d), docs)
+  }
+}
