@@ -197,6 +197,48 @@ object TextAnalysis {
       .select("doc_id", "word", "tf", "df", "score", "rank")
   }
 
+  /** Fixed-size overlapping character chunks — the context-window prep
+    * step (RAG indexing, long-doc splitting) between curation and
+    * embedding. Chunks start every `size - overlap` characters; the last
+    * chunk may be short; a doc shorter than `size` (including empty)
+    * yields exactly one chunk. Offsets are 1-based character positions,
+    * chunk_id counts from 0 — both part of the output contract so
+    * re-chunking is reproducible anywhere. One narrow explode, no
+    * shuffle; chunk volume = corpus bytes × size/(size−overlap).
+    */
+  def chunk(docs: DataFrame, size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    docs.select(col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(1, greatest(1, length(text) - $overlap), $stride)"))
+          .as("start"))
+      .select(col("doc_id"),
+        expr(s"cast((start - 1) div $stride as bigint)").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(col("start") + (size - 1), length(col("text"))).cast("long").as("end"),
+        expr(s"substring(text, start, $size)").as("chunk"))
+  }
+
+  /** Corpus-boilerplate n-grams: word `n`-grams appearing in at least
+    * `minDocs` DISTINCT documents — the C4-style blocklist builder
+    * (discover the repeated boilerplate first, then strip or down-weight
+    * docs containing it). Per-doc-distinct explode into a map-side-
+    * combined count keyed by the gram; output is the bounded blocklist,
+    * not per-doc rows. Raw gram STRINGS are kept (unlike the dedup
+    * tier's 60-bit hashes) because the blocklist's consumer needs the
+    * text to match against — the having-filter bounds what survives.
+    */
+  def boilerplateGrams(docs: DataFrame, n: Int = 3, minDocs: Int = 5): DataFrame = {
+    require(n >= 1 && minDocs >= 1, s"need n >= 1, minDocs >= 1")
+    docs.select(col("doc_id"), expr(WordsExpr).as("w"))
+      .select(col("doc_id"), explode(expr(gramList(n))).as("g"))
+      .distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Rolling-hash document fingerprints (winnowing-lite): min/max of the
     * portable 60-bit hash over word `n`-gram shingles plus the shingle
     * count. Equal fingerprints ⇒ near-identical content; the min-hash

@@ -59,7 +59,18 @@ object TextQueries {
 
     "q63_tfidf" -> ((spark, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.load(spark, dir, "documents"), k = 3)
-        .orderBy("doc_id", "rank")))
+        .orderBy("doc_id", "rank")),
+
+    "q67_chunk" -> ((spark, dir) =>
+      TextAnalysis.chunk(Tables.load(spark, dir, "documents"),
+          size = 200, overlap = 50)
+        .orderBy("doc_id", "chunk_id")),
+
+    "q68_boilerplate" -> ((spark, dir) =>
+      TextAnalysis.boilerplateGrams(Tables.load(spark, dir, "documents"),
+          n = 3, minDocs = 5)
+        .orderBy(org.apache.spark.sql.functions.col("n_docs").desc,
+          org.apache.spark.sql.functions.col("g"))))
 
   def oracles: Map[String, String] = Map(
     "q37_lang_id" ->
@@ -214,5 +225,33 @@ object TextQueries {
         |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       score, rank
         |FROM ranked WHERE rank <= 3
-        |ORDER BY doc_id, rank""".stripMargin)
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q67_chunk" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text, unnest(generate_series(1,
+        |           greatest(1, len(text) - 50), 150)) AS start
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST((start - 1) // 150 AS BIGINT) AS chunk_id,
+        |       CAST(start AS BIGINT) AS start,
+        |       CAST(least(start + 199, len(text)) AS BIGINT) AS "end",
+        |       substr(text, CAST(start AS INTEGER), 200) AS chunk
+        |FROM starts
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q68_boilerplate" ->
+      """WITH ws AS (SELECT doc_id,
+        |              list_filter(string_split_regex(trim(text), '\s+'),
+        |                          x -> x != '') AS w
+        |            FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |             concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+        |      FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        |      WHERE len(w) >= 3)
+        |SELECT g, count(*) AS n_docs
+        |FROM g
+        |GROUP BY g
+        |HAVING count(*) >= 5
+        |ORDER BY n_docs DESC, g""".stripMargin)
 }

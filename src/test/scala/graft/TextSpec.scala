@@ -84,6 +84,39 @@ class TextSpec extends AnyFunSuite {
     assert(r(4) === ((3L, "durian", 6.0, 1L)))     // tf 3 · 2.0
   }
 
+  test("chunk: offsets tile the doc with the configured overlap; corpus coverage law") {
+    import spark.implicits._
+    val t = "x" * 230
+    val small = Seq((1L, t), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunk(small, size = 200, overlap = 50)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4).length))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 1L, 200L, 200), (1L, 1L, 151L, 230L, 80),
+      (2L, 0L, 1L, 5L, 5), (3L, 0L, 1L, 0L, 0)))
+    // corpus law: first chunk starts at 1, strides are exact, the last
+    // chunk ends at the doc's final character
+    val law = TextAnalysis.chunk(docs, size = 200, overlap = 50)
+      .groupBy("doc_id")
+      .agg(min("start").as("first"), max("end").as("lastEnd"),
+        countDistinct(col("start") % 150).as("strides"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .filter(col("first") =!= 1 || col("lastEnd") =!= col("len") || col("strides") =!= 1)
+    assert(law.isEmpty)
+  }
+
+  test("boilerplateGrams counts distinct docs, not occurrences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox the quick brown fox"), // gram repeats IN one doc
+      (2L, "the quick brown dog"),
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateGrams(df, n = 3, minDocs = 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("the quick brown" -> 2L)) // in-doc repeat counts once
+  }
+
   test("fingerprints: identical text yields identical fingerprint, shifted text does not") {
     import spark.implicits._
     val t = "alpha beta gamma delta epsilon zeta eta theta"
