@@ -54,6 +54,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stateless text-prep ops (chunk, quality) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").limit(50)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    // the SAME operators plan over the unbounded frame — narrow
+    // projections/explodes need no state, watermark, or output-mode care
+    // (the aggregating text ops — repetition, tf-idf — are batch-shaped
+    // and would need update-mode + state; they are NOT claimed here)
+    def differential(name: String,
+        op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        order: Seq[String]): Unit = {
+      val stream = MemoryStream[(Long, String)]
+      val query = op(stream.toDF().toDF("doc_id", "text")).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        stream.addData(rows)
+        query.processAllAvailable()
+        val got = spark.table(name)
+          .orderBy(order.head, order.tail: _*).collect().map(_.toSeq)
+        val batch = op(docs)
+          .orderBy(order.head, order.tail: _*).collect().map(_.toSeq)
+        assert(got.toSeq == batch.toSeq, name)
+      } finally query.stop()
+    }
+    differential("chunk_out",
+      d => graft.operators.TextAnalysis.chunk(d, size = 100, overlap = 20),
+      Seq("doc_id", "chunk_id"))
+    differential("quality_out",
+      d => graft.operators.TextAnalysis.qualityScores(d),
+      Seq("doc_id"))
+  }
+
   test("sliding windows: events land in every size/slide bucket they overlap") {
     import spark.implicits._
     val df = Seq(
