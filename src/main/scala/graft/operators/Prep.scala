@@ -39,7 +39,8 @@ object Prep {
     * 100 TB pipeline needs: a document's split NEVER changes when other
     * documents are added or removed, across reruns, engines, and
     * partitionings — so eval sets stay stable under corpus growth and
-    * train/test contamination can be audited row-by-row. One narrow
+    * train/test contamination can be audited row-by-row (q69 is that
+    * audit: near-dup edges crossing split boundaries). One narrow
     * scan, no shuffle, no RNG state. `salt` derives independent split
     * dimensions (e.g. a second holdout) from the same ids.
     */

@@ -110,6 +110,24 @@ object DedupQueries {
           n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy("i", "j")),
 
+    // the decontamination audit every eval pipeline runs: near-dup pairs
+    // whose endpoints landed in DIFFERENT splits (a test doc that is a
+    // near-duplicate of a train doc contaminates the eval) — the
+    // canonical edges joined with q56's deterministic split assignment
+    "q69_contamination" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(spark, dir, "documents")
+      val edges = Dedup.nearDupEdges(docs)
+      val spl = graft.operators.Prep.split(docs).select(
+        col("doc_id"), col("split"))
+      edges
+        .join(spl.select(col("doc_id").as("i"), col("split").as("split_i")), "i")
+        .join(spl.select(col("doc_id").as("j"), col("split").as("split_j")), "j")
+        .filter(col("split_i") =!= col("split_j"))
+        .select("i", "j", "split_i", "split_j", "jaccard")
+        .orderBy("i", "j")
+    }),
+
     // daily-ingest rendering: the newest ~20% of docs arrive as a delta
     // against the rest; result == the canonical edges that touch the
     // delta (the oracle recomputes the same cut from its own max(doc_id))
@@ -173,6 +191,26 @@ object DedupQueries {
     // Sketch-only verification: same banded candidates as q27, but the
     // "Jaccard" is the signature agreement fraction — the sig CTE is the
     // only thing rejoined, never the shingle sets.
+    "q69_contamination" ->
+      s"""WITH $ShinglesSql,
+         |$NearDupPairsSql,
+         |jp AS (SELECT p.i, p.j, round(jac.jaccard, 4) AS jaccard
+         |       FROM pairs p JOIN jac ON p.i = jac.i AND p.j = jac.j),
+         |spl AS (SELECT doc_id,
+         |               CASE WHEN bkt < 10 THEN 'test'
+         |                    WHEN bkt < 20 THEN 'val'
+         |                    ELSE 'train' END AS split
+         |        FROM (SELECT doc_id,
+         |                     CAST('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |                          AS BIGINT) % 100 AS bkt
+         |              FROM documents))
+         |SELECT jp.i, jp.j, si.split AS split_i, sj.split AS split_j, jp.jaccard
+         |FROM jp
+         |JOIN spl si ON jp.i = si.doc_id
+         |JOIN spl sj ON jp.j = sj.doc_id
+         |WHERE si.split <> sj.split
+         |ORDER BY jp.i, jp.j""".stripMargin,
+
     // Same CTE chain as q27; the delta cut (floor of 0.8 · max id) makes
     // "pair touches the delta" equivalent to j >= nf because pairs are
     // (min, max)-normalized and delta ids are the high range.
