@@ -144,14 +144,7 @@ object CurationQueries {
         |                 CAST(CASE WHEN coalesce(sc.component, emb.vec_id) = emb.vec_id
         |                           THEN 1 ELSE 0 END AS BIGINT) AS sem_kept
         |          FROM embeddings emb LEFT JOIN scomp sc ON emb.vec_id = sc.node),
-        |spl AS (SELECT doc_id,
-        |               CASE WHEN bkt < 10 THEN 'test'
-        |                    WHEN bkt < 20 THEN 'val'
-        |                    ELSE 'train' END AS split
-        |        FROM (SELECT doc_id,
-        |                     CAST('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15)
-        |                          AS BIGINT) % 100 AS bkt
-        |              FROM documents)),
+        |${PrepQueries.SplitCteSql},
         |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS ws_tokens FROM wsq)
         |SELECT m.doc_id, m.verdict,
         |       coalesce(k.sem_kept, 1) AS sem_kept,

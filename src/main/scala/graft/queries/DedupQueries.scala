@@ -188,22 +188,15 @@ object DedupQueries {
          |FROM r GROUP BY n
          |ORDER BY node""".stripMargin,
 
-    // Sketch-only verification: same banded candidates as q27, but the
-    // "Jaccard" is the signature agreement fraction — the sig CTE is the
-    // only thing rejoined, never the shingle sets.
+    // Exact verified Jaccard on the canonical edges, joined with the
+    // SHARED q56 split CTE (PrepQueries.SplitCteSql) — only pairs whose
+    // endpoints landed in different splits survive.
     "q69_contamination" ->
       s"""WITH $ShinglesSql,
          |$NearDupPairsSql,
          |jp AS (SELECT p.i, p.j, round(jac.jaccard, 4) AS jaccard
          |       FROM pairs p JOIN jac ON p.i = jac.i AND p.j = jac.j),
-         |spl AS (SELECT doc_id,
-         |               CASE WHEN bkt < 10 THEN 'test'
-         |                    WHEN bkt < 20 THEN 'val'
-         |                    ELSE 'train' END AS split
-         |        FROM (SELECT doc_id,
-         |                     CAST('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15)
-         |                          AS BIGINT) % 100 AS bkt
-         |              FROM documents))
+         |${PrepQueries.SplitCteSql}
          |SELECT jp.i, jp.j, si.split AS split_i, sj.split AS split_j, jp.jaccard
          |FROM jp
          |JOIN spl si ON jp.i = si.doc_id
@@ -225,6 +218,9 @@ object DedupQueries {
          |                FROM documents)
          |ORDER BY jac.i, jac.j""".stripMargin,
 
+    // Sketch-only verification: same banded candidates as q27, but the
+    // "Jaccard" is the signature agreement fraction — the sig CTE is the
+    // only thing rejoined, never the shingle sets.
     "q55_dedup_minhash_estimate" ->
       s"""WITH $ShinglesSql,
          |$MinhashCandSql,

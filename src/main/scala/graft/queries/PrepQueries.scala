@@ -10,6 +10,20 @@ import graft.sources.Tables
   */
 object PrepQueries {
 
+  /** The q56 split derivation as a reusable (doc_id, split) CTE —
+    * shared by the q66 and q69 oracles so the salt/percentage constants
+    * cannot drift from `Prep.split`'s defaults in one oracle only.
+    */
+  private[queries] val SplitCteSql: String =
+    """spl AS (SELECT doc_id,
+      |               CASE WHEN bkt < 10 THEN 'test'
+      |                    WHEN bkt < 20 THEN 'val'
+      |                    ELSE 'train' END AS split
+      |        FROM (SELECT doc_id,
+      |                     CAST('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |                          AS BIGINT) % 100 AS bkt
+      |              FROM documents))""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q56_split_assign" -> ((spark, dir) =>
       Prep.split(Tables.load(spark, dir, "documents"), valPct = 10, testPct = 10)

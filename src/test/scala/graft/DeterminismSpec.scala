@@ -24,13 +24,17 @@ class DeterminismSpec extends AnyFunSuite {
   lazy val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
   lazy val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
 
-  private def rows(df: DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // sorted Seq, not Set: a partitioning-dependent DUPLICATION (e.g. a
+  // dropped distinct emitting a pair twice under one layout) must fail
+  // too, and set comparison would mask it
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
 
   private def assertStable(f: DataFrame => DataFrame, in: DataFrame): Unit = {
     val a = rows(f(in.repartition(7)))
     val b = rows(f(in.repartition(13)))
-    assert(a == b, s"partitioning changed the result: ${(a -- b) ++ (b -- a)}")
+    assert(a == b,
+      s"partitioning changed the result: ${(a.diff(b)) ++ (b.diff(a))}")
   }
 
   test("minhash near-dup pairs are partitioning-independent") {

@@ -94,14 +94,18 @@ class TextSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(
       (1L, 0L, 1L, 200L, 200), (1L, 1L, 151L, 230L, 80),
       (2L, 0L, 1L, 5L, 5), (3L, 0L, 1L, 0L, 0)))
-    // corpus law: first chunk starts at 1, strides are exact, the last
-    // chunk ends at the doc's final character
+    // corpus law: first chunk starts at 1, the last ends at the doc's
+    // final character, and the chunk COUNT matches the stride formula —
+    // together with max(start) = 1 + 150·(count−1) this rules out any
+    // skipped interior chunk, which a stride-modulus check alone misses
     val law = TextAnalysis.chunk(docs, size = 200, overlap = 50)
       .groupBy("doc_id")
-      .agg(min("start").as("first"), max("end").as("lastEnd"),
-        countDistinct(col("start") % 150).as("strides"))
+      .agg(min("start").as("first"), max("start").as("lastStart"),
+        max("end").as("lastEnd"), count(lit(1)).as("n"))
       .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
-      .filter(col("first") =!= 1 || col("lastEnd") =!= col("len") || col("strides") =!= 1)
+      .filter(col("first") =!= 1 || col("lastEnd") =!= col("len") ||
+        col("lastStart") =!= lit(1) + lit(150) * (col("n") - 1) ||
+        col("n") =!= ceil(greatest(col("len") - 50, lit(1)).cast("double") / 150.0).cast("long"))
     assert(law.isEmpty)
   }
 
