@@ -79,8 +79,11 @@ object AsOf {
     // equi-join semantics: a NULL key matches nothing. Dropping NULL-key
     // right rows up front keeps them out of the shared window partition
     // (left NULL-key rows then see no right rows and keep NULL matches,
-    // exactly as an ASOF LEFT JOIN oracle renders them).
-    val r = right.filter(col(key).isNotNull).select(
+    // exactly as an ASOF LEFT JOIN oracle renders them). A NULL rightTs
+    // must go too: NULL <= leftTs is never true, but asc ordering puts
+    // NULLS FIRST, where the running `last()` would otherwise pick the
+    // row up as a spurious earliest match.
+    val r = right.filter(col(key).isNotNull && col(rightTs).isNotNull).select(
       col(key).as(key), col(rightTs).as(atsC), lit(0).as(sideC),
       matchStruct.as(mC))
     val l = left

@@ -81,4 +81,22 @@ private[graft] object Ckpt {
     tracked.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
     tracked.clear()
   }
+
+  /** Release ONE graft-checkpointed frame's storage — the per-frame
+    * complement of [[releaseGraftStorage]] for iterative loops that
+    * retire a [[narrow]]/[[narrowLazy]] snapshot each round.
+    * `Dataset.unpersist` CANNOT do this: localCheckpoint storage is a
+    * plain RDD-level persist outside the SQL CacheManager, so the
+    * Dataset call silently frees nothing. No-op for frames this object
+    * didn't checkpoint.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if tracked.synchronized(tracked.contains(l.rdd.id)) =>
+        df.sparkSession.sparkContext.getPersistentRDDs.get(l.rdd.id)
+          .foreach(_.unpersist(blocking = false))
+        tracked.synchronized { tracked -= l.rdd.id }
+      case _ => ()
+    }
 }

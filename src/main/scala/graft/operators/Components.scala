@@ -64,7 +64,11 @@ object Components {
       // count (not isEmpty): isEmpty's limit-1 would leave the persist
       // only partially materialized and the next round would recompute
       converged = next.filter(col("_chg")).count() == 0
+      // round 1's labels is a plain persist (Dataset.unpersist frees it);
+      // every later snapshot is checkpointed, whose RDD-level storage
+      // only Ckpt.release can free — call both, each no-ops on the other
       labels.unpersist()
+      Ckpt.release(labels)
       labels = next
       round += 1
     }
@@ -76,6 +80,7 @@ object Components {
     // clusters are stars/cliques, so the default 25 is ample there).
     if (!converged) {
       labels.unpersist()
+      Ckpt.release(labels)
       throw new IllegalStateException(
         s"Components.connected did not converge within ${round * 2} " +
           s"label-propagation hops (maxIter=$maxIter); raise maxIter for " +

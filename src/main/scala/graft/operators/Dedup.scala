@@ -50,7 +50,13 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val gram = (0 until n).map(k => s"w[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
     docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      // drop empties explicitly: split of an empty/whitespace-only text
+      // yields [""], which at n = 1 would otherwise become the shingle
+      // md5("") and make all empty docs mutual duplicates — the word
+      // model is "whitespace split, drop empties" (it matched only by
+      // accident at n >= 2 via the size filter)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), '\\\\s+'), x -> x != '')").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("g"))

@@ -47,9 +47,15 @@ object Similarity {
     df.select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
 
-  /** cos(a, b) = dot(a, b) / (|a|·|b|) with pre-computed norms. */
+  /** cos(a, b) = dot(a, b) / (|a|·|b|) with pre-computed norms.
+    * Zero-norm vectors have no direction: the guard yields NULL (matching
+    * DuckDB's x/0 = NULL) instead of tripping ANSI-mode DIVIDE_BY_ZERO —
+    * one degenerate vector must not abort a corpus-wide job. Consumers
+    * either filter on a threshold (NULL never passes) or drop NULL
+    * explicitly before ranking.
+    */
   private def cosCol(ae: Column, be: Column, an: Column, bn: Column): Column =
-    array_dot(ae, be) / (an * bn)
+    when(an * bn =!= 0, array_dot(ae, be) / (an * bn))
 
   /** All pairs (i < j) with cosine ≥ threshold — exact, brute force.
     * Ground-truth tier: the pair space is inherently O(n²); at corpus
@@ -89,6 +95,10 @@ object Similarity {
     val scored = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosCol(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      // a zero-norm vector on either side yields cos = NULL (x/0 is NULL
+      // in Spark); NULL is not a similarity — drop it rather than letting
+      // desc NULLS LAST rank garbage rows into the top-k tail
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -184,6 +194,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosCol(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .filter(col("cos").isNotNull) // zero-norm guard, as bruteForceTopK
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),

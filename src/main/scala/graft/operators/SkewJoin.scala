@@ -26,6 +26,10 @@ object SkewJoin {
     */
   def salted(skewed: DataFrame, other: DataFrame, key: String,
       disambig: String, buckets: Int = 8): DataFrame = {
+    // the working column must not capture (clobber, then drop) a caller
+    // column of the same name
+    require(!skewed.columns.contains("_salt") && !other.columns.contains("_salt"),
+      "input frames must not already have a _salt column")
     val salted = skewed.withColumn("_salt",
       expr(s"pmod(cast(conv(substr(md5(concat($key, '#', $disambig)), 1, 15), 16, 10) as bigint), $buckets)"))
     val replicated = other.withColumn("_salt",

@@ -96,13 +96,22 @@ object TextAnalysis {
         expr(s"size(filter(w, x -> x IN ($stopList)))").cast("long").as("n_stop"),
         col("w"))
       .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
-        round(col("n_distinct").cast("double") / col("n_words"), 4).as("ttr"),
-        round(expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double")
-          / col("n_words"), 4).as("mean_wlen"),
-        round(col("n_punct").cast("double") / col("n_chars"), 4).as("punct_ratio"),
-        round(col("n_stop").cast("double") / col("n_words"), 4).as("stop_ratio"),
-        round(least(lit(1.0), col("n_words").cast("double") / 100.0)
-          * (col("n_distinct").cast("double") / col("n_words")), 4).as("quality"))
+        // empty/whitespace-only docs have 0 words (and possibly 0 chars):
+        // the guards yield NULL ratios — matching DuckDB's x/0 = NULL and
+        // the NULL-quality arm Curation's gate documents — instead of
+        // tripping ANSI-mode DIVIDE_BY_ZERO and aborting the corpus scan
+        round(when(col("n_words") > 0,
+          col("n_distinct").cast("double") / col("n_words")), 4).as("ttr"),
+        round(when(col("n_words") > 0,
+          expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double")
+            / col("n_words")), 4).as("mean_wlen"),
+        round(when(col("n_chars") > 0,
+          col("n_punct").cast("double") / col("n_chars")), 4).as("punct_ratio"),
+        round(when(col("n_words") > 0,
+          col("n_stop").cast("double") / col("n_words")), 4).as("stop_ratio"),
+        round(when(col("n_words") > 0,
+          least(lit(1.0), col("n_words").cast("double") / 100.0)
+            * (col("n_distinct").cast("double") / col("n_words"))), 4).as("quality"))
   }
 
   /** Per-doc token counts: whitespace words and a BPE-ish segmentation

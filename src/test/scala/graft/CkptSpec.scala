@@ -31,6 +31,26 @@ class CkptSpec extends AnyFunSuite {
     foreign.unpersist()
   }
 
+  test("release(df) frees one checkpointed frame; Dataset.unpersist alone cannot") {
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.keySet
+    val cp = Ckpt.narrow(spark.range(50).toDF("z"))
+    assert(cp.count() == 50)
+    val ids = sc.getPersistentRDDs.keySet -- base
+    assert(ids.nonEmpty)
+    // the Dataset-level call is a no-op for RDD-level checkpoint storage
+    cp.unpersist()
+    assert(ids.forall(sc.getPersistentRDDs.keySet.contains),
+      "Dataset.unpersist must not be able to free checkpoint blocks (if it " +
+        "ever can, Components' per-round release can simplify)")
+    Ckpt.release(cp)
+    val after = sc.getPersistentRDDs.keySet
+    assert(ids.forall(!after.contains(_)), "release(df) must drop the blocks")
+    // idempotent + harmless on non-checkpointed frames
+    Ckpt.release(cp)
+    Ckpt.release(spark.range(5).toDF("w"))
+  }
+
   test("lazy checkpoints are tracked too") {
     val sc = spark.sparkContext
     val base = sc.getPersistentRDDs.keySet

@@ -146,6 +146,13 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("shingles drop empty tokens: whitespace-only docs are not mutual duplicates") {
+    val df = Seq((1L, "   "), (2L, ""), (3L, "real words here")).toDF("doc_id", "text")
+    assert(Dedup.shingles(df, n = 1).filter(col("doc_id") <= 2).count() == 0,
+      "empty/whitespace docs must yield no unigram shingles (not md5(''))")
+    assert(Dedup.shingles(df, n = 1).filter(col("doc_id") === 3).count() == 3)
+  }
+
   test("incremental near-dup == full-run edges touching the delta") {
     val cut = 0.8 * docs.agg(max("doc_id")).head.getLong(0)
     val nf = math.floor(cut).toLong

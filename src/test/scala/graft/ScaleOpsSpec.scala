@@ -161,6 +161,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(hits / total >= 0.35, s"trained recall ${hits / total}")
   }
 
+  test("zero-norm embeddings never rank as neighbors, zero-norm queries match nothing") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val fromOne = Similarity.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") === 1), k = 5).collect()
+    // vec 3 has no direction: cos is undefined (NULL), so it must be
+    // absent rather than ranked into the tail
+    assert(fromOne.map(_.getLong(1)).toSet == Set(2L))
+    val fromZero = Similarity.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") === 3), k = 5).collect()
+    assert(fromZero.isEmpty, "a zero-norm query has no defined neighbors")
+  }
+
   test("int8 quantization: hand-checked values, zero-vector edge, error bound") {
     import spark.implicits._
     val df = Seq(

@@ -59,6 +59,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.toSeq.take(2) == Seq((1000L, Some(100L)), (1001L, Some(102L))))
   }
 
+  test("as-of join: NULL right timestamps never match (they are not <= anything)") {
+    import spark.implicits._
+    val right = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 900L, 1.1),
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), 100L, 2.2)
+    ).toDF("key", "qts", "qid", "px")
+    val left = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 10L), // before any real quote
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 11L)
+    ).toDF("key", "tts", "tid")
+    val got = AsOf.join(left, right, key = "key", leftTs = "tts",
+        rightTs = "qts", payload = Seq("qid", "px"), tiebreak = "qid")
+      .orderBy("tid").select("tid", "qid")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    // the NULL-ts right row must not become tid 10's "earliest" match
+    assert(got.toSeq == Seq((10L, None), (11L, Some(100L))))
+  }
+
   test("as-of join: caller columns named like old internals survive untouched") {
     import spark.implicits._
     // left frame carries the exact names the implementation once used

@@ -45,6 +45,17 @@ class TextSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("qualityScores: empty/whitespace docs get NULL ratios, not a crash") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "actual words")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScores(df).orderBy("doc_id").collect()
+    // ANSI mode throws on x/0 — the guards must yield NULL instead
+    // (the arm Curation's low_quality gate depends on)
+    assert(r(0).isNullAt(4) && r(0).isNullAt(8), "empty doc: NULL ttr/quality")
+    assert(r(1).isNullAt(4) && r(1).isNullAt(8), "whitespace doc: NULL ttr/quality")
+    assert(!r(2).isNullAt(8))
+  }
+
   test("tokenCounts parity on a hand-checked doc") {
     import spark.implicits._
     val df = Seq((1L, "src", "the cat, the hat!")).toDF("doc_id", "source", "text")
