@@ -26,6 +26,9 @@ object RangeJoin {
     */
   def timeBandPairs(df: DataFrame, idCol: String, tsCol: String,
       windowSeconds: Long): DataFrame = {
+    // a zero/negative window has no qualifying pairs and would make the
+    // bin derivation an ANSI divide-by-zero mid-job — reject up front
+    require(windowSeconds > 0, s"windowSeconds must be > 0, got $windowSeconds")
     val wUs = windowSeconds * 1000000L
     val base = df.select(col(idCol).as("id"), unix_micros(col(tsCol)).as("us"))
       .withColumn("bin", expr(s"us div $wUs"))

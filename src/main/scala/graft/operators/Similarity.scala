@@ -324,7 +324,10 @@ object Similarity {
     per.groupBy("label").agg(
       count(lit(1)).as("n_vecs"),
       max("max_err").as("max_err_micro"),
-      round(sum("sum_err").cast("double") / sum("n"), 4).as("avg_err_micro"),
+      // guard the all-empty-arrays degenerate group (sum(n) = 0): NULL
+      // average, not an ANSI divide-by-zero
+      round(when(sum("n") > 0, sum("sum_err").cast("double") / sum("n")), 4)
+        .as("avg_err_micro"),
       round(max("scale"), 6).as("max_scale"))
   }
 
