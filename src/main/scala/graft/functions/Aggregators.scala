@@ -37,10 +37,9 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  private implicit val inEnc: Encoder[(Double, Double)] =
-    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
-
-  /** Column form: `wavg(value, weight)`. */
+  /** Column form: `wavg(value, weight)` (input encoder derived from the
+    * TypeTag by `udaf`).
+    */
   val wavg = udaf(WeightedAvg)
 
   /** Element-wise sum of equal-length `array<bigint>` rows — the
@@ -66,7 +65,15 @@ object Aggregators {
         while (i < b.length) { out(i) = b(i) + in(i); i += 1 }
         out
       }
-    override def reduce(b: Array[Long], in: Array[Long]): Array[Long] = add(b, in)
+    override def reduce(b: Array[Long], in: Array[Long]): Array[Long] = {
+      // the empty array is the aggregation IDENTITY (zero/buffers), so a
+      // null or zero-length INPUT row must fail loudly here — silently
+      // treating it as identity would divide the caller's centroid mean
+      // by a count that includes a vector contributing nothing
+      require(in != null && in.nonEmpty,
+        "vec_sum_long input row is null/empty — corrupt vector upstream")
+      add(b, in)
+    }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = add(a, b)
     override def finish(b: Array[Long]): Array[Long] = b
     override def bufferEncoder: Encoder[Array[Long]] = longArrEnc

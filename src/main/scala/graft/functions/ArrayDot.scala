@@ -17,12 +17,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (the brief's preference order: native `Expression` with `doGenCode`
   * over UDFs), ~50× faster per pair and still fully Catalyst-planned.
   *
-  * Semantics: pairwise product-sum over indices `0 until
-  * min(len(a), len(b))`, accumulated left-to-right in index order (so
-  * results are bit-stable and reproducible by an oracle engine summing
-  * in list order). Null arrays propagate null; elements are assumed
-  * non-null (embedding vectors), matching `zip_with`+`aggregate` on the
-  * same data.
+  * Semantics: pairwise product-sum accumulated left-to-right in index
+  * order (so results are bit-stable and reproducible by an oracle engine
+  * summing in list order). Null arrays propagate null, and so does a
+  * LENGTH MISMATCH — `zip_with` pads the shorter side with nulls and the
+  * null product sinks `aggregate` to NULL, so returning a truncated
+  * partial sum here would both diverge from the builtin rendering and
+  * dress up an upstream dimension bug as a plausible score. Elements are
+  * assumed non-null (embedding vectors), matching `zip_with`+`aggregate`
+  * on the same data.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,24 +47,34 @@ case class ArrayDot(left: Expression, right: Expression)
   private def floatSide(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // resolved-type flags hoisted out of the per-row loop (interpreted
+  // eval would otherwise pattern-match dataType twice per row); lazy so
+  // they evaluate only after analysis resolves the children
+  @transient private lazy val leftIsFloat = floatSide(left)
+  @transient private lazy val rightIsFloat = floatSide(right)
+
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def prettyName: String = ArrayDot.Name
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (lf, rf) = (floatSide(left), floatSide(right))
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,12 +85,16 @@ case class ArrayDot(left: Expression, right: Expression)
       val xv = if (floatSide(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val yv = if (floatSide(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $xv * $yv;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $xv * $yv;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -19,15 +19,18 @@ object Tables {
   /** Load one table. `events` needs special-casing: the parquet stores
     * TIMESTAMP(NANOS) which Spark reads as a raw long (see
     * `spark.sql.legacy.parquet.nanosAsLong`); convert to a microsecond
-    * timestamp here. `div` is exact 64-bit integer division — a
-    * float-division-then-floor would round through double, whose 2^53
-    * exact-integer range epoch-nanosecond values exceed, and could land
-    * 1µs off DuckDB's exact truncation near second boundaries.
+    * timestamp here. The conversion is exact 64-bit integer FLOOR
+    * division (`div` alone truncates toward zero, which would land 1 µs
+    * late for pre-epoch values; a float-division-then-floor would round
+    * through double, whose 2^53 exact-integer range epoch-nanosecond
+    * values exceed) — the µs boundary at-or-before the ns instant,
+    * matching an oracle engine's timeline truncation on either side of
+    * the epoch.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else df
   }
 

@@ -69,10 +69,15 @@ object Streams {
   private def withWm(events: DataFrame, watermark: Option[String]): DataFrame =
     watermark.fold(events)(w => events.withWatermark("ts", w))
 
-  /** Streaming ingest dedup, unbounded state: the first event per
-    * `event_id` survives, replays are dropped — exactly-once semantics
-    * over an at-least-once transport. State grows with distinct keys;
-    * use [[dedupWithinWatermark]] on long-running streams.
+  /** Streaming ingest dedup, unbounded state: one event per `event_id`
+    * survives, replays are dropped — exactly-once semantics over an
+    * at-least-once transport. On a STREAM the survivor is the first
+    * seen; the batch rendering keeps an arbitrary row per id, so the
+    * batch ≡ stream differential holds when replays are byte-identical —
+    * which is the redelivery case this exists for (a replay that
+    * MUTATED payload is an upstream bug, not a duplicate). State grows
+    * with distinct keys; use [[dedupWithinWatermark]] on long-running
+    * streams.
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
@@ -131,6 +136,13 @@ object Streams {
   /** Running per-user state: event count, value total, last event time. */
   case class UserState(user_id: Long, n_events: Long, total_value: Double)
 
+  /** The sessionization state machine reads ONLY (user_id, ts) — a slim
+    * keyed row keeps event_type/value strings out of the groupByKey
+    * shuffle on the ingest path. (Public: encoder-generated projections
+    * live outside this object and cannot access a private class.)
+    */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
   /** Open-session island for [[sessionCloseEvents]] (epoch µs). */
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
 
@@ -142,16 +154,6 @@ object Streams {
   /** A closed session, emitted once (epoch µs bounds). */
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
-  /** Custom running state per user via `mapGroupsWithState` — the
-    * arbitrary-stateful-processing surface (the streaming analogue of the
-    * reference's user-defined Reducer: the framework shuffles by key and
-    * hands the user code each key's values plus durable state).
-    *
-    * Emits the updated state for every group touched in a (micro-)batch.
-    * On a batch Dataset the same code runs with initial-empty state, so
-    * the result must equal a plain groupBy aggregation — that equivalence
-    * is the differential test.
-    */
   /** Session-close events via `flatMapGroupsWithState` + event-time
     * timeout — the 0..n-outputs-per-group stateful surface (vs
     * [[runningUserState]]'s exactly-one).
@@ -176,19 +178,19 @@ object Streams {
   def sessionCloseEvents(events: DataFrame, gapSeconds: Long = 1800L,
       watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.OutputMode
-    implicit val ueEnc: Encoder[UserEvent] = Encoders.product[UserEvent]
+    implicit val seEnc: Encoder[SessionEvent] = Encoders.product[SessionEvent]
     implicit val osEnc: Encoder[OpenSessions] = Encoders.product[OpenSessions]
     implicit val csEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     val gapUs = gapSeconds * 1000000L
 
     events.withWatermark("ts", watermarkDelay)
-      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
-      .as[UserEvent]
+      .select(col("user_id"), col("ts"))
+      .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSessions]) =>
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSessions]) =>
           // One unified path for data batches AND timeout wake-ups (where
           // `it` is empty): fold the batch's sorted times into islands,
           // merge them with the parked ones (an early straggler can
@@ -197,7 +199,12 @@ object Streams {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val parked = state.getOption.map(_.islands).getOrElse(Nil)
           val times = it
-            .map(e => e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L)
+            // floorDiv, not /: getNanos is always the non-negative
+            // sub-second part, so the seconds component must floor for
+            // pre-epoch instants (-0.5s is floor(-500ms/1000) = -1s plus
+            // 500000µs of nanos, not 0s plus 500000µs)
+            .map(e => Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L)
             .toArray.sorted
           val fresh = times.foldLeft(List.empty[OpenSession]) {
             case (cur :: done, t) if t - cur.last_us <= gapUs =>
@@ -229,6 +236,16 @@ object Streams {
       }
   }
 
+  /** Custom running state per user via `mapGroupsWithState` — the
+    * arbitrary-stateful-processing surface (the streaming analogue of the
+    * reference's user-defined Reducer: the framework shuffles by key and
+    * hands the user code each key's values plus durable state).
+    *
+    * Emits the updated state for every group touched in a (micro-)batch.
+    * On a batch Dataset the same code runs with initial-empty state, so
+    * the result must equal a plain groupBy aggregation — that equivalence
+    * is the differential test.
+    */
   def runningUserState(events: Dataset[UserEvent]): Dataset[UserState] = {
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     implicit val stateEnc: Encoder[UserState] = Encoders.product[UserState]

@@ -48,6 +48,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(1).getDouble(0) == 11.0)
   }
 
+  test("array_dot returns NULL on length mismatch, like zip_with+aggregate") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      array_dot(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        .as("hof")).head()
+    // a truncated partial sum would dress a dimension bug up as a score
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("array_dot rejects non-numeric-array inputs at analysis") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_array_dot(array('x'), array('y'))").collect()
