@@ -53,15 +53,26 @@ object MR {
       reducer: (K, Iterator[V]) => OUT,
       numPartitions: Int,
       partitioner: Option[K => Int] = None): Dataset[OUT] = {
+    // a zero/negative reducer count would otherwise surface as an opaque
+    // executor-side ArithmeticException inside floorMod/remainderUnsigned
+    require(numPartitions > 0, s"numPartitions must be > 0, got $numPartitions")
     implicit val kvEnc: Encoder[(K, V)] =
       Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
     val kv: Dataset[(K, V)] = lines.flatMap(mapper)
     partitioner match {
       case None =>
-        // Catalyst path: groupByKey plans a shuffle on K (sort- or
-        // hash-based, spillable), mapGroups streams each key's values.
-        kv.groupByKey(_._1)
-          .mapGroups((k, it) => reducer(k, it.map(_._2)))
+        // Default-partitioner path: hash-partition on the KEY COLUMN to
+        // exactly `numPartitions` (the num_reducers contract — R reduce
+        // partitions, e.g. for per-partition output files — must hold
+        // here too, not just under a user partitioner; groupByKey would
+        // silently use spark.sql.shuffle.partitions instead, and
+        // repartition-then-groupByKey would shuffle twice because the
+        // lambda key is opaque to Catalyst). One exchange + in-partition
+        // sort + streaming grouped reduce — the same physical shape
+        // Catalyst plans for typed mapGroups, with the count pinned.
+        kv.repartition(numPartitions, col("_1"))
+          .sortWithinPartitions(col("_1"))
+          .mapPartitions(it => groupedRuns(it).map { case (k, vs) => reducer(k, vs) })
       case Some(p) =>
         // Reference-faithful path: user-controlled partition id
         // (reference src/mapreduce.c:115), sort within partition

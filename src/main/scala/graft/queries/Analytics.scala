@@ -85,7 +85,11 @@ object Analytics {
         .withColumn("bucket", col("k") % 10)
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
-        .orderBy("event_type", "bucket")
+        // nulls LAST explicitly: a row whose props lacks "$.k" yields a
+        // NULL bucket, which Spark sorts first and DuckDB last by
+        // default — pin the engine-independent order (same reasoning as
+        // q50's coalesced sort keys)
+        .orderBy(col("event_type"), col("bucket").asc_nulls_last)
     }),
 
     "q23_array_fns" -> ((spark, dir) => {

@@ -33,7 +33,7 @@ object CurationQueries {
 
     "q64_incremental_curation" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      val nf = math.floor(0.8 * docs.agg(max("doc_id")).head.getLong(0)).toLong
+      val nf = deltaCut(docs)
       val corpus = docs.filter(col("doc_id") < nf)
       val delta = docs.filter(col("doc_id") >= nf)
       // what yesterday's run would have stored
@@ -74,13 +74,12 @@ object CurationQueries {
     * namespace.
     */
   private lazy val CurationChainCtes: String =
-      ("""wsq AS (SELECT doc_id, text,
-        |               list_filter(string_split_regex(trim(text), '\s+'),
+      (s"""wsq AS (SELECT doc_id, text,
+        |               list_filter(string_split_regex(trim(text), '\\s+'),
         |                           x -> x != '') AS w
         |        FROM documents),
         |q AS (SELECT doc_id, text,
-        |             round(least(1.0, len(w) / 100.0)
-        |                   * (len(list_distinct(w)) * 1.0 / len(w)), 4) AS quality
+        |             ${TextQueries.qualitySql("len(w)", "len(list_distinct(w))")} AS quality
         |      FROM wsq),
         |passed AS (SELECT doc_id, text, md5(text) AS fp, quality
         |           FROM q WHERE quality >= 0.15),
@@ -91,11 +90,7 @@ object CurationQueries {
         |""".stripMargin +
       DedupQueries.shinglesSql("ek") + ",\n" +
       DedupQueries.NearDupPairsSql + ",\n" +
-      """e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
-        |r AS (SELECT i AS nd, i AS m FROM e
-        |      UNION
-        |      SELECT r.nd, e.j AS m FROM r JOIN e ON r.m = e.i),
-        |compo AS (SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY nd)""".stripMargin)
+      DedupQueries.closureSql("pairs"))
 
   /** The per-doc verdict projection over [[CurationChainCtes]] (no
     * ORDER BY — q48/q64 append one; q66 wraps it as a CTE).
@@ -116,7 +111,7 @@ object CurationQueries {
         |            ELSE NULL END AS ref_id
         |FROM q d
         |LEFT JOIN exact_tag et ON d.doc_id = et.doc_id
-        |LEFT JOIN compo c ON d.doc_id = c.doc_id""".stripMargin
+        |LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin
 
   private lazy val FullCurationSql: String =
     s"WITH RECURSIVE\n$CurationChainCtes\n$VerdictSelect\nORDER BY d.doc_id"
@@ -135,11 +130,7 @@ object CurationQueries {
         |    SELECT i, j, ${SimilarityQueries.cosSql("a.e", "b.e")} AS cos
         |    FROM scand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
         |  WHERE cos >= 0.9),
-        |se AS (SELECT i, j FROM spairs UNION SELECT j AS i, i AS j FROM spairs),
-        |sr AS (SELECT i AS n, i AS m FROM se
-        |       UNION
-        |       SELECT sr.n, se.j AS m FROM sr JOIN se ON sr.m = se.i),
-        |scomp AS (SELECT n AS node, min(m) AS component FROM sr GROUP BY n),
+        |${DedupQueries.closureSql("spairs", "s")},
         |skept AS (SELECT emb.vec_id AS doc_id,
         |                 CAST(CASE WHEN coalesce(sc.component, emb.vec_id) = emb.vec_id
         |                           THEN 1 ELSE 0 END AS BIGINT) AS sem_kept

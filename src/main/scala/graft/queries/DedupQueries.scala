@@ -73,6 +73,20 @@ object DedupQueries {
        |          JOIN cand ON jac.i = cand.i AND jac.j = cand.j
        |          WHERE jac.jaccard >= 0.7)""".stripMargin
 
+  /** Recursive min-label closure over an (i, j) pair relation — the
+    * single oracle rendering of `Components.connected`, shared by q47,
+    * q54, q59, the q48/q64 curation chain, and q66's prefixed semantic
+    * chain so the closure/tie-break rule cannot drift between them.
+    * Emits `${p}e`, `${p}r`, `${p}comp(node, component)`; the statement
+    * must be WITH RECURSIVE.
+    */
+  private[queries] def closureSql(pairsRel: String, p: String = ""): String =
+    s"""${p}e AS (SELECT i, j FROM $pairsRel UNION SELECT j AS i, i AS j FROM $pairsRel),
+       |${p}r AS (SELECT i AS n, i AS m FROM ${p}e
+       |      UNION
+       |      SELECT ${p}r.n, ${p}e.j AS m FROM ${p}r JOIN ${p}e ON ${p}r.m = ${p}e.i),
+       |${p}comp AS (SELECT n AS node, min(m) AS component FROM ${p}r GROUP BY n)""".stripMargin
+
   /** SimHash signatures from the shingle-hash bit columns. */
   private[queries] val SimhashSql: String =
     """bits AS (SELECT doc_id, b,
@@ -133,9 +147,7 @@ object DedupQueries {
     // delta (the oracle recomputes the same cut from its own max(doc_id))
     "q62_incremental_dedup" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      val nf = math.floor(
-        0.8 * docs.agg(org.apache.spark.sql.functions.max("doc_id"))
-          .head.getLong(0)).toLong
+      val nf = deltaCut(docs)
       Dedup.incrementalNearDupEdges(
         docs.filter(org.apache.spark.sql.functions.col("doc_id") < nf),
         docs.filter(org.apache.spark.sql.functions.col("doc_id") >= nf))
@@ -180,12 +192,9 @@ object DedupQueries {
     "q47_dedup_components" ->
       s"""WITH RECURSIVE $ShinglesSql,
          |$NearDupPairsSql,
-         |e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
-         |r AS (SELECT i AS n, i AS m FROM e
-         |      UNION
-         |      SELECT r.n, e.j AS m FROM r JOIN e ON r.m = e.i)
-         |SELECT n AS node, min(m) AS component
-         |FROM r GROUP BY n
+         |${closureSql("pairs")}
+         |SELECT node, component
+         |FROM comp
          |ORDER BY node""".stripMargin,
 
     // Exact verified Jaccard on the canonical edges, joined with the

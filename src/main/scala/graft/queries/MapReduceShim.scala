@@ -26,12 +26,9 @@ object MapReduceShim {
         .limit(100)
     }))
 
+  // the SAME oracle string as the native q01 — referenced, not copied,
+  // so the shim-equals-declarative claim is structural: one edit cannot
+  // silently desynchronize the two gates
   def oracles: Map[String, String] = Map(
-    "q00_mr_word_count" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
-        |WHERE word <> ''
-        |GROUP BY word
-        |ORDER BY cnt DESC, word ASC
-        |LIMIT 100""".stripMargin)
+    "q00_mr_word_count" -> Relational.oracles("q01_word_count"))
 }

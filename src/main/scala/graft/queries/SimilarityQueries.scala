@@ -66,6 +66,46 @@ object SimilarityQueries {
 
   private val LshCandSql: String = lshCandSql(16, 8)
 
+  /** The IVF assign → probe → exact-score → rank tail over a centroid
+    * relation — shared VERBATIM by q45 (sampled seed) and q61 (trained
+    * cents2) so probe semantics and tie-breaks cannot drift between the
+    * two index tiers. Queries are the vec_id < 10 set, k = 5, nProbe = 3.
+    */
+  private def ivfSearchSql(centsRel: String): String =
+    s"""assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT t.vec_id, t.cid,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY t.ccos DESC, t.cid) AS rn
+       |    FROM (SELECT v.vec_id, c.cid,
+       |                 round(${cosSql("v.e", "c.ce")}, 6) AS ccos
+       |          FROM v CROSS JOIN $centsRel c) t)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT t.query_id, t.cid,
+       |           row_number() OVER (PARTITION BY t.query_id
+       |             ORDER BY t.qcos DESC, t.cid) AS rn
+       |    FROM (SELECT q.vec_id AS query_id, c.cid,
+       |                 round(${cosSql("q.e", "c.ce")}, 6) AS qcos
+       |          FROM v q CROSS JOIN $centsRel c WHERE q.vec_id < 10) t)
+       |  WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${cosSql("q.e", "a.e")} AS cos
+       |  FROM probes p
+       |  JOIN assigned av ON p.cell = av.cell
+       |  JOIN v a ON av.vec_id = a.vec_id
+       |  JOIN v q ON p.query_id = q.vec_id
+       |  WHERE p.query_id <> a.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** One Lloyd round in DuckDB (mirrors `Similarity.ivfTrainedIndex`):
     * assign every vector to its nearest centroid from `prev` (rounded-cos
     * desc, cid asc), then the element-wise EXACT-INTEGER mean per cell —
@@ -206,39 +246,7 @@ object SimilarityQueries {
       s"""WITH $VecSql,
          |cents AS (SELECT vec_id AS cid, e AS ce FROM v
          |          WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v) = 0),
-         |assigned AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT t.vec_id, t.cid,
-         |           row_number() OVER (PARTITION BY t.vec_id
-         |             ORDER BY t.ccos DESC, t.cid) AS rn
-         |    FROM (SELECT v.vec_id, c.cid,
-         |                 round(${cosSql("v.e", "c.ce")}, 6) AS ccos
-         |          FROM v CROSS JOIN cents c) t)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, cid AS cell FROM (
-         |    SELECT t.query_id, t.cid,
-         |           row_number() OVER (PARTITION BY t.query_id
-         |             ORDER BY t.qcos DESC, t.cid) AS rn
-         |    FROM (SELECT q.vec_id AS query_id, c.cid,
-         |                 round(${cosSql("q.e", "c.ce")}, 6) AS qcos
-         |          FROM v q CROSS JOIN cents c WHERE q.vec_id < 10) t)
-         |  WHERE rn <= 3),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |         ${cosSql("q.e", "a.e")} AS cos
-         |  FROM probes p
-         |  JOIN assigned av ON p.cell = av.cell
-         |  JOIN v a ON av.vec_id = a.vec_id
-         |  JOIN v q ON p.query_id = q.vec_id
-         |  WHERE p.query_id <> a.vec_id),
-         |ranked AS (SELECT query_id, neighbor_id, cos,
-         |                  row_number() OVER (PARTITION BY query_id
-         |                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
-         |           FROM scored)
-         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
-         |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+         |${ivfSearchSql("cents")}""".stripMargin,
 
     // Semantic dedup: q33's verified edges, min-reachable-id clusters via
     // the recursive closure (oracle scale — the engine runs iterative
@@ -251,11 +259,7 @@ object SimilarityQueries {
          |    SELECT i, j, ${cosSql("a.e", "b.e")} AS cos
          |    FROM cand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
          |  WHERE cos >= 0.4),
-         |e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
-         |r AS (SELECT i AS n, i AS m FROM e
-         |      UNION
-         |      SELECT r.n, e.j AS m FROM r JOIN e ON r.m = e.i),
-         |comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n)
+         |${DedupQueries.closureSql("pairs")}
          |SELECT emb.vec_id,
          |       coalesce(c.component, emb.vec_id) AS cluster_id,
          |       CAST(CASE WHEN coalesce(c.component, emb.vec_id) = emb.vec_id
@@ -300,39 +304,7 @@ object SimilarityQueries {
          |           WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v) = 0),
          |${kmRoundSql(1, "cents0")},
          |${kmRoundSql(2, "cents1")},
-         |assigned AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT t.vec_id, t.cid,
-         |           row_number() OVER (PARTITION BY t.vec_id
-         |             ORDER BY t.ccos DESC, t.cid) AS rn
-         |    FROM (SELECT v.vec_id, c.cid,
-         |                 round(${cosSql("v.e", "c.ce")}, 6) AS ccos
-         |          FROM v CROSS JOIN cents2 c) t)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, cid AS cell FROM (
-         |    SELECT t.query_id, t.cid,
-         |           row_number() OVER (PARTITION BY t.query_id
-         |             ORDER BY t.qcos DESC, t.cid) AS rn
-         |    FROM (SELECT q.vec_id AS query_id, c.cid,
-         |                 round(${cosSql("q.e", "c.ce")}, 6) AS qcos
-         |          FROM v q CROSS JOIN cents2 c WHERE q.vec_id < 10) t)
-         |  WHERE rn <= 3),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |         ${cosSql("q.e", "a.e")} AS cos
-         |  FROM probes p
-         |  JOIN assigned av ON p.cell = av.cell
-         |  JOIN v a ON av.vec_id = a.vec_id
-         |  JOIN v q ON p.query_id = q.vec_id
-         |  WHERE p.query_id <> a.vec_id),
-         |ranked AS (SELECT query_id, neighbor_id, cos,
-         |                  row_number() OVER (PARTITION BY query_id
-         |                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
-         |           FROM scored)
-         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
-         |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+         |${ivfSearchSql("cents2")}""".stripMargin,
 
     "q59_semantic_dedup_strict" ->
       s"""WITH RECURSIVE $VecSql,
@@ -342,11 +314,7 @@ object SimilarityQueries {
          |    SELECT i, j, ${cosSql("a.e", "b.e")} AS cos
          |    FROM cand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
          |  WHERE cos >= 0.9),
-         |e AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
-         |r AS (SELECT i AS n, i AS m FROM e
-         |      UNION
-         |      SELECT r.n, e.j AS m FROM r JOIN e ON r.m = e.i),
-         |comp AS (SELECT n AS node, min(m) AS component FROM r GROUP BY n)
+         |${DedupQueries.closureSql("pairs")}
          |SELECT emb.vec_id,
          |       coalesce(c.component, emb.vec_id) AS cluster_id,
          |       CAST(CASE WHEN coalesce(c.component, emb.vec_id) = emb.vec_id

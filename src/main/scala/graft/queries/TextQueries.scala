@@ -16,6 +16,16 @@ import graft.sources.Tables
   */
 object TextQueries {
 
+  /** The q38 composite-quality expression over word-count exprs — ONE
+    * definition shared with the q48/q64/q66 curation chain
+    * ([[CurationQueries]]) so the gate formula cannot drift between
+    * oracles. NULL when `nWords` is 0 (both engines: x/0 on doubles is
+    * NULL), the arm the curation low_quality gate relies on.
+    */
+  private[queries] def qualitySql(nWords: String, nDistinct: String): String =
+    s"round(least(1.0, CAST($nWords AS DOUBLE) / 100.0) * " +
+      s"(CAST($nDistinct AS DOUBLE) / $nWords), 4)"
+
   private val WsSql =
     """ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)"""
 
@@ -118,8 +128,7 @@ object TextQueries {
          |       round(sum_wlen / n_words, 4) AS mean_wlen,
          |       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
          |       round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
-         |       round(least(1.0, CAST(n_words AS DOUBLE) / 100.0)
-         |             * (CAST(n_distinct AS DOUBLE) / n_words), 4) AS quality
+         |       ${qualitySql("n_words", "n_distinct")} AS quality
          |FROM m
          |ORDER BY doc_id""".stripMargin,
 

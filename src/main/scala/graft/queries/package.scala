@@ -9,4 +9,15 @@ package object queries {
     * driver can hash-compare it against its DuckDB oracle.
     */
   type Q = (SparkSession, String) => DataFrame
+
+  /** The q62/q64 ingest-delta cut: docs with id ≥ floor(0.8 · max id)
+    * play the "newly arrived" role. 0 on an empty table (empty corpus +
+    * empty delta → empty result, not a NullPointerException from
+    * getLong on a null max). The oracles recompute the identical cut
+    * from their own max(doc_id).
+    */
+  private[queries] def deltaCut(docs: DataFrame): Long = {
+    val r = docs.agg(org.apache.spark.sql.functions.max("doc_id")).head
+    if (r.isNullAt(0)) 0L else math.floor(0.8 * r.getLong(0)).toLong
+  }
 }
