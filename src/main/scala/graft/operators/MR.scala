@@ -132,6 +132,16 @@ object MR {
     * contract as the reference's Getter, SURVEY.md §2.2 Q4) — the outer
     * iterator drains any unconsumed tail itself, so partial consumption
     * is safe (no corruption mode).
+    *
+    * Run boundaries use VALUE equality via `Objects.deepEquals`: the
+    * upstream `sortWithinPartitions` orders by the key's Catalyst
+    * representation, under which equal arrays (`Array[Byte]` → BINARY,
+    * `Array[Int]` → ARRAY, …) sort adjacently but compare as distinct
+    * under Scala `==` (JVM reference equality for arrays) — plain `==`
+    * would split every array-keyed group into one run per row. Keys
+    * nested inside a Product that themselves contain arrays keep the
+    * Product's own `equals` and are out of scope (same caveat as any
+    * case class with array fields).
     */
   private[graft] def groupedRuns[K, V](it: Iterator[(K, V)]): Iterator[(K, Iterator[V])] =
     new Iterator[(K, Iterator[V])] {
@@ -145,7 +155,8 @@ object MR {
         if (!hasNext) throw new NoSuchElementException
         val k = buf.head._1
         current = new Iterator[V] {
-          def hasNext: Boolean = buf.hasNext && buf.head._1 == k
+          def hasNext: Boolean =
+            buf.hasNext && java.util.Objects.deepEquals(buf.head._1, k)
           def next(): V = {
             if (!hasNext) throw new NoSuchElementException
             buf.next()._2

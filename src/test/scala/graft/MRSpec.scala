@@ -17,6 +17,13 @@ object MRSpec {
     line.split("\\s+").toIndexedSeq.filter(_.nonEmpty).map(w => (w, 1))
 
   def countReducer(k: String, vs: Iterator[Int]): (String, Long) = (k, vs.size.toLong)
+
+  def tokenizeBytes(line: String): Seq[(Array[Byte], Int)] =
+    line.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+      .map(w => (w.getBytes(java.nio.charset.StandardCharsets.UTF_8), 1))
+
+  def bytesCountReducer(k: Array[Byte], vs: Iterator[Int]): (String, Long) =
+    (new String(k, java.nio.charset.StandardCharsets.UTF_8), vs.size.toLong)
 }
 
 class MRSpec extends AnyFunSuite {
@@ -118,6 +125,31 @@ class MRSpec extends AnyFunSuite {
       "aaaaaaaaaaaaaaaaaaaaaaaaaaaa".foreach(c => h = h * 33 + c.toInt)
       h < 0
     }, "test corpus no longer exercises the unsigned-remainder branch")
+  }
+
+  test("Array[Byte] keys group by VALUE equality on both reduce paths") {
+    // regression: groupedRuns used Scala == (reference equality for JVM
+    // arrays) — each BINARY-keyed row became its own run, one output per
+    // row instead of per key, on both the default and user-partitioner
+    // paths
+    val lines = spark.read.textFile(TestSpark.resource("words.txt"))
+    val viaDefault = MR.runOnDataset[Array[Byte], Int, (String, Long)](
+      lines, tokenizeBytes, bytesCountReducer, 4).collect().toMap
+    assert(viaDefault == expectedCounts)
+    val viaCustom = MR.runOnDataset[Array[Byte], Int, (String, Long)](
+      lines, tokenizeBytes, bytesCountReducer, 4,
+      partitioner = Some(k => MR.defaultHashPartition(
+        new String(k, java.nio.charset.StandardCharsets.UTF_8), 4)))
+      .collect().toMap
+    assert(viaCustom == expectedCounts)
+  }
+
+  test("groupedRuns: array keys delimit runs by content") {
+    val sorted = Seq(
+      (Array[Byte](1, 2), "a"), (Array[Byte](1, 2), "b"), (Array[Byte](3), "c"))
+    val runs = MR.groupedRuns(sorted.iterator)
+      .map { case (k, vs) => (k.toSeq, vs.toSeq) }.toSeq
+    assert(runs == Seq((Seq[Byte](1, 2), Seq("a", "b")), (Seq[Byte](3), Seq("c"))))
   }
 
   test("groupedRuns: runs reconstruct the sorted input; partial consumption is safe") {
