@@ -415,8 +415,8 @@ object Dedup {
     * Both shapes are equi self-joins with no false negatives by
     * construction. Carries (si, sj) through for exact verification.
     *
-    * `maxKeySize` (0 = off, the oracle-gated default — q29's oracle is a
-    * brute-force Hamming scan, so the gated path must stay exhaustive)
+    * `maxKeySize` (default [[NearDupMaxBucket]] via [[simhashPairs]];
+    * 0 = off, for ground-truth comparisons only)
     * is the same skew guard as the minhash band cap: a boilerplate
     * cluster of m near-identical signatures shares most block keys and
     * contributes ~m(m−1)/2 candidates per shared key, so one hot key of
@@ -469,9 +469,18 @@ object Dedup {
     * is locally checkpointed before the blocked self-join so the
     * signature pipeline (text scan + shingle distinct + 60-sum groupBy)
     * runs ONCE, not once per join side.
+    *
+    * The [[NearDupMaxBucket]] skew guard is ON by default — same policy
+    * as the minhash tier: this is the path a corpus-scale run takes, so
+    * it ships with the hot-key cap a 100 TB corpus needs, and q29's
+    * DuckDB oracle mirrors the blocked+capped candidate generation
+    * ([[graft.queries.DedupQueries]]) so the capped path is what the
+    * hash gate checks. The brute-force no-false-negatives law survives
+    * as a DedupSpec test (cap can't trip at that test's density).
+    * `maxKeySize = 0` disables the guard for ground-truth comparisons.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 10, n: Int = 3,
-      maxKeySize: Int = 0): DataFrame = {
+      maxKeySize: Int = NearDupMaxBucket): DataFrame = {
     val sig = Ckpt.narrow(simhashSignatures(docs, n))
     simhashCandidates(sig, maxHamming, maxKeySize)
       .select(col("i"), col("j"),

@@ -96,6 +96,38 @@ object DedupQueries {
       |sims AS (SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
       |         FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** SimHash pigeonhole-blocked candidate pairs for the canonical
+    * maxHamming = 10 — the SQL twin of `Dedup.simhashCandidates`' loose
+    * scheme (block width 60/11 < 8 bits, so 12 blocks and C(12,2)
+    * block-PAIR keys; within distance 10 at most 10 blocks differ, so
+    * two must agree). Block offsets/masks are computed HERE from the
+    * same integer formula as the engine's `blockVal`, and the `fblk`
+    * QUALIFY mirrors the default `maxKeySize` skew guard
+    * (`Dedup.NearDupMaxBucket`) — the oracle gates the capped path the
+    * engine ships, not an uncapped shadow.
+    */
+  private[queries] val SimhashCandSql: String = {
+    val m = 12 // maxHamming 10 + 2 (loose-bound scheme)
+    def lo(k: Int) = k * 60 / m
+    def mask(k: Int) = (1L << ((k + 1) * 60 / m - lo(k))) - 1
+    val rows = (for { k1 <- 0 until m; k2 <- k1 + 1 until m } yield
+      s"($k1, $k2, ${lo(k1)}, ${mask(k1)}, ${lo(k2)}, ${mask(k2)})").mkString(",\n|          ")
+    s"""ks(k1, k2, lo1, m1, lo2, m2) AS (VALUES
+       |          $rows),
+       |blk AS (SELECT s.doc_id, s.simhash, ks.k1, ks.k2,
+       |               (s.simhash >> ks.lo1) & ks.m1 AS v1,
+       |               (s.simhash >> ks.lo2) & ks.m2 AS v2
+       |        FROM sims s CROSS JOIN ks),
+       |fblk AS (SELECT doc_id, simhash, k1, k2, v1, v2 FROM blk
+       |         QUALIFY count(*) OVER (PARTITION BY k1, k2, v1, v2)
+       |                 <= ${Dedup.NearDupMaxBucket}),
+       |scand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |                 a.simhash AS si, b.simhash AS sj
+       |          FROM fblk a JOIN fblk b
+       |            ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.v1 = b.v1 AND a.v2 = b.v2
+       |               AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q26_dedup_ngram" -> ((spark, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"), n = 3, threshold = 0.8)
@@ -177,13 +209,16 @@ object DedupQueries {
          |SELECT doc_id, simhash FROM sims
          |ORDER BY doc_id""".stripMargin,
 
+    // blocked + capped candidates, then exact Hamming — the same shape
+    // the engine's default simhashPairs runs (the brute-force scan this
+    // oracle replaced survives as DedupSpec's no-false-negatives law)
     "q29_dedup_simhash_pairs" ->
       s"""WITH $ShinglesSql,
-         |$SimhashSql
-         |SELECT a.doc_id AS i, b.doc_id AS j,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         |$SimhashSql,
+         |$SimhashCandSql
+         |SELECT i, j, CAST(bit_count(xor(si, sj)) AS BIGINT) AS hamming
+         |FROM scand
+         |WHERE bit_count(xor(si, sj)) <= 10
          |ORDER BY i, j""".stripMargin,
 
     // q27's pipeline produces the edges; min-reachable-id per node via a

@@ -227,6 +227,29 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((9001L, 9002L)), "small-key pair must survive the cap")
   }
 
+  test("simhashPairs DEFAULT path engages the skew guard above NearDupMaxBucket") {
+    import spark.implicits._
+    // a duplicate-content cluster larger than the canonical cap: all n
+    // docs share one signature, so every one of its 66 block-pair keys
+    // holds n > NearDupMaxBucket members — unguarded this emits n(n−1)/2
+    // ≈ 1M pairs; the DEFAULT simhashPairs call must drop the hot keys
+    // (this is the post-exact-dedup boilerplate-collision shape the cap
+    // targets — a cluster that LEGITIMATELY spreads across sub-cap keys
+    // is kept, by design, because its pairs verify as true near-dups)
+    val boiler = (1 to 100).map(i => s"common$i").mkString(" ")
+    val n = 1400
+    val hot = (0 until n).map(i => (i.toLong, boiler))
+    val small = Seq(
+      (900001L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailA"),
+      (900002L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailB"))
+    val df = (hot ++ small).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, maxHamming = 10).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (i, j) => i < 900000L && j < 900000L },
+      s"guard did not engage on the default path: ${pairs.size} pairs")
+    assert(pairs.contains((900001L, 900002L)), "small-key pair must survive the cap")
+  }
+
   test("canonical nearDupEdges path engages the skew guard above NearDupMaxBucket") {
     import spark.implicits._
     // a boilerplate cluster LARGER than the canonical cap: ~96% of its
