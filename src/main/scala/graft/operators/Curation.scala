@@ -132,4 +132,31 @@ object Curation {
         .select(col("i"), col("j")))
     verdicts(g, Components.connected(edges), minQuality)
   }
+
+  /** [[curateIncremental]] over a STORED near-dup index — the full
+    * production ingest shape: yesterday's run persisted the edge list
+    * AND `Dedup.writeIndex(exactKeepers(corpus))`; today's pass loads
+    * both and the near-dup tier shingles only the delta's keepers
+    * (`Dedup.incrementalNearDupEdgesIndexed`). Output is identical to
+    * [[curateIncremental]] (differentially tested) — the index swap
+    * changes where the corpus frames COME FROM, not what they contain.
+    *
+    * Same contract and documented skew-cap corner as
+    * [[curateIncremental]]. `index` must cover exactly the corpus'
+    * quality-passing exact-keepers (what [[exactKeepers]] returns) —
+    * indexing dropped docs would resurrect them as candidate endpoints.
+    */
+  def curateIncrementalIndexed(
+      corpus: DataFrame, delta: DataFrame, corpusEdges: DataFrame,
+      index: Dedup.DedupIndex, minQuality: Double = 0.15): DataFrame = {
+    val all = corpus.select(col("doc_id"), col("text"))
+      .union(delta.select(col("doc_id"), col("text")))
+    val g = gates(all, minQuality)
+    val deltaKept = delta.select(col("doc_id"), col("text"))
+      .join(g.keeperIds, Seq("doc_id"), "left_semi")
+    val edges = corpusEdges.select(col("i"), col("j"))
+      .union(Dedup.incrementalNearDupEdgesIndexed(index, deltaKept)
+        .select(col("i"), col("j")))
+    verdicts(g, Components.connected(edges), minQuality)
+  }
 }

@@ -321,13 +321,15 @@ object Dedup {
     * Why this is the 100 TB daily-ingest shape: bands are an equi-keyed
     * index, so joining the full band frame against ONLY the delta's
     * bands prunes every bucket the delta doesn't touch; candidate volume
-    * tracks the delta and its collisions, not the corpus pair space. In
-    * production the corpus' (doc_id, band) frame and hashed shingles are
-    * a stored index written by the previous run (they are exactly the
-    * checkpointed narrow frames this builds); the delta then costs one
-    * scan of the NEW docs plus bucket-local joins. Same skew cap,
-    * threshold and verification as the canonical path, so verdicts never
-    * drift from what a from-scratch run would say.
+    * tracks the delta and its collisions, not the corpus pair space.
+    * This rendering re-derives the corpus frames in-query (self-
+    * contained, for oracle gating); the production shape is
+    * [[writeIndex]] / [[loadIndex]] + [[incrementalNearDupEdgesIndexed]],
+    * where the corpus side is a stored parquet index and only the NEW
+    * docs are scanned — the delta then costs one scan of the new docs
+    * plus bucket-local joins. Same skew cap, threshold and verification
+    * as the canonical path, so verdicts never drift from what a
+    * from-scratch run would say.
     */
   def incrementalNearDupEdges(
       corpus: DataFrame, delta: DataFrame, n: Int = 3, numHashes: Int = 16,
@@ -335,9 +337,21 @@ object Dedup {
       maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
     // per-doc derivations, so union-of-shingles == shingles-of-union
     val shAll = Ckpt.narrow(shingles(corpus, n).union(shingles(delta, n)))
-    val bands = capBuckets(
-      Ckpt.narrow(lshBands(shAll, numHashes, rowsPerBand)), maxBucketSize)
-    val bandsD = bands.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+    incrementalEdgesOf(shAll,
+      Ckpt.narrow(lshBands(shAll, numHashes, rowsPerBand)),
+      delta.select("doc_id"), threshold, maxBucketSize)
+  }
+
+  /** The delta-side candidate join + verification shared by the
+    * recompute-in-query and stored-index renderings of incremental
+    * near-dup: cap the combined band frame, restrict one join side to
+    * the delta's bands, verify exact Jaccard over the combined shingles.
+    */
+  private def incrementalEdgesOf(
+      shAll: DataFrame, bandsAll: DataFrame, deltaIds: DataFrame,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    val bands = capBuckets(bandsAll, maxBucketSize)
+    val bandsD = bands.join(deltaIds, Seq("doc_id"), "left_semi")
     val cand = bands.as("a")
       .join(bandsD.as("d"),
         col("a.b") === col("d.b") && col("a.band_key") === col("d.band_key") &&
@@ -346,6 +360,81 @@ object Dedup {
         greatest(col("a.doc_id"), col("d.doc_id")).as("j"))
       .distinct()
     jaccardOfCandidates(shAll, cand, threshold)
+  }
+
+  /** A persisted near-dup index: the hashed-shingle and band frames the
+    * incremental operators name as their stored artifacts, plus the
+    * parameters they were derived with (so a load can't silently mix
+    * incompatible shingle widths or band layouts).
+    *
+    * This is the production storage contract behind
+    * [[incrementalNearDupEdges]]: [[writeIndex]] is yesterday's curation
+    * job persisting its narrow frames; [[loadIndex]] +
+    * [[incrementalNearDupEdgesIndexed]] is today's ingest reading them
+    * back — the corpus text is never rescanned or re-shingled, so the
+    * daily pass costs one scan of the NEW docs plus bucket-local joins
+    * (delta-proportional, not corpus-proportional).
+    */
+  final case class DedupIndex(
+      shingles: DataFrame, bands: DataFrame,
+      n: Int, numHashes: Int, rowsPerBand: Int)
+
+  /** Build the index frames in memory (the non-persisted rendering —
+    * exactly the frames [[incrementalNearDupEdges]] derives per query).
+    */
+  def buildIndex(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DedupIndex = {
+    val sh = Ckpt.narrow(shingles(docs, n))
+    DedupIndex(sh, lshBands(sh, numHashes, rowsPerBand), n, numHashes, rowsPerBand)
+  }
+
+  /** Persist the near-dup index of `docs` under `dir`: parquet of the
+    * (doc_id, gh) shingle frame, the (doc_id, b, band_key) band frame,
+    * and a one-row parameter manifest. At cluster scale both frames are
+    * narrow (8–16 bytes/row before encoding) — the write is a fraction
+    * of the shingle scan that produced them; a production layout would
+    * additionally bucket `bands` by band_key so the next ingest's
+    * candidate join is co-located without a shuffle.
+    */
+  def writeIndex(docs: DataFrame, dir: String, n: Int = 3,
+      numHashes: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val sh = Ckpt.narrow(shingles(docs, n))
+    try {
+      sh.write.mode("overwrite").parquet(s"$dir/shingles")
+      lshBands(sh, numHashes, rowsPerBand).write.mode("overwrite")
+        .parquet(s"$dir/bands")
+      docs.sparkSession.range(1)
+        .select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
+          lit(rowsPerBand).as("rows_per_band"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    } finally Ckpt.release(sh)
+  }
+
+  /** Load a [[writeIndex]] artifact. The frames come back as plain
+    * parquet scans — no checkpoint needed, they are already materialized
+    * storage.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DedupIndex = {
+    val m = spark.read.parquet(s"$dir/meta").head
+    DedupIndex(
+      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/bands"),
+      m.getAs[Int]("n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("rows_per_band"))
+  }
+
+  /** [[incrementalNearDupEdges]] over a stored corpus index: identical
+    * output (differentially tested), but the corpus side contributes
+    * only parquet scans of its narrow index frames — the delta's docs
+    * are the only text shingled this run.
+    */
+  def incrementalNearDupEdgesIndexed(
+      index: DedupIndex, delta: DataFrame, threshold: Double = 0.7,
+      maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
+    val shD = Ckpt.narrow(shingles(delta, index.n))
+    incrementalEdgesOf(
+      index.shingles.union(shD),
+      index.bands.union(lshBands(shD, index.numHashes, index.rowsPerBand)),
+      delta.select("doc_id"), threshold, maxBucketSize)
   }
 
   /** Estimated-Jaccard near-dup pairs: the pure-sketch tier above

@@ -41,6 +41,22 @@ object CurationQueries {
       Curation.curateIncremental(corpus, delta, corpusEdges).orderBy("doc_id")
     }),
 
+    // the STORED-ARTIFACT rendering of q64: yesterday's job persisted
+    // the keeper near-dup index (Dedup.writeIndex) AND the edge list;
+    // today's pass loads both, so the near-dup tier shingles only the
+    // delta's keepers. Gated against the same from-scratch oracle —
+    // the hash match is the stored ≡ recomputed ≡ full-run law.
+    "q71_incremental_curation_indexed" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val nf = deltaCut(docs)
+      val corpus = docs.filter(col("doc_id") < nf)
+      val delta = docs.filter(col("doc_id") >= nf)
+      val yd = yesterdayDir(spark, dir)
+      Curation.curateIncrementalIndexed(corpus, delta,
+        spark.read.parquet(s"$yd/edges"), Dedup.loadIndex(spark, yd))
+        .orderBy("doc_id")
+    }),
+
     "q66_training_manifest" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val emb = Tables.load(spark, dir, "embeddings")
@@ -66,7 +82,27 @@ object CurationQueries {
   def oracles: Map[String, String] = Map(
     "q48_corpus_curation" -> FullCurationSql,
     "q64_incremental_curation" -> FullCurationSql,
+    "q71_incremental_curation_indexed" -> FullCurationSql,
     "q66_training_manifest" -> ManifestSql)
+
+  /** "Yesterday's job" for q71, once per sf-dir per JVM: persist the
+    * below-the-cut corpus keepers' near-dup index and edge list to a
+    * temp dir. Artifact content is a pure function of the input, so
+    * cross-rerun reuse cannot change any result — reruns time the
+    * ingest pass, which is the production daily shape.
+    */
+  private val curIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def yesterdayDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    curIdxCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.load(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < deltaCut(docs))
+      val kept = Curation.exactKeepers(corpus)
+      val d = java.nio.file.Files.createTempDirectory("graft_cur_idx_").toString
+      Dedup.writeIndex(kept, d)
+      Dedup.nearDupEdges(kept).write.mode("overwrite").parquet(s"$d/edges")
+      d
+    })
 
   /** The q48 CTE chain — quality gate, exact-keeper tags, the canonical
     * near-dup pipeline over keepers, recursive components — WITHOUT the

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.operators.{Components, Dedup}
 import graft.sources.Tables
 
@@ -96,6 +98,18 @@ object DedupQueries {
       |sims AS (SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
       |         FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** q62/q70: canonical edges restricted to delta-touching pairs. */
+  private[queries] lazy val IncrementalEdgesSql: String =
+    s"""WITH $ShinglesSql,
+       |$MinhashCandSql,
+       |$JaccardSql
+       |SELECT jac.i, jac.j, round(jac.jaccard, 4) AS jaccard
+       |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+       |WHERE jac.jaccard >= 0.7
+       |  AND jac.j >= (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT)
+       |                FROM documents)
+       |ORDER BY jac.i, jac.j""".stripMargin
+
   /** SimHash pigeonhole-blocked candidate pairs for the canonical
     * maxHamming = 10 — the SQL twin of `Dedup.simhashCandidates`' loose
     * scheme (block width 60/11 < 8 bits, so 12 blocks and C(12,2)
@@ -181,10 +195,36 @@ object DedupQueries {
       val docs = Tables.load(spark, dir, "documents")
       val nf = deltaCut(docs)
       Dedup.incrementalNearDupEdges(
-        docs.filter(org.apache.spark.sql.functions.col("doc_id") < nf),
-        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= nf))
+        docs.filter(col("doc_id") < nf),
+        docs.filter(col("doc_id") >= nf))
+        .orderBy("i", "j")
+    }),
+
+    // the STORED-INDEX rendering of q62: yesterday's job persisted the
+    // corpus' shingle+band frames (built once per sf-dir and reused
+    // across reruns — artifact content is a pure function of the input,
+    // so reuse can't change the result); the timed query is the ingest
+    // pass itself, which shingles ONLY the delta. q62 vs q70 in the
+    // bench record is exactly what the persisted index buys.
+    "q70_incremental_dedup_indexed" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val nf = deltaCut(docs)
+      val idx = Dedup.loadIndex(spark, corpusIndexDir(spark, dir))
+      Dedup.incrementalNearDupEdgesIndexed(idx, docs.filter(col("doc_id") >= nf))
         .orderBy("i", "j")
     }))
+
+  /** "Yesterday's job" for q70: write the below-the-cut corpus' near-dup
+    * index to a temp dir, once per sf-dir per JVM.
+    */
+  private val ndIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corpusIndexDir(spark: SparkSession, dir: String): String =
+    ndIdxCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.load(spark, dir, "documents")
+      val d = java.nio.file.Files.createTempDirectory("graft_nd_idx_").toString
+      Dedup.writeIndex(docs.filter(col("doc_id") < deltaCut(docs)), d)
+      d
+    })
 
   def oracles: Map[String, String] = Map(
     "q26_dedup_ngram" ->
@@ -251,16 +291,11 @@ object DedupQueries {
     // Same CTE chain as q27; the delta cut (floor of 0.8 · max id) makes
     // "pair touches the delta" equivalent to j >= nf because pairs are
     // (min, max)-normalized and delta ids are the high range.
-    "q62_incremental_dedup" ->
-      s"""WITH $ShinglesSql,
-         |$MinhashCandSql,
-         |$JaccardSql
-         |SELECT jac.i, jac.j, round(jac.jaccard, 4) AS jaccard
-         |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
-         |WHERE jac.jaccard >= 0.7
-         |  AND jac.j >= (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT)
-         |                FROM documents)
-         |ORDER BY jac.i, jac.j""".stripMargin,
+    "q62_incremental_dedup" -> IncrementalEdgesSql,
+
+    // the stored-index rendering is output-identical by contract — the
+    // SAME oracle gates it, enforcing stored ≡ recomputed at hash level
+    "q70_incremental_dedup_indexed" -> IncrementalEdgesSql,
 
     // Sketch-only verification: same banded candidates as q27, but the
     // "Jaccard" is the signature agreement fraction — the sig CTE is the

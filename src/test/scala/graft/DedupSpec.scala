@@ -301,6 +301,54 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted index: stored ≡ recomputed ≡ restricted full-run edges") {
+    // the storage-contract law behind the daily-ingest story: write the
+    // corpus index to parquet, load it back, and the indexed incremental
+    // pass must emit byte-identical edges to (a) the recompute-in-query
+    // incremental pass and (b) the from-scratch full run restricted to
+    // delta-touching pairs
+    val cut = 400L
+    val corpus = docs.filter(col("doc_id") < cut)
+    val delta = docs.filter(col("doc_id") >= cut)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec_").toString
+    Dedup.writeIndex(corpus, dir)
+    val idx = Dedup.loadIndex(spark, dir)
+    assert((idx.n, idx.numHashes, idx.rowsPerBand) == (3, 16, 4),
+      "meta manifest must round-trip the build parameters")
+    val stored = edgeSet(Dedup.incrementalNearDupEdgesIndexed(idx, delta))
+    val recomputed = edgeSet(Dedup.incrementalNearDupEdges(corpus, delta))
+    val full = edgeSet(Dedup.nearDupEdges(docs)
+      .filter(col("j") >= cut || col("i") >= cut))
+    assert(stored == recomputed,
+      s"stored-index drift: ${stored -- recomputed} / ${recomputed -- stored}")
+    assert(stored == full,
+      s"vs full run: ${stored -- full} / ${full -- stored}")
+    assert(stored.nonEmpty, "cut should leave delta-touching planted pairs")
+  }
+
+  test("persisted index: indexed curation ≡ in-query incremental curation") {
+    import graft.operators.Curation
+    val cut = 400L
+    val corpus = docs.filter(col("doc_id") < cut)
+    val delta = docs.filter(col("doc_id") >= cut)
+    val kept = Curation.exactKeepers(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_spec_").toString
+    Dedup.writeIndex(kept, dir)
+    val edges = Dedup.nearDupEdges(kept)
+    edges.write.mode("overwrite").parquet(s"$dir/edges")
+    def verdictMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "verdict").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaIndex = verdictMap(Curation.curateIncrementalIndexed(
+      corpus, delta, spark.read.parquet(s"$dir/edges"),
+      Dedup.loadIndex(spark, dir)))
+    val inQuery = verdictMap(Curation.curateIncremental(corpus, delta, edges))
+    assert(viaIndex == inQuery)
+  }
+
   test("IVF derived centroid stride is ceil(sqrt(n))") {
     assert(Similarity.derivedStride(500L) == 23)
     assert(Similarity.derivedStride(1L) == 1)
