@@ -116,7 +116,9 @@ object Similarity {
     * [[Ckpt]] — `Ckpt.releaseGraftStorage` (called at Bench/Verify run
     * boundaries) unpersists them, and truncated lineage cannot recompute
     * them, so a held index does NOT survive a release. Build, search,
-    * and release within one run scope; rebuild after a release.
+    * and release within one run scope; for an index that outlives the
+    * session (the production build-job/search-job split), persist it
+    * with [[writeIvfIndex]] and reload with [[loadIvfIndex]].
     */
   final case class IvfIndex private[operators] (
       stride: Int, cents: DataFrame, assigned: DataFrame)
@@ -273,6 +275,32 @@ object Similarity {
         max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")))
     IvfIndex(stride, cents, assigned)
   }
+
+  /** Persist a built [[IvfIndex]] under `dir`: parquet of the centroid
+    * and assignment frames plus a one-row stride manifest. This is the
+    * build-job half of the production split — an ANN index must outlive
+    * the session that built it, or every search session pays the
+    * O(n·√n) assignment scan again. The assignment frame is the corpus
+    * with two extra narrow columns (nrm, cell); a production layout
+    * would partition it by `cell` so a probe reads only its cells'
+    * files (partition pruning on the probe equi-join).
+    */
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.cents.write.mode("overwrite").parquet(s"$dir/cents")
+    index.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    index.cents.sparkSession.range(1).select(lit(index.stride).as("stride"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[writeIvfIndex]] artifact — a fresh session can
+    * [[ivfSearch]] it directly; the frames are plain parquet scans with
+    * no dependence on the building session's checkpoint storage.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/meta").head.getAs[Int]("stride"),
+      spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/assigned"))
 
   /** Default IVF centroid stride: ⌈√n⌉ ⇒ ~√n centroids of ~√n vectors. */
   private[graft] def derivedStride(n: Long): Int =

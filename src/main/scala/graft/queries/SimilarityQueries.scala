@@ -134,6 +134,20 @@ object SimilarityQueries {
        |           round(CAST(x AS DOUBLE) / (1000000.0 * cnt), 6)) AS ce
        |  FROM agg$n GROUP BY cell, cnt)""".stripMargin
 
+  /** q61/q72: 2 Lloyd rounds from the sampled seed, then the shared IVF
+    * probe/search tail.
+    */
+  private lazy val TrainedIvfSql: String =
+    s"""WITH $VecSql,
+       |qv AS (SELECT vec_id,
+       |              list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+       |       FROM v),
+       |cents0 AS (SELECT vec_id AS cid, e AS ce FROM v
+       |           WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v) = 0),
+       |${kmRoundSql(1, "cents0")},
+       |${kmRoundSql(2, "cents1")},
+       |${ivfSearchSql("cents2")}""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q30_embedding_pairs" -> ((spark, dir) =>
       Similarity.cosinePairs(Tables.load(spark, dir, "embeddings"), threshold = 0.4)
@@ -195,7 +209,30 @@ object SimilarityQueries {
         Similarity.ivfTrainedIndex(emb, iters = 2),
         emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
         .orderBy("query_id", "rank")
+    }),
+
+    // the STORED-INDEX rendering of q61: the trained index is persisted
+    // once per sf-dir ("the index build job") and each run loads +
+    // searches it — gated against q61's oracle, so stored ≡ rebuilt at
+    // hash level; q61 vs q72 in the bench record is the search-job cost
+    // with the build amortized away
+    "q72_ann_ivf_stored" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val idx = Similarity.loadIvfIndex(spark, ivfIndexDir(spark, dir))
+      Similarity.ivfSearch(idx, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
+        .orderBy("query_id", "rank")
     }))
+
+  /** "Yesterday's index build job" for q72, once per sf-dir per JVM. */
+  private val ivfIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIdxCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+      Similarity.writeIvfIndex(
+        Similarity.ivfTrainedIndex(Tables.load(spark, dir, "embeddings"), iters = 2), d)
+      d
+    })
 
   def oracles: Map[String, String] = Map(
     "q30_embedding_pairs" ->
@@ -295,16 +332,11 @@ object SimilarityQueries {
          |FROM per GROUP BY label
          |ORDER BY label""".stripMargin,
 
-    "q61_ann_ivf_trained" ->
-      s"""WITH $VecSql,
-         |qv AS (SELECT vec_id,
-         |              list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
-         |       FROM v),
-         |cents0 AS (SELECT vec_id AS cid, e AS ce FROM v
-         |           WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v) = 0),
-         |${kmRoundSql(1, "cents0")},
-         |${kmRoundSql(2, "cents1")},
-         |${ivfSearchSql("cents2")}""".stripMargin,
+    "q61_ann_ivf_trained" -> TrainedIvfSql,
+
+    // stored ≡ rebuilt: the persisted-index query answers to the exact
+    // same from-scratch oracle as q61
+    "q72_ann_ivf_stored" -> TrainedIvfSql,
 
     "q59_semantic_dedup_strict" ->
       s"""WITH RECURSIVE $VecSql,

@@ -120,6 +120,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       rows(Similarity.ivfTopK(emb, q2, k = 5, centroidEvery = 20, nProbe = 3)))
   }
 
+  test("IVF: a persisted index searched from a FRESH session == the in-memory index") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val idx = Similarity.ivfTrainedIndex(emb, iters = 2, centroidEvery = 20)
+    val q = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = rows(Similarity.ivfSearch(idx, q, k = 5, nProbe = 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec_").toString
+    Similarity.writeIvfIndex(idx, dir)
+    // a NEW session (fresh SessionState; and release the builder's
+    // checkpoint storage so a hidden dependence on it would fail loudly)
+    graft.operators.Ckpt.releaseGraftStorage(spark)
+    val s2 = spark.newSession()
+    val loaded = Similarity.loadIvfIndex(s2, dir)
+    assert(loaded.stride == idx.stride, "stride manifest must round-trip")
+    val q2 = Tables.load(s2, TestSpark.Sf0001, "embeddings").filter(col("vec_id") < 10)
+    assert(rows(Similarity.ivfSearch(loaded, q2, k = 5, nProbe = 3)) == want)
+  }
+
   test("IVF k-means: planted clusters co-assign and training is bit-deterministic") {
     import spark.implicits._
     // 3 tight, well-separated clusters of 10 vectors each, ids interleaved
