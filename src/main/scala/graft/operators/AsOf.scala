@@ -21,16 +21,16 @@ import org.apache.spark.sql.functions._
   * Skew caveat: AQE's skew handling splits JOIN partitions, not window
   * partitions — a pathologically hot key's full history still sorts and
   * scans in ONE task here. For genuinely hot keys (a device emitting a
-  * large fraction of all rows), the scale recipe is a time-sliced
-  * two-pass variant: partition the window by (key, coarse time slice)
-  * so each slice sorts in its own task, then resolve rows whose match
-  * precedes their slice with a second window over ONE boundary row per
-  * slice (each slice's running-last right row, carried forward across
-  * slices — a frame with one row per (key, slice), tiny by
-  * construction). Unimplemented here because the as-of grain in this
-  * engine (per-customer order history) is bounded by construction; the
-  * composition is documented so a cluster operator recognizes both the
-  * symptom and the fix.
+  * large fraction of all rows), pass `sliceOf` to engage the time-sliced
+  * two-pass variant: the window partitions by (key, coarse time slice)
+  * so each slice sorts in its own task, and rows whose match precedes
+  * their slice resolve through a second window over ONE boundary row per
+  * slice (each slice's last right row, carried forward across slices — a
+  * frame with one row per (key, slice), tiny by construction).
+  * Differentially tested ≡ the plain path, including on a synthetic key
+  * owning half the input. Opt-in because the plain path is one shuffle
+  * and one sort — strictly cheaper until a key genuinely overflows a
+  * task.
   *
   * Left-outer semantics: left rows with no qualifying right row keep NULL
   * match columns. Ties on (key, ts) between right rows resolve to the
@@ -46,12 +46,19 @@ object AsOf {
     * @param payload  right columns to carry onto matches
     * @param tiebreak right column ordering equal-ts right rows (max wins)
     * @param strict   require `rightTs < leftTs` instead of `<=`
+    * @param sliceOf  opt-in hot-key two-pass (class doc): maps the shared
+    *                 timestamp column to a coarse slice id. MUST be
+    *                 non-decreasing in the timestamp (e.g.
+    *                 `ts => floor(unix_timestamp(ts) / 86400)`) so equal
+    *                 timestamps land in one slice and slice order is time
+    *                 order — the properties the cross-slice carry rests on.
     */
   def join(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       payload: Seq[String], tiebreak: String,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      sliceOf: Option[Column => Column] = None): DataFrame = {
 
     // Internal working columns must never capture (and silently clobber)
     // a caller column: derive a prefix no caller column starts with.
@@ -94,17 +101,57 @@ object AsOf {
     // strict ⇒ after (invisible). Among equal-ts right rows the largest
     // tiebreak must sort LAST so `last()` lands on it.
     val sideOrder = if (strict) col(sideC).desc else col(sideC).asc
-    val w = Window.partitionBy(key)
-      .orderBy(col(atsC).asc, sideOrder, col(s"$mC._tb").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
     val leftCols = left.columns.toIndexedSeq.map(col)
-    val outMatch = matchCols.map(c =>
-      col(s"$bestC.$c").as(if (c == rightTs) s"asof_$rightTs" else c))
+    def outMatch(best: String) = matchCols.map(c =>
+      col(s"$best.$c").as(if (c == rightTs) s"asof_$rightTs" else c))
+    val u = l.unionByName(r, allowMissingColumns = true)
 
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn(bestC, last(col(mC), ignoreNulls = true).over(w))
-      .filter(col(sideC) === 1)
-      .select(leftCols ++ outMatch: _*)
+    sliceOf match {
+      case None =>
+        val w = Window.partitionBy(key)
+          .orderBy(col(atsC).asc, sideOrder, col(s"$mC._tb").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn(bestC, last(col(mC), ignoreNulls = true).over(w))
+          .filter(col(sideC) === 1)
+          .select(leftCols ++ outMatch(bestC): _*)
+
+      case Some(f) =>
+        // Two-pass hot-key variant. Pass 1: the SAME running-last window,
+        // partitioned by (key, slice) — each slice sorts in its own task.
+        // Equal timestamps share a slice (sliceOf is a function of the
+        // ts), so the strict/inclusive side ordering is fully resolved
+        // within pass 1; only strictly-earlier slices remain.
+        val (sliceC, lastC, prevC) = (p + "slice", p + "lastr", p + "prev")
+        val us = u.withColumn(sliceC, f(col(atsC)))
+        val w1 = Window.partitionBy(col(key), col(sliceC))
+          .orderBy(col(atsC).asc, sideOrder, col(s"$mC._tb").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pass1 = us
+          .withColumn(bestC, last(col(mC), ignoreNulls = true).over(w1))
+          .filter(col(sideC) === 1)
+
+        // Boundary frame: ONE row per (key, slice) present on either
+        // side, holding the slice's last right row (max by (ts, tb) —
+        // the row the running window ends on), then carried forward from
+        // strictly earlier slices. Tiny by construction: its size is the
+        // number of (key, slice) pairs, not rows.
+        val lastRight = us.filter(col(sideC) === 0)
+          .groupBy(col(key), col(sliceC))
+          .agg(max_by(col(mC), struct(col(atsC), col(s"$mC._tb"))).as(lastC))
+        val wS = Window.partitionBy(key).orderBy(col(sliceC).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prev = us.select(col(key), col(sliceC)).distinct()
+          .join(lastRight, Seq(key, sliceC), "left")
+          .withColumn(prevC, last(col(lastC), ignoreNulls = true).over(wS))
+          .select(col(key), col(sliceC), col(prevC))
+
+        // A left row's match: its slice's running last if any, else the
+        // latest right row of any earlier slice. The join key (key,
+        // slice) makes this an equi-join against the tiny boundary frame.
+        val resolvedC = p + "resolved"
+        pass1.join(prev, Seq(key, sliceC), "left")
+          .withColumn(resolvedC, coalesce(col(bestC), col(prevC)))
+          .select(leftCols ++ outMatch(resolvedC): _*)
+    }
   }
 }

@@ -62,6 +62,26 @@ class TemporalPropSpec extends AnyFunSuite {
     })
   }
 
+  test("property: sliced two-pass as-of == plain as-of on random data") {
+    import spark.implicits._
+    // 7-second slices against a 40-second scatter: some slices hold both
+    // sides, some only left rows, some nothing — the carry-forward cases
+    val slice: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => floor(unix_micros(t) / 7000000L)
+    check(Prop.forAll(rowsGen, rowsGen) { (ls, rs) =>
+      val left = ls.toDF("id", "us")
+        .select(col("id"), lit(1L).as("k"), timestamp_micros(col("us")).as("lts"))
+      val right = rs.toDF("rid", "rus")
+        .select(col("rid"), lit(1L).as("k"), timestamp_micros(col("rus")).as("rts"))
+      def run(s: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+        AsOf.join(left, right, key = "k", leftTs = "lts", rightTs = "rts",
+            payload = Seq("rid"), tiebreak = "rid", sliceOf = s)
+          .select("id", "rid").orderBy("id")
+          .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      run(Some(slice)) == run(None)
+    })
+  }
+
   test("property: sessionization islands equal a linear scan reference") {
     import spark.implicits._
     check(Prop.forAll(rowsGen) { rows =>

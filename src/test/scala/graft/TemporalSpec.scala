@@ -49,6 +49,35 @@ class TemporalSpec extends AnyFunSuite {
       (1004L, None, None)))           // key absent on right
   }
 
+  test("as-of two-pass (sliceOf) == plain path, hot key owning half the input") {
+    import spark.implicits._
+    val base = 1704100000000000L // µs
+    // key 1 owns 50% of both sides; ts scatter creates equal-ts ties,
+    // right-empty slices (cross-slice carry), and before-first-right rows
+    val left = (0 until 2000).map { i =>
+      val k = if (i % 2 == 0) 1L else (i % 20).toLong + 2
+      (i.toLong, k, base + (i * 7919L % 200L) * 1000000L)
+    }
+    val right = (0 until 600).map { i =>
+      val k = if (i % 2 == 0) 1L else (i % 20).toLong + 2
+      (i.toLong, k, base + (i * 104729L % 97L) * 3000000L, i * 1.5)
+    }
+    val l = left.toDF("id", "k", "us")
+      .select(col("id"), col("k"), timestamp_micros(col("us")).as("lts"))
+    val r = right.toDF("rid", "k", "rus", "px")
+      .select(col("rid"), col("k"), timestamp_micros(col("rus")).as("rts"), col("px"))
+    // 10-second slices over a ~300-second span → ~30 slices per key
+    val slice: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => floor(unix_micros(t) / 10000000L)
+    def run(strict: Boolean, s: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      AsOf.join(l, r, key = "k", leftTs = "lts", rightTs = "rts",
+          payload = Seq("rid", "px"), tiebreak = "rid", strict = strict, sliceOf = s)
+        .orderBy("id").select("id", "rid", "px")
+        .collect().map(_.toSeq).toSeq
+    assert(run(strict = false, Some(slice)) == run(strict = false, None))
+    assert(run(strict = true, Some(slice)) == run(strict = true, None))
+  }
+
   test("as-of join: strict mode excludes equal-timestamp right rows") {
     val (quotes, trades) = crafted
     val got = AsOf.join(trades, quotes, key = "key", leftTs = "tts",
