@@ -27,4 +27,20 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.historyMedians("/nonexistent/path.jsonl", "/x/sf0.1").isEmpty)
     java.nio.file.Files.delete(f)
   }
+
+  test("historyMedians: new-format lines read the official medians, not min/hist maps") {
+    // the record now carries "queries_min" and "hist_medians" companions;
+    // history parsing must still pick the FIRST "queries" object (the
+    // official medians) — not the min-of-repeats or the echoed history
+    val f = java.nio.file.Files.createTempFile("bh2", ".jsonl")
+    val line =
+      """{"at_ms":1,"metric":"total","value":9,"unit":"sec","value_min":7,""" +
+        """"queries":{"q01":3.0},"queries_min":{"q01":1.0},""" +
+        """"hist_medians":{"q01":9.0},"errors":{},""" +
+        """"outliers":{"flag":false,"compared":1,"queries":{}},"sf":"/x/sf0.1"}"""
+    java.nio.file.Files.write(f, Seq(line, line, line).mkString("\n").getBytes("UTF-8"))
+    val m = Bench.historyMedians(f.toString, "/x/sf0.1")
+    assert(m.get("q01").contains(3.0), s"must read the official median: $m")
+    java.nio.file.Files.delete(f)
+  }
 }
