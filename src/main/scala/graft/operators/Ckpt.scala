@@ -16,12 +16,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (truncated lineage cannot recompute). That is the right trade in
   * local mode and on stable clusters where these frames are rebuilt in
   * seconds. For long-running jobs on clusters with real executor churn,
-  * swap the implementation here for `df.checkpoint()` against a
-  * `sparkContext.setCheckpointDir` on durable storage (or persist with
-  * replication) — every operator inherits the policy from this one
-  * call site.
+  * set `spark.graft.ckpt.dir` to a durable path (HDFS/object store):
+  * every cut then goes through `df.checkpoint()` against that dir —
+  * RELIABLE checkpoint files that survive executor loss — and every
+  * operator inherits the policy from this one call site. The trade is
+  * one extra write+read of each narrow frame per cut; default (unset)
+  * behavior is unchanged.
   */
 private[graft] object Ckpt {
+
+  /** Session config key selecting durable checkpoints (empty/unset =
+    * executor-local blocks).
+    */
+  val DirKey = "spark.graft.ckpt.dir"
+
+  /** The raw dir last applied via `setCheckpointDir` — the context
+    * qualifies and suffixes what it is given, so remembering our own
+    * input is the only way to make the set idempotent.
+    */
+  private var appliedCkptDir: Option[String] = None
+
+  /** Cut lineage under the session-configured policy (see class doc). */
+  private def cut(df: DataFrame, eager: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        synchronized {
+          if (!appliedCkptDir.contains(dir)) {
+            spark.sparkContext.setCheckpointDir(dir)
+            appliedCkptDir = Some(dir)
+          }
+        }
+        register(df.checkpoint(eager))
+      case None => register(df.localCheckpoint(eager))
+    }
+  }
 
   /** RDD ids persisted by [[narrow]]/[[narrowLazy]], so release touches
     * only storage THIS engine created — a host application's caches on
@@ -49,14 +78,14 @@ private[graft] object Ckpt {
   }
 
   /** Eagerly materialize and cut the lineage of a NARROW frame. */
-  def narrow(df: DataFrame): DataFrame = register(df.localCheckpoint(true))
+  def narrow(df: DataFrame): DataFrame = cut(df, eager = true)
 
   /** Lazy lineage cut for frames the caller materializes itself
     * immediately afterwards (e.g. a convergence-check `count()` in an
     * iterative loop): skips the extra eager job, same storage contract
     * as [[narrow]] once materialized.
     */
-  def narrowLazy(df: DataFrame): DataFrame = register(df.localCheckpoint(false))
+  def narrowLazy(df: DataFrame): DataFrame = cut(df, eager = false)
 
   /** Drop every RDD persisted by [[narrow]]/[[narrowLazy]] — the
     * run-boundary cleanup for bench/verify loops. `catalog.clearCache()`
@@ -92,11 +121,13 @@ private[graft] object Ckpt {
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD
-          if tracked.synchronized(tracked.contains(l.rdd.id)) =>
-        df.sparkSession.sparkContext.getPersistentRDDs.get(l.rdd.id)
-          .foreach(_.unpersist(blocking = false))
-        tracked.synchronized { tracked -= l.rdd.id }
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        // check-and-remove atomically: of two racing callers (or a
+        // concurrent releaseGraftStorage) exactly one owns the unpersist
+        val owned = tracked.synchronized { tracked.remove(l.rdd.id) }
+        if (owned)
+          df.sparkSession.sparkContext.getPersistentRDDs.get(l.rdd.id)
+            .foreach(_.unpersist(blocking = false))
       case _ => ()
     }
 }

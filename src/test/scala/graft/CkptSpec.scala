@@ -51,6 +51,32 @@ class CkptSpec extends AnyFunSuite {
     Ckpt.release(spark.range(5).toDF("w"))
   }
 
+  test("spark.graft.ckpt.dir engages durable checkpoints; default unchanged after unset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_dir_").toString
+    spark.conf.set(Ckpt.DirKey, dir)
+    try {
+      val df = Ckpt.narrow(spark.range(100).toDF("id"))
+      assert(df.count() == 100)
+      // reliable checkpoint files must land under the configured dir —
+      // the artifact that survives executor loss where local blocks don't
+      def files(p: java.io.File): Seq[java.io.File] =
+        if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.flatMap(files)
+        else Seq(p)
+      assert(files(new java.io.File(dir)).nonEmpty,
+        "durable mode must write checkpoint files under the configured dir")
+      // the cut frame computes correctly from the durable artifact
+      assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 4950L)
+    } finally spark.conf.unset(Ckpt.DirKey)
+    // back to default: local checkpoint blocks register as persistent RDDs
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.keySet
+    val local = Ckpt.narrow(spark.range(7).toDF("id"))
+    assert(local.count() == 7)
+    assert((sc.getPersistentRDDs.keySet -- base).nonEmpty,
+      "default local-checkpoint path must be restored after unset")
+    Ckpt.releaseGraftStorage(spark)
+  }
+
   test("lazy checkpoints are tracked too") {
     val sc = spark.sparkContext
     val base = sc.getPersistentRDDs.keySet
