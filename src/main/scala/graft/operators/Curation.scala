@@ -103,13 +103,12 @@ object Curation {
     * Contract: every delta doc_id must exceed every corpus doc_id
     * (append-only ingest). That makes corpus keeper status immune to the
     * delta (a group's min id can't move), so the output equals
-    * `curate(corpus ∪ delta)` EXACTLY — differentially tested — except
-    * in one documented corner: a band bucket that only exceeds the
-    * [[Dedup.NearDupMaxBucket]] skew cap once delta members join it
-    * would have been dropped by the from-scratch run but was already
-    * mined for `corpusEdges`; stored past edges are treated as
-    * authoritative (verdicts never retroactively un-learn), which is the
-    * production semantic.
+    * `curate(corpus ∪ delta)` EXACTLY and unconditionally: stored edges
+    * are re-validated against the union's bucket caps
+    * ([[Dedup.revalidatedUnionEdges]] — a pair whose every shared band
+    * bucket outgrew [[Dedup.NearDupMaxBucket]] once delta members joined
+    * is dropped, exactly as the from-scratch run drops it), which closes
+    * the skew-cap corner earlier rounds documented as a divergence.
     *
     * Cheap stages re-scan `corpus` here (they are linear and fuse into
     * one pass); a production run would feed the stored (doc_id, quality)
@@ -127,9 +126,7 @@ object Curation {
       .join(g.keeperIds, Seq("doc_id"), "left_semi")
     val deltaKept = delta.select(col("doc_id"), col("text"))
       .join(g.keeperIds, Seq("doc_id"), "left_semi")
-    val edges = corpusEdges.select(col("i"), col("j"))
-      .union(Dedup.incrementalNearDupEdges(corpusKept, deltaKept)
-        .select(col("i"), col("j")))
+    val edges = Dedup.revalidatedUnionEdges(corpusKept, deltaKept, corpusEdges)
     verdicts(g, Components.connected(edges), minQuality)
   }
 
@@ -141,7 +138,7 @@ object Curation {
     * [[curateIncremental]] (differentially tested) — the index swap
     * changes where the corpus frames COME FROM, not what they contain.
     *
-    * Same contract and documented skew-cap corner as
+    * Same contract (including stored-edge re-validation) as
     * [[curateIncremental]]. `index` must cover exactly the corpus'
     * quality-passing exact-keepers (what [[exactKeepers]] returns) —
     * indexing dropped docs would resurrect them as candidate endpoints.
@@ -154,9 +151,7 @@ object Curation {
     val g = gates(all, minQuality)
     val deltaKept = delta.select(col("doc_id"), col("text"))
       .join(g.keeperIds, Seq("doc_id"), "left_semi")
-    val edges = corpusEdges.select(col("i"), col("j"))
-      .union(Dedup.incrementalNearDupEdgesIndexed(index, deltaKept)
-        .select(col("i"), col("j")))
+    val edges = Dedup.revalidatedUnionEdgesIndexed(index, deltaKept, corpusEdges)
     verdicts(g, Components.connected(edges), minQuality)
   }
 }

@@ -349,8 +349,13 @@ object Dedup {
     */
   private def incrementalEdgesOf(
       shAll: DataFrame, bandsAll: DataFrame, deltaIds: DataFrame,
-      threshold: Double, maxBucketSize: Int): DataFrame = {
-    val bands = capBuckets(bandsAll, maxBucketSize)
+      threshold: Double, maxBucketSize: Int): DataFrame =
+    deltaEdgesOf(shAll, capBuckets(bandsAll, maxBucketSize), deltaIds, threshold)
+
+  private def deltaEdgesOf(
+      shAll: DataFrame, cappedBands: DataFrame, deltaIds: DataFrame,
+      threshold: Double): DataFrame = {
+    val bands = cappedBands
     val bandsD = bands.join(deltaIds, Seq("doc_id"), "left_semi")
     val cand = bands.as("a")
       .join(bandsD.as("d"),
@@ -360,6 +365,67 @@ object Dedup {
         greatest(col("a.doc_id"), col("d.doc_id")).as("j"))
       .distinct()
     jaccardOfCandidates(shAll, cand, threshold)
+  }
+
+  /** The COMPLETE edge set of `nearDupEdges(corpus ∪ delta)` (as (i, j)
+    * pairs), assembled incrementally from yesterday's stored edges plus
+    * delta-proportional work: stored corpus edges are RE-VALIDATED
+    * against the union's bucket caps (kept only if the pair still shares
+    * ≥ 1 surviving band bucket), then unioned with the delta-touching
+    * edges.
+    *
+    * Why this is exactly the from-scratch result: a doc's band keys are
+    * a pure function of its text and never change, and bucket sizes only
+    * GROW as the delta joins — so a bucket surviving the post-union cap
+    * was surviving pre-delta too, meaning (a) every re-validated stored
+    * pair is a candidate the from-scratch run generates and has already
+    * verified, and (b) every from-scratch corpus–corpus pair shared a
+    * surviving bucket yesterday and is therefore in the stored edges.
+    * Re-validation drops precisely the pairs whose every shared bucket
+    * outgrew the cap — the pairs a from-scratch run would never
+    * generate. The previously documented skew-cap corner is thereby
+    * closed: incremental ≡ from-scratch holds UNCONDITIONALLY (the
+    * q64/q71 hash gates check it against the from-scratch SQL).
+    *
+    * Contract: `corpusEdges` must be `nearDupEdges(corpus)` (same
+    * parameters); re-validation cost is |edges| × bands-per-doc equi-join
+    * rows — edge-proportional, never corpus-quadratic.
+    */
+  def revalidatedUnionEdges(
+      corpus: DataFrame, delta: DataFrame, corpusEdges: DataFrame,
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7, maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
+    val shAll = Ckpt.narrow(shingles(corpus, n).union(shingles(delta, n)))
+    unionEdgesOf(shAll, Ckpt.narrow(lshBands(shAll, numHashes, rowsPerBand)),
+      delta.select("doc_id"), corpusEdges, threshold, maxBucketSize)
+  }
+
+  /** [[revalidatedUnionEdges]] over a stored [[DedupIndex]] — the corpus
+    * side reads its parquet index frames; only delta text is shingled.
+    */
+  def revalidatedUnionEdgesIndexed(
+      index: DedupIndex, delta: DataFrame, corpusEdges: DataFrame,
+      threshold: Double = 0.7, maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
+    val shD = Ckpt.narrow(shingles(delta, index.n))
+    unionEdgesOf(index.shingles.union(shD),
+      index.bands.union(lshBands(shD, index.numHashes, index.rowsPerBand)),
+      delta.select("doc_id"), corpusEdges, threshold, maxBucketSize)
+  }
+
+  private def unionEdgesOf(
+      shAll: DataFrame, bandsAll: DataFrame, deltaIds: DataFrame,
+      corpusEdges: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val bands = capBuckets(bandsAll, maxBucketSize)
+    // stored pairs that still share a surviving bucket (class doc above)
+    val revalidated = corpusEdges.select(col("i"), col("j"))
+      .join(bands.as("x"), col("i") === col("x.doc_id"))
+      .join(bands.as("y"),
+        col("j") === col("y.doc_id") && col("x.b") === col("y.b") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("i"), col("j"))
+      .distinct()
+    revalidated.union(
+      deltaEdgesOf(shAll, bands, deltaIds, threshold).select(col("i"), col("j")))
   }
 
   /** A persisted near-dup index: the hashed-shingle and band frames the

@@ -196,9 +196,11 @@ object SimilarityQueries {
           threshold = 0.9, tables = 16, bits = 12, dim = 64)
         .orderBy("vec_id")),
 
+    // asc_nulls_last pins the engine-independent order (Spark default is
+    // NULLS FIRST, DuckDB's is NULLS LAST — the q22/q50 convention)
     "q65_quantize_audit" -> ((spark, dir) =>
       Similarity.int8QuantAudit(Tables.load(spark, dir, "embeddings"))
-        .orderBy("label")),
+        .orderBy(col("label").asc_nulls_last)),
 
     // the trained-index tier: 2 Lloyd rounds on the q45 seed, then the
     // same probe/search contract — build is eager (index job), search

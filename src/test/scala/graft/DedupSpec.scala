@@ -329,6 +329,37 @@ class DedupSpec extends AnyFunSuite {
     assert(stored.nonEmpty, "cut should leave delta-touching planted pairs")
   }
 
+  test("revalidated stored edges: incremental ≡ from-scratch when delta overflows a bucket") {
+    import spark.implicits._
+    // corpus cluster of 8 sits UNDER a cap of 10 (edges mined and
+    // stored); 13 delta near-dups push every shared bucket over the cap,
+    // so a from-scratch run drops those candidates — re-validation must
+    // drop the stored edges the same way, making the edge sets equal
+    val boiler = (1 to 60).map(i => s"base$i").mkString(" ")
+    val corpus = (0 until 8).map(i => (i.toLong, s"$boiler tail$i")).toDF("doc_id", "text")
+    val delta = (100 until 113).map(i => (i.toLong, s"$boiler tail$i")).toDF("doc_id", "text")
+    val cap = 10
+    val stored = Dedup.minhashPairs(corpus, 3, 16, 4, 0.7, maxBucketSize = cap)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val storedPairs = pairs(stored)
+    assert(storedPairs.nonEmpty, "under-cap corpus bucket must mine edges")
+    val fromScratch = pairs(
+      Dedup.minhashPairs(corpus.union(delta), 3, 16, 4, 0.7, maxBucketSize = cap))
+    val incremental = pairs(
+      Dedup.revalidatedUnionEdges(corpus, delta, stored, 3, 16, 4, 0.7, maxBucketSize = cap))
+    assert(incremental == fromScratch,
+      s"drift: ${incremental -- fromScratch} / ${fromScratch -- incremental}")
+    assert((storedPairs -- fromScratch).nonEmpty,
+      "test shape must actually overflow a bucket (some stored edge dropped)")
+    // the stored-index rendering obeys the same law
+    val dir = java.nio.file.Files.createTempDirectory("graft_reval_spec_").toString
+    Dedup.writeIndex(corpus, dir)
+    val viaIndex = pairs(Dedup.revalidatedUnionEdgesIndexed(
+      Dedup.loadIndex(spark, dir), delta, stored, 0.7, maxBucketSize = cap))
+    assert(viaIndex == fromScratch)
+  }
+
   test("persisted index: indexed curation ≡ in-query incremental curation") {
     import graft.operators.Curation
     val cut = 400L
