@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
+import graft.operators.Dedup
 
 /** Structured Streaming tier over the `events` dataflow (SURVEY.md §2.5
   * streaming row, §7 step 7).
@@ -127,6 +128,99 @@ object Streams {
           col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         col("p_ts"), col("c_ts"))
+  }
+
+  /** Streaming ingest near-dup — the `foreachBatch` composition that
+    * closes the loop between the streaming tier and the incremental
+    * dedup tier: each micro-batch of documents is deduped against the
+    * ACCUMULATED corpus index (the persisted shingle/band frames of
+    * every prior batch — the `Dedup.writeIndex` artifact shape), then
+    * appended to it. This is the actual shape of a production ingest:
+    * per batch, only the new documents are shingled; the corpus side is
+    * parquet reads of narrow index frames.
+    *
+    * Artifacts under `stateDir` (a distributed FS path in production):
+    *   - `shingles/batch=N`, `bands/batch=N` — the accumulated index
+    *   - `edges/batch=N` — verified near-dup edges touching batch N
+    *     (including batch-internal pairs), ≡
+    *     `Dedup.incrementalNearDupEdges(prior batches, batch N)` —
+    *     differentially tested, micro-batch by micro-batch
+    *   - `_committed/N` — written LAST per batch
+    *
+    * Exactly-once across restarts: a replayed batch id that is already
+    * committed is skipped; a batch that crashed mid-write left no marker
+    * and its batch-scoped dirs are simply overwritten on replay. Readers
+    * ([[ingestIndex]]/[[ingestEdges]]) see only committed batches, so a
+    * partial write is never observed.
+    */
+  def ingestNearDup(
+      docs: DataFrame, stateDir: String, checkpointDir: String,
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = Dedup.NearDupMaxBucket): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestNearDupBatch(batch.toDF(), stateDir, batchId,
+          n, numHashes, rowsPerBand, threshold, maxBucketSize)
+      }
+      .start()
+
+  /** One ingest step (see [[ingestNearDup]]); public for batch-mode
+    * replays and tests — the streaming query calls exactly this.
+    */
+  def ingestNearDupBatch(
+      batch: DataFrame, stateDir: String, batchId: Long,
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = Dedup.NearDupMaxBucket): Unit = {
+    if (committedBatches(stateDir).contains(batchId)) return // replayed, durable
+    val spark = batch.sparkSession
+    // empty prior index for the first batch: the incremental pass then
+    // returns exactly the batch-internal pairs (every pair "touches the
+    // delta"), so one code path serves bootstrap and steady state
+    val idx = ingestIndex(spark, stateDir, n, numHashes, rowsPerBand)
+      .getOrElse(Dedup.buildIndex(batch.limit(0), n, numHashes, rowsPerBand))
+    Dedup.incrementalNearDupEdgesIndexed(idx, batch, threshold, maxBucketSize)
+      .write.mode("overwrite").parquet(s"$stateDir/edges/batch=$batchId")
+    val sh = Dedup.shingles(batch, n)
+    sh.write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$batchId")
+    Dedup.lshBands(sh, numHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+    val marker = java.nio.file.Paths.get(stateDir, "_committed", batchId.toString)
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.createFile(marker)
+  }
+
+  /** The accumulated ingest index over all COMMITTED batches (None
+    * before the first commit) — directly searchable by the incremental
+    * Dedup operators.
+    */
+  def ingestIndex(spark: SparkSession, stateDir: String,
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): Option[Dedup.DedupIndex] = {
+    val ids = committedBatches(stateDir)
+    if (ids.isEmpty) None
+    else Some(Dedup.DedupIndex(
+      spark.read.parquet(ids.map(i => s"$stateDir/shingles/batch=$i"): _*),
+      spark.read.parquet(ids.map(i => s"$stateDir/bands/batch=$i"): _*),
+      n, numHashes, rowsPerBand))
+  }
+
+  /** All committed near-dup edges of an [[ingestNearDup]] run so far. */
+  def ingestEdges(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val ids = committedBatches(stateDir)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(ids.map(i => s"$stateDir/edges/batch=$i"): _*))
+  }
+
+  private def committedBatches(stateDir: String): Seq[Long] = {
+    val dir = java.nio.file.Paths.get(stateDir, "_committed")
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString.toLong).toSeq.sorted
+    }
   }
 
   /** Typed event row for the stateful API (subset of the events schema). */

@@ -426,6 +426,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == batch.toSeq)
   }
 
+  test("foreachBatch ingest dedup: per-batch edges == batch incremental passes, across restarts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val sch = docs.schema
+    // three chronological ingest files (append-only ids — the q62 contract)
+    val cuts = Seq((0L, 200L), (200L, 400L), (400L, Long.MaxValue))
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      slice(lo, hi).coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      // each drop runs a FRESH query resuming from the shared checkpoint
+      // → two full stop/restart cycles across the three micro-batches
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestNearDup(stream, state, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per-batch edges must equal the batch-mode incremental pass on the
+    // same cut (batch 0 = the self-dedup of the bootstrap slice)
+    val b0 = pairs(spark.read.parquet(s"$state/edges/batch=0"))
+    assert(b0 == pairs(graft.operators.Dedup.nearDupEdges(slice(0L, 200L))))
+    val b1 = pairs(spark.read.parquet(s"$state/edges/batch=1"))
+    assert(b1 == pairs(graft.operators.Dedup.incrementalNearDupEdges(
+      slice(0L, 200L), slice(200L, 400L))))
+    val b2 = pairs(spark.read.parquet(s"$state/edges/batch=2"))
+    assert(b2 == pairs(graft.operators.Dedup.incrementalNearDupEdges(
+      slice(0L, 400L), slice(400L, Long.MaxValue))))
+    // and the accumulated result is the from-scratch corpus edge set
+    val all = pairs(Streams.ingestEdges(spark, state).get)
+    assert(all == pairs(graft.operators.Dedup.nearDupEdges(docs)))
+    assert(all.nonEmpty, "corpus must contain planted cross-batch near-dups")
+    // a restart with no new files must not duplicate or recompute state
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q = Streams.ingestNearDup(stream, state, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(pairs(Streams.ingestEdges(spark, state).get) == all)
+    // the accumulated index is directly searchable by the delta operators
+    val idx = Streams.ingestIndex(spark, state).get
+    val viaIdx = pairs(graft.operators.Dedup.incrementalNearDupEdgesIndexed(
+      graft.operators.Dedup.DedupIndex(
+        idx.shingles, idx.bands, 3, 16, 4), docs.limit(0)))
+    assert(viaIdx.isEmpty, "empty delta must produce no edges")
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
