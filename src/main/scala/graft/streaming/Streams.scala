@@ -174,8 +174,8 @@ object Streams {
       n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7,
       maxBucketSize: Int = Dedup.NearDupMaxBucket): Unit = {
-    if (committedBatches(stateDir).contains(batchId)) return // replayed, durable
     val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed, durable
     // empty prior index for the first batch: the incremental pass then
     // returns exactly the batch-internal pairs (every pair "touches the
     // delta"), so one code path serves bootstrap and steady state
@@ -187,9 +187,14 @@ object Streams {
     sh.write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$batchId")
     Dedup.lshBands(sh, numHashes, rowsPerBand)
       .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
-    val marker = java.nio.file.Paths.get(stateDir, "_committed", batchId.toString)
-    java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.createFile(marker)
+    // marker write goes through the Hadoop FileSystem of the state dir,
+    // so the same code runs against HDFS/object stores, not just local
+    // disk (object-store caveat: marker visibility needs read-after-write
+    // consistency, which S3/GCS/ABFS all provide today)
+    val fs = fileSystem(spark, stateDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_committed"))
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$stateDir/_committed/$batchId"), true).close()
   }
 
   /** The accumulated ingest index over all COMMITTED batches (None
@@ -198,7 +203,7 @@ object Streams {
     */
   def ingestIndex(spark: SparkSession, stateDir: String,
       n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): Option[Dedup.DedupIndex] = {
-    val ids = committedBatches(stateDir)
+    val ids = committedBatches(spark, stateDir)
     if (ids.isEmpty) None
     else Some(Dedup.DedupIndex(
       spark.read.parquet(ids.map(i => s"$stateDir/shingles/batch=$i"): _*),
@@ -208,19 +213,22 @@ object Streams {
 
   /** All committed near-dup edges of an [[ingestNearDup]] run so far. */
   def ingestEdges(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val ids = committedBatches(stateDir)
+    val ids = committedBatches(spark, stateDir)
     if (ids.isEmpty) None
     else Some(spark.read.parquet(ids.map(i => s"$stateDir/edges/batch=$i"): _*))
   }
 
-  private def committedBatches(stateDir: String): Seq[Long] = {
-    val dir = java.nio.file.Paths.get(stateDir, "_committed")
-    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString.toLong).toSeq.sorted
-    }
+  private def fileSystem(
+      spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def committedBatches(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val fs = fileSystem(spark, stateDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/_committed")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName.toLong).sorted
   }
 
   /** Typed event row for the stateful API (subset of the events schema). */
