@@ -244,16 +244,23 @@ object Dedup {
   /** The LSH skew guard as a reusable step: drop band buckets larger
     * than `maxBucketSize` (0 = off) BEFORE any candidate join — one
     * aggregation over the narrow band frame, nothing wide rescanned.
+    *
+    * Filter shape: ANTI-join against the OVER-cap keys, not semi-join
+    * against the under-cap ones. The over-cap side holds at most
+    * rows/cap distinct keys by construction (each needs > cap members),
+    * so AQE broadcasts it in any non-degenerate corpus and the band
+    * frame itself never shuffles for the guard; the under-cap side is
+    * nearly every key and could never broadcast.
     */
   private def capBuckets(all: DataFrame, maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) all
     else {
-      val sizes = all.groupBy("b", "band_key")
+      val hot = all.groupBy("b", "band_key")
         .agg(count(lit(1)).as("_bsz"))
-        .filter(col("_bsz") <= maxBucketSize)
+        .filter(col("_bsz") > maxBucketSize)
         .select(col("b").as("_fb"), col("band_key").as("_fk"))
-      all.join(sizes,
-        col("b") === col("_fb") && col("band_key") === col("_fk"), "left_semi")
+      all.join(hot,
+        col("b") === col("_fb") && col("band_key") === col("_fk"), "left_anti")
     }
 
   /** Same-bucket pairs from a band frame (see [[minhashCandidates]] for
@@ -406,9 +413,8 @@ object Dedup {
   def revalidatedUnionEdgesIndexed(
       index: DedupIndex, delta: DataFrame, corpusEdges: DataFrame,
       threshold: Double = 0.7, maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
-    val shD = Ckpt.narrow(shingles(delta, index.n))
-    unionEdgesOf(index.shingles.union(shD),
-      index.bands.union(lshBands(shD, index.numHashes, index.rowsPerBand)),
+    val (shAll, bandsAll) = indexedUnionFrames(index, delta)
+    unionEdgesOf(shAll, bandsAll,
       delta.select("doc_id"), corpusEdges, threshold, maxBucketSize)
   }
 
@@ -496,11 +502,24 @@ object Dedup {
   def incrementalNearDupEdgesIndexed(
       index: DedupIndex, delta: DataFrame, threshold: Double = 0.7,
       maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
-    val shD = Ckpt.narrow(shingles(delta, index.n))
-    incrementalEdgesOf(
-      index.shingles.union(shD),
-      index.bands.union(lshBands(shD, index.numHashes, index.rowsPerBand)),
+    val (shAll, bandsAll) = indexedUnionFrames(index, delta)
+    incrementalEdgesOf(shAll, bandsAll,
       delta.select("doc_id"), threshold, maxBucketSize)
+  }
+
+  /** Checkpointed (index ∪ delta) shingle and band frames. The cut
+    * matters even though the index side is already materialized parquet:
+    * the candidate join and verification read these frames ~4× each, and
+    * `jaccardOfCandidates`' no-checkpoint-on-shc economics assume block
+    * reads, not repeated corpus parquet scans (A/B at sf0.1: q70
+    * 4.4s → ~1.4s from this cut alone).
+    */
+  private def indexedUnionFrames(
+      index: DedupIndex, delta: DataFrame): (DataFrame, DataFrame) = {
+    val shD = Ckpt.narrow(shingles(delta, index.n))
+    (Ckpt.narrow(index.shingles.union(shD)),
+      Ckpt.narrow(index.bands.union(
+        lshBands(shD, index.numHashes, index.rowsPerBand))))
   }
 
   /** Estimated-Jaccard near-dup pairs: the pure-sketch tier above
@@ -606,9 +625,11 @@ object Dedup {
     val kept =
       if (maxKeySize <= 0) blocked
       else {
-        val sizes = blocked.groupBy("blk").agg(count(lit(1)).as("_ksz"))
-          .filter(col("_ksz") <= maxKeySize).select(col("blk").as("_fk"))
-        blocked.join(sizes, col("blk") === col("_fk"), "left_semi")
+        // anti-join against the over-cap keys (≤ rows/cap of them by
+        // construction → AQE broadcasts; see capBuckets)
+        val hot = blocked.groupBy("blk").agg(count(lit(1)).as("_ksz"))
+          .filter(col("_ksz") > maxKeySize).select(col("blk").as("_fk"))
+        blocked.join(hot, col("blk") === col("_fk"), "left_anti")
       }
     kept.as("a")
       .join(kept.as("b"),
