@@ -85,6 +85,39 @@ class PlanSpec extends AnyFunSuite {
       s"trained IVF plans a quadratic join:\n${plan.take(2000)}")
   }
 
+  test("skew guards plan as BROADCAST anti-joins — the band frame never shuffles for the guard") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the guard filters against the OVER-cap keys (≤ rows/cap of them by
+    // construction), so a physical LeftAnti must only ever be a
+    // broadcast — a shuffled (sort-merge / shuffled-hash) LeftAnti means
+    // the small-side inversion regressed and the band frame shuffles
+    // again. When no key is hot, AQE eliminates the join outright
+    // (empty-relation propagation), which is also correct.
+    def noShuffledAnti(label: String, plan: String): Unit = {
+      val bad = plan.linesIterator.filter(l =>
+        l.contains("LeftAnti") &&
+          (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))).toSeq
+      assert(bad.isEmpty,
+        s"$label skew guard shuffles instead of broadcasting: ${bad.mkString("; ")}")
+    }
+    for (name <- Seq("q27_dedup_minhash", "q29_dedup_simhash_pairs"))
+      noShuffledAnti(name, executedPlan(q(name)))
+    // with hot keys AND survivors present the anti-join must materialize
+    // as a physical broadcast (not vanish, not shuffle): an over-cap
+    // boilerplate cluster plus two small docs whose keys survive
+    val boiler = (1 to 100).map(i => s"common$i").mkString(" ")
+    val docs = (0 until 120).map(i => (i.toLong, s"$boiler u$i")) ++ Seq(
+      (9001L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailA"),
+      (9002L, (1 to 19).map(i => s"word$i").mkString(" ") + " tailB"))
+    val sh = Dedup.shingles(docs.toDF("doc_id", "text"), 3)
+    val plan = executedPlan(Dedup.minhashCandidates(sh, maxBucketSize = 50))
+    noShuffledAnti("hot corpus", plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"hot-key corpus must exercise a broadcast guard anti-join:\n${plan.take(1500)}")
+  }
+
   test("q10 aggregation is map-side partial (two HashAggregate phases)") {
     val plan = executedPlan(q("q10_agg_tpch_q1"))
     assert(plan.contains("partial"), s"no partial aggregation:\n${plan.take(1500)}")
