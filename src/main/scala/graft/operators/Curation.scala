@@ -154,4 +154,31 @@ object Curation {
     val edges = Dedup.revalidatedUnionEdgesIndexed(index, deltaKept, corpusEdges)
     verdicts(g, Components.connected(edges), minQuality)
   }
+
+  /** Snapshot diff between two corpus versions — the audit a dataset
+    * iteration loop runs before promoting a rebuilt corpus: which
+    * documents were `added`, `removed`, `changed` (same id, different
+    * content), or `unchanged` since the last snapshot. Content identity
+    * is the md5 of the text (NULL text hashes as the empty string, so a
+    * null-vs-null revision reads `unchanged`, not spurious churn).
+    *
+    * Scale shape: both sides project to (doc_id, 16-byte hash) before
+    * the single full-outer equi-shuffle on doc_id — the diff of two
+    * 100 TB snapshots moves two narrow columns, never document text.
+    * Emits one row per doc_id present in either snapshot; downstream
+    * passes typically gate a promotion on counts per status or join
+    * `changed`/`added` ids back for re-validation.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("old_hash"))
+    val n = newDocs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

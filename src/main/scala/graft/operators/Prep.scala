@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Prep {
 
-  /** 60-bit md5 hash of "salt_doc_id" mod 100 — the shared bucket
-    * derivation behind [[split]] and [[mix]]. The salt is interpolated
-    * into a SQL literal, so restrict it to identifier characters rather
-    * than risking a Catalyst parse error (or a silently different
-    * expression) on quotes/backslashes.
+  /** 60-bit md5 hash of "salt_doc_id" mod `modulus` — the shared bucket
+    * derivation behind [[split]], [[mix]], and [[sampleToQuota]]. The
+    * salt is interpolated into a SQL literal, so restrict it to
+    * identifier characters rather than risking a Catalyst parse error
+    * (or a silently different expression) on quotes/backslashes.
     */
-  private def bucket100(salt: String): Column = {
+  private def hashBucket(salt: String, modulus: Long): Column = {
     // ASCII-only (not isLetterOrDigit, which admits any Unicode letter):
     // the documented contract is the [A-Za-z0-9_] identifier class, and
     // keeping to it means both engines md5 the same single-byte UTF-8
@@ -28,8 +28,10 @@ object Prep {
         (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'),
       s"salt must be non-empty [A-Za-z0-9_], got '$salt'")
-    expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))")) % 100
+    expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))")) % modulus
   }
+
+  private def bucket100(salt: String): Column = hashBucket(salt, 100L)
 
   /** Deterministic train/val/test assignment by hash bucket:
     * bucket = 60-bit md5 of "salt_doc_id" mod 100, test = buckets
@@ -74,6 +76,44 @@ object Prep {
     docs.select(col("doc_id"), col("source"),
         bucket100(salt).cast("long").as("bucket"), rate.cast("long").as("rate_pct"))
       .withColumn("kept", (col("bucket") < col("rate_pct")).cast("bigint"))
+  }
+
+  /** Deterministic per-stratum quota sampling: down-sample every stratum
+    * (a language, a source, a quality tier) to ~`quota` documents — the
+    * corpus-rebalancing step that keeps one over-represented stratum
+    * from dominating a training mix. Where [[mix]] applies USER-chosen
+    * per-source rates, this derives each stratum's keep rate FROM the
+    * data: rate_ppm = min(10⁶, ⌊10⁶·quota / count(stratum)⌋), applied
+    * with the same hash-bucket contract (keep iff 60-bit md5 of
+    * "salt_doc_id" mod 10⁶ < rate_ppm, parts-per-million so small
+    * quotas over huge strata don't round to zero). Under-quota strata
+    * are kept whole; kept counts land binomially around `quota` (exact
+    * per-stratum cardinality would need a rank window — a per-stratum
+    * sort that serializes a hot stratum through one task, the same
+    * skew [[pack]]'s sharding exists to avoid — so the contract here
+    * trades ±√quota cardinality noise for a doc's verdict being a pure
+    * function of (salt, doc_id, its stratum's count): stable under
+    * repartitioning, reruns, and engines).
+    *
+    * Plan shape at 100 TB: one map-side-combined count aggregation
+    * (output bounded by |strata|), broadcast back, one narrow verdict
+    * scan — no full-data shuffle, no window. Emits every doc's verdict
+    * (kept = 1/0) for auditability, like [[mix]]. NULL strata don't
+    * survive the equi-join back — coalesce upstream if a null stratum
+    * must be sampled rather than dropped.
+    */
+  def sampleToQuota(docs: DataFrame, stratum: String, quota: Long,
+      salt: String = "quota"): DataFrame = {
+    require(quota >= 0, s"quota must be non-negative, got $quota")
+    val counts = docs.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("rate_ppm",
+        expr(s"least(1000000L, (1000000L * ${quota}L) div n_stratum)"))
+    docs.select(col("doc_id"), col(stratum),
+        hashBucket(salt, 1000000L).cast("long").as("bucket"))
+      .join(broadcast(counts), Seq(stratum))
+      .select(col("doc_id"), col(stratum), col("n_stratum"), col("rate_ppm"),
+        col("bucket"), (col("bucket") < col("rate_ppm")).cast("bigint").as("kept"))
   }
 
   /** Sequence packing: concatenate documents in doc_id order within each

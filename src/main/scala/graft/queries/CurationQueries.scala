@@ -57,6 +57,23 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // snapshot-promotion audit: diff two deterministic renderings of the
+    // corpus — "previous" lacks the 4% newest-bucket docs and carries a
+    // draft suffix on buckets [4,10); "current" drops buckets [96,100) —
+    // so every status (added/changed/removed/unchanged) is exercised
+    "q74_dataset_diff" -> ((spark, dir) => {
+      val withB = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (expr(Dedup.h60("concat('snap_', cast(doc_id as string))")) % 100)
+            .cast("long").as("_b"))
+      val prev = withB.filter(col("_b") >= 4)
+        .select(col("doc_id"),
+          when(col("_b") < 10, concat(col("text"), lit(" draft")))
+            .otherwise(col("text")).as("text"))
+      val cur = withB.filter(col("_b") < 96).select("doc_id", "text")
+      Curation.snapshotDiff(prev, cur).orderBy("doc_id")
+    }),
+
     "q66_training_manifest" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val emb = Tables.load(spark, dir, "embeddings")
@@ -83,7 +100,32 @@ object CurationQueries {
     "q48_corpus_curation" -> FullCurationSql,
     "q64_incremental_curation" -> FullCurationSql,
     "q71_incremental_curation_indexed" -> FullCurationSql,
+    "q74_dataset_diff" -> DatasetDiffSql,
     "q66_training_manifest" -> ManifestSql)
+
+  /** q74: the same deterministic two-snapshot derivation as the Spark
+    * side (md5 bucket of 'snap_doc_id' mod 100 picks the added /
+    * changed / removed slices), then a full-outer hash diff.
+    */
+  private lazy val DatasetDiffSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |         CAST('0x' || substr(md5('snap_' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |              AS BIGINT) % 100 AS bkt
+      |  FROM documents),
+      |o AS (SELECT doc_id,
+      |             md5(coalesce(CASE WHEN bkt < 10 THEN text || ' draft'
+      |                               ELSE text END, '')) AS old_hash
+      |      FROM b WHERE bkt >= 4),
+      |n AS (SELECT doc_id, md5(coalesce(text, '')) AS new_hash
+      |      FROM b WHERE bkt < 96)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash,
+      |       CASE WHEN o.old_hash IS NULL THEN 'added'
+      |            WHEN n.new_hash IS NULL THEN 'removed'
+      |            WHEN o.old_hash <> n.new_hash THEN 'changed'
+      |            ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** "Yesterday's job" for q71, once per sf-dir per JVM: persist the
     * below-the-cut corpus keepers' near-dup index and edge list to a

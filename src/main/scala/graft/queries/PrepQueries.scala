@@ -36,6 +36,13 @@ object PrepQueries {
     "q58_mix" -> ((spark, dir) =>
       Prep.mix(Tables.load(spark, dir, "documents"),
           ratesPct = Map("src0" -> 25, "src1" -> 50), defaultPct = 100)
+        .orderBy("doc_id")),
+
+    // rebalance the lang-skewed corpus (en ≈ 2.9× any other language in
+    // the testdata) to ≤~100 docs per language
+    "q73_sample_quota" -> ((spark, dir) =>
+      Prep.sampleToQuota(Tables.load(spark, dir, "documents"),
+          stratum = "lang", quota = 100L)
         .orderBy("doc_id")))
 
   def oracles: Map[String, String] = Map(
@@ -85,5 +92,22 @@ object PrepQueries {
         |SELECT doc_id, source, bucket, rate_pct,
         |       CAST(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM b
+        |ORDER BY doc_id""".stripMargin,
+
+    // rate_ppm = min(1e6, floor(1e6 * quota / n_stratum)) — all-integer,
+    // so both engines derive the identical per-language rate
+    "q73_sample_quota" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum,
+        |         CAST(least(1000000, (1000000 * 100) // count(*)) AS BIGINT) AS rate_ppm
+        |  FROM documents GROUP BY lang),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5('quota_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 1000000 AS bucket
+        |  FROM documents)
+        |SELECT b.doc_id, b.lang, c.n_stratum, c.rate_ppm, b.bucket,
+        |       CAST(CASE WHEN b.bucket < c.rate_ppm THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM b JOIN c USING (lang)
         |ORDER BY doc_id""".stripMargin)
 }

@@ -82,4 +82,30 @@ class CurationSpec extends AnyFunSuite {
         && col("ref_id").isNotNull).isEmpty)
     } finally out.unpersist()
   }
+
+  test("snapshotDiff: every status fires on a crafted pair of snapshots") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma v1"), (4L, null: String)
+    ).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "alpha"),      // unchanged
+      (3L, "gamma v2"),   // changed
+      (4L, null: String), // null-vs-null is unchanged, not churn
+      (5L, "delta")       // added
+    ).toDF("doc_id", "text") // doc 2 removed
+    val got = Curation.snapshotDiff(prev, cur).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(3))
+    assert(got.toSeq == Seq(1L -> "unchanged", 2L -> "removed",
+      3L -> "changed", 4L -> "unchanged", 5L -> "added"))
+  }
+
+  test("snapshotDiff: self-diff is all unchanged; id sets are preserved") {
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val d = Curation.snapshotDiff(docs, docs).cache()
+    try {
+      assert(d.count() == docs.count())
+      assert(d.filter(col("status") =!= "unchanged").isEmpty)
+    } finally d.unpersist()
+  }
 }

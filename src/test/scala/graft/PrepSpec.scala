@@ -79,4 +79,37 @@ class PrepSpec extends AnyFunSuite {
     assert(winLine.contains("source") && winLine.contains("shard"),
       s"window must partition by (source, shard): $winLine")
   }
+
+  test("sampleToQuota: under-quota strata kept whole, capped stratum lands near quota") {
+    val langN = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quota = langN.values.min // caps every stratum bigger than the smallest
+    val s = Prep.sampleToQuota(docs, "lang", quota).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    assert(s.length == docs.count(), "every doc gets an auditable verdict")
+    s.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.head._3 == langN(lang))
+      val kept = rows.count(_._5 == 1L)
+      if (langN(lang) <= quota) {
+        assert(rows.head._4 == 1000000L && kept == rows.length,
+          s"$lang is under quota and must be kept whole")
+      } else {
+        assert(rows.head._4 == 1000000L * quota / langN(lang))
+        // binomial around quota: generous 4·√quota band
+        val tol = 4 * math.sqrt(quota.toDouble)
+        assert(math.abs(kept - quota) <= tol, s"$lang kept $kept vs quota $quota")
+      }
+    }
+  }
+
+  test("sampleToQuota: verdicts are pure per-doc functions — stable under repartitioning, quota 0 drops all") {
+    val a = Prep.sampleToQuota(docs, "lang", 80L).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val b = Prep.sampleToQuota(docs.repartition(7), "lang", 80L).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(a == b)
+    val z = Prep.sampleToQuota(docs, "lang", 0L).collect()
+    assert(z.forall(_.getLong(5) == 0L))
+  }
 }
