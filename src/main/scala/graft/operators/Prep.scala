@@ -20,7 +20,8 @@ object Prep {
     * identifier characters rather than risking a Catalyst parse error
     * (or a silently different expression) on quotes/backslashes.
     */
-  private def hashBucket(salt: String, modulus: Long): Column = {
+  private def hashBucket(salt: String, modulus: Long,
+      keyCol: String = "doc_id"): Column = {
     // ASCII-only (not isLetterOrDigit, which admits any Unicode letter):
     // the documented contract is the [A-Za-z0-9_] identifier class, and
     // keeping to it means both engines md5 the same single-byte UTF-8
@@ -28,10 +29,15 @@ object Prep {
         (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'),
       s"salt must be non-empty [A-Za-z0-9_], got '$salt'")
-    expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))")) % modulus
+    expr(Dedup.h60(s"concat('${salt}_', cast($keyCol as string))")) % modulus
   }
 
   private def bucket100(salt: String): Column = hashBucket(salt, 100L)
+
+  private def splitOf(bucketCol: Column, valPct: Int, testPct: Int): Column =
+    when(bucketCol < testPct, "test")
+      .when(bucketCol < testPct + valPct, "val")
+      .otherwise("train")
 
   /** Deterministic train/val/test assignment by hash bucket:
     * bucket = 60-bit md5 of "salt_doc_id" mod 100, test = buckets
@@ -51,10 +57,39 @@ object Prep {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
       s"valPct ($valPct) + testPct ($testPct) must fit within 100")
     docs.select(col("doc_id"), bucket100(salt).cast("long").as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < testPct, "test")
-          .when(col("bucket") < testPct + valPct, "val")
-          .otherwise("train"))
+      .withColumn("split", splitOf(col("bucket"), valPct, testPct))
+  }
+
+  /** Group-aware deterministic split: like [[split]], but every document
+    * in a group (a near-dup cluster, a domain, a conversation thread)
+    * hashes on its GROUP id, so a whole cluster lands in one split and
+    * cross-split leakage between grouped documents is zero by
+    * construction — the production fix for what the q69 contamination
+    * audit detects after the fact. `groups` is (doc_id, group_id);
+    * ungrouped documents fall back to their own doc_id, so with the same
+    * salt a singleton's assignment is IDENTICAL to [[split]]'s — adding
+    * grouping only ever moves clustered documents.
+    *
+    * The trade vs [[split]]'s never-moves contract: a doc's split can
+    * change when its cluster gains a member that merges it into another
+    * cluster (group identity is the cluster's min doc_id) — inherent to
+    * any leakage-free grouping, and why the emitted `split_key` is part
+    * of the output: diffing yesterday's keys shows exactly which docs
+    * moved and why. One equi-join + narrow scan; the near-dup edges that
+    * typically feed `groups` are the corpus' stored index artifacts, so
+    * this pass adds nothing quadratic.
+    */
+  def splitByGroup(docs: DataFrame, groups: DataFrame, valPct: Int = 10,
+      testPct: Int = 10, salt: String = "split"): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"valPct ($valPct) + testPct ($testPct) must fit within 100")
+    docs.select(col("doc_id"))
+      .join(groups.select(col("doc_id"), col("group_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("split_key"))
+      .withColumn("bucket",
+        hashBucket(salt, 100L, keyCol = "split_key").cast("long"))
+      .withColumn("split", splitOf(col("bucket"), valPct, testPct))
   }
 
   /** Deterministic data mixing: per-source keep percentages (the

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import graft.operators.Prep
 import graft.sources.Tables
 
@@ -43,7 +44,18 @@ object PrepQueries {
     "q73_sample_quota" -> ((spark, dir) =>
       Prep.sampleToQuota(Tables.load(spark, dir, "documents"),
           stratum = "lang", quota = 100L)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // the leakage-free rendering of q56: near-dup clusters (q47's
+    // components over the canonical q42 edges) split as a unit, so the
+    // cross-split contamination q69 audits is zero by construction
+    "q75_split_leakage_free" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val comp = graft.operators.Components
+        .connected(graft.operators.Dedup.nearDupEdges(docs))
+        .select(col("node").as("doc_id"), col("component").as("group_id"))
+      Prep.splitByGroup(docs, comp).orderBy("doc_id")
+    }))
 
   def oracles: Map[String, String] = Map(
     "q56_split_assign" ->
@@ -109,5 +121,28 @@ object PrepQueries {
         |SELECT b.doc_id, b.lang, c.n_stratum, c.rate_ppm, b.bucket,
         |       CAST(CASE WHEN b.bucket < c.rate_ppm THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM b JOIN c USING (lang)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // split by md5 of the near-dup COMPONENT id (falling back to the
+    // doc's own id), so both endpoints of any verified edge share a
+    // bucket — same canonical edge + closure chains as q47/q69
+    "q75_split_leakage_free" ->
+      (s"""WITH RECURSIVE
+         |${DedupQueries.ShinglesSql},
+         |${DedupQueries.NearDupPairsSql},
+         |${DedupQueries.closureSql("pairs")},
+         |k AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |b AS (
+         |  SELECT doc_id, split_key,
+         |         CAST('0x' || substr(md5('split_' || CAST(split_key AS VARCHAR)), 1, 15)
+         |              AS BIGINT) % 100 AS bucket
+         |  FROM k)
+         |SELECT doc_id, split_key, bucket,
+         |       CASE WHEN bucket < 10 THEN 'test'
+         |            WHEN bucket < 20 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM b
+         |ORDER BY doc_id""".stripMargin))
 }

@@ -148,4 +148,25 @@ class PlanSpec extends AnyFunSuite {
       .count(l => l.contains("+- Exchange hashpartitioning"))
     assert(hashExchanges <= 1, s"as-of should shuffle once, got $hashExchanges")
   }
+
+  test("q73 quota rates broadcast back — the verdict scan never shuffles full data") {
+    val plan = executedPlan(q("q73_sample_quota"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stratum rates must broadcast onto the verdict scan:\n$plan")
+    // the only hash exchange feeds the tiny per-stratum count aggregate;
+    // a second one would mean the full corpus shuffles before its verdict
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"quota sampling should shuffle only stratum counts, got $hashExchanges")
+  }
+
+  test("q74 snapshot diff joins narrow hashes — text never crosses the exchange") {
+    val plan = executedPlan(q("q74_dataset_diff"))
+    assert(plan.contains("FullOuter"), s"diff must be a full-outer join:\n$plan")
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"),
+        s"document text shuffled through the diff exchange: $l")
+    }
+  }
 }

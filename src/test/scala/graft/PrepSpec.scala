@@ -112,4 +112,32 @@ class PrepSpec extends AnyFunSuite {
     val z = Prep.sampleToQuota(docs, "lang", 0L).collect()
     assert(z.forall(_.getLong(5) == 0L))
   }
+
+  test("splitByGroup: zero cross-split near-dup edges; singletons match plain split") {
+    import graft.operators.{Components, Dedup}
+    val edges = Dedup.nearDupEdges(docs).cache()
+    try {
+      val comp = Components.connected(edges)
+        .select(col("node").as("doc_id"), col("component").as("group_id"))
+      val s = Prep.splitByGroup(docs, comp)
+        .select("doc_id", "split").cache()
+      try {
+        // the q69 audit on the group-aware split must come back empty
+        val crossing = edges
+          .join(s.select(col("doc_id").as("i"), col("split").as("si")), "i")
+          .join(s.select(col("doc_id").as("j"), col("split").as("sj")), "j")
+          .filter(col("si") =!= col("sj"))
+        assert(crossing.isEmpty, "a near-dup edge crossed split boundaries")
+        // ungrouped docs: identical assignment to the plain q56 split
+        val plain = Prep.split(docs).collect()
+          .map(r => r.getLong(0) -> r.getString(2)).toMap
+        val grouped = comp.select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(grouped.nonEmpty, "fixture must exercise real clusters")
+        val got = s.collect().map(r => r.getLong(0) -> r.getString(1))
+        assert(got.length == docs.count())
+        got.filterNot(g => grouped(g._1))
+          .foreach(g => assert(plain(g._1) == g._2))
+      } finally s.unpersist()
+    } finally edges.unpersist()
+  }
 }
