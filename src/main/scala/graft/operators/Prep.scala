@@ -60,6 +60,41 @@ object Prep {
       .withColumn("split", splitOf(col("bucket"), valPct, testPct))
   }
 
+  /** Epoch up-sampling — the half of mixture weighting [[mix]] cannot
+    * express: rates ABOVE 1.0 (a rare, high-quality source seen 2.5×
+    * per training pass, a boilerplate-heavy crawl seen 0.3×). Each
+    * doc's repeat count is the integral part of its source's epochs
+    * plus one more iff its hash bucket falls under the fractional part
+    * (so a source's expected token multiplicity is exactly its epoch
+    * weight, and reweighting only moves docs whose source changed —
+    * [[mix]]'s auditability contract, extended above 1.0; epochs = 0
+    * drops a source). The fraction is fixed to ppm DRIVER-side
+    * (`round(frac·10⁶)` on the literal weight), so the per-row plan is
+    * pure integer arithmetic — no float crosses engines. One narrow
+    * scan; the training loader materializes the repeats, this pass only
+    * assigns them.
+    */
+  def epochs(docs: DataFrame, epochsBySource: Map[String, Double],
+      defaultEpochs: Double = 1.0, salt: String = "epoch"): DataFrame = {
+    val all = epochsBySource.values ++ Seq(defaultEpochs)
+    require(all.forall(e => e >= 0.0 && e <= 100.0 && !e.isNaN),
+      "epoch weights must be in [0, 100]")
+    def parts(e: Double): (Long, Long) =
+      (math.floor(e).toLong, math.round((e - math.floor(e)) * 1000000L))
+    val (dWhole, dFrac) = parts(defaultEpochs)
+    val (whole, frac) = epochsBySource.foldLeft(
+        (lit(dWhole), lit(dFrac))) { case ((w, f), (src, e)) =>
+      val (ew, ef) = parts(e)
+      (when(col("source") === src, ew).otherwise(w),
+        when(col("source") === src, ef).otherwise(f))
+    }
+    docs.select(col("doc_id"), col("source"),
+        hashBucket(salt, 1000000L).cast("long").as("bucket"),
+        whole.cast("long").as("_w"), frac.cast("long").as("_f"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        (col("_w") + (col("bucket") < col("_f")).cast("bigint")).as("epochs"))
+  }
+
   /** Group-aware deterministic split: like [[split]], but every document
     * in a group (a near-dup cluster, a domain, a conversation thread)
     * hashes on its GROUP id, so a whole cluster lands in one split and

@@ -46,6 +46,14 @@ object PrepQueries {
           stratum = "lang", quota = 100L)
         .orderBy("doc_id")),
 
+    // up-sample src1 to 2.5 epochs, down-sample src0 to 0.25, everything
+    // else one pass — the above-1.0 half of the q58 mixing story
+    "q76_epoch_upsample" -> ((spark, dir) =>
+      Prep.epochs(Tables.load(spark, dir, "documents"),
+          epochsBySource = Map("src0" -> 0.25, "src1" -> 2.5),
+          defaultEpochs = 1.0)
+        .orderBy("doc_id")),
+
     // the leakage-free rendering of q56: near-dup clusters (q47's
     // components over the canonical q42 edges) split as a unit, so the
     // cross-split contamination q69 audits is zero by construction
@@ -121,6 +129,25 @@ object PrepQueries {
         |SELECT b.doc_id, b.lang, c.n_stratum, c.rate_ppm, b.bucket,
         |       CAST(CASE WHEN b.bucket < c.rate_ppm THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM b JOIN c USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
+    // whole/frac parts are the driver-side ppm fixing of 0.25/2.5/1.0:
+    // src0 → (0, 250000), src1 → (2, 500000), default → (1, 0)
+    "q76_epoch_upsample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substr(md5('epoch_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 1000000 AS bucket,
+        |         CAST(CASE WHEN source = 'src0' THEN 0
+        |                   WHEN source = 'src1' THEN 2
+        |                   ELSE 1 END AS BIGINT) AS w,
+        |         CAST(CASE WHEN source = 'src0' THEN 250000
+        |                   WHEN source = 'src1' THEN 500000
+        |                   ELSE 0 END AS BIGINT) AS f
+        |  FROM documents)
+        |SELECT doc_id, source, bucket,
+        |       CAST(w + CASE WHEN bucket < f THEN 1 ELSE 0 END AS BIGINT) AS epochs
+        |FROM b
         |ORDER BY doc_id""".stripMargin,
 
     // split by md5 of the near-dup COMPONENT id (falling back to the

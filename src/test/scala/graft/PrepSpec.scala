@@ -113,6 +113,25 @@ class PrepSpec extends AnyFunSuite {
     assert(z.forall(_.getLong(5) == 0L))
   }
 
+  test("epochs: expected multiplicity matches the weight; reweighting only moves changed sources") {
+    val e1 = Prep.epochs(docs, Map("src0" -> 0.0, "src1" -> 2.5)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(e1.filter(_._2 == "src0").forall(_._3 == 0L), "0 epochs must drop")
+    val s1 = e1.filter(_._2 == "src1")
+    assert(s1.forall(r => r._3 == 2L || r._3 == 3L),
+      "2.5 epochs must emit 2 or 3 repeats, nothing else")
+    // expected multiplicity = the weight: mean within 4·σ of 2.5
+    val mean = s1.map(_._3).sum.toDouble / s1.length
+    assert(math.abs(mean - 2.5) <= 4 * 0.5 / math.sqrt(s1.length.toDouble),
+      s"src1 mean epochs $mean vs weight 2.5")
+    assert(e1.filterNot(r => r._2 == "src0" || r._2 == "src1").forall(_._3 == 1L))
+    // changing src0's weight must not disturb any other source's counts
+    val e2 = Prep.epochs(docs, Map("src0" -> 3.0, "src1" -> 2.5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    e1.filterNot(_._2 == "src0").foreach(r => assert(e2(r._1) == r._3))
+    assert(e1.filter(_._2 == "src0").forall(r => e2(r._1) == 3L))
+  }
+
   test("splitByGroup: zero cross-split near-dup edges; singletons match plain split") {
     import graft.operators.{Components, Dedup}
     val edges = Dedup.nearDupEdges(docs).cache()
