@@ -663,4 +663,34 @@ object Dedup {
         expr("cast(bit_count(si ^ sj) as bigint)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Eval-set decontamination: per corpus document, how many distinct
+    * word n-grams it shares with a held-out eval corpus, and a
+    * contaminated flag at `minShared` — the overlap screen run before
+    * training so benchmark text can't leak into the train set (the
+    * complement of the q69 audit, which checks INTERNAL split leakage
+    * through near-dup edges; this screens against an EXTERNAL corpus on
+    * raw n-gram collision, the standard published procedure).
+    *
+    * Scale shape: eval benchmarks are tiny next to a training corpus,
+    * so the eval side reduces to a broadcast distinct-gram set and the
+    * pass is one corpus shingle scan + a broadcast semi-probe + a
+    * doc_id count — nothing proportional to corpus pairs. If the eval
+    * side ever isn't broadcastable, drop the hint and the same plan
+    * runs as a linear gram equi-join. Every doc gets a row (zero
+    * shared grams included) so the screen is a total audit, not just a
+    * blocklist.
+    */
+  def evalOverlap(corpus: DataFrame, eval: DataFrame, n: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val evGrams = broadcast(shingles(eval, n).select("gh").distinct())
+    val counts = shingles(corpus, n).join(evGrams, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("_c"))
+    corpus.select(col("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_c"), lit(0L)).as("shared_grams"),
+        (coalesce(col("_c"), lit(0L)) >= minShared)
+          .cast("bigint").as("contaminated"))
+  }
 }

@@ -24,11 +24,15 @@ object DedupQueries {
   /** Whitespace 3-gram shingles hashed to 60-bit longs (1-based list
     * indexing vs Spark's 0-based), over the given source relation.
     */
-  private[queries] def shinglesSql(src: String): String =
-    s"""ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $src),
-       |sh AS (SELECT DISTINCT doc_id,
+  /** The word-3-gram shingle chain over `src`, emitting `${p}ws` /
+    * `${p}sh` — prefix the names when one statement shingles two
+    * relations (q77 shingles the eval and train slices side by side).
+    */
+  private[queries] def shinglesSql(src: String, p: String = ""): String =
+    s"""${p}ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $src),
+       |${p}sh AS (SELECT DISTINCT doc_id,
        |              CAST('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15) AS BIGINT) AS gh
-       |       FROM ws, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3)""".stripMargin
+       |       FROM ${p}ws, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3)""".stripMargin
 
   private[queries] val ShinglesSql: String = shinglesSql("documents")
 
@@ -188,6 +192,21 @@ object DedupQueries {
         .orderBy("i", "j")
     }),
 
+    // external-eval decontamination: a deterministic 5% slice stands in
+    // for a held-out benchmark; every remaining doc is screened for raw
+    // word-3-gram collision with it (the published overlap procedure —
+    // complements q69, which audits INTERNAL split leakage via edges)
+    "q77_eval_decontam" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val withB = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (expr(Dedup.h60("concat('eval_', cast(doc_id as string))")) % 100)
+            .cast("long").as("_b"))
+      val eval = withB.filter(col("_b") < 5).select("doc_id", "text")
+      val corpus = withB.filter(col("_b") >= 5).select("doc_id", "text")
+      Dedup.evalOverlap(corpus, eval).orderBy("doc_id")
+    }),
+
     // daily-ingest rendering: the newest ~20% of docs arrive as a delta
     // against the rest; result == the canonical edges that touch the
     // delta (the oracle recomputes the same cut from its own max(doc_id))
@@ -275,6 +294,26 @@ object DedupQueries {
     // Exact verified Jaccard on the canonical edges, joined with the
     // SHARED q56 split CTE (PrepQueries.SplitCteSql) — only pairs whose
     // endpoints landed in different splits survive.
+    "q77_eval_decontam" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |         CAST('0x' || substr(md5('eval_' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |              AS BIGINT) % 100 AS bkt
+         |  FROM documents),
+         |ev AS (SELECT doc_id, text FROM b WHERE bkt < 5),
+         |tr AS (SELECT doc_id, text FROM b WHERE bkt >= 5),
+         |${shinglesSql("ev", "ev")},
+         |${shinglesSql("tr", "tr")},
+         |eg AS (SELECT DISTINCT gh FROM evsh),
+         |c AS (SELECT t.doc_id, count(*) AS n FROM trsh t JOIN eg USING (gh)
+         |      GROUP BY t.doc_id)
+         |SELECT tr.doc_id,
+         |       CAST(coalesce(c.n, 0) AS BIGINT) AS shared_grams,
+         |       CAST(CASE WHEN coalesce(c.n, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS contaminated
+         |FROM tr LEFT JOIN c ON tr.doc_id = c.doc_id
+         |ORDER BY tr.doc_id""".stripMargin,
+
     "q69_contamination" ->
       s"""WITH $ShinglesSql,
          |$NearDupPairsSql,

@@ -402,4 +402,24 @@ class DedupSpec extends AnyFunSuite {
       assert(top1(q) == expected, s"query $q")
     }
   }
+
+  test("evalOverlap: hand-checked shared-gram counts, total audit, broadcast probe") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    // eval's distinct 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),  // shares all 3
+      (2L, "a b the quick brown c"),           // shares exactly 1
+      (3L, "totally disjoint text here now"),  // shares 0 — still audited
+      (4L, "xx")                               // too short for any 3-gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.evalOverlap(corpus, eval)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (3L, 1L), 2L -> (1L, 1L),
+      3L -> (0L, 0L), 4L -> (0L, 0L)))
+    // the eval gram set must probe as a broadcast, not shuffle the corpus
+    val plan = TestSpark.finalPlan(Dedup.evalOverlap(corpus, eval))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast onto the corpus shingle scan:\n$plan")
+  }
 }
