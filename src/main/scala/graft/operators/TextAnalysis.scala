@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -246,6 +246,41 @@ object TextAnalysis {
       .distinct()
       .groupBy("g").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+  }
+
+  /** PII scrub: redact emails, IPv4 addresses, and NANP-style phone
+    * numbers, reporting per-doc counts alongside the cleaned text — the
+    * redaction pass a corpus runs before any text ships to training.
+    * Every doc gets a row (zero-hit docs included) so the scrub is a
+    * total audit.
+    *
+    * The three patterns apply SEQUENTIALLY (email → IPv4 → phone), each
+    * counting on the text as already redacted by the previous stage —
+    * one unambiguous contract both engines reproduce exactly (an IPv4
+    * inside an email's domain counts once, as the email). Patterns are
+    * deliberately lookaround-free so Java regex (Spark) and RE2 (DuckDB)
+    * agree; `\b` over ASCII text is identical in both.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no explode,
+    * stays inside whole-stage codegen; at 100 TB it fuses into whatever
+    * scan feeds it.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    def hits(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    docs
+      .withColumn("n_email", hits(col("text"), email))
+      .withColumn("_t1", regexp_replace(col("text"), email, "<EMAIL>"))
+      .withColumn("n_ipv4", hits(col("_t1"), ipv4))
+      .withColumn("_t2", regexp_replace(col("_t1"), ipv4, "<IP>"))
+      .withColumn("n_phone", hits(col("_t2"), phone))
+      .select(col("doc_id"),
+        col("n_email"), col("n_ipv4"), col("n_phone"),
+        (col("n_email") + col("n_ipv4") + col("n_phone")).as("n_pii"),
+        regexp_replace(col("_t2"), phone, "<PHONE>").as("text_clean"))
   }
 
   /** Rolling-hash document fingerprints (winnowing-lite): min/max of the

@@ -80,7 +80,27 @@ object TextQueries {
       TextAnalysis.boilerplateGrams(Tables.load(spark, dir, "documents"),
           n = 3, minDocs = 5)
         .orderBy(org.apache.spark.sql.functions.col("n_docs").desc,
-          org.apache.spark.sql.functions.col("g"))))
+          org.apache.spark.sql.functions.col("g"))),
+
+    // PII redaction scrub. The synthetic corpus is PII-free, so the
+    // query plants deterministic PII (email / phone / IPv4, keyed on
+    // doc_id % 5) into the text FIRST — in-query, both engines — and
+    // the scrub must find and redact exactly those plants; docs with no
+    // plant prove the zero-hit total-audit arm.
+    "q78_pii_scrub" -> ((spark, dir) => {
+      val injected = Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" mail u"), col("doc_id").cast("string"),
+              lit("@example.com please")))
+          .when(col("doc_id") % 5 === 1, lit(" call 555-123-4567 now"))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit(" host 10.0.0."), (col("doc_id") % 256).cast("string"),
+              lit(" up")))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.piiScrub(injected).orderBy("doc_id")
+    }))
 
   def oracles: Map[String, String] = Map(
     "q37_lang_id" ->
@@ -262,5 +282,38 @@ object TextQueries {
         |FROM g
         |GROUP BY g
         |HAVING count(*) >= 5
-        |ORDER BY n_docs DESC, g""".stripMargin)
+        |ORDER BY n_docs DESC, g""".stripMargin,
+
+    // mirrors the q78 plant + the operator's sequential email → IPv4 →
+    // phone contract (each stage counts on the previous stage's output);
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
+    // global by default)
+    "q78_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         text || CASE
+        |           WHEN doc_id % 5 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com please'
+        |           WHEN doc_id % 5 = 1 THEN ' call 555-123-4567 now'
+        |           WHEN doc_id % 5 = 2 THEN ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' up'
+        |           ELSE '' END AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |              CAST(len(regexp_extract_all(text,
+        |                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |              regexp_replace(text,
+        |                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |       FROM inj),
+        |s2 AS (SELECT doc_id, n_email,
+        |              CAST(len(regexp_extract_all(t1,
+        |                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |              regexp_replace(t1,
+        |                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |       FROM s1)
+        |SELECT doc_id, n_email, n_ipv4,
+        |       CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |       n_email + n_ipv4 + CAST(len(regexp_extract_all(t2,
+        |         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_pii,
+        |       regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text_clean
+        |FROM s2
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -173,4 +173,33 @@ class TextSpec extends AnyFunSuite {
       .join(docs.select(col("doc_id"), md5(col("text")).as("want")), "doc_id")
     assert(m.filter(col("content_md5") =!= col("want")).count() === 0L)
   }
+
+  test("piiScrub: hand-checked redactions, sequential contract, total audit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to bob.smith+x@corp.example.org today"),     // 1 email
+      (2L, "ping 192.168.1.1 then call 555-123-4567"),          // 1 ip + 1 phone
+      (3L, "reach admin@10.0.0.1.net at 10.0.0.1"),             // email whose domain
+      // LOOKS like an ip (10.0.0.1.net) — redacted as the email, so only
+      // the later bare 10.0.0.1 counts as ip (the sequential contract)
+      (4L, "nothing sensitive here"),                           // 0 hits, still a row
+      (5L, "v1.2.3.4 is a version not a boundary miss")         // \b: 'v' adjoins '1'
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(df).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getString(5)))
+      .toMap
+    assert(got(1L)._1 == ((1L, 0L, 0L, 1L)))
+    assert(got(1L)._2 == "write to <EMAIL> today")
+    assert(got(2L)._1 == ((0L, 1L, 1L, 2L)))
+    assert(got(2L)._2 == "ping <IP> then call <PHONE>")
+    assert(got(3L)._1 == ((1L, 1L, 0L, 2L)))
+    assert(got(3L)._2 == "reach <EMAIL> at <IP>")
+    assert(got(4L)._1 == ((0L, 0L, 0L, 0L)))
+    assert(got(4L)._2 == "nothing sensitive here")
+    // v1.2.3.4: '\b' sits between 'v' and '1'? no — both are word chars,
+    // so \b\d{1,3}\. can only anchor at the string's interior boundaries;
+    // '1.2.3.4' is preceded by 'v' (word char) -> no boundary -> no match
+    assert(got(5L)._1 == ((0L, 0L, 0L, 0L)))
+  }
 }
