@@ -302,6 +302,32 @@ object Similarity {
       spark.read.parquet(s"$dir/cents"),
       spark.read.parquet(s"$dir/assigned"))
 
+  /** Cluster-balanced subsample over a built [[IvfIndex]]: rank each
+    * cell's members by a deterministic corpus-independent hash and flag
+    * the first `quota` per cell as kept — the diversity pass that caps
+    * any one embedding cluster's contribution to a training mix,
+    * complementing [[semanticDedup]] (which removes NEAR-DUPLICATES;
+    * this bounds redundant-but-distinct mass). Every vector gets a row
+    * (in-cell rank + kept flag) — a total audit, the same contract as
+    * the per-stratum quota sampler (`Prep.sampleToQuota`).
+    *
+    * Scale shape: one window partitioned by cell over the stored
+    * assignment — cells average ~√n members by the [[ivfIndex]] stride
+    * invariant, and the hash order makes the kept set independent of
+    * partitioning and engine (md5-derived, DuckDB-reproducible).
+    */
+  def clusterBalancedSample(index: IvfIndex, quota: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val w = Window.partitionBy(col("cell")).orderBy(col("_rk"), col("vec_id"))
+    index.assigned
+      .select(col("vec_id"), col("cell"),
+        expr(Dedup.h60("concat('cbs_', cast(vec_id as string))")).as("_rk"))
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cell"), col("cell_rank"),
+        (col("cell_rank") <= quota).cast("bigint").as("kept"))
+  }
+
   /** Default IVF centroid stride: ⌈√n⌉ ⇒ ~√n centroids of ~√n vectors. */
   private[graft] def derivedStride(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt

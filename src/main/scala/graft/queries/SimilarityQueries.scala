@@ -113,7 +113,12 @@ object SimilarityQueries {
     * order-independent arithmetic the Spark side uses, so trained
     * centroids match bit-for-bit.
     */
-  private def kmRoundSql(n: Int, prev: String): String =
+  /** Nearest-centroid assignment of every vector against `prev`
+    * (rounded-cos desc, cid asc) as CTE `asg$n` — the Spark side's
+    * `max_by(cid, struct(ccos, -cid))`. Factored out of [[kmRoundSql]]
+    * so q79's balance pass reuses the EXACT assignment definition.
+    */
+  private def asgSql(n: Int, prev: String): String =
     s"""asg$n AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT t.vec_id, t.cid,
@@ -122,7 +127,10 @@ object SimilarityQueries {
        |    FROM (SELECT v.vec_id, c.cid,
        |                 round(${cosSql("v.e", "c.ce")}, 6) AS ccos
        |          FROM v CROSS JOIN $prev c) t)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  private def kmRoundSql(n: Int, prev: String): String =
+    s"""${asgSql(n, prev)},
        |agg$n AS (
        |  SELECT a.cell, t.k, sum(q.qv[t.k]) AS s, count(*) AS cnt
        |  FROM asg$n a JOIN qv q USING (vec_id),
@@ -137,15 +145,23 @@ object SimilarityQueries {
   /** q61/q72: 2 Lloyd rounds from the sampled seed, then the shared IVF
     * probe/search tail.
     */
-  private lazy val TrainedIvfSql: String =
-    s"""WITH $VecSql,
+  /** The shared training prefix (exact-integer corpus view, sampled
+    * seed, 2 Lloyd rounds → `cents2`) — used verbatim by q61/q72's
+    * search tail AND q79's balance pass, so the trained centroids are
+    * one definition.
+    */
+  private lazy val TrainedPrefixSql: String =
+    s"""$VecSql,
        |qv AS (SELECT vec_id,
        |              list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
        |       FROM v),
        |cents0 AS (SELECT vec_id AS cid, e AS ce FROM v
        |           WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v) = 0),
        |${kmRoundSql(1, "cents0")},
-       |${kmRoundSql(2, "cents1")},
+       |${kmRoundSql(2, "cents1")}""".stripMargin
+
+  private lazy val TrainedIvfSql: String =
+    s"""WITH $TrainedPrefixSql,
        |${ivfSearchSql("cents2")}""".stripMargin
 
   def queries: Map[String, Q] = Map(
@@ -223,7 +239,18 @@ object SimilarityQueries {
       val idx = Similarity.loadIvfIndex(spark, ivfIndexDir(spark, dir))
       Similarity.ivfSearch(idx, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    // cluster-balanced diversity subsample: per trained-IVF cell, flag
+    // the `quota` hash-first members — caps any one embedding cluster's
+    // mass in the mix (semantic dedup removes NEAR-duplicates; this
+    // bounds redundant-but-distinct clusters)
+    "q79_cluster_balance" -> ((spark, dir) =>
+      Similarity.clusterBalancedSample(
+        Similarity.ivfTrainedIndex(
+          Tables.load(spark, dir, "embeddings"), iters = 2),
+        quota = 10L)
+        .orderBy("vec_id")))
 
   /** "Yesterday's index build job" for q72, once per sf-dir per JVM. */
   private val ivfIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -339,6 +366,25 @@ object SimilarityQueries {
     // stored ≡ rebuilt: the persisted-index query answers to the exact
     // same from-scratch oracle as q61
     "q72_ann_ivf_stored" -> TrainedIvfSql,
+
+    // trained centroids (shared prefix), a third assignment pass against
+    // cents2 (the index's stored assignment), then the hash-first
+    // in-cell ranking and quota flag
+    "q79_cluster_balance" ->
+      s"""WITH $TrainedPrefixSql,
+         |${asgSql(3, "cents2")},
+         |r AS (SELECT vec_id, cell,
+         |        CAST('0x' || substr(md5('cbs_' || CAST(vec_id AS VARCHAR)), 1, 15)
+         |             AS BIGINT) AS rk
+         |      FROM asg3),
+         |rk AS (SELECT vec_id, cell,
+         |         CAST(row_number() OVER (PARTITION BY cell
+         |           ORDER BY rk, vec_id) AS BIGINT) AS cell_rank
+         |       FROM r)
+         |SELECT vec_id, cell, cell_rank,
+         |       CAST(CASE WHEN cell_rank <= 10 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM rk
+         |ORDER BY vec_id""".stripMargin,
 
     "q59_semantic_dedup_strict" ->
       s"""WITH RECURSIVE $VecSql,

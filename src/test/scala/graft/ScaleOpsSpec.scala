@@ -231,4 +231,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     // the index to beat that by a wide, stable margin
     assert(hits / total >= 0.35, s"recall ${hits / total}")
   }
+
+  test("clusterBalancedSample: quota law, total audit, partition-stable kept set") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val idx = Similarity.ivfTrainedIndex(emb, iters = 2, centroidEvery = 20)
+    val s = Similarity.clusterBalancedSample(idx, quota = 10L)
+    val rows = s.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // total audit: one row per corpus vector
+    assert(rows.length.toLong == emb.count())
+    // quota law: no cell keeps more than `quota`; ranks are 1..|cell|
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      assert(members.count(_._4 == 1L) <= 10, s"cell $cell over quota")
+      assert(members.map(_._3).sorted.toList == (1L to members.length).toList,
+        s"cell $cell ranks not dense")
+      assert(members.forall(m => (m._4 == 1L) == (m._3 <= 10L)))
+    }
+    // a cell with > quota members must actually be capped (the corpus
+    // with stride 20 has ~25 cells over 500 vectors, so some cell is)
+    assert(rows.groupBy(_._2).exists(_._2.length > 10), "test needs a full cell")
+    // kept set is a pure function of (vec_id, cell) — repartitioning
+    // the assignment cannot move it
+    val shuffled = Similarity.clusterBalancedSample(
+      idx.copy(assigned = idx.assigned.repartition(7)), quota = 10L)
+    assert(shuffled.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == rows.toSet)
+  }
 }
