@@ -681,6 +681,44 @@ object Dedup {
     * shared grams included) so the screen is a total audit, not just a
     * blocklist.
     */
+  /** Sub-document exact dedup at chunk grain — the line-dedup pass of
+    * web-corpus pipelines, rendered over fixed `size`-char chunks since
+    * this corpus has no line structure: the FIRST occurrence (minimal
+    * (doc_id, chunk_id)) of each distinct chunk text is kept, every
+    * later occurrence drops, and each doc reassembles its kept chunks
+    * in order into `text_clean` alongside kept/total counts. Exact
+    * duplicate docs keep one full copy and shrink to nothing elsewhere;
+    * shared boilerplate spans drop everywhere but their first sighting.
+    * Complements [[boilerplateGrams]] (which builds a frequency
+    * blocklist, not a rewrite) and doc-level [[exactGroups]].
+    *
+    * Scale shape: chunking is a linear explode (~bytes/size rows);
+    * first-occurrence is a partial-aggregated min-struct per full-md5
+    * chunk hash — map-side combine absorbs a boilerplate chunk sitting
+    * in millions of docs, where a window over the hash would put that
+    * hash's every occurrence in one task — then an equi-join back (AQE
+    * skew-split applies) and one doc_id agg. Full md5 (not the 60-bit
+    * dedup hash) because a collision here REWRITES text, not just
+    * over-groups a candidate pair.
+    */
+  def chunkDedup(docs: DataFrame, size: Int = 200): DataFrame = {
+    val ch = TextAnalysis.chunk(docs, size, overlap = 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        md5(col("chunk")).as("h"))
+    val first = ch.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
+    ch.join(first, "h")
+      .withColumn("kept",
+        (col("doc_id") === col("f.doc_id") &&
+          col("chunk_id") === col("f.chunk_id")).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept")).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "case when kept = 1 then struct(chunk_id, chunk) end)), " +
+          "x -> x.chunk), '')").as("text_clean"))
+  }
+
   def evalOverlap(corpus: DataFrame, eval: DataFrame, n: Int = 3,
       minShared: Long = 1L): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")

@@ -207,6 +207,13 @@ object DedupQueries {
       Dedup.evalOverlap(corpus, eval).orderBy("doc_id")
     }),
 
+    // sub-document exact dedup: first occurrence of every distinct
+    // 200-char chunk wins, later occurrences drop, docs reassemble from
+    // kept chunks — the line-dedup pass at chunk grain
+    "q80_chunk_dedup" -> ((spark, dir) =>
+      Dedup.chunkDedup(Tables.load(spark, dir, "documents"), size = 200)
+        .orderBy("doc_id")),
+
     // daily-ingest rendering: the newest ~20% of docs arrive as a delta
     // against the rest; result == the canonical edges that touch the
     // delta (the oracle recomputes the same cut from its own max(doc_id))
@@ -313,6 +320,32 @@ object DedupQueries {
          |         AS contaminated
          |FROM tr LEFT JOIN c ON tr.doc_id = c.doc_id
          |ORDER BY tr.doc_id""".stripMargin,
+
+    // mirrors chunkDedup: non-overlapping 200-char chunks (the q67
+    // chunker at overlap 0), first (doc_id, chunk_id) per distinct
+    // chunk wins, kept chunks reassemble in chunk order
+    "q80_chunk_dedup" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, greatest(1, len(text)), 200)) AS start
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST((start - 1) // 200 AS BIGINT) AS chunk_id,
+        |         substr(text, CAST(start AS INTEGER), 200) AS chunk
+        |  FROM starts),
+        |k AS (
+        |  SELECT doc_id, chunk_id, chunk,
+        |         row_number() OVER (PARTITION BY chunk
+        |           ORDER BY doc_id, chunk_id) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ''
+        |                           ORDER BY chunk_id), '') AS text_clean
+        |FROM k
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q69_contamination" ->
       s"""WITH $ShinglesSql,

@@ -403,6 +403,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDedup: first occurrence wins, later drops, reassembly preserves order") {
+    import spark.implicits._
+    val block = "A" * 10   // one full chunk at size = 10
+    val docs = Seq(
+      (1L, block + "unique-one"),        // chunk0 = block (first), chunk1 kept
+      (2L, block + "unique-two"),        // chunk0 = block -> dropped
+      (3L, "unique-three" + block.take(8)), // no aligned full block: kept whole
+      (4L, block + block)                // self-duplicate: 2nd chunk drops too
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, size = 10).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)), r.getString(3))).toMap
+    assert(got(1L) == (((2L, 2L), block + "unique-one")))
+    assert(got(2L) == (((2L, 1L), "unique-two")))
+    // doc 3's chunks are "unique-thr", "ee" + "A"*8 — neither equals the
+    // block chunk, both kept
+    assert(got(3L) == (((2L, 2L), "unique-three" + block.take(8))))
+    // doc 4: both chunks equal doc 1's chunk0 -> zero kept, empty text
+    assert(got(4L) == (((2L, 0L), "")))
+  }
+
   test("evalOverlap: hand-checked shared-gram counts, total audit, broadcast probe") {
     import spark.implicits._
     val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
