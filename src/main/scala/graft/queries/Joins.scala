@@ -172,6 +172,24 @@ object Joins {
       region.crossJoin(nation)
         .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
         .orderBy("r_regionkey", "n_nationkey")
+    }),
+
+    // salted hot-key join, oracle-gated (the differential SkewJoin spec
+    // made semantic): events concentrate on ~15 user_ids — each key's
+    // fan-out over 8 salt buckets splits its rows across reducers, and
+    // the per-segment rollup proves the salted plan loses/duplicates
+    // nothing vs DuckDB's plain join
+    "q82_skew_join" -> ((spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val cust = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewJoin
+        .salted(ev, cust, key = "user_id", disambig = "event_id", buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy("c_mktsegment")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -265,5 +283,15 @@ object Joins {
     "q51_join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation
-        |ORDER BY r_regionkey, n_nationkey""".stripMargin)
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    // the plain (unsalted) join — the salted plan must be
+    // indistinguishable at the result level
+    "q82_skew_join" ->
+      """SELECT c.c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin)
 }

@@ -47,17 +47,49 @@ object TemporalQueries {
       RangeJoin.timeBandPairs(
           Tables.load(spark, dir, "events").filter(col("event_type") === "purchase"),
           idCol = "event_id", tsCol = "ts", windowSeconds = 5L)
-        .orderBy("i", "j")))
+        .orderBy("i", "j")),
+
+    // q43's attribution with the HOT-KEY TWO-PASS engaged (hourly
+    // slices): the events corpus has ~15 user_ids, so each key's whole
+    // history is genuinely hot — the sliced path sorts each (key, hour)
+    // in its own task and resolves cross-slice matches through one
+    // boundary row per slice. Gated against the SAME DuckDB ASOF oracle
+    // as q43: sliced ≡ plain is the hash-checked law, not just a spec
+    // differential.
+    "q81_asof_sliced" -> ((spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOf.join(purchases, clicks, key = "user_id",
+          leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id"), tiebreak = "click_id",
+          sliceOf = Some(ts => floor(unix_micros(ts) / 3600000000L)))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_ts_us"),
+          col("click_id"),
+          unix_micros(col("asof_ts")).as("click_ts_us"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    }))
+
+  /** The native ASOF LEFT JOIN rendering — shared verbatim by q43
+    * (plain path) and q81 (hot-key two-pass), so sliced ≡ plain is a
+    * driver-enforced hash law against one oracle definition.
+    */
+  private val AsOfOracleSql: String =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+      |       c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
-    "q43_asof_join" ->
-      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
-        |       c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
-        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin,
+    "q43_asof_join" -> AsOfOracleSql,
+    "q81_asof_sliced" -> AsOfOracleSql,
 
     "q44_sessionize" ->
       """WITH o AS (SELECT user_id, ts, value, event_id,
