@@ -283,6 +283,113 @@ object TextAnalysis {
         regexp_replace(col("_t2"), phone, "<PHONE>").as("text_clean"))
   }
 
+  /** Source-level quality gate — the two-level curation pass: profile
+    * each source (doc count, mean quality), then every document inherits
+    * its source's verdict. A 100 TB web pipeline prunes whole low-quality
+    * domains this way before spending per-doc work on their contents.
+    *
+    * The mean is computed in EXACT integer arithmetic: per-doc quality is
+    * already rounded to 4 dp, so `round(quality * 10000)` recovers an
+    * exact integer that sums order-independently (a raw double `avg()`
+    * would be partial-aggregation-order-dependent and poison the
+    * cross-engine hash gate); one double division at the end. Docs with
+    * NULL quality (empty text) count toward `src_docs` but not the mean.
+    *
+    * Scale posture: one linear quality scan, a per-source partial agg
+    * (profile is bounded by the source count, ≪ corpus), and a broadcast
+    * join back — no wide shuffle of document rows.
+    */
+  def sourceQualityGate(docs: DataFrame, minAvgQuality: Double = 0.23): DataFrame = {
+    val q = qualityScores(docs).select("doc_id", "quality")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val prof = q
+      .select(col("source"),
+        when(col("quality").isNotNull,
+          round(col("quality") * 10000).cast("long")).as("qt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("src_docs"), count(col("qt")).as("n_scored"),
+        sum("qt").as("sum_qt"))
+      .select(col("source"), col("src_docs"),
+        round(when(col("n_scored") > 0,
+          col("sum_qt") / (col("n_scored") * 10000.0)), 4).as("src_avg_quality"))
+    q.join(broadcast(prof), "source")
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("src_docs"), col("src_avg_quality"),
+        when(col("src_avg_quality") >= minAvgQuality, lit(1L)).otherwise(lit(0L))
+          .as("src_ok"))
+  }
+
+  /** Corpus collocations: adjacent word pairs occurring at least
+    * `minCount` times, scored by lift = (T · c(xy)) / (c(x) · c(y)) with
+    * unigram occurrence counts c and T = total bigram occurrences — the
+    * un-logged PMI estimate (log is monotone, so ranking is unchanged;
+    * rational arithmetic over exact integer counts keeps the score
+    * bit-identical across engines, the q63 tf·idf trade). High-lift
+    * pairs are the multi-word expressions a tokenizer or phrase-mining
+    * pass should treat as units.
+    *
+    * Scale posture: one bigram explode into a map-side-combined count
+    * keyed by the pair, a vocab-bounded unigram agg (AQE broadcasts it
+    * into the scoring join), and a 1-row broadcast total. Output is
+    * bounded by the `minCount` floor, not corpus size.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 20): DataFrame = {
+    val w = docs.select(expr(WordsExpr).as("w"))
+    val bg = w.select(explode(expr(
+      "if(size(w) >= 2, transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) as g1, element_at(w, i + 1) as g2)), " +
+        "array())")).as("p"))
+      .select(col("p.g1").as("g1"), col("p.g2").as("g2"))
+    val pairCnt = bg.groupBy("g1", "g2").agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+    val uni = w.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val total = bg.select(count(lit(1)).as("t_pairs"))
+    pairCnt
+      .join(uni.select(col("word").as("g1"), col("c").as("c1")), "g1")
+      .join(uni.select(col("word").as("g2"), col("c").as("c2")), "g2")
+      .crossJoin(broadcast(total))
+      .select(col("g1"), col("g2"), col("c_pair"), col("c1"), col("c2"),
+        round(col("t_pairs").cast("double") * col("c_pair")
+          / (col("c1").cast("double") * col("c2")), 4).as("lift"))
+  }
+
+  /** Sequence-length histogram + truncation-loss audit: bucket documents
+    * by whitespace-token count (`bucketWidth` tokens per bucket), and for
+    * a training cut at `maxLen` tokens report how many tokens each
+    * (source, bucket) cell keeps vs loses, plus the running share of the
+    * source's docs at-or-below the bucket — the numbers that pick a
+    * context length / packing plan before a tokenization run is paid for.
+    * All sums are exact integers; the two ratios divide once at the end.
+    *
+    * Scale posture: one linear token-count scan into a (source, bucket)
+    * partial agg — cells are bounded (sources × buckets), so the
+    * cumulative window shuffles a profile-sized frame, not the corpus.
+    */
+  def truncationAudit(docs: DataFrame, maxLen: Int = 64,
+      bucketWidth: Int = 16): DataFrame = {
+    require(maxLen > 0 && bucketWidth > 0,
+      s"need maxLen > 0, bucketWidth > 0, got $maxLen/$bucketWidth")
+    val t = docs.select(col("source"),
+      expr(s"cast(size($WordsExpr) as bigint)").as("toks"))
+    val cells = t
+      .select(col("source"), col("toks"),
+        expr(s"toks div $bucketWidth").as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens_total"),
+        sum(least(col("toks"), lit(maxLen.toLong))).as("tokens_kept"))
+    val bySrc = Window.partitionBy("source")
+    val cum = Window.partitionBy("source").orderBy("bucket")
+    cells.select(col("source"), col("bucket"), col("n_docs"),
+      col("tokens_total"), col("tokens_kept"),
+      (col("tokens_total") - col("tokens_kept")).as("tokens_lost"),
+      round(when(col("tokens_total") > 0,
+        (col("tokens_total") - col("tokens_kept")).cast("double")
+          / col("tokens_total")), 4).as("loss_frac"),
+      round(sum(col("n_docs")).over(cum).cast("double")
+        / sum(col("n_docs")).over(bySrc), 4).as("cum_doc_frac"))
+  }
+
   /** Rolling-hash document fingerprints (winnowing-lite): min/max of the
     * portable 60-bit hash over word `n`-gram shingles plus the shingle
     * count. Equal fingerprints ⇒ near-identical content; the min-hash

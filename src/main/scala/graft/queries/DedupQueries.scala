@@ -238,6 +238,33 @@ object DedupQueries {
       val idx = Dedup.loadIndex(spark, corpusIndexDir(spark, dir))
       Dedup.incrementalNearDupEdgesIndexed(idx, docs.filter(col("doc_id") >= nf))
         .orderBy("i", "j")
+    }),
+
+    // agreement audit between the two dedup FAMILIES: the lexical
+    // near-dup clusters (q47's components over the canonical MinHash
+    // edges) vs the strict semantic clusters (q59's SemDeDup regime) —
+    // the contingency table a pipeline owner reads before deciding which
+    // tier to pay for at full scale. Docs without an embedding count as
+    // sem_dup = 0 (nothing to semantically dedup).
+    "q86_dedup_agreement" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, count, lit}
+      val docs = Tables.load(spark, dir, "documents")
+      val lex = Components
+        .connected(Dedup.nearDupEdges(docs))
+        .withColumnRenamed("node", "doc_id")
+      val sem = graft.operators.Similarity
+        .semanticDedup(Tables.load(spark, dir, "embeddings"),
+          threshold = 0.4, tables = 16, bits = 8, dim = 64)
+        .select(col("vec_id").as("doc_id"), col("kept"))
+      docs.select("doc_id")
+        .join(lex, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(
+          (coalesce(col("component"), col("doc_id")) =!= col("doc_id"))
+            .cast("bigint").as("lex_dup"),
+          (coalesce(col("kept"), lit(1L)) === 0).cast("bigint").as("sem_dup"))
+        .groupBy("lex_dup", "sem_dup").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lex_dup", "sem_dup")
     }))
 
   /** "Yesterday's job" for q70: write the below-the-cut corpus' near-dup
@@ -384,5 +411,36 @@ object DedupQueries {
          |        GROUP BY c.i, c.j)
          |SELECT i, j, round(est, 4) AS est_jaccard
          |FROM est WHERE est >= 0.5
-         |ORDER BY i, j""".stripMargin)
+         |ORDER BY i, j""".stripMargin,
+
+    // both family chains verbatim (q47's lexical closure, q54's weak
+    // semantic chain prefixed `s`), joined into the contingency table
+    "q86_dedup_agreement" ->
+      s"""WITH RECURSIVE $ShinglesSql,
+         |$NearDupPairsSql,
+         |${closureSql("pairs")},
+         |${SimilarityQueries.VecSql},
+         |${SimilarityQueries.lshCandSql(16, 8, "s")},
+         |spairs AS (
+         |  SELECT i, j FROM (
+         |    SELECT i, j, ${SimilarityQueries.cosSql("a.e", "b.e")} AS cos
+         |    FROM scand JOIN v a ON i = a.vec_id JOIN v b ON j = b.vec_id) t
+         |  WHERE cos >= 0.4),
+         |${closureSql("spairs", "s")},
+         |verdicts AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+         |              THEN 1 ELSE 0 END AS lex_dup,
+         |         CASE WHEN sc.component IS NOT NULL AND sc.component <> e.vec_id
+         |              THEN 1 ELSE 0 END AS sem_dup
+         |  FROM documents d
+         |  LEFT JOIN comp c ON d.doc_id = c.node
+         |  LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+         |  LEFT JOIN scomp sc ON e.vec_id = sc.node)
+         |SELECT CAST(lex_dup AS BIGINT) AS lex_dup,
+         |       CAST(sem_dup AS BIGINT) AS sem_dup,
+         |       count(*) AS n_docs
+         |FROM verdicts
+         |GROUP BY lex_dup, sem_dup
+         |ORDER BY lex_dup, sem_dup""".stripMargin)
 }

@@ -100,7 +100,27 @@ object TextQueries {
               lit(" up")))
           .otherwise(lit(""))).as("text"))
       TextAnalysis.piiScrub(injected).orderBy("doc_id")
-    }))
+    }),
+
+    // two-level curation: per-source mean quality (exact-integer sum)
+    // gates every doc from that source — the prune-whole-domains pass
+    "q83_source_gate" -> ((spark, dir) =>
+      TextAnalysis.sourceQualityGate(Tables.load(spark, dir, "documents"),
+          minAvgQuality = 0.23)
+        .orderBy("doc_id")),
+
+    // corpus collocations by rational lift (un-logged PMI, the q63
+    // float-parity trade); ranking compares the ROUNDED score, ties
+    // break lexicographically
+    "q84_collocations" -> ((spark, dir) =>
+      TextAnalysis.collocations(Tables.load(spark, dir, "documents"),
+          minCount = 20)
+        .orderBy(col("lift").desc, col("g1"), col("g2"))),
+
+    "q85_truncation_audit" -> ((spark, dir) =>
+      TextAnalysis.truncationAudit(Tables.load(spark, dir, "documents"),
+          maxLen = 64, bucketWidth = 16)
+        .orderBy("source", "bucket")))
 
   def oracles: Map[String, String] = Map(
     "q37_lang_id" ->
@@ -315,5 +335,75 @@ object TextQueries {
         |         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_pii,
         |       regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text_clean
         |FROM s2
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors the exact-integer mean: round(quality*10000) recovers an
+    // exact BIGINT per doc, summed order-independently, divided once
+    "q83_source_gate" ->
+      s"""WITH wsq AS (SELECT doc_id, source,
+         |                    list_filter(string_split_regex(trim(text), '\\s+'),
+         |                                x -> x != '') AS w
+         |             FROM documents),
+         |q AS (SELECT doc_id, source,
+         |             ${qualitySql("len(w)", "len(list_distinct(w))")} AS quality
+         |      FROM wsq),
+         |prof AS (SELECT source,
+         |                count(*) AS src_docs,
+         |                count(CAST(round(quality * 10000) AS BIGINT)) AS n_scored,
+         |                sum(CAST(round(quality * 10000) AS BIGINT)) AS sum_qt
+         |         FROM q GROUP BY source)
+         |SELECT q.doc_id, q.source, q.quality, p.src_docs,
+         |       round(CASE WHEN p.n_scored > 0
+         |                  THEN p.sum_qt / (p.n_scored * 10000.0) END, 4)
+         |         AS src_avg_quality,
+         |       CAST(CASE WHEN round(CASE WHEN p.n_scored > 0
+         |                                 THEN p.sum_qt / (p.n_scored * 10000.0) END, 4)
+         |                      >= 0.23
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS src_ok
+         |FROM q JOIN prof p ON q.source = p.source
+         |ORDER BY q.doc_id""".stripMargin,
+
+    "q84_collocations" ->
+      """WITH ws AS (SELECT doc_id,
+        |              list_filter(string_split_regex(trim(text), '\s+'),
+        |                          x -> x != '') AS w
+        |            FROM documents),
+        |bg AS (SELECT w[i] AS g1, w[i+1] AS g2
+        |       FROM ws, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        |       WHERE len(w) >= 2),
+        |pc AS (SELECT g1, g2, count(*) AS c_pair FROM bg
+        |       GROUP BY g1, g2 HAVING count(*) >= 20),
+        |uc AS (SELECT word, count(*) AS c
+        |       FROM (SELECT unnest(w) AS word FROM ws) GROUP BY word),
+        |t AS (SELECT count(*) AS t_pairs FROM bg)
+        |SELECT pc.g1, pc.g2, pc.c_pair,
+        |       a.c AS c1, b.c AS c2,
+        |       round((CAST(t.t_pairs AS DOUBLE) * pc.c_pair)
+        |             / (CAST(a.c AS DOUBLE) * b.c), 4) AS lift
+        |FROM pc JOIN uc a ON pc.g1 = a.word
+        |        JOIN uc b ON pc.g2 = b.word
+        |        CROSS JOIN t
+        |ORDER BY lift DESC, g1, g2""".stripMargin,
+
+    "q85_truncation_audit" ->
+      s"""WITH $WsSql,
+         |tk AS (SELECT doc_id,
+         |              CAST(len(list_filter(w, x -> x != '')) AS BIGINT) AS toks
+         |       FROM ws),
+         |cells AS (SELECT d.source, tk.toks // 16 AS bucket,
+         |                 count(*) AS n_docs,
+         |                 CAST(sum(tk.toks) AS BIGINT) AS tokens_total,
+         |                 CAST(sum(least(tk.toks, 64)) AS BIGINT) AS tokens_kept
+         |          FROM tk JOIN documents d ON tk.doc_id = d.doc_id
+         |          GROUP BY d.source, tk.toks // 16)
+         |SELECT source, bucket, n_docs, tokens_total, tokens_kept,
+         |       tokens_total - tokens_kept AS tokens_lost,
+         |       round(CASE WHEN tokens_total > 0
+         |                  THEN CAST(tokens_total - tokens_kept AS DOUBLE)
+         |                       / tokens_total END, 4) AS loss_frac,
+         |       round(CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY bucket)
+         |                  AS DOUBLE)
+         |             / sum(n_docs) OVER (PARTITION BY source), 4) AS cum_doc_frac
+         |FROM cells
+         |ORDER BY source, bucket""".stripMargin)
 }
