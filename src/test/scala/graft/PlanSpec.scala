@@ -42,6 +42,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q83/q84 bounded profile joins broadcast; doc rows never sort-merge against them") {
+    // q83: the per-source profile (bounded by source count) must come
+    // back to the doc rows as a broadcast, and q84's vocab-bounded
+    // unigram counts + 1-row total must broadcast into the scoring join
+    for (name <- Seq("q83_source_gate", "q84_collocations")) {
+      val plan = executedPlan(q(name))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost its bounded-side broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
   // An Inner BNLJ (the shape a non-equi pair join lowers to) or a
   // CartesianProduct is quadratic in data and banned outright. A Cross
   // BNLJ against a bounded broadcast literal frame is the sanctioned

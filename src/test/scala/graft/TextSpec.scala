@@ -174,6 +174,74 @@ class TextSpec extends AnyFunSuite {
     assert(m.filter(col("content_md5") =!= col("want")).count() === 0L)
   }
 
+  test("sourceQualityGate: exact-integer mean, gate bit, every doc inherits") {
+    import spark.implicits._
+    // srcA: qualities 0.5·(2/2)=... compute via the real formula on tiny
+    // docs — what matters is the mean and the gate, hand-checked below
+    val df = Seq(
+      (1L, "srcA", "alpha beta gamma delta"),     // 4 words, 4 distinct
+      (2L, "srcA", "alpha alpha alpha alpha"),    // 4 words, 1 distinct
+      (3L, "srcB", "one two three four five six") // 6 words, 6 distinct
+    ).toDF("doc_id", "source", "text")
+    // quality = min(1, n/100) * distinct/n -> d1: 0.04*1=0.04, d2:
+    // 0.04*0.25=0.01, d3: 0.06*1=0.06; srcA mean (400+100)/2/10000=0.025
+    val r = TextAnalysis.sourceQualityGate(df, minAvgQuality = 0.05)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getDouble(4)).toSeq == Seq(0.025, 0.025, 0.06))
+    assert(r.map(_.getLong(5)).toSeq == Seq(0L, 0L, 1L))
+    assert(r.map(_.getLong(3)).toSeq == Seq(2L, 2L, 1L))
+    // corpus law: every doc appears exactly once, NULL-quality docs
+    // still gated by their source's mean over the scored docs
+    val gated = TextAnalysis.sourceQualityGate(docs)
+    assert(gated.count() === docs.count())
+    assert(gated.select("source", "src_avg_quality").distinct().count() ===
+      docs.select("source").distinct().count())
+  }
+
+  test("collocations: hand-checked lift, minCount floor") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: doc1 (a b)(b a)(a b), doc2 (a b)(b c) -> T=5, c(a b)=3
+    // unigrams: a 3, b 3, c 1 -> lift(a,b) = 5*3/(3*3) = 1.6667
+    val r = TextAnalysis.collocations(df, minCount = 2).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getString(0), row.getString(1)) === (("a", "b")))
+    assert((row.getLong(2), row.getLong(3), row.getLong(4)) === ((3L, 3L, 3L)))
+    assert(row.getDouble(5) === 1.6667)
+    // floor: minCount above the max pair count yields nothing
+    assert(TextAnalysis.collocations(df, minCount = 4).isEmpty)
+  }
+
+  test("truncationAudit: hand-checked cells; conservation + cumulative laws") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s", Seq.fill(3)("w").mkString(" ")),
+      (2L, "s", Seq.tabulate(10)(i => s"w$i").mkString(" ")),
+      (3L, "s", Seq.tabulate(20)(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.truncationAudit(df, maxLen = 12, bucketWidth = 8)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getDouble(6), x.getDouble(7)))
+    assert(r.toSeq == Seq(
+      (0L, 1L, 3L, 3L, 0L, 0.0, 0.3333),
+      (1L, 1L, 10L, 10L, 0L, 0.0, 0.6667),
+      (2L, 1L, 20L, 12L, 8L, 0.4, 1.0)))
+    // corpus laws: tokens conserve against tokenCounts; kept + lost =
+    // total; each source's last cumulative share is exactly 1.0
+    val audit = TextAnalysis.truncationAudit(docs)
+    val total = audit.agg(sum("tokens_total")).head.getLong(0)
+    val want = TextAnalysis.tokenCounts(docs).agg(sum("ws_tokens")).head.getLong(0)
+    assert(total === want)
+    assert(audit.filter(
+      col("tokens_kept") + col("tokens_lost") =!= col("tokens_total")).count() === 0L)
+    val lastPerSrc = audit.groupBy("source")
+      .agg(max(struct(col("bucket"), col("cum_doc_frac"))).as("t"))
+      .select(col("t.cum_doc_frac"))
+    assert(lastPerSrc.filter(col("cum_doc_frac") =!= 1.0).count() === 0L)
+  }
+
   test("piiScrub: hand-checked redactions, sequential contract, total audit") {
     import spark.implicits._
     val df = Seq(
