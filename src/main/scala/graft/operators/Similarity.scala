@@ -156,17 +156,37 @@ object Similarity {
     val cents = cut(
       withNorm(emb.filter(pmod(col("vec_id"), lit(stride)) === 0))
         .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn")))
+    IvfIndex(stride, cents, cut(assignTo(cents, emb)))
+  }
 
-    // one scan: nearest centroid per vector (argmax by rounded cos, min cid)
-    val assigned = cut(withNorm(emb).crossJoin(broadcast(cents))
+  /** Nearest-centroid assignment of `vecs` against a broadcast centroid
+    * frame — one scan, argmax by (rounded cos desc, cid asc). The ONE
+    * assignment definition shared by [[ivfIndex]], [[ivfTrainedIndex]],
+    * and [[ivfAppend]], so an appended delta can never be assigned by a
+    * different rule than the corpus it joins.
+    */
+  private def assignTo(cents: DataFrame, vecs: DataFrame): DataFrame =
+    withNorm(vecs).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
         round(cosCol(col("e"), col("ce"), col("nrm"), col("cn")), 6).as("ccos"))
       .groupBy(col("vec_id"))
       .agg(
         first(col("e")).as("e"), first(col("nrm")).as("nrm"),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")))
-    IvfIndex(stride, cents, assigned)
-  }
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+
+  /** Delta-ingest into a built [[IvfIndex]]: assign ONLY the delta
+    * against the stored broadcast centroids and append to the stored
+    * assignment — the embedding-side twin of the dedup tier's
+    * incremental ingest ([[Dedup.incrementalNearDupEdgesIndexed]]).
+    * Appending never moves centroids (a production index retrains on a
+    * cadence, not per ingest), and assignment is per-row deterministic,
+    * so append ≡ a from-scratch assignment of the union against the same
+    * centroids — the law the q87 oracle gates at hash level. Cost is one
+    * delta-sized scan; nothing re-touches the stored corpus rows.
+    */
+  def ivfAppend(index: IvfIndex, delta: DataFrame): IvfIndex =
+    IvfIndex(index.stride, index.cents,
+      index.assigned.unionByName(assignTo(index.cents, delta)))
 
   /** Approximate top-k against a built [[IvfIndex]]: each query probes
     * its `nProbe` nearest centroids, and only vectors assigned to those
@@ -266,14 +286,7 @@ object Similarity {
         .withColumn("cn", sqrt(array_dot(col("ce"), col("ce"))))
     }
     val cents = cut(trained)
-    val assigned = cut(v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
-        round(cosCol(col("e"), col("ce"), col("nrm"), col("cn")), 6).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("e")).as("e"), first(col("nrm")).as("nrm"),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")))
-    IvfIndex(stride, cents, assigned)
+    IvfIndex(stride, cents, cut(assignTo(cents, emb)))
   }
 
   /** Persist a built [[IvfIndex]] under `dir`: parquet of the centroid
@@ -383,6 +396,51 @@ object Similarity {
       round(when(sum("n") > 0, sum("sum_err").cast("double") / sum("n")), 4)
         .as("avg_err_micro"),
       round(max("scale"), 6).as("max_scale"))
+  }
+
+  /** Brute-force top-k over the INT8-QUANTIZED corpus — the memory-tier
+    * search path: score = quantized cosine, i.e. the exact integer dot
+    * of the two tinyint arrays over the exact integer norms, with one
+    * double division at the end. Per-vector max-abs scales cancel out of
+    * the cosine, so they never enter the score — the whole rank order is
+    * a function of exact BIGINT sums, bit-reproducible in any engine.
+    *
+    * At 100 TB this is why the tier exists: the scan reads 1/4 the bytes
+    * of the float corpus (int8 array vs float32), the dot is integer
+    * SIMD, and ranking quality degrades only by the ≤ scale/254
+    * per-component quantization error that [[int8QuantAudit]] measures.
+    * Same shape as [[bruteForceTopK]]: broadcast query set, linear scan,
+    * per-query window — the ground-truth tier for the quantized ANN
+    * stack, not the all-pairs path.
+    */
+  def int8TopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def intNorm(c: String) =
+      expr(s"aggregate($c, 0L, (a, x) -> a + cast(x as bigint) * cast(x as bigint))")
+    val corpus = quantizeInt8(emb)
+      .select(col("vec_id"), col("qe"), intNorm("qe").as("nn"))
+    val q = quantizeInt8(queries)
+      .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+        intNorm("qe").as("qnn"))
+    val scored = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("aggregate(zip_with(qe, qqe, (x, y) -> " +
+          "cast(x as bigint) * cast(y as bigint)), 0L, (a, x) -> a + x)")
+          .as("idot"),
+        col("nn"), col("qnn"))
+      // a zero vector quantizes to all zeros: no direction, drop (the
+      // bruteForceTopK NULL-cos rule in integer form)
+      .filter(col("nn") > 0 && col("qnn") > 0)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("idot").cast("double")
+          / (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double"))))
+          .as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("qcos"), 6).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("qcos"), 4).as("qcos"), col("rank"))
   }
 
   /** Hyperplane component (t, p, d), derived from md5 so that an oracle

@@ -390,6 +390,43 @@ object TextAnalysis {
         / sum(col("n_docs")).over(bySrc), 4).as("cum_doc_frac"))
   }
 
+  /** Vocabulary-coverage curve: for each candidate vocab size, the
+    * fraction of corpus token OCCURRENCES covered by the top-`size` word
+    * types (frequency desc, ties word asc) — the numbers that size a
+    * tokenizer vocabulary before the expensive BPE train. All counts are
+    * exact longs; the one division happens per output row.
+    *
+    * Scale posture: one word explode into a map-side-combined frequency
+    * agg; the rank window and running sum shuffle the VOCAB (bounded ≪
+    * corpus for natural language), never token occurrences; sizes fan
+    * out over the vocab frame and collapse right back to `sizes.length`
+    * rows.
+    */
+  def vocabCoverage(docs: DataFrame,
+      sizes: Seq[Long] = Seq(100L, 500L, 1000L, 2000L, 5000L)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), s"sizes must be >= 1: $sizes")
+    val freq = docs.select(explode(expr(WordsExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    // single-partition window: the vocab frame is bounded, and the rank
+    // and running sum must be global
+    val rk = Window.orderBy(col("c").desc, col("word"))
+    val ranked = freq
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .withColumn("cum", sum(col("c")).over(rk))
+    val total = freq.select(sum(col("c")).as("total_tokens"))
+    val sz = docs.sparkSession.createDataFrame(
+      sizes.map(Tuple1(_))).toDF("vocab_size")
+    ranked.join(broadcast(sz), col("rank") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(max(col("rank")).as("n_types"), max(col("cum")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("n_types"), col("covered_tokens"),
+        col("total_tokens"),
+        round(when(col("total_tokens") > 0,
+          col("covered_tokens").cast("double") / col("total_tokens")), 4)
+          .as("coverage"))
+  }
+
   /** Rolling-hash document fingerprints (winnowing-lite): min/max of the
     * portable 60-bit hash over word `n`-gram shingles plus the shingle
     * count. Equal fingerprints ⇒ near-identical content; the min-hash

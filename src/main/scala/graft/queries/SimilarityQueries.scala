@@ -118,7 +118,7 @@ object SimilarityQueries {
     * `max_by(cid, struct(ccos, -cid))`. Factored out of [[kmRoundSql]]
     * so q79's balance pass reuses the EXACT assignment definition.
     */
-  private def asgSql(n: Int, prev: String): String =
+  private def asgSql(n: Int, prev: String, vrel: String = "v"): String =
     s"""asg$n AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT t.vec_id, t.cid,
@@ -126,7 +126,7 @@ object SimilarityQueries {
        |             ORDER BY t.ccos DESC, t.cid) AS rn
        |    FROM (SELECT v.vec_id, c.cid,
        |                 round(${cosSql("v.e", "c.ce")}, 6) AS ccos
-       |          FROM v CROSS JOIN $prev c) t)
+       |          FROM $vrel v CROSS JOIN $prev c) t)
        |  WHERE rn = 1)""".stripMargin
 
   private def kmRoundSql(n: Int, prev: String): String =
@@ -150,15 +150,23 @@ object SimilarityQueries {
     * search tail AND q79's balance pass, so the trained centroids are
     * one definition.
     */
-  private lazy val TrainedPrefixSql: String =
-    s"""$VecSql,
-       |qv AS (SELECT vec_id,
+  /** The training CTEs WITHOUT the `v` definition (exact-integer view,
+    * sampled seed, 2 Lloyd rounds → `cents2`) — q87 redefines `v` as the
+    * corpus slice and reuses this verbatim, so "trained on the corpus"
+    * is one definition whether the corpus is the whole table or a cut.
+    */
+  private lazy val TrainedTailSql: String =
+    s"""qv AS (SELECT vec_id,
        |              list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
        |       FROM v),
        |cents0 AS (SELECT vec_id AS cid, e AS ce FROM v
        |           WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v) = 0),
        |${kmRoundSql(1, "cents0")},
        |${kmRoundSql(2, "cents1")}""".stripMargin
+
+  private lazy val TrainedPrefixSql: String =
+    s"""$VecSql,
+       |$TrainedTailSql""".stripMargin
 
   private lazy val TrainedIvfSql: String =
     s"""WITH $TrainedPrefixSql,
@@ -250,7 +258,31 @@ object SimilarityQueries {
         Similarity.ivfTrainedIndex(
           Tables.load(spark, dir, "embeddings"), iters = 2),
         quota = 10L)
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // embedding-ingest rendering: the newest ~20% of vectors arrive as a
+    // delta against a STORED index trained on the rest; the appended
+    // assignment must hash-match a from-scratch assignment of the whole
+    // table against the same corpus-trained centroids (assignment is
+    // per-row deterministic, so append ≡ full — the q70 law on the
+    // embedding side)
+    "q87_ivf_append" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val cut = vecCut(emb)
+      val idx = Similarity.loadIvfIndex(spark, corpusIvfDir(spark, dir))
+      Similarity.ivfAppend(idx, emb.filter(col("vec_id") >= cut))
+        .assigned.select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
+    // the quantized memory tier searched directly: top-k by quantized
+    // cosine (exact integer dot/norms, one double division) over the
+    // int8 corpus — q32's contract at 1/4 the scan bytes
+    "q88_int8_topk" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }))
 
   /** "Yesterday's index build job" for q72, once per sf-dir per JVM. */
   private val ivfIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -260,6 +292,22 @@ object SimilarityQueries {
       val d = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
       Similarity.writeIvfIndex(
         Similarity.ivfTrainedIndex(Tables.load(spark, dir, "embeddings"), iters = 2), d)
+      d
+    })
+
+  /** q87's stored index: trained on the below-the-cut corpus slice only
+    * (yesterday's vectors), once per sf-dir per JVM — the artifact the
+    * delta ingest appends to.
+    */
+  private val corpusIvfCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corpusIvfDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    corpusIvfCache.computeIfAbsent(dir, _ => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val d = java.nio.file.Files.createTempDirectory("graft_ivf_corpus_").toString
+      Similarity.writeIvfIndex(
+        Similarity.ivfTrainedIndex(
+          emb.filter(col("vec_id") < vecCut(emb)), iters = 2), d)
       d
     })
 
@@ -400,5 +448,50 @@ object SimilarityQueries {
          |       CAST(CASE WHEN coalesce(c.component, emb.vec_id) = emb.vec_id
          |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.node
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin,
+
+    // the from-scratch rendering of the append law: train on the corpus
+    // slice only (v IS the cut — TrainedTailSql reused verbatim), then
+    // assign EVERY vector against the corpus-trained centroids
+    "q87_ivf_append" ->
+      s"""WITH vall AS (SELECT vec_id,
+         |                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |              FROM embeddings),
+         |v AS (SELECT * FROM vall
+         |      WHERE vec_id < (SELECT CAST(floor(0.8 * max(vec_id)) AS BIGINT)
+         |                      FROM embeddings)),
+         |$TrainedTailSql,
+         |${asgSql(3, "cents2", "vall")}
+         |SELECT vec_id, cell FROM asg3
+         |ORDER BY vec_id""".stripMargin,
+
+    // int8-quantize both sides (the q65 formula), exact integer dot and
+    // norms, one double division — scales cancel out of the cosine
+    "q88_int8_topk" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |         list_transform(e, x -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+         |           ELSE CAST(round(x / s * 127.0) AS BIGINT) END) AS qe
+         |  FROM (SELECT vec_id,
+         |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |               list_max(list_transform(embedding,
+         |                 x -> abs(CAST(x AS DOUBLE)))) AS s
+         |        FROM embeddings)),
+         |n AS (SELECT vec_id, qe,
+         |             list_sum(list_transform(qe, x -> x * x)) AS nn
+         |      FROM qz),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(c.qe)),
+         |                k -> c.qe[k] * q.qe[k])) AS DOUBLE)
+         |           / (sqrt(CAST(c.nn AS DOUBLE)) * sqrt(CAST(q.nn AS DOUBLE))) AS qcos
+         |  FROM n c JOIN n q ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |  WHERE c.nn > 0 AND q.nn > 0),
+         |ranked AS (SELECT query_id, neighbor_id, qcos,
+         |                  CAST(row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY round(qcos, 6) DESC, neighbor_id) AS BIGINT) AS rank
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, round(qcos, 4) AS qcos, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin)
 }

@@ -120,7 +120,14 @@ object TextQueries {
     "q85_truncation_audit" -> ((spark, dir) =>
       TextAnalysis.truncationAudit(Tables.load(spark, dir, "documents"),
           maxLen = 64, bucketWidth = 16)
-        .orderBy("source", "bucket")))
+        .orderBy("source", "bucket")),
+
+    // vocab-size coverage curve: exact token-occurrence share covered by
+    // the top-k word types — the pre-BPE vocabulary sizing numbers
+    "q89_vocab_coverage" -> ((spark, dir) =>
+      TextAnalysis.vocabCoverage(Tables.load(spark, dir, "documents"),
+          sizes = Seq(100L, 500L, 1000L, 2000L, 5000L))
+        .orderBy("vocab_size")))
 
   def oracles: Map[String, String] = Map(
     "q37_lang_id" ->
@@ -405,5 +412,28 @@ object TextQueries {
          |                  AS DOUBLE)
          |             / sum(n_docs) OVER (PARTITION BY source), 4) AS cum_doc_frac
          |FROM cells
-         |ORDER BY source, bucket""".stripMargin)
+         |ORDER BY source, bucket""".stripMargin,
+
+    "q89_vocab_coverage" ->
+      s"""WITH $WsSql,
+         |freq AS (SELECT word, count(*) AS c
+         |         FROM (SELECT unnest(list_filter(w, x -> x != '')) AS word FROM ws)
+         |         GROUP BY word),
+         |ranked AS (SELECT word, c,
+         |             CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rank,
+         |             CAST(sum(c) OVER (ORDER BY c DESC, word) AS BIGINT) AS cum
+         |           FROM freq),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM freq),
+         |sz AS (SELECT unnest([100, 500, 1000, 2000, 5000]) AS vocab_size)
+         |SELECT CAST(sz.vocab_size AS BIGINT) AS vocab_size,
+         |       max(r.rank) AS n_types,
+         |       max(r.cum) AS covered_tokens,
+         |       t.total_tokens,
+         |       round(CASE WHEN t.total_tokens > 0
+         |                  THEN CAST(max(r.cum) AS DOUBLE) / t.total_tokens END, 4)
+         |         AS coverage
+         |FROM ranked r JOIN sz ON r.rank <= sz.vocab_size
+         |CROSS JOIN t
+         |GROUP BY sz.vocab_size, t.total_tokens
+         |ORDER BY vocab_size""".stripMargin)
 }

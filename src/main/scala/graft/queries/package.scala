@@ -20,4 +20,10 @@ package object queries {
     val r = docs.agg(org.apache.spark.sql.functions.max("doc_id")).head
     if (r.isNullAt(0)) 0L else math.floor(0.8 * r.getLong(0)).toLong
   }
+
+  /** The q87 embedding-ingest cut — [[deltaCut]]'s formula on vec_id. */
+  private[queries] def vecCut(emb: DataFrame): Long = {
+    val r = emb.agg(org.apache.spark.sql.functions.max("vec_id")).head
+    if (r.isNullAt(0)) 0L else math.floor(0.8 * r.getLong(0)).toLong
+  }
 }

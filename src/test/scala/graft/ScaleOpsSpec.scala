@@ -180,6 +180,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(hits / total >= 0.35, s"trained recall ${hits / total}")
   }
 
+  test("ivfAppend: append == from-scratch assignment; stored corpus rows untouched") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val cut = 400L
+    val idx = Similarity.ivfTrainedIndex(
+      emb.filter(col("vec_id") < cut), iters = 2, centroidEvery = 20)
+    val appended = Similarity.ivfAppend(idx, emb.filter(col("vec_id") >= cut))
+    def asg(i: Similarity.IvfIndex) = i.assigned.select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = asg(appended)
+    // delta rows present, corpus rows bit-unchanged
+    val corpusAsg = asg(idx)
+    assert(got.size == emb.count())
+    corpusAsg.foreach { case (id, cell) => assert(got(id) == cell) }
+    // the appended index answers searches; an empty delta is identity
+    assert(Similarity.ivfSearch(appended,
+      emb.filter(col("vec_id") < 10), k = 5, nProbe = 3).count() > 0)
+    val same = Similarity.ivfAppend(idx, emb.filter(col("vec_id") < -1))
+    assert(asg(same) == corpusAsg)
+    assert(same.stride == idx.stride)
+  }
+
+  test("int8TopK: exact parity on hand-checked vectors; corpus recall vs float tier") {
+    import spark.implicits._
+    // scales cancel: quantized cosine of colinear vectors is 1.0 exactly
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.5f, 0.0f)),
+      (3L, Seq(0.0f, 2.0f)), (4L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.int8TopK(corpus, corpus.filter(col("vec_id") === 1), k = 5)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getLong(3)))
+    // vec 2 colinear (qcos 1.0), vec 3 orthogonal (0.0), vec 4 zero-norm dropped
+    assert(r.toSeq == Seq((2L, 1.0, 1L), (3L, 0.0, 2L)))
+    // the quantized tier must agree with the float ground truth almost
+    // everywhere — int8 error can only flip near-ties
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 50)
+    val quant = Similarity.int8TopK(emb, q, k = 5).select("query_id", "neighbor_id")
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5).select("query_id", "neighbor_id")
+    val hits = quant.intersect(exact).count().toDouble
+    val total = exact.count().toDouble
+    assert(hits / total >= 0.9, s"int8 recall ${hits / total}")
+  }
+
   test("zero-norm embeddings never rank as neighbors, zero-norm queries match nothing") {
     import spark.implicits._
     val corpus = Seq(

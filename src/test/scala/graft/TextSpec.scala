@@ -242,6 +242,27 @@ class TextSpec extends AnyFunSuite {
     assert(lastPerSrc.filter(col("cum_doc_frac") =!= 1.0).count() === 0L)
   }
 
+  test("vocabCoverage: hand-checked curve; monotone and bounded on the corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(df, sizes = Seq(1L, 2L, 10L))
+      .orderBy("vocab_size").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 3L, 6L, 0.5),      // top type 'a' covers 3/6
+      (2L, 2L, 5L, 6L, 0.8333),   // +'b'
+      (10L, 3L, 6L, 6L, 1.0)))    // whole vocab (3 types) covers all
+    // corpus laws: coverage monotone in vocab_size, bounded by 1,
+    // n_types <= vocab_size, covered <= total
+    val c = TextAnalysis.vocabCoverage(docs).orderBy("vocab_size").collect()
+    val covs = c.map(_.getDouble(4))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b })
+    c.foreach { x =>
+      assert(x.getLong(1) <= x.getLong(0) && x.getLong(2) <= x.getLong(3))
+      assert(x.getDouble(4) <= 1.0)
+    }
+  }
+
   test("piiScrub: hand-checked redactions, sequential contract, total audit") {
     import spark.implicits._
     val df = Seq(
