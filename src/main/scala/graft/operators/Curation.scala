@@ -81,6 +81,36 @@ object Curation {
     verdicts(g, Components.connected(Dedup.nearDupEdges(exactKept)), minQuality)
   }
 
+  /** Best-quality keeper per near-dup cluster. [[curate]]'s min-id
+    * keeper rule is storage-stable, but a production pipeline usually
+    * keeps each duplicate cluster's HIGHEST-QUALITY member: cluster by
+    * the canonical near-dup components over the corpus, rank members by
+    * (rounded quality desc, doc_id asc — the rounded score is the
+    * engine-portable comparand, as [[TextAnalysis.tfidfTopTerms]]),
+    * keeper = rank 1; singletons keep themselves. Emits every doc
+    * (cluster_id, quality, keeper_id, kept) — the total-audit contract.
+    *
+    * Scale: one window partitioned by cluster_id — cluster sizes are
+    * bounded by the LSH skew cap upstream (`Dedup.NearDupMaxBucket`), so
+    * no hot-cluster task; everything else is the canonical edge pipeline
+    * plus narrow equi-joins.
+    */
+  def qualityKeeper(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Components.connected(Dedup.nearDupEdges(docs))
+      .withColumnRenamed("node", "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    TextAnalysis.qualityScores(docs).select("doc_id", "quality")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        col("quality"))
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .withColumn("kept", (col("doc_id") === col("keeper_id")).cast("bigint"))
+  }
+
   /** The quality-passing exact-keeper documents of a curation run — the
     * frame whose canonical near-dup edges ([[Dedup.nearDupEdges]]) a
     * production pipeline stores alongside the verdicts, to hand to the

@@ -99,6 +99,37 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric near-dup: containment of the SMALLER shingle set within
+    * the pair — |A∩B| / min(|A|, |B|) — catches a short document quoted
+    * wholesale inside a long one (wire-copy inclusion, template +
+    * payload), which symmetric Jaccard structurally misses: |A∩B|/|A∪B|
+    * stays low whenever |B| ≫ |A| no matter how completely A is
+    * contained. Ground-truth posting-list tier with [[ngramJaccardPairs]]'s
+    * cost model (pair work tracks shared-shingle collisions); the LSH
+    * tiers stay the discovery path at corpus scale — a containment-
+    * biased production variant would band only the smaller side's
+    * signature, which this exact tier exists to verify against.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val sh = shingles(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("s1"), col("i") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("j") === col("s2.doc_id"))
+      .select(col("i"), col("j"),
+        col("s1.n").as("n_i"), col("s2.n").as("n_j"), col("c").as("inter"),
+        (col("c").cast("double") / least(col("s1.n"), col("s2.n")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+      .select(col("i"), col("j"), col("n_i"), col("n_j"), col("inter"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** Exact Jaccard restricted to the given candidate (i, j) pairs.
     *
     * Cost is O(|candidates| × shingles-per-doc), independent of the

@@ -186,6 +186,38 @@ object Prep {
         col("bucket"), (col("bucket") < col("rate_ppm")).cast("bigint").as("kept"))
   }
 
+  /** Temperature-based stratum rebalancing at α = 1/2 — the multilingual
+    * "temperature sampling" recipe (keep-probability ∝ (n_i/N)^(α−1), so
+    * big strata down-weight toward equal shares): each stratum keeps at
+    * rate √(n_min/n_i) — the smallest stratum whole, a stratum 4× its
+    * size at half rate — applied with the same hash-bucket verdict
+    * contract as [[mix]]/[[sampleToQuota]] (keep iff 60-bit md5 of
+    * "salt_doc_id" mod 10⁶ < rate_ppm). α is FIXED at 1/2: √ is IEEE-
+    * correctly-rounded in every engine, where a general pow(x, α) is
+    * libm-dependent (final-ulp drift across engines would make the same
+    * corpus sample differently on different systems — and poison the
+    * oracle hash gate for the same reason). rate_ppm floors the exact
+    * double once; every downstream comparison is integer.
+    *
+    * Plan shape: one bounded stratum-count agg, a 1-row min, broadcast
+    * back, one narrow verdict scan — [[sampleToQuota]]'s cost model with
+    * a data-derived curve instead of a flat quota.
+    */
+  def temperatureMix(docs: DataFrame, stratum: String = "lang",
+      salt: String = "temp"): DataFrame = {
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_stratum"))
+    val nMin = counts.agg(min("n_stratum").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(stratum), col("n_stratum"),
+        floor(sqrt(col("n_min").cast("double") / col("n_stratum")) * 1000000.0)
+          .cast("long").as("rate_ppm"))
+    docs.select(col("doc_id"), col(stratum),
+        hashBucket(salt, 1000000L).cast("long").as("bucket"))
+      .join(broadcast(rates), Seq(stratum))
+      .select(col("doc_id"), col(stratum), col("n_stratum"), col("rate_ppm"),
+        col("bucket"), (col("bucket") < col("rate_ppm")).cast("bigint").as("kept"))
+  }
+
   /** Sequence packing: concatenate documents in doc_id order within each
     * (source, shard) group and cut every `budget` tokens; a document
     * belongs to the sequence where it starts — sequence identity is

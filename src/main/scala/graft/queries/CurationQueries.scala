@@ -74,6 +74,13 @@ object CurationQueries {
       Curation.snapshotDiff(prev, cur).orderBy("doc_id")
     }),
 
+    // keep the BEST-QUALITY member of each near-dup cluster (vs the
+    // storage-stable min-id rule the verdict pipeline uses) — rank by
+    // the rounded engine-portable quality, ties to the lower id
+    "q91_quality_keeper" -> ((spark, dir) =>
+      Curation.qualityKeeper(Tables.load(spark, dir, "documents"))
+        .orderBy("doc_id")),
+
     "q66_training_manifest" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val emb = Tables.load(spark, dir, "embeddings")
@@ -101,7 +108,40 @@ object CurationQueries {
     "q64_incremental_curation" -> FullCurationSql,
     "q71_incremental_curation_indexed" -> FullCurationSql,
     "q74_dataset_diff" -> DatasetDiffSql,
+    "q91_quality_keeper" -> QualityKeeperSql,
     "q66_training_manifest" -> ManifestSql)
+
+  /** q91: the canonical edge chain + closure over the RAW corpus (no
+    * quality gate — keeper choice needs every member scored, not
+    * pre-filtered), then a first-value window by (quality desc nulls
+    * last, doc_id).
+    */
+  private lazy val QualityKeeperSql: String =
+    (s"""WITH RECURSIVE ${DedupQueries.ShinglesSql},
+       |${DedupQueries.NearDupPairsSql},
+       |${DedupQueries.closureSql("pairs")},
+       |wq AS (SELECT doc_id,
+       |              list_filter(string_split_regex(trim(text), '\\s+'),
+       |                          x -> x != '') AS w
+       |       FROM documents),
+       |qual AS (SELECT doc_id,
+       |                ${TextQueries.qualitySql("len(w)", "len(list_distinct(w))")} AS quality
+       |         FROM wq),
+       |b AS (SELECT q.doc_id, coalesce(c.component, q.doc_id) AS cluster_id,
+       |             q.quality
+       |      FROM qual q LEFT JOIN comp c ON q.doc_id = c.node)
+       |SELECT doc_id, cluster_id, quality,
+       |       first_value(doc_id) OVER (PARTITION BY cluster_id
+       |         ORDER BY quality DESC NULLS LAST, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |         AS keeper_id,
+       |       CAST(CASE WHEN doc_id = first_value(doc_id) OVER (
+       |                    PARTITION BY cluster_id
+       |                    ORDER BY quality DESC NULLS LAST, doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM b
+       |ORDER BY doc_id""".stripMargin)
 
   /** q74: the same deterministic two-snapshot derivation as the Spark
     * side (md5 bucket of 'snap_doc_id' mod 100 picks the added /

@@ -240,6 +240,14 @@ object DedupQueries {
         .orderBy("i", "j")
     }),
 
+    // asymmetric containment — a short doc quoted wholesale inside a
+    // long one scores |A∩B|/min(|A|,|B|) ≈ 1 where symmetric Jaccard
+    // stays low; the ground-truth tier for a containment-biased LSH
+    "q92_containment" -> ((spark, dir) =>
+      Dedup.containmentPairs(Tables.load(spark, dir, "documents"),
+          n = 3, threshold = 0.9)
+        .orderBy("i", "j")),
+
     // agreement audit between the two dedup FAMILIES: the lexical
     // near-dup clusters (q47's components over the canonical MinHash
     // edges) vs the strict semantic clusters (q59's SemDeDup regime) —
@@ -411,6 +419,19 @@ object DedupQueries {
          |        GROUP BY c.i, c.j)
          |SELECT i, j, round(est, 4) AS est_jaccard
          |FROM est WHERE est >= 0.5
+         |ORDER BY i, j""".stripMargin,
+
+    // the shingle + posting-list chain shared with q26; containment
+    // divides the intersection by the SMALLER set size
+    "q92_containment" ->
+      s"""WITH $ShinglesSql,
+         |$JaccardSql
+         |SELECT ix.i, ix.j, s1.n AS n_i, s2.n AS n_j, ix.c AS inter,
+         |       round(CAST(ix.c AS DOUBLE) / least(s1.n, s2.n), 4) AS containment
+         |FROM inter ix
+         |JOIN sz s1 ON ix.i = s1.doc_id
+         |JOIN sz s2 ON ix.j = s2.doc_id
+         |WHERE CAST(ix.c AS DOUBLE) / least(s1.n, s2.n) >= 0.9
          |ORDER BY i, j""".stripMargin,
 
     // both family chains verbatim (q47's lexical closure, q54's weak

@@ -63,7 +63,15 @@ object PrepQueries {
         .connected(graft.operators.Dedup.nearDupEdges(docs))
         .select(col("node").as("doc_id"), col("component").as("group_id"))
       Prep.splitByGroup(docs, comp).orderBy("doc_id")
-    }))
+    }),
+
+    // α=1/2 temperature rebalancing over the skewed lang distribution —
+    // where q73 caps strata at a flat quota, this bends shares toward
+    // equal with the standard multilingual temperature curve
+    "q90_temperature_mix" -> ((spark, dir) =>
+      Prep.temperatureMix(Tables.load(spark, dir, "documents"),
+          stratum = "lang")
+        .orderBy("doc_id")))
 
   def oracles: Map[String, String] = Map(
     "q56_split_assign" ->
@@ -171,5 +179,25 @@ object PrepQueries {
          |            WHEN bucket < 20 THEN 'val'
          |            ELSE 'train' END AS split
          |FROM b
-         |ORDER BY doc_id""".stripMargin))
+         |ORDER BY doc_id""".stripMargin),
+
+    // rate_ppm = floor(1e6 · sqrt(n_min/n_i)) — sqrt is IEEE-correct in
+    // both engines (the reason α is pinned to 1/2), floored once to an
+    // integer so every verdict comparison is exact
+    "q90_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_stratum) AS n_min FROM c),
+        |r AS (SELECT lang, n_stratum,
+        |             CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / n_stratum)
+        |                        * 1000000.0) AS BIGINT) AS rate_ppm
+        |      FROM c CROSS JOIN m),
+        |b AS (SELECT doc_id, lang,
+        |             CAST('0x' || substr(md5('temp_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |                  AS BIGINT) % 1000000 AS bucket
+        |      FROM documents)
+        |SELECT b.doc_id, b.lang, r.n_stratum, r.rate_ppm, b.bucket,
+        |       CAST(CASE WHEN b.bucket < r.rate_ppm THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM b JOIN r USING (lang)
+        |ORDER BY doc_id""".stripMargin)
 }

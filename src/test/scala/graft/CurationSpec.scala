@@ -108,4 +108,26 @@ class CurationSpec extends AnyFunSuite {
       assert(d.filter(col("status") =!= "unchanged").isEmpty)
     } finally d.unpersist()
   }
+
+  test("qualityKeeper: one keeper per cluster, keeper maximizes rounded quality") {
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val k = Curation.qualityKeeper(docs).cache()
+    try {
+      assert(k.count() == docs.count(), "total audit: every doc gets a row")
+      // exactly one kept member per cluster, and it IS the keeper_id
+      val perCluster = k.groupBy("cluster_id")
+        .agg(sum("kept").as("n_kept"), count(lit(1)).as("n"))
+      assert(perCluster.filter(col("n_kept") =!= 1).isEmpty)
+      assert(k.filter(col("kept") === 1 && col("doc_id") =!= col("keeper_id")).isEmpty)
+      // the keeper's rounded quality is the cluster max
+      val best = k.groupBy("cluster_id").agg(max("quality").as("maxq"))
+      val bad = k.filter(col("kept") === 1).join(best, "cluster_id")
+        .filter(col("quality") =!= col("maxq"))
+      assert(bad.isEmpty, "keeper must carry the cluster's max quality")
+      // the fixture corpus must exercise a case where quality-keeper
+      // and min-id keeper disagree, or this test proves nothing
+      assert(k.filter(col("kept") === 1 && col("doc_id") =!= col("cluster_id"))
+        .count() > 0)
+    } finally k.unpersist()
+  }
 }

@@ -442,4 +442,31 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval grams must broadcast onto the corpus shingle scan:\n$plan")
   }
+
+  test("containmentPairs: full inclusion scores 1.0 where Jaccard misses it") {
+    import spark.implicits._
+    val small = (1 to 10).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val big = small + " " + (1 to 60).map(i => s"filler$i pad$i").mkString(" ")
+    val df = Seq(
+      (1L, small),                       // every small shingle appears in big
+      (2L, big),
+      (3L, "unrelated words entirely distinct here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, n = 3, threshold = 0.9).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getDouble(5) === 1.0, "the smaller set is fully contained")
+    // symmetric Jaccard stays far below its threshold on the same pair —
+    // the case this operator exists for
+    assert(Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.8).isEmpty)
+    // corpus law: containment >= Jaccard, so the canonical 0.9-Jaccard
+    // planted dups all surface here too
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9)
+      .select("i", "j")
+    val cont = Dedup.containmentPairs(docs, n = 3, threshold = 0.9)
+      .select("i", "j")
+    assert(jac.exceptAll(cont).isEmpty)
+  }
 }

@@ -159,4 +159,26 @@ class PrepSpec extends AnyFunSuite {
       } finally s.unpersist()
     } finally edges.unpersist()
   }
+
+  test("temperatureMix: sqrt curve hand-checked; smallest stratum kept whole") {
+    import spark.implicits._
+    // strata 4:1 — rates 1e6·sqrt(1/4) = 500000 and 1e6 exactly
+    val df = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val r = Prep.temperatureMix(df, stratum = "lang")
+    val rates = r.select("lang", "rate_ppm").distinct().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(rates == Map("big" -> 500000L, "small" -> 1000000L))
+    // rate 1e6 keeps EVERY doc (bucket < 1e6 always)
+    assert(r.filter(col("lang") === "small" && col("kept") === 0).isEmpty)
+    // corpus law: rates are monotone non-increasing in stratum size and
+    // every doc gets a verdict row
+    val c = Prep.temperatureMix(docs, stratum = "lang")
+    assert(c.count() == docs.count())
+    val curve = c.select("n_stratum", "rate_ppm").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    curve.zip(curve.tail).foreach { case ((n1, r1), (n2, r2)) =>
+      assert(n1 < n2 || r1 == r2); assert(r2 <= r1) }
+  }
 }
