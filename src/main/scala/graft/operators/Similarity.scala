@@ -186,7 +186,25 @@ object Similarity {
     */
   def ivfAppend(index: IvfIndex, delta: DataFrame): IvfIndex =
     IvfIndex(index.stride, index.cents,
-      index.assigned.unionByName(assignTo(index.cents, delta)))
+      index.assigned.unionByName(ivfAssign(index, delta)))
+
+  /** Assign arbitrary vectors to a built index's cells WITHOUT touching
+    * the stored assignment — the classify-new-vectors primitive
+    * [[ivfAppend]] composes with the stored frame, exposed for callers
+    * (the streaming ingest) that persist per-batch assignment artifacts
+    * themselves. One delta-sized scan against the broadcast centroids.
+    */
+  def ivfAssign(index: IvfIndex, vecs: DataFrame): DataFrame =
+    assignTo(index.cents, vecs)
+
+  /** Assemble an [[IvfIndex]] from already-loaded frames — the reader
+    * hook for artifact layouts beyond [[loadIvfIndex]]'s single
+    * directory (the streaming ingest accumulates `assigned` across
+    * per-batch dirs). Caller contract: `cents`/`assigned` carry the
+    * [[writeIvfIndex]] schemas and `stride` matches the build.
+    */
+  def ivfIndexFrom(stride: Int, cents: DataFrame, assigned: DataFrame): IvfIndex =
+    IvfIndex(stride, cents, assigned)
 
   /** Approximate top-k against a built [[IvfIndex]]: each query probes
     * its `nProbe` nearest centroids, and only vectors assigned to those

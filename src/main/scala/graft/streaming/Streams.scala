@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Structured Streaming tier over the `events` dataflow (SURVEY.md §2.5
   * streaming row, §7 step 7).
@@ -216,6 +216,69 @@ object Streams {
     val ids = committedBatches(spark, stateDir)
     if (ids.isEmpty) None
     else Some(spark.read.parquet(ids.map(i => s"$stateDir/edges/batch=$i"): _*))
+  }
+
+  /** Streaming embedding ingest — the [[ingestNearDup]] shape on the
+    * similarity tier: the FIRST micro-batch is the index build job
+    * (k-means-trained on the bootstrap vectors, centroids + stride
+    * persisted once), and every later batch runs the q87 contract —
+    * assign ONLY the batch's vectors against the stored broadcast
+    * centroids ([[Similarity.ivfAssign]]) and persist the batch's
+    * assignment rows. Centroids never move per ingest (production
+    * retrains on a cadence as a separate build job), so the accumulated
+    * assignment is differentially ≡ a batch-mode [[Similarity.ivfAppend]]
+    * chain over the same cuts — tested micro-batch by micro-batch,
+    * across restarts.
+    *
+    * Artifacts under `stateDir`: `cents/` + `meta/` (bootstrap, the
+    * [[Similarity.writeIvfIndex]] layout), `assigned/batch=N`,
+    * `_committed/N` written LAST — the same exactly-once replay contract
+    * as [[ingestNearDupBatch]].
+    */
+  def ingestIvf(emb: DataFrame, stateDir: String,
+      checkpointDir: String, iters: Int = 2): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestIvfBatch(batch.toDF(), stateDir, batchId, iters)
+      }
+      .start()
+
+  /** One embedding-ingest step (see [[ingestIvf]]); public for batch-mode
+    * replays and tests — the streaming query calls exactly this.
+    */
+  def ingestIvfBatch(batch: DataFrame, stateDir: String, batchId: Long,
+      iters: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    ingestIvfIndex(spark, stateDir) match {
+      case None => // bootstrap: THIS batch is the index build job
+        val idx = Similarity.ivfTrainedIndex(batch, iters = iters)
+        idx.cents.write.mode("overwrite").parquet(s"$stateDir/cents")
+        spark.range(1).select(lit(idx.stride).as("stride"))
+          .write.mode("overwrite").parquet(s"$stateDir/meta")
+        idx.assigned.write.mode("overwrite")
+          .parquet(s"$stateDir/assigned/batch=$batchId")
+      case Some(idx) => // steady state: one batch-sized scan, q87's law
+        Similarity.ivfAssign(idx, batch).write.mode("overwrite")
+          .parquet(s"$stateDir/assigned/batch=$batchId")
+    }
+    val fs = fileSystem(spark, stateDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_committed"))
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$stateDir/_committed/$batchId"), true).close()
+  }
+
+  /** The accumulated streamed index over all COMMITTED batches (None
+    * before bootstrap commits) — directly [[Similarity.ivfSearch]]-able.
+    */
+  def ingestIvfIndex(spark: SparkSession, stateDir: String): Option[Similarity.IvfIndex] = {
+    val ids = committedBatches(spark, stateDir)
+    if (ids.isEmpty) None
+    else Some(Similarity.ivfIndexFrom(
+      spark.read.parquet(s"$stateDir/meta").head.getAs[Int]("stride"),
+      spark.read.parquet(s"$stateDir/cents"),
+      spark.read.parquet(ids.map(i => s"$stateDir/assigned/batch=$i"): _*)))
   }
 
   private def fileSystem(

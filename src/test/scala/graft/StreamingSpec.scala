@@ -483,6 +483,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaIdx.isEmpty, "empty delta must produce no edges")
   }
 
+  test("foreachBatch ingest IVF: streamed assignment == batch ivfAppend chain, across restarts") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_ivf_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val sch = emb.schema
+    val cuts = Seq((0L, 300L), (300L, 400L), (400L, Long.MaxValue))
+    def slice(lo: Long, hi: Long) =
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      slice(lo, hi).coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      // fresh query per drop resuming from the shared checkpoint — two
+      // full stop/restart cycles across the three micro-batches
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestIvf(stream, state, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the batch-mode reference: index built on the bootstrap slice, the
+    // two deltas appended — same cuts, same centroids
+    val built = Similarity.ivfTrainedIndex(slice(0L, 300L), iters = 2)
+    val appended = Similarity.ivfAppend(
+      Similarity.ivfAppend(built, slice(300L, 400L)), slice(400L, Long.MaxValue))
+    val streamed = Streams.ingestIvfIndex(spark, state).get
+    assert(streamed.stride == built.stride, "stride manifest must round-trip")
+    assert(asg(streamed.assigned) == asg(appended.assigned))
+    assert(streamed.assigned.count() == emb.count())
+    // a restart with no new files must not duplicate assignment rows
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q = Streams.ingestIvf(stream, state, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(Streams.ingestIvfIndex(spark, state).get.assigned.count() == emb.count())
+    // the streamed index answers searches identically to the batch chain
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val qs = emb.filter(col("vec_id") < 10)
+    assert(rows(Similarity.ivfSearch(streamed, qs, k = 5, nProbe = 3)) ==
+      rows(Similarity.ivfSearch(appended, qs, k = 5, nProbe = 3)))
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
