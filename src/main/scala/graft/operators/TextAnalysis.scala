@@ -438,4 +438,45 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(min("gh").as("fp_min"), max("gh").as("fp_max"),
         count(lit(1)).as("n_shingles"))
+
+  /** Unigram language-model familiarity score per doc — the CCNet-style
+    * "does this text look like the corpus" quality tier, with the same
+    * engine-parity trade as tf-idf ([[tfidfTopTerms]]) and collocations:
+    * NO logs. Instead of per-token log-prob (libm-ulp-fragile) the score
+    * is the exact-integer mean corpus count of the doc's tokens
+    * (`mean_tok_count = Σ c(t) div n`, arithmetic not geometric mean) and
+    * the out-of-vocabulary rate against the top-`vocabTopK` types
+    * (`oov_ppm`). Low mean count + high OOV = unfamiliar text (gibberish,
+    * wrong language, OCR noise) — rank order is what a perplexity filter
+    * consumes, and both numbers are bit-identical in any engine.
+    *
+    * Shape: one token explode, a vocab-grain count agg (map-side
+    * combined), the global rank window over the VOCAB (bounded, never
+    * occurrences — the [[vocabCoverage]] grain), then one occurrence ⋈
+    * vocab equi-join and a doc-grain agg. Total audit: every doc gets a
+    * row; token-free docs carry NULL score fields rather than divide.
+    */
+  def lmFamiliarity(docs: DataFrame, vocabTopK: Long = 1000L): DataFrame = {
+    require(vocabTopK >= 1, s"vocabTopK must be >= 1, got $vocabTopK")
+    val toks = docs.select(col("doc_id"), explode(expr(WordsExpr)).as("word"))
+    val freq = toks.groupBy("word").agg(count(lit(1)).as("c"))
+    // single-partition window: global rank over the bounded vocab frame
+    val vocab = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+    val total = freq.select(sum(col("c")).as("t_total"))
+    val perDoc = toks.join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("_sum_c"),
+        sum(when(col("rank") > vocabTopK, 1L).otherwise(0L)).as("_oov"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        expr("case when n_tokens > 0 then _sum_c div n_tokens end")
+          .as("mean_tok_count"),
+        expr("case when n_tokens > 0 then (_oov * 1000000L) div n_tokens end")
+          .as("oov_ppm"),
+        col("t_total").as("corpus_tokens"))
+  }
 }

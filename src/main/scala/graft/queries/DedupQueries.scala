@@ -248,6 +248,11 @@ object DedupQueries {
           n = 3, threshold = 0.9)
         .orderBy("i", "j")),
 
+    "q93_winnow_pairs" -> ((spark, dir) =>
+      Dedup.winnowingPairs(Tables.load(spark, dir, "documents"),
+          n = 3, w = 4, minShared = 3L, maxPostings = 1000L)
+        .orderBy("doc_a", "doc_b")),
+
     // agreement audit between the two dedup FAMILIES: the lexical
     // near-dup clusters (q47's components over the canonical MinHash
     // edges) vs the strict semantic clusters (q59's SemDeDup regime) —
@@ -433,6 +438,42 @@ object DedupQueries {
          |JOIN sz s2 ON ix.j = s2.doc_id
          |WHERE CAST(ix.c AS DOUBLE) / least(s1.n, s2.n) >= 0.9
          |ORDER BY i, j""".stripMargin,
+
+    // winnowing (robust rule: per-window min hash, ties to the RIGHTMOST
+    // position) rendered 1-based: np = gram count, window starts s in
+    // [1, max(np-w+1, 1)], each gram fans to the w windows it falls in;
+    // fingerprints in > maxPostings docs are dropped before the pair
+    // join, denominators stay the FULL fingerprint sets — both mirroring
+    // Dedup.winnowingPairs exactly
+    "q93_winnow_pairs" ->
+      s"""WITH pws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |             FROM documents),
+         |pos AS (SELECT doc_id, i,
+         |          CAST('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15) AS BIGINT) AS gh,
+         |          len(w) - 2 AS np
+         |        FROM pws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+         |        WHERE len(w) >= 3),
+         |sel AS (SELECT doc_id, gh
+         |        FROM (SELECT p.doc_id, p.gh, p.i, p.i - o.off AS s, p.np
+         |              FROM pos p, UNNEST(generate_series(0, 3)) AS o(off)) x
+         |        WHERE s >= 1 AND s <= greatest(np - 3, 1)
+         |        QUALIFY row_number() OVER (PARTITION BY doc_id, s
+         |                                   ORDER BY gh ASC, i DESC) = 1),
+         |fp AS (SELECT DISTINCT doc_id, gh FROM sel),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM fp GROUP BY doc_id),
+         |rare AS (SELECT gh FROM fp GROUP BY gh HAVING count(*) <= 1000),
+         |kept AS (SELECT fp.doc_id, fp.gh FROM fp JOIN rare USING (gh)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 CAST(count(*) AS BIGINT) AS shared
+         |          FROM kept a JOIN kept b
+         |            ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT p.doc_a, p.doc_b, p.shared, s1.nfp AS nfp_a, s2.nfp AS nfp_b,
+         |       round(CAST(p.shared AS DOUBLE) / least(s1.nfp, s2.nfp), 4) AS overlap
+         |FROM pairs p
+         |JOIN sz s1 ON p.doc_a = s1.doc_id
+         |JOIN sz s2 ON p.doc_b = s2.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // both family chains verbatim (q47's lexical closure, q54's weak
     // semantic chain prefixed `s`), joined into the contingency table

@@ -127,7 +127,12 @@ object TextQueries {
     "q89_vocab_coverage" -> ((spark, dir) =>
       TextAnalysis.vocabCoverage(Tables.load(spark, dir, "documents"),
           sizes = Seq(100L, 500L, 1000L, 2000L, 5000L))
-        .orderBy("vocab_size")))
+        .orderBy("vocab_size")),
+
+    "q94_lm_familiarity" -> ((spark, dir) =>
+      TextAnalysis.lmFamiliarity(Tables.load(spark, dir, "documents"),
+          vocabTopK = 1000L)
+        .orderBy("doc_id")))
 
   def oracles: Map[String, String] = Map(
     "q37_lang_id" ->
@@ -435,5 +440,26 @@ object TextQueries {
          |FROM ranked r JOIN sz ON r.rank <= sz.vocab_size
          |CROSS JOIN t
          |GROUP BY sz.vocab_size, t.total_tokens
-         |ORDER BY vocab_size""".stripMargin)
+         |ORDER BY vocab_size""".stripMargin,
+
+    "q94_lm_familiarity" ->
+      s"""WITH $WsSql,
+         |tok AS (SELECT doc_id, word
+         |        FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+         |        WHERE word != ''),
+         |freq AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+         |vocab AS (SELECT word, c,
+         |            CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rank
+         |          FROM freq),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS corpus_tokens FROM freq),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |               CAST(sum(c) AS BIGINT) AS sum_c,
+         |               CAST(sum(CASE WHEN rank > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS oov
+         |        FROM tok JOIN vocab USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |       CASE WHEN a.n_tokens > 0 THEN a.sum_c // a.n_tokens END AS mean_tok_count,
+         |       CASE WHEN a.n_tokens > 0 THEN (a.oov * 1000000) // a.n_tokens END AS oov_ppm,
+         |       t.corpus_tokens
+         |FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN tot t
+         |ORDER BY d.doc_id""".stripMargin)
 }

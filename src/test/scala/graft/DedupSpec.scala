@@ -469,4 +469,57 @@ class DedupSpec extends AnyFunSuite {
       .select("i", "j")
     assert(jac.exceptAll(cont).isEmpty)
   }
+
+  test("winnowing: selection == a plain-Scala robust-winnow fold per doc") {
+    val n = 3; val w = 4
+    val pos = Dedup.positionalShingles(docs, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // reference: every window of w consecutive hashes selects its min,
+    // ties to the rightmost position; docs shorter than one window form
+    // a single window
+    // NB: iterate — flatMap on the Map itself would re-key by doc and
+    // collapse every doc to a single fingerprint
+    val expected = pos.iterator.flatMap { case (doc, hs) =>
+      val starts = 0 to math.max(hs.length - w, 0)
+      starts.map { s =>
+        val win = hs.slice(s, math.min(s + w, hs.length)).zipWithIndex
+        doc -> win.minBy { case (h, i) => (h, -i) }._1
+      }
+    }.toSet
+    val got = Dedup.winnowedFingerprints(docs, n, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("winnowing: a shared run of >= n+w-1 words always shares a fingerprint") {
+    import spark.implicits._
+    // 6 shared words (= n+w-1 at n=3, w=4), long distinct tails
+    val run = "common one two three four five"
+    val a = run + " " + (1 to 40).map(i => s"lefttok$i").mkString(" ")
+    val b = (1 to 40).map(i => s"righttok$i").mkString(" ") + " " + run
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(df, n = 3, w = 4, minShared = 1L)
+      .collect()
+    assert(pairs.length === 1 && pairs.head.getLong(0) === 1L)
+    // and the sketch is sparse: far fewer fingerprints than grams
+    val nfp = pairs.head.getLong(3)
+    assert(nfp > 0 && nfp < 41, s"density should be ~2/(w+1), got $nfp/41")
+  }
+
+  test("winnowing: the maxPostings cap drops viral boilerplate postings") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for daily updates today"
+    val df = (1 to 30).map(i =>
+      (i.toLong, s"$boiler " + (1 to 10).map(k => s"own${i}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowingPairs(df, n = 3, w = 4,
+      minShared = 1L, maxPostings = 10L)
+    assert(capped.isEmpty,
+      "boilerplate-only overlap must vanish once its postings exceed the cap")
+    val uncapped = Dedup.winnowingPairs(df, n = 3, w = 4,
+      minShared = 1L, maxPostings = 1000L)
+    assert(uncapped.count() === 30L * 29 / 2,
+      "without the cap every pair shares the boilerplate fingerprints")
+  }
 }

@@ -291,4 +291,23 @@ class TextSpec extends AnyFunSuite {
     // '1.2.3.4' is preceded by 'v' (word char) -> no boundary -> no match
     assert(got(5L)._1 == ((0L, 0L, 0L, 0L)))
   }
+
+  test("lmFamiliarity: hand-checked means, OOV rate, total audit") {
+    import spark.implicits._
+    // freq: a=3 b=1 c=1, total 5; ranks (count desc, word asc): a,b,c
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmFamiliarity(df, vocabTopK = 2L)
+      .orderBy("doc_id").collect()
+    assert(got.length === 3, "total audit: every doc gets a row")
+    // doc 1: n=3, sum_c = 3+3+1 = 7 -> mean 2; no token below rank 2
+    assert(got(0).getLong(1) === 3L && got(0).getLong(2) === 2L &&
+      got(0).getLong(3) === 0L)
+    // doc 2: n=2, sum_c = 3+1 -> mean 2; 'c' (rank 3) is OOV -> 500000
+    assert(got(1).getLong(1) === 2L && got(1).getLong(2) === 2L &&
+      got(1).getLong(3) === 500000L)
+    // doc 3 is token-free: counted, scores NULL rather than divide
+    assert(got(2).getLong(1) === 0L && got(2).isNullAt(2) && got(2).isNullAt(3))
+    assert(got.forall(_.getLong(4) === 5L), "corpus_tokens on every row")
+  }
 }
