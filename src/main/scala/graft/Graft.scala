@@ -36,6 +36,12 @@ object Graft {
       // parquet reader rejects; read the raw int64 and convert in the
       // loader (Tables.load) instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Naive (no-timezone) parquet timestamps read as TIMESTAMP, not
+      // TIMESTAMP_NTZ: with the UTC session the instant is identical,
+      // the temporal operators' unix_micros/window arithmetic stays
+      // well-typed, and DuckDB (which reads the same file as a naive
+      // timestamp) agrees on every derived value.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -16,8 +16,9 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table. `events` needs special-casing: the parquet stores
-    * TIMESTAMP(NANOS) which Spark reads as a raw long (see
+  /** Load one table. `events` needs special-casing when the driver's
+    * data generation wrote TIMESTAMP(NANOS), which Spark reads as a raw
+    * long (see
     * `spark.sql.legacy.parquet.nanosAsLong`); convert to a microsecond
     * timestamp here. The conversion is exact 64-bit integer FLOOR
     * division (`div` alone truncates toward zero, which would land 1 µs
