@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace word array (trim + split + drop empties) — the
-    * reference's tokenizer with the SURVEY §2.2 Q1 fix.
+    * reference's tokenizer with the SURVEY §2.2 Q1 fix. Shared with the
+    * inverted-index tier ([[TextIndex]]) so the index's tokenization
+    * cannot drift from the scan-side analyzers'.
     */
-  private val WordsExpr = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+  private[operators] val WordsExpr =
+    "filter(split(trim(text), '\\\\s+'), x -> x != '')"
 
   /** Character trigrams per doc: (doc_id, lang, g). Docs shorter than 3
     * chars yield no rows (guarded: Spark's `sequence(1, n)` counts DOWN

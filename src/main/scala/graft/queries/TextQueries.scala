@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis, TextIndex}
 import graft.sources.Tables
 
 /** Oracle-gated text-analysis + multimodal-metadata + dedup-pipeline
@@ -132,7 +132,50 @@ object TextQueries {
     "q94_lm_familiarity" -> ((spark, dir) =>
       TextAnalysis.lmFamiliarity(Tables.load(spark, dir, "documents"),
           vocabTopK = 1000L)
+        .orderBy("doc_id")),
+
+    // exact-integer rational BM25 ranked retrieval (k1=6/5, b=3/4,
+    // un-logged idf — the q63/q84/q94 parity trade); scores in ppm by
+    // BIGINT floor division so the ranking hashes identically in DuckDB
+    "q95_bm25" -> ((spark, dir) =>
+      TextIndex.bm25Rank(Tables.load(spark, dir, "documents"),
+          Bm25Terms, k = 20)
+        .orderBy("rank")),
+
+    // the same retrieval served from the PERSISTED inverted index (one
+    // stored-artifact build per sf-dir per JVM) — gated against q95's
+    // oracle, so stored ≡ recomputed is a driver-enforced hash law
+    "q96_bm25_indexed" -> ((spark, dir) =>
+      TextIndex.bm25(
+          TextIndex.load(spark, textIndexDir(spark, dir)), Bm25Terms, k = 20)
+        .orderBy("rank")),
+
+    // the reference's term lookup (R10, q02's contract) against the
+    // stored postings: no corpus scan, the word filter pushes into the
+    // postings parquet scan
+    "q97_term_postings" -> ((spark, dir) =>
+      TextIndex.lookup(
+          TextIndex.load(spark, textIndexDir(spark, dir)), "vector")
         .orderBy("doc_id")))
+
+  /** Fixed probe terms for the BM25 queries (present in the synthetic
+    * corpus vocabulary with differing document frequencies).
+    */
+  private val Bm25Terms = Seq("vector", "spark", "join", "window")
+
+  /** q96/q97's stored text index: built once per sf-dir per JVM into a
+    * temp dir (the "yesterday's index job" stand-in — same pattern as
+    * the q70 near-dup index cache).
+    */
+  private val txtIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def textIndexDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    txtIdxCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_txt_idx_").toString
+      TextIndex.write(Tables.load(spark, dir, "documents"), d)
+      d
+    })
 
   def oracles: Map[String, String] = Map(
     "q37_lang_id" ->
@@ -461,5 +504,60 @@ object TextQueries {
          |       CASE WHEN a.n_tokens > 0 THEN (a.oov * 1000000) // a.n_tokens END AS oov_ppm,
          |       t.corpus_tokens
          |FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN tot t
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q95_bm25" -> Bm25Sql,
+
+    // the stored-index path must reproduce the scan path bit-for-bit —
+    // same oracle, so the equivalence is hash-gated by the driver
+    "q96_bm25_indexed" -> Bm25Sql,
+
+    "q97_term_postings" ->
+      s"""WITH $WsSql,
+         |tok AS (SELECT doc_id, word
+         |        FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+         |        WHERE word != '')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+         |FROM tok WHERE word = 'vector'
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin)
+
+  /** Rational BM25 in exact BIGINT arithmetic — every constant mirrors
+    * `TextIndex` (TfNum/TfDen·, invavg_ppm floored once corpus-wide,
+    * per-term ppm floor, un-logged rational idf). DuckDB's `//` is
+    * floor division; all operands here are non-negative, so it agrees
+    * with Spark's `div` everywhere.
+    */
+  private val Bm25Sql: String =
+    s"""WITH $WsSql,
+       |tok AS (SELECT doc_id, word
+       |        FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+       |        WHERE word != ''),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+       |       FROM tok GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS d,
+       |              (1000000 * CAST(count(*) AS BIGINT))
+       |                // CAST(sum(n_tokens) AS BIGINT) AS invavg_ppm
+       |       FROM dl),
+       |qt AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |       WHERE word IN ('vector', 'spark', 'join', 'window')
+       |       GROUP BY doc_id, word),
+       |dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY word),
+       |trm AS (SELECT q.doc_id, l.n_tokens,
+       |               (22000000000000 * q.tf)
+       |                 // (10000000 * q.tf + 3000000
+       |                     + 9 * l.n_tokens * s.invavg_ppm) AS tfq_ppm,
+       |               f.df, s.d
+       |        FROM qt q JOIN dl l USING (doc_id)
+       |        JOIN dfr f USING (word) CROSS JOIN st s),
+       |sc AS (SELECT doc_id,
+       |              CAST(sum((tfq_ppm * (2 * (d - df) + 1))
+       |                // (2 * df + 1)) AS BIGINT) AS score_ppm,
+       |              CAST(count(*) AS BIGINT) AS n_hit_terms,
+       |              max(n_tokens) AS n_tokens
+       |       FROM trm GROUP BY doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT)
+       |         AS rank,
+       |       doc_id, score_ppm, n_hit_terms, n_tokens
+       |FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
 }

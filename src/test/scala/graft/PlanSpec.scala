@@ -182,4 +182,20 @@ class PlanSpec extends AnyFunSuite {
         s"document text shuffled through the diff exchange: $l")
     }
   }
+
+  test("q96 stored-index probe pushes the term filter into the postings scan") {
+    val plan = executedPlan(q("q96_bm25_indexed"))
+    // the whole point of the stored index: a probe reads postings for
+    // its terms, never the corpus — the IN filter must reach parquet
+    assert(plan.contains("In(word") || plan.contains("In(word,"),
+      s"term filter not pushed into the postings scan:\n$plan")
+    assert(!plan.contains("text#"),
+      s"stored-index path read document text:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must never be a global sort:\n$plan")
+  }
+
+  test("q95 scan-path top-k plans as TakeOrderedAndProject") {
+    assert(executedPlan(q("q95_bm25")).contains("TakeOrderedAndProject"))
+  }
 }

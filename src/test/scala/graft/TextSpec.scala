@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Multimodal, TextAnalysis, TextIndex}
 import graft.sources.Tables
 
 /** Text-analysis + multimodal tier tests: language ID accuracy on the
@@ -309,5 +309,68 @@ class TextSpec extends AnyFunSuite {
     // doc 3 is token-free: counted, scores NULL rather than divide
     assert(got(2).getLong(1) === 0L && got(2).isNullAt(2) && got(2).isNullAt(3))
     assert(got.forall(_.getLong(4) === 5L), "corpus_tokens on every row")
+  }
+
+  test("bm25: hand-checked exact-integer scores on a 3-doc corpus") {
+    import spark.implicits._
+    // D=3, T=9, invavg_ppm = 1e6*3/9 = 333333; df(cat)=2, df(dog)=1
+    val df = Seq((1L, "cat dog cat"), (2L, "cat fish"),
+      (3L, "bird bird bird bird")).toDF("doc_id", "text")
+    val got = TextIndex.bm25Rank(df, Seq("cat", "dog"), k = 10)
+      .orderBy("rank").collect()
+    assert(got.length === 2, "only docs hitting >= 1 term appear")
+    // doc 1, cat: tf=2 dl=3 -> denom 2e7+3e6+9*3*333333 = 31999991,
+    //   tfq = 44e12 div 31999991 = 1375000; idf 3/5 -> 825000
+    // doc 1, dog: tf=1 dl=3 -> denom 21999991, tfq = 1000000;
+    //   idf 5/3 -> 1666666.  total 2491666, 2 hits
+    val d1 = got.find(_.getLong(1) == 1L).get
+    assert(d1.getLong(0) === 1L && d1.getLong(2) === 2491666L &&
+      d1.getLong(3) === 2L && d1.getLong(4) === 3L)
+    val d2 = got.find(_.getLong(1) == 2L).get
+    assert(d2.getLong(0) === 2L && d2.getLong(3) === 1L)
+    assert(d1.getLong(2) > d2.getLong(2), "two hits outrank one here")
+  }
+
+  test("bm25 law: stored-index path reproduces the scan path bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_").toString
+    TextIndex.write(docs, dir)
+    val stored = TextIndex.bm25(TextIndex.load(spark, dir),
+      Seq("vector", "join"), k = 50).collect().toSeq
+    val direct = TextIndex.bm25Rank(docs, Seq("vector", "join"), k = 50)
+      .collect().toSeq
+    assert(stored === direct)
+  }
+
+  test("bm25 ranks are contiguous from 1 and capped at k") {
+    val r = TextIndex.bm25Rank(docs, Seq("vector"), k = 7)
+      .orderBy("rank").collect()
+    assert(r.length <= 7)
+    assert(r.map(_.getLong(0)).toSeq === (1L to r.length).toSeq)
+  }
+
+  test("term lookup off the stored index == the corpus scan; absent term empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_").toString
+    TextIndex.write(docs, dir)
+    val idx = TextIndex.load(spark, dir)
+    val viaIdx = TextIndex.lookup(idx, "vector").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaScan = docs
+      .select(col("doc_id"), explode(expr(
+        "filter(split(trim(text), '\\\\s+'), x -> x != '')")).as("w"))
+      .filter(col("w") === "vector").groupBy("doc_id")
+      .agg(count(lit(1)).as("tf")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaIdx === viaScan)
+    assert(TextIndex.lookup(idx, "notaword").count() === 0L,
+      "the reference CLI's not-found arm")
+  }
+
+  test("bm25 guards: empty/ill-formed terms and k < 1 fail fast") {
+    assertThrows[IllegalArgumentException](TextIndex.bm25Rank(docs, Seq.empty))
+    assertThrows[IllegalArgumentException](
+      TextIndex.bm25Rank(docs, Seq("has space")))
+    assertThrows[IllegalArgumentException](
+      TextIndex.bm25Rank(docs, Seq("ok"), k = 0))
   }
 }
