@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextIndex}
 
 /** Structured Streaming tier over the `events` dataflow (SURVEY.md §2.5
   * streaming row, §7 step 7).
@@ -279,6 +279,72 @@ object Streams {
       spark.read.parquet(s"$stateDir/meta").head.getAs[Int]("stride"),
       spark.read.parquet(s"$stateDir/cents"),
       spark.read.parquet(ids.map(i => s"$stateDir/assigned/batch=$i"): _*)))
+  }
+
+  /** Streaming inverted-index ingest — the [[ingestNearDup]] shape on
+    * the retrieval tier: each micro-batch of documents tokenizes ONLY
+    * its own docs into postings/doclens frames and appends them to the
+    * accumulated stored index (the [[graft.operators.TextIndex]] layout,
+    * batch-partitioned). Because ingested doc_ids are append-only,
+    * batch posting frames are (word, doc_id)-disjoint and the
+    * accumulated index is exactly the from-scratch build — BM25 over
+    * the streamed index ≡ [[graft.operators.TextIndex.bm25Rank]] over
+    * everything ingested so far, differentially tested across restarts.
+    *
+    * Artifacts under `stateDir`: `postings/batch=N`, `doclens/batch=N`,
+    * `stats/batch=N` (that batch's doc/token counts — the reader SUMS
+    * them, so stats stay mergeable), `_committed/N` written LAST — the
+    * same exactly-once replay contract as [[ingestNearDupBatch]].
+    */
+  def ingestTextIndex(docs: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestTextIndexBatch(batch.toDF(), stateDir, batchId)
+      }
+      .start()
+
+  /** One text-index ingest step (see [[ingestTextIndex]]); public for
+    * batch-mode replays and tests — the streaming query calls exactly
+    * this.
+    */
+  def ingestTextIndexBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    val idx = TextIndex.build(batch)
+    idx.postings.repartition(col("word")).write.mode("overwrite")
+      .parquet(s"$stateDir/postings/batch=$batchId")
+    idx.doclens.write.mode("overwrite")
+      .parquet(s"$stateDir/doclens/batch=$batchId")
+    spark.range(1)
+      .select(lit(idx.nDocs).as("n_docs"),
+        lit(idx.totalTokens).as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$stateDir/stats/batch=$batchId")
+    val fs = fileSystem(spark, stateDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_committed"))
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$stateDir/_committed/$batchId"), true).close()
+  }
+
+  /** The accumulated streamed inverted index over all COMMITTED batches
+    * (None before the first commit) — directly
+    * [[graft.operators.TextIndex.bm25]]/`lookup`-servable.
+    */
+  def ingestTextIndexRead(spark: SparkSession,
+      stateDir: String): Option[TextIndex.Index] = {
+    val ids = committedBatches(spark, stateDir)
+    if (ids.isEmpty) None
+    else {
+      val s = spark.read
+        .parquet(ids.map(i => s"$stateDir/stats/batch=$i"): _*)
+        .agg(sum("n_docs"), sum("total_tokens")).head
+      Some(TextIndex.Index(
+        spark.read.parquet(ids.map(i => s"$stateDir/postings/batch=$i"): _*),
+        spark.read.parquet(ids.map(i => s"$stateDir/doclens/batch=$i"): _*),
+        s.getLong(0), s.getLong(1)))
+    }
   }
 
   private def fileSystem(

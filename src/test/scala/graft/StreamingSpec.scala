@@ -483,6 +483,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaIdx.isEmpty, "empty delta must produce no edges")
   }
 
+  test("foreachBatch ingest text index: streamed BM25 == from-scratch build, across restarts") {
+    import graft.operators.TextIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_ti_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val sch = docs.schema
+    val cuts = Seq((0L, 200L), (200L, 400L), (400L, Long.MaxValue))
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      slice(lo, hi).coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      // fresh query per drop resuming from the shared checkpoint — two
+      // full stop/restart cycles across the three micro-batches
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestTextIndex(stream, state, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val streamed = Streams.ingestTextIndexRead(spark, state).get
+    val scratch = TextIndex.build(docs)
+    assert(streamed.nDocs == scratch.nDocs &&
+      streamed.totalTokens == scratch.totalTokens,
+      "summed batch stats must equal the from-scratch corpus stats")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val terms = Seq("vector", "join", "spark")
+    assert(rows(TextIndex.bm25(streamed, terms, k = 30)) ==
+      rows(TextIndex.bm25Rank(docs, terms, k = 30)),
+      "BM25 over the streamed index must equal the scan path")
+    assert(rows(TextIndex.lookup(streamed, "vector").orderBy("doc_id")) ==
+      rows(TextIndex.lookup(scratch, "vector").orderBy("doc_id")))
+    // a restart with no new files must not duplicate postings
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q = Streams.ingestTextIndex(stream, state, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(Streams.ingestTextIndexRead(spark, state).get
+      .postings.count() == scratch.postings.count())
+  }
+
   test("foreachBatch ingest IVF: streamed assignment == batch ivfAppend chain, across restarts") {
     import graft.operators.Similarity
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_ivf_").toFile
