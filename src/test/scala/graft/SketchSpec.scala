@@ -71,4 +71,49 @@ class SketchSpec extends AnyFunSuite {
     assert(WordCount.lookup(spark, Seq(file), "hello").contains(1L))
     assert(WordCount.lookup(spark, Seq(file), "zebra").isEmpty)
   }
+
+  test("CMS never undercounts, and overestimates stay within the e*T/w bound") {
+    import graft.operators.Sketches
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    // probe the ENTIRE corpus vocabulary (bounded, synthetic) + a miss
+    val vocab = docs
+      .select(explode(expr("filter(split(trim(text), '\\\\s+'), x -> x != '')"))
+        .as("w")).distinct().collect().map(_.getString(0)).toSeq.sorted
+    val est = Sketches.cmsEstimates(docs, vocab :+ "zzzmissing",
+      d = 4, w = 1024).collect()
+    assert(est.length == vocab.length + 1, "total audit over all probes")
+    val t = est.map(_.getLong(2)).sum
+    est.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"CMS undercounted ${r.getString(0)}")
+      // deterministic corpus + deterministic hashes: if this bound holds
+      // once it holds forever (e ≈ 2.718; classic per-row expectation
+      // is T/w, the min over 4 rows sits far below e*T/w)
+      assert(r.getLong(3) <= math.ceil(math.E * t / 1024).toLong,
+        s"${r.getString(0)} overestimate ${r.getLong(3)} breaches e*T/w")
+    }
+    val miss = est.find(_.getString(0) == "zzzmissing").get
+    assert(miss.getLong(2) == 0L, "absent word has exact 0")
+  }
+
+  test("CMS degenerate w=1: every estimate collapses to the total token count") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val df = Seq((1L, "a b c"), (2L, "a a")).toDF("doc_id", "text")
+    val r = Sketches.cmsEstimates(df, Seq("a", "zz"), d = 2, w = 1)
+      .orderBy("word").collect()
+    // one bucket per row absorbs all 5 tokens — est = T for any probe
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq(("a", 5L, 3L), ("zz", 5L, 0L)))
+  }
+
+  test("CMS guards: empty or ill-formed probes fail fast") {
+    import graft.operators.Sketches
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    assertThrows[IllegalArgumentException](
+      Sketches.cmsEstimates(docs, Seq.empty))
+    assertThrows[IllegalArgumentException](
+      Sketches.cmsEstimates(docs, Seq("Bad Word")))
+    assertThrows[IllegalArgumentException](
+      Sketches.cmsWordMatrix(docs, d = 0))
+  }
 }
