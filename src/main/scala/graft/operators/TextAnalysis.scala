@@ -482,4 +482,39 @@ object TextAnalysis {
           .as("oov_ppm"),
         col("t_total").as("corpus_tokens"))
   }
+
+  /** Word-distribution drift between two corpus snapshots — the
+    * monitoring audit a pipeline reads before promoting a new crawl
+    * ([[Curation.snapshotDiff]] answers "which docs changed"; this
+    * answers "did the LANGUAGE change"): per union-vocab word, both
+    * occurrence counts, both rates in exact ppm (floored once per side),
+    * and the signed/absolute rate delta, biggest movers first. All
+    * integer arithmetic — engine-exact, no libm divergence measures
+    * (callers wanting KL can compute it from the counts; the ppm-delta
+    * ranking is what the alert threshold consumes).
+    *
+    * Scale posture: two token explodes into map-side-combined
+    * vocab-grain aggs, one vocab-sized full-outer equi-join, 1-row
+    * totals broadcast — nothing shuffles occurrences.
+    */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def freq(df: DataFrame, cname: String) =
+      df.select(explode(expr(WordsExpr)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as(cname))
+    val fa = freq(oldDocs, "c_old")
+    val fb = freq(newDocs, "c_new")
+    val totals = fa.agg(coalesce(sum("c_old"), lit(0L)).as("t_old"))
+      .crossJoin(fb.agg(coalesce(sum("c_new"), lit(0L)).as("t_new")))
+    fa.join(fb, Seq("word"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("word"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"),
+        expr("case when t_old > 0 then " +
+          "(coalesce(c_old, 0L) * 1000000L) div t_old end").as("rate_old_ppm"),
+        expr("case when t_new > 0 then " +
+          "(coalesce(c_new, 0L) * 1000000L) div t_new end").as("rate_new_ppm"))
+      .withColumn("delta_ppm", col("rate_new_ppm") - col("rate_old_ppm"))
+      .withColumn("abs_delta_ppm", abs(col("delta_ppm")))
+  }
 }

@@ -143,4 +143,40 @@ object TextIndex {
     */
   def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
     bm25(build(docs), terms, k)
+
+  /** [[TextAnalysis.lmFamiliarity]] as an INGEST-TIME gate: score a
+    * delta of new docs against the STORED corpus index instead of
+    * against themselves — corpus word counts come off the postings
+    * frame (vocab-grain agg, never a corpus rescan), `corpus_tokens` off
+    * the stats manifest, and the pass scans only the delta. Words the
+    * corpus has never seen count as OOV (rank NULL → beyond any top-k),
+    * which is exactly what makes novel-gibberish ingest score low;
+    * q94's self-corpus variant can't express that arm (its vocab always
+    * contains its own tokens). Same output contract as q94: total audit
+    * over the delta, token-free docs carry NULLs.
+    */
+  def lmFamiliarity(idx: Index, docs: DataFrame,
+      vocabTopK: Long = 1000L): DataFrame = {
+    require(vocabTopK >= 1, s"vocabTopK must be >= 1, got $vocabTopK")
+    val freq = idx.postings.groupBy("word").agg(sum("tf").as("c"))
+    // single-partition window: global rank over the bounded vocab frame
+    val vocab = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+    val toks = docs.select(col("doc_id"),
+      explode(expr(TextAnalysis.WordsExpr)).as("word"))
+    val perDoc = toks.join(vocab, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("c"), lit(0L))).as("_sum_c"),
+        sum(when(col("rank").isNull || col("rank") > vocabTopK, 1L)
+          .otherwise(0L)).as("_oov"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        expr("case when n_tokens > 0 then _sum_c div n_tokens end")
+          .as("mean_tok_count"),
+        expr("case when n_tokens > 0 then (_oov * 1000000L) div n_tokens end")
+          .as("oov_ppm"),
+        lit(idx.totalTokens).as("corpus_tokens"))
+  }
 }

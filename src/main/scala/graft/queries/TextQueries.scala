@@ -156,7 +156,29 @@ object TextQueries {
     "q97_term_postings" -> ((spark, dir) =>
       TextIndex.lookup(
           TextIndex.load(spark, textIndexDir(spark, dir)), "vector")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ingest-time LM familiarity: the delta scored against the STORED
+    // corpus index (q94's quality tier made delta-proportional — corpus
+    // counts off the postings frame, never a rescan); corpus-unseen
+    // words count as OOV, the arm the self-corpus variant can't express
+    "q99_lm_familiarity_indexed" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val idx = TextIndex.load(spark, corpusTextIndexDir(spark, dir))
+      TextIndex.lmFamiliarity(idx, docs.filter(col("doc_id") >= deltaCut(docs)),
+          vocabTopK = 1000L)
+        .orderBy("doc_id")
+    }),
+
+    // word-distribution drift between the corpus and delta snapshots —
+    // "did the language change", biggest rate movers first
+    "q100_vocab_drift" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val nf = deltaCut(docs)
+      TextAnalysis.vocabDrift(docs.filter(col("doc_id") < nf),
+          docs.filter(col("doc_id") >= nf))
+        .orderBy(col("abs_delta_ppm").desc, col("word"))
+    }))
 
   /** Fixed probe terms for the BM25 queries (present in the synthetic
     * corpus vocabulary with differing document frequencies).
@@ -174,6 +196,20 @@ object TextQueries {
     txtIdxCache.computeIfAbsent(dir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_txt_idx_").toString
       TextIndex.write(Tables.load(spark, dir, "documents"), d)
+      d
+    })
+
+  /** q99's stored index over the BELOW-the-cut corpus slice only (the
+    * "yesterday's index" the delta scores against — the q70 cut).
+    */
+  private val corpusTxtIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corpusTextIndexDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    corpusTxtIdxCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.load(spark, dir, "documents")
+      val d = java.nio.file.Files.createTempDirectory("graft_txt_cidx_").toString
+      TextIndex.write(docs.filter(col("doc_id") < deltaCut(docs)), d)
       d
     })
 
@@ -520,7 +556,75 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
          |FROM tok WHERE word = 'vector'
          |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    // recomputes the stored corpus index from the below-the-cut slice —
+    // the stored ≡ recomputed law on the quality tier
+    "q99_lm_familiarity_indexed" ->
+      """WITH cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS v
+        |             FROM documents),
+        |ctok AS (SELECT doc_id, word
+        |         FROM (SELECT doc_id,
+        |                      unnest(string_split_regex(trim(text), '\s+')) AS word
+        |               FROM documents WHERE doc_id < (SELECT v FROM cut))
+        |         WHERE word != ''),
+        |freq AS (SELECT word, CAST(sum(1) AS BIGINT) AS c FROM ctok GROUP BY word),
+        |vocab AS (SELECT word, c,
+        |            CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rank
+        |          FROM freq),
+        |tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS corpus_tokens
+        |        FROM freq),
+        |dtok AS (SELECT doc_id, word
+        |         FROM (SELECT doc_id,
+        |                      unnest(string_split_regex(trim(text), '\s+')) AS word
+        |               FROM documents WHERE doc_id >= (SELECT v FROM cut))
+        |         WHERE word != ''),
+        |agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |               CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS sum_c,
+        |               CAST(sum(CASE WHEN v.rank IS NULL OR v.rank > 1000
+        |                             THEN 1 ELSE 0 END) AS BIGINT) AS oov
+        |        FROM dtok t LEFT JOIN vocab v USING (word) GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |       CASE WHEN a.n_tokens > 0 THEN a.sum_c // a.n_tokens END
+        |         AS mean_tok_count,
+        |       CASE WHEN a.n_tokens > 0 THEN (a.oov * 1000000) // a.n_tokens END
+        |         AS oov_ppm,
+        |       t.corpus_tokens
+        |FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN tot t
+        |WHERE d.doc_id >= (SELECT v FROM cut)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q100_vocab_drift" ->
+      """WITH cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS v
+        |             FROM documents),
+        |otok AS (SELECT word
+        |         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |               FROM documents WHERE doc_id < (SELECT v FROM cut))
+        |         WHERE word != ''),
+        |ntok AS (SELECT word
+        |         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |               FROM documents WHERE doc_id >= (SELECT v FROM cut))
+        |         WHERE word != ''),
+        |fa AS (SELECT word, CAST(count(*) AS BIGINT) AS c_old FROM otok GROUP BY word),
+        |fb AS (SELECT word, CAST(count(*) AS BIGINT) AS c_new FROM ntok GROUP BY word),
+        |tot AS (SELECT (SELECT CAST(coalesce(sum(c_old), 0) AS BIGINT) FROM fa) AS t_old,
+        |               (SELECT CAST(coalesce(sum(c_new), 0) AS BIGINT) FROM fb) AS t_new),
+        |joined AS (SELECT coalesce(a.word, b.word) AS word,
+        |                  coalesce(a.c_old, 0) AS c_old,
+        |                  coalesce(b.c_new, 0) AS c_new,
+        |                  CASE WHEN t.t_old > 0
+        |                       THEN (coalesce(a.c_old, 0) * 1000000) // t.t_old END
+        |                    AS rate_old_ppm,
+        |                  CASE WHEN t.t_new > 0
+        |                       THEN (coalesce(b.c_new, 0) * 1000000) // t.t_new END
+        |                    AS rate_new_ppm
+        |           FROM fa a FULL OUTER JOIN fb b ON a.word = b.word
+        |           CROSS JOIN tot t)
+        |SELECT word, c_old, c_new, rate_old_ppm, rate_new_ppm,
+        |       rate_new_ppm - rate_old_ppm AS delta_ppm,
+        |       abs(rate_new_ppm - rate_old_ppm) AS abs_delta_ppm
+        |FROM joined
+        |ORDER BY abs_delta_ppm DESC, word""".stripMargin)
 
   /** Rational BM25 in exact BIGINT arithmetic — every constant mirrors
     * `TextIndex` (TfNum/TfDen·, invavg_ppm floored once corpus-wide,

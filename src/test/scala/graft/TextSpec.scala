@@ -373,4 +373,47 @@ class TextSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       TextIndex.bm25Rank(docs, Seq("ok"), k = 0))
   }
+
+  test("indexed lmFamiliarity: corpus-unseen words are OOV, stored counts score the delta") {
+    import spark.implicits._
+    // corpus: a×3 b×1 (ranks: a=1, b=2); delta doc 10 = "a b zz" — zz is
+    // corpus-unseen; doc 11 is token-free
+    val corpus = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val delta = Seq((10L, "a b zz"), (11L, "  ")).toDF("doc_id", "text")
+    val got = TextIndex.lmFamiliarity(TextIndex.build(corpus), delta,
+      vocabTopK = 1L).orderBy("doc_id").collect()
+    assert(got.length === 2, "total audit over the delta")
+    // doc 10: n=3, sum_c = c(a)+c(b)+0 = 4 -> mean 1;
+    // OOV = b (rank 2 > topK 1) + zz (unseen) = 2 -> 666666 ppm
+    assert(got(0).getLong(1) === 3L && got(0).getLong(2) === 1L &&
+      got(0).getLong(3) === 666666L)
+    assert(got(1).getLong(1) === 0L && got(1).isNullAt(2) && got(1).isNullAt(3))
+    assert(got.forall(_.getLong(4) === 4L), "corpus_tokens from the stored stats")
+  }
+
+  test("vocabDrift: hand-checked ppm rates and movers on crafted snapshots") {
+    import spark.implicits._
+    // old: a×3 b×1 (T=4); new: a×1 c×1 (T=2)
+    val oldDocs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val newDocs = Seq((2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabDrift(oldDocs, newDocs)
+      .orderBy(col("word")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      // a: 750000 -> 500000 (−250000); b: 250000 -> 0; c: 0 -> 500000
+      ("a", 3L, 1L, 750000L, 500000L, -250000L, 250000L),
+      ("b", 1L, 0L, 250000L, 0L, -250000L, 250000L),
+      ("c", 0L, 1L, 0L, 500000L, 500000L, 500000L)))
+  }
+
+  test("vocabDrift: an empty snapshot side yields NULL rates, not a divide") {
+    import spark.implicits._
+    val oldDocs = Seq((1L, "a")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = TextAnalysis.vocabDrift(oldDocs, empty).collect()
+    assert(r.length === 1 && r(0).getString(0) === "a")
+    assert(!r(0).isNullAt(3) && r(0).isNullAt(4), "new-side rate NULL when T=0")
+    assert(r(0).isNullAt(5) && r(0).isNullAt(6), "delta NULL when either side is")
+  }
 }
