@@ -198,4 +198,17 @@ class PlanSpec extends AnyFunSuite {
   test("q95 scan-path top-k plans as TakeOrderedAndProject") {
     assert(executedPlan(q("q95_bm25")).contains("TakeOrderedAndProject"))
   }
+
+  test("round-5 additions never fall back to nested-loop or cartesian joins") {
+    // q95/q96's only cross joins are the 1-row stats frames; q98's probe
+    // fan-out is a bounded literal; q99/q100 are vocab-grain equi-joins
+    for (name <- Seq("q95_bm25", "q96_bm25_indexed", "q98_cms_counts",
+        "q99_lm_familiarity_indexed", "q100_vocab_drift")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+        !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
+        !plan.contains("CartesianProduct"),
+        s"$name plans a quadratic join:\n${plan.take(2000)}")
+    }
+  }
 }
