@@ -483,6 +483,41 @@ object TextAnalysis {
         col("t_total").as("corpus_tokens"))
   }
 
+  /** Top-`k` BPE merge candidates: adjacent character-pair counts over
+    * the corpus, weighted by word frequency — the scoring pass of ONE
+    * BPE-training iteration (the driver loop applies the winning merge
+    * and re-scores; the per-iteration corpus cost is THIS query). The
+    * pivotal scale fact: after the vocab-grain word-frequency agg
+    * (map-side combined), everything downstream — the character
+    * explode, the pair agg, the rank window — runs over DISTINCT words,
+    * so a 100 TB corpus pays one token scan and then a vocab-sized
+    * computation, never a per-occurrence character explode. Pair counts
+    * are exact BIGINTs (Σ within-word multiplicity × word freq); ties
+    * rank (left, right) asc. Word-end markers are a tokenizer-config
+    * detail deliberately omitted — the merge mechanics are identical.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wf = docs.select(explode(expr(WordsExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // guard: Spark's sequence(1, n) counts DOWN for n < 1 (single-char
+    // words) — same trap as charTrigrams
+    val pairs = wf.select(col("word"), col("freq"),
+        explode(expr("if(length(word) >= 2, sequence(1, length(word) - 1), " +
+          "array())")).as("i"))
+      .select(col("word"), col("freq"),
+        expr("substring(word, i, 1)").as("left"),
+        expr("substring(word, i + 1, 1)").as("right"))
+    val counts = pairs.groupBy("left", "right")
+      .agg(sum("freq").as("pair_count"),
+        countDistinct(col("word")).as("n_words"))
+    // single-partition window: the pair space is bounded by charset²
+    val rk = Window.orderBy(col("pair_count").desc, col("left"), col("right"))
+    counts.withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "left", "right", "pair_count", "n_words")
+  }
+
   /** Word-distribution drift between two corpus snapshots — the
     * monitoring audit a pipeline reads before promoting a new crawl
     * ([[Curation.snapshotDiff]] answers "which docs changed"; this

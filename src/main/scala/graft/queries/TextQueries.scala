@@ -178,7 +178,13 @@ object TextQueries {
       TextAnalysis.vocabDrift(docs.filter(col("doc_id") < nf),
           docs.filter(col("doc_id") >= nf))
         .orderBy(col("abs_delta_ppm").desc, col("word"))
-    }))
+    }),
+
+    // one BPE-training iteration's scoring pass: frequency-weighted
+    // adjacent character-pair counts, vocab-grain after the one scan
+    "q101_bpe_pairs" -> ((spark, dir) =>
+      TextAnalysis.bpePairCounts(Tables.load(spark, dir, "documents"), k = 20)
+        .orderBy("rank")))
 
   /** Fixed probe terms for the BM25 queries (present in the synthetic
     * corpus vocabulary with differing document frequencies).
@@ -624,7 +630,30 @@ object TextQueries {
         |       rate_new_ppm - rate_old_ppm AS delta_ppm,
         |       abs(rate_new_ppm - rate_old_ppm) AS abs_delta_ppm
         |FROM joined
-        |ORDER BY abs_delta_ppm DESC, word""".stripMargin)
+        |ORDER BY abs_delta_ppm DESC, word""".stripMargin,
+
+    "q101_bpe_pairs" ->
+      s"""WITH $WsSql,
+         |tok AS (SELECT word FROM (SELECT unnest(w) AS word FROM ws)
+         |        WHERE word != ''),
+         |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |       FROM tok GROUP BY word),
+         |pr AS (SELECT word, freq,
+         |              substr(word, CAST(i AS INTEGER), 1) AS "left",
+         |              substr(word, CAST(i AS INTEGER) + 1, 1) AS "right"
+         |       FROM (SELECT word, freq,
+         |                    unnest(generate_series(1, len(word) - 1)) AS i
+         |             FROM wf)),
+         |pc AS (SELECT "left", "right", CAST(sum(freq) AS BIGINT) AS pair_count,
+         |              CAST(count(DISTINCT word) AS BIGINT) AS n_words
+         |       FROM pr GROUP BY 1, 2),
+         |rk AS (SELECT CAST(row_number() OVER (ORDER BY pair_count DESC,
+         |                "left", "right") AS BIGINT) AS rank,
+         |              "left", "right", pair_count, n_words
+         |       FROM pc)
+         |SELECT rank, "left", "right", pair_count, n_words
+         |FROM rk WHERE rank <= 20
+         |ORDER BY rank""".stripMargin)
 
   /** Rational BM25 in exact BIGINT arithmetic — every constant mirrors
     * `TextIndex` (TfNum/TfDen·, invavg_ppm floored once corpus-wide,

@@ -407,6 +407,21 @@ class TextSpec extends AnyFunSuite {
       ("c", 0L, 1L, 0L, 500000L, 500000L, 500000L)))
   }
 
+  test("bpePairCounts: hand-checked weighted pair counts and multiplicity") {
+    import spark.implicits._
+    // wf: ab×2, abc×1, aaa×1, x×1; pairs: (a,b) = 2+1 = 3 over 2 words,
+    // (a,a) = 2 (within-word multiplicity in 'aaa'), (b,c) = 1;
+    // single-char 'x' contributes nothing (the sequence(1,0) guard)
+    val df = Seq((1L, "ab abc aaa"), (2L, "ab x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(df, k = 10).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1L, "a", "b", 3L, 2L),
+      (2L, "a", "a", 2L, 1L),
+      (3L, "b", "c", 1L, 1L)))
+  }
+
   test("vocabDrift: an empty snapshot side yields NULL rates, not a divide") {
     import spark.implicits._
     val oldDocs = Seq((1L, "a")).toDF("doc_id", "text")
