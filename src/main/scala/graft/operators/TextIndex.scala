@@ -144,6 +144,26 @@ object TextIndex {
   def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
     bm25(build(docs), terms, k)
 
+  /** Compact an accumulated batch-partitioned index (the
+    * [[graft.streaming.Streams]] `ingestTextIndex` artifact shape, or
+    * any union of delta indexes) into the canonical [[write]] layout:
+    * postings re-partitioned by word into one file group per probe key,
+    * doclens coalesced, stats collapsed to the summed 1-row manifest.
+    * The maintenance job an ingest pipeline runs on a cadence so probe
+    * latency doesn't degrade with batch count — ingest appends stay
+    * O(delta), compaction pays the rewrite once. Safe to run against a
+    * live ingest dir: it only reads committed batches.
+    */
+  def compact(idx: Index, outDir: String): Unit = {
+    idx.postings.repartition(col("word")).write.mode("overwrite")
+      .parquet(s"$outDir/postings")
+    idx.doclens.write.mode("overwrite").parquet(s"$outDir/doclens")
+    idx.postings.sparkSession.range(1)
+      .select(lit(idx.nDocs).as("n_docs"),
+        lit(idx.totalTokens).as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
   /** [[TextAnalysis.lmFamiliarity]] as an INGEST-TIME gate: score a
     * delta of new docs against the STORED corpus index instead of
     * against themselves — corpus word counts come off the postings

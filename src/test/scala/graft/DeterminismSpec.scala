@@ -57,4 +57,18 @@ class DeterminismSpec extends AnyFunSuite {
   test("repetition signals are partitioning-independent") {
     assertStable(d => TextAnalysis.repetitionSignals(d), docs)
   }
+
+  test("BM25 ranking is partitioning-independent") {
+    assertStable(d =>
+      graft.operators.TextIndex.bm25Rank(d, Seq("vector", "join"), k = 50), docs)
+  }
+
+  test("CMS estimates are partitioning-independent") {
+    assertStable(d =>
+      graft.operators.Sketches.cmsEstimates(d, Seq("join", "the", "zz")), docs)
+  }
+
+  test("BPE pair scoring is partitioning-independent") {
+    assertStable(d => TextAnalysis.bpePairCounts(d, k = 20), docs)
+  }
 }

@@ -529,6 +529,15 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(Streams.ingestTextIndexRead(spark, state).get
       .postings.count() == scratch.postings.count())
+    // compacting the batch-partitioned state into the canonical layout
+    // must change nothing observable: same stats, same BM25, same lookup
+    val compactDir = new java.io.File(root, "compact").getAbsolutePath
+    TextIndex.compact(Streams.ingestTextIndexRead(spark, state).get, compactDir)
+    val compacted = TextIndex.load(spark, compactDir)
+    assert(compacted.nDocs == scratch.nDocs &&
+      compacted.totalTokens == scratch.totalTokens)
+    assert(rows(TextIndex.bm25(compacted, terms, k = 30)) ==
+      rows(TextIndex.bm25Rank(docs, terms, k = 30)))
   }
 
   test("foreachBatch ingest IVF: streamed assignment == batch ivfAppend chain, across restarts") {
