@@ -255,4 +255,37 @@ object Prep {
         expr(s"(cum - n_tokens) div $budget").as("seq_id"),
         ((col("cum") - col("n_tokens")) % budget).as("seq_offset"))
   }
+
+  /** Deterministic corpus shuffle — the reproducible training-order
+    * step (data order changes a training run; a rerun must read the
+    * SAME order): each doc's 60-bit md5 shuffle key places it in a
+    * shard (key mod `shards`) and its position within the shard is the
+    * key-ascending rank (ties — 60-bit collisions — break by doc_id).
+    * The loader reads shards in shard order, positions ascending, and
+    * gets a hash-shuffled order that reruns, engines, and backfills
+    * reproduce exactly — vs `orderBy(rand())`, which no two runs agree
+    * on. `shuffle_key` is emitted so run-over-run diffs are explainable
+    * row-by-row (the [[splitByGroup]] convention).
+    *
+    * Scale posture: one narrow scan + ONE window shuffle keyed by
+    * shard; each shard sorts ~1/shards of the corpus in its own task —
+    * size `shards` to the cluster exactly like [[pack]]. Positions are
+    * per-snapshot (appends shift later positions); the ORDER for a
+    * fixed corpus is immutable.
+    */
+  def shuffleOrder(docs: DataFrame, shards: Int = 64,
+      salt: String = "shuffle"): DataFrame = {
+    require(shards > 0, s"shard count must be positive, got $shards")
+    // same SQL-literal salt contract as hashBucket
+    require(salt.nonEmpty && salt.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'),
+      s"salt must be non-empty [A-Za-z0-9_], got '$salt'")
+    val key = expr(Dedup.h60(s"concat('${salt}_', cast(doc_id as string))"))
+    val w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    docs.select(col("doc_id"),
+        key.as("shuffle_key"), (key % shards).cast("long").as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos", "shuffle_key")
+  }
 }

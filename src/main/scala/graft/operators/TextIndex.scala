@@ -48,6 +48,12 @@ object TextIndex {
     * ([[TextAnalysis.WordsExpr]] — the ONE tokenizer), tf per (word,
     * doc), dl per doc. Postings are word-keyed, so the tf agg map-side
     * combines and the result partitions by the probe key.
+    *
+    * NOTE: corpus stats (D, T) are computed EAGERLY here — build is an
+    * explicit index-build job, the same contract as the IVF tier's
+    * eager `ivfTrainedIndex`; one-shot scan-path callers pay that one
+    * stats scan inside [[bm25Rank]], repeated callers [[write]] once
+    * and [[load]] per query.
     */
   def build(docs: DataFrame): Index = {
     val toks = docs.select(col("doc_id"),

@@ -71,7 +71,13 @@ object PrepQueries {
     "q90_temperature_mix" -> ((spark, dir) =>
       Prep.temperatureMix(Tables.load(spark, dir, "documents"),
           stratum = "lang")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // deterministic corpus shuffle: the reproducible training order a
+    // rerun/backfill/other engine reads identically (vs orderBy(rand()))
+    "q102_shuffle_order" -> ((spark, dir) =>
+      Prep.shuffleOrder(Tables.load(spark, dir, "documents"), shards = 64)
+        .orderBy("shard", "pos")))
 
   def oracles: Map[String, String] = Map(
     "q56_split_assign" ->
@@ -199,5 +205,18 @@ object PrepQueries {
         |SELECT b.doc_id, b.lang, r.n_stratum, r.rate_ppm, b.bucket,
         |       CAST(CASE WHEN b.bucket < r.rate_ppm THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM b JOIN r USING (lang)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q102_shuffle_order" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5('shuffle_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key % 64 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY shuffle_key % 64
+        |              ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+        |       shuffle_key
+        |FROM k
+        |ORDER BY shard, pos""".stripMargin)
 }

@@ -181,4 +181,31 @@ class PrepSpec extends AnyFunSuite {
     curve.zip(curve.tail).foreach { case ((n1, r1), (n2, r2)) =>
       assert(n1 < n2 || r1 == r2); assert(r2 <= r1) }
   }
+
+  test("shuffleOrder: total permutation, contiguous per-shard positions, stable under repartitioning") {
+    val s = Prep.shuffleOrder(docs, shards = 16)
+    assert(s.count() == docs.count(), "every doc placed exactly once")
+    assert(s.select("doc_id").distinct().count() == docs.count())
+    assert(s.filter(col("shard") < 0 || col("shard") >= 16).isEmpty)
+    // positions are 1..count within each shard — the loader can read
+    // shards independently with no gaps or overlaps
+    val bad = s.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(bad.isEmpty, "per-shard positions must be contiguous from 1")
+    // the ORDER is a pure function of ids — physical layout irrelevant
+    def order(df: org.apache.spark.sql.DataFrame) =
+      Prep.shuffleOrder(df, shards = 16).orderBy("shard", "pos")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order(docs.repartition(7)) == order(docs.repartition(13)))
+    // and genuinely shuffled: not id order globally nor within a shard
+    val byShard = order(docs)
+    assert(byShard != byShard.sorted, "hash order must not be id order")
+  }
+
+  test("shuffleOrder guards: bad shard count and ill-formed salt fail fast") {
+    assertThrows[IllegalArgumentException](Prep.shuffleOrder(docs, shards = 0))
+    assertThrows[IllegalArgumentException](
+      Prep.shuffleOrder(docs, salt = "bad'salt"))
+  }
 }
