@@ -43,4 +43,38 @@ object Sessions {
         round(sum(col("value")), 2).as("sum_value"))
       .drop("sess")
   }
+
+  /** Windowed event dedup — the batch, oracle-gateable face of the
+    * streaming ingest-dedup contract ([[graft.streaming.Streams
+    * .dedupWithinWatermark]] bounds state by TIME; this is the same
+    * policy expressed as tumbling buckets): within each
+    * `windowSeconds` bucket, one event survives per (user_id,
+    * event_type) — the earliest, ties by event_id — and the audit
+    * reports how many duplicates it absorbed. Bucket arithmetic is
+    * exact integer floor on epoch seconds (engine-portable; no
+    * timezone/format ambiguity), kept timestamps are epoch µs.
+    *
+    * Plan shape: one shuffle on the group key with a min-struct
+    * partial aggregate — the keeper resolves map-side, so the exchange
+    * carries one row per (bucket, user, type), never per event (vs a
+    * row_number window, which would shuffle every event to sort).
+    */
+  def dedupPerWindow(events: DataFrame,
+      windowSeconds: Long = 600L): DataFrame = {
+    require(windowSeconds > 0,
+      s"windowSeconds must be positive, got $windowSeconds")
+    events
+      .select(
+        expr(s"(unix_timestamp(ts) div $windowSeconds) * $windowSeconds")
+          .as("bucket_start_s"),
+        col("user_id"), col("event_type"),
+        struct(unix_micros(col("ts")).as("ts_us"),
+          col("event_id")).as("k"))
+      .groupBy("bucket_start_s", "user_id", "event_type")
+      .agg(min(col("k")).as("keep"), count(lit(1)).as("n_events"))
+      .select(col("bucket_start_s"), col("user_id"), col("event_type"),
+        col("keep.event_id").as("keep_event_id"),
+        col("keep.ts_us").as("keep_ts_us"),
+        col("n_events"), (col("n_events") - 1L).as("n_dupes"))
+  }
 }

@@ -43,6 +43,14 @@ object TemporalQueries {
       Sessions.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
         .orderBy("user_id", "session_start_us")),
 
+    // windowed ingest dedup, batch face: earliest event per (user, type)
+    // survives each 10-min bucket; min-struct partial agg, so the
+    // exchange carries groups, never events
+    "q103_event_dedup" -> ((spark, dir) =>
+      Sessions.dedupPerWindow(Tables.load(spark, dir, "events"),
+          windowSeconds = 600L)
+        .orderBy("bucket_start_s", "user_id", "event_type")),
+
     "q46_range_band" -> ((spark, dir) =>
       RangeJoin.timeBandPairs(
           Tables.load(spark, dir, "events").filter(col("event_type") === "purchase"),
@@ -121,5 +129,24 @@ object TemporalQueries {
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
         |  ON a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 5000000
-        |ORDER BY i, j""".stripMargin)
+        |ORDER BY i, j""".stripMargin,
+
+    // epoch-second floor buckets both sides; keeper = min (ts, event_id)
+    "q103_event_dedup" ->
+      """WITH b AS (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS bucket_start_s,
+        |         user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY bucket_start_s, user_id, event_type
+        |        ORDER BY ts_us, event_id) AS rk,
+        |        CAST(count(*) OVER (
+        |          PARTITION BY bucket_start_s, user_id, event_type) AS BIGINT)
+        |          AS n_events
+        |      FROM b)
+        |SELECT bucket_start_s, user_id, event_type,
+        |       event_id AS keep_event_id, ts_us AS keep_ts_us,
+        |       n_events, n_events - 1 AS n_dupes
+        |FROM r WHERE rk = 1
+        |ORDER BY bucket_start_s, user_id, event_type""".stripMargin)
 }

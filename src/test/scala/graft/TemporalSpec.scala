@@ -195,4 +195,35 @@ class TemporalSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(batch.toSeq == sw.toSeq)
   }
+
+  test("dedupPerWindow: hand-checked keeper, bucket boundary, tie-break") {
+    import spark.implicits._
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1 clicks: 10s and 500s share bucket 0 (earliest 10s kept,
+    // 1 dupe); 600s starts bucket 600 — kept separately. Two events at
+    // the SAME instant (user 2, 50s): lower event_id wins.
+    val ev = Seq(
+      (101L, ts(10), 1L, "click"), (102L, ts(500), 1L, "click"),
+      (103L, ts(600), 1L, "click"),
+      (202L, ts(50), 2L, "click"), (201L, ts(50), 2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessions.dedupPerWindow(ev, windowSeconds = 600L)
+      .orderBy("bucket_start_s", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5),
+        r.getLong(6))).toSeq
+    assert(got === Seq(
+      (0L, 1L, 101L, 2L, 1L),    // 10s beats 500s in bucket 0
+      (0L, 2L, 201L, 2L, 1L),    // same instant: lower event_id wins
+      (600L, 1L, 103L, 1L, 0L))) // boundary: 600s is its own bucket
+  }
+
+  test("dedupPerWindow conservation on corpus: events partition into groups, keepers unique") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val d = Sessions.dedupPerWindow(ev, windowSeconds = 600L)
+    assert(d.agg(sum("n_events")).head.getLong(0) == ev.count(),
+      "every event lands in exactly one group")
+    assert(d.select("keep_event_id").distinct().count() == d.count(),
+      "one keeper per group, no keeper reused")
+    assert(d.filter(col("n_dupes") < 0).isEmpty)
+  }
 }
