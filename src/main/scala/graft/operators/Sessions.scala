@@ -58,15 +58,22 @@ object Sessions {
     * partial aggregate — the keeper resolves map-side, so the exchange
     * carries one row per (bucket, user, type), never per event (vs a
     * row_number window, which would shuffle every event to sort).
+    * Struct-min lowers to SortAggregate (a per-partition sort feeds the
+    * partial phase — no shuffle); the partial/final split is CI-gated
+    * in PlanSpec.
     */
   def dedupPerWindow(events: DataFrame,
       windowSeconds: Long = 600L): DataFrame = {
     require(windowSeconds > 0,
       s"windowSeconds must be positive, got $windowSeconds")
+    // FLOOR bucketing via pmod, not `unix_timestamp … div` — both
+    // truncate toward zero, which for pre-epoch instants would land one
+    // bucket late and diverge from an oracle engine's floor division
+    // (the Tables.load ns→µs conversion documents the same trap)
+    val sec = s"((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
     events
       .select(
-        expr(s"(unix_timestamp(ts) div $windowSeconds) * $windowSeconds")
-          .as("bucket_start_s"),
+        expr(s"$sec - pmod($sec, $windowSeconds)").as("bucket_start_s"),
         col("user_id"), col("event_type"),
         struct(unix_micros(col("ts")).as("ts_us"),
           col("event_id")).as("k"))

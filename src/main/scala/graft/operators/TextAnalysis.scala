@@ -530,7 +530,11 @@ object TextAnalysis {
     *
     * Scale posture: two token explodes into map-side-combined
     * vocab-grain aggs, one vocab-sized full-outer equi-join, 1-row
-    * totals broadcast — nothing shuffles occurrences.
+    * totals broadcast — nothing shuffles occurrences. Bound: the ppm
+    * scaling needs `count · 10⁶` inside BIGINT, i.e. per-side token
+    * totals < ~9.2·10¹² (ANSI mode fails LOUD past it, never silently
+    * wraps); a corpus beyond that runs the audit per source/shard and
+    * the rates stay exact.
     */
   def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def freq(df: DataFrame, cname: String) =

@@ -199,6 +199,18 @@ class PlanSpec extends AnyFunSuite {
     assert(executedPlan(q("q95_bm25")).contains("TakeOrderedAndProject"))
   }
 
+  test("q103 keeper resolves through a partial aggregate, not an event-sorting window") {
+    val plan = executedPlan(q("q103_event_dedup"))
+    // the documented claim: the exchange carries one row per group. The
+    // struct-typed min renders as SortAggregate (not hash-aggregable),
+    // but partial + final phases must both be present — and a Window
+    // operator here would mean every event shuffled to sort globally
+    assert(!plan.contains("Window"), s"q103 regressed to a window sort:\n$plan")
+    val aggs = plan.split("SortAggregate").length - 1 +
+      plan.split("HashAggregate").length - 1
+    assert(aggs >= 2, s"q103 lost its two-phase partial aggregation:\n$plan")
+  }
+
   test("round-5 additions never fall back to nested-loop or cartesian joins") {
     // q95/q96's only cross joins are the 1-row stats frames; q98's probe
     // fan-out is a bounded literal; q99/q100 are vocab-grain equi-joins

@@ -217,6 +217,17 @@ class TemporalSpec extends AnyFunSuite {
       (600L, 1L, 103L, 1L, 0L))) // boundary: 600s is its own bucket
   }
 
+  test("dedupPerWindow: pre-epoch instants bucket by FLOOR, not truncation") {
+    import spark.implicits._
+    // 1969-12-31T23:59:59.500 = epoch −0.5s: floor semantics put it in
+    // bucket −600; truncate-toward-zero arithmetic would land it in 0
+    val ev = Seq((1L, new Timestamp(-500L), 1L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = Sessions.dedupPerWindow(ev, windowSeconds = 600L).head
+    assert(r.getLong(0) === -600L, s"pre-epoch bucket: ${r.getLong(0)}")
+    assert(r.getLong(4) === -500000L, "kept ts is the exact µs instant")
+  }
+
   test("dedupPerWindow conservation on corpus: events partition into groups, keepers unique") {
     val ev = Tables.load(spark, TestSpark.Sf0001, "events")
     val d = Sessions.dedupPerWindow(ev, windowSeconds = 600L)
