@@ -23,20 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** The d (row, bucket) structs of a word's CMS positions — the ONE
+    * hash definition shared by the matrix build and the probe side, so
+    * the two can never desynchronize (a probe hashing differently from
+    * the matrix would silently undercount, breaking the sketch's core
+    * invariant). Row `r`'s hash = portable-md5("cms_r_" + word) mod w.
+    */
+  private def bucketStructs(d: Int, w: Int) = (0 until d).map { i =>
+    struct(lit(i.toLong).as("r"),
+      expr(s"cast(conv(substr(md5(concat('cms_${i}_', word)), 1, 15), " +
+        s"16, 10) as bigint) % $w").as("bucket"))
+  }
+
   /** The (row, bucket, c) counter matrix of the CMS over word
     * occurrences: one token explode, one map-side-combined agg bounded
-    * by d·w cells. Row `r`'s hash = portable-md5("cms_r_" + word) mod w.
+    * by d·w cells.
     */
   def cmsWordMatrix(docs: DataFrame, d: Int = 4, w: Int = 1024): DataFrame = {
     require(d >= 1 && w >= 1, s"need d >= 1, w >= 1: d=$d w=$w")
     val toks = docs.select(
       explode(expr(TextAnalysis.WordsExpr)).as("word"))
-    val rows = (0 until d).map { i =>
-      struct(lit(i.toLong).as("r"),
-        expr(s"cast(conv(substr(md5(concat('cms_${i}_', word)), 1, 15), " +
-          s"16, 10) as bigint) % $w").as("bucket"))
-    }
-    toks.select(explode(array(rows: _*)).as("rb"))
+    toks.select(explode(array(bucketStructs(d, w): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
   }
@@ -60,13 +67,8 @@ object Sketches {
     val spark = docs.sparkSession
     val matrix = cmsWordMatrix(docs, d, w)
     val probeDf = spark.createDataFrame(probes.map(Tuple1(_))).toDF("word")
-    val rows = (0 until d).map { i =>
-      struct(lit(i.toLong).as("r"),
-        expr(s"cast(conv(substr(md5(concat('cms_${i}_', word)), 1, 15), " +
-          s"16, 10) as bigint) % $w").as("bucket"))
-    }
     val probeBuckets = probeDf
-      .select(col("word"), explode(array(rows: _*)).as("rb"))
+      .select(col("word"), explode(array(bucketStructs(d, w): _*)).as("rb"))
       .select(col("word"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
     val est = probeBuckets.join(matrix, Seq("r", "bucket"), "left")
       .groupBy("word")

@@ -67,21 +67,12 @@ object TextIndex {
     Index(postings, doclens, d, t)
   }
 
-  /** Persist an index: postings repartitioned BY WORD (at corpus scale
-    * each probe then touches one file group, not the whole index),
-    * doclens, and a 1-row stats manifest. The write is the "index build
-    * job"; [[load]] is what query sessions pay.
+  /** Persist an index built from a corpus — the "index build job";
+    * [[load]] is what query sessions pay. Exactly [[build]] piped into
+    * [[compact]], so the canonical on-disk layout has ONE definition.
     */
-  def write(docs: DataFrame, dir: String): Unit = {
-    val idx = build(docs)
-    idx.postings.repartition(col("word")).write.mode("overwrite")
-      .parquet(s"$dir/postings")
-    idx.doclens.write.mode("overwrite").parquet(s"$dir/doclens")
-    docs.sparkSession.range(1)
-      .select(lit(idx.nDocs).as("n_docs"),
-        lit(idx.totalTokens).as("total_tokens"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
-  }
+  def write(docs: DataFrame, dir: String): Unit =
+    compact(build(docs), dir)
 
   /** Load a stored index. Nothing here scans the corpus: the postings /
     * doclens frames are lazy parquet reads, and a term probe pushes its
@@ -150,11 +141,13 @@ object TextIndex {
   def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
     bm25(build(docs), terms, k)
 
-  /** Compact an accumulated batch-partitioned index (the
-    * [[graft.streaming.Streams]] `ingestTextIndex` artifact shape, or
-    * any union of delta indexes) into the canonical [[write]] layout:
-    * postings re-partitioned by word into one file group per probe key,
-    * doclens coalesced, stats collapsed to the summed 1-row manifest.
+  /** Write an [[Index]]'s frames in the canonical stored layout — the
+    * ONE definition of that layout, used by [[write]] for fresh builds
+    * and directly for compacting an accumulated batch-partitioned
+    * index (the [[graft.streaming.Streams]] `ingestTextIndex` artifact
+    * shape, or any union of delta indexes): postings re-partitioned by
+    * word into one file group per probe key, doclens coalesced, stats
+    * collapsed to the summed 1-row manifest.
     * The maintenance job an ingest pipeline runs on a cadence so probe
     * latency doesn't degrade with batch count — ingest appends stay
     * O(delta), compaction pays the rewrite once. Safe to run against a

@@ -176,15 +176,12 @@ object CurationQueries {
   private val curIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def yesterdayDir(
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
-    curIdxCache.computeIfAbsent(dir, _ => {
+    cachedIndexDir(curIdxCache, dir, "graft_cur_idx_") { d =>
       val docs = Tables.load(spark, dir, "documents")
-      val corpus = docs.filter(col("doc_id") < deltaCut(docs))
-      val kept = Curation.exactKeepers(corpus)
-      val d = java.nio.file.Files.createTempDirectory("graft_cur_idx_").toString
+      val kept = Curation.exactKeepers(docs.filter(col("doc_id") < deltaCut(docs)))
       Dedup.writeIndex(kept, d)
       Dedup.nearDupEdges(kept).write.mode("overwrite").parquet(s"$d/edges")
-      d
-    })
+    }
 
   /** The q48 CTE chain — quality gate, exact-keeper tags, the canonical
     * near-dup pipeline over keepers, recursive components — WITHOUT the

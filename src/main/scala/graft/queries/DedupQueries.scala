@@ -285,12 +285,10 @@ object DedupQueries {
     */
   private val ndIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def corpusIndexDir(spark: SparkSession, dir: String): String =
-    ndIdxCache.computeIfAbsent(dir, _ => {
+    cachedIndexDir(ndIdxCache, dir, "graft_nd_idx_") { d =>
       val docs = Tables.load(spark, dir, "documents")
-      val d = java.nio.file.Files.createTempDirectory("graft_nd_idx_").toString
       Dedup.writeIndex(docs.filter(col("doc_id") < deltaCut(docs)), d)
-      d
-    })
+    }
 
   def oracles: Map[String, String] = Map(
     "q26_dedup_ngram" ->

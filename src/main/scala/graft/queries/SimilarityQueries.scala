@@ -288,12 +288,10 @@ object SimilarityQueries {
   private val ivfIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexDir(
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
-    ivfIdxCache.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+    cachedIndexDir(ivfIdxCache, dir, "graft_ivf_idx_") { d =>
       Similarity.writeIvfIndex(
         Similarity.ivfTrainedIndex(Tables.load(spark, dir, "embeddings"), iters = 2), d)
-      d
-    })
+    }
 
   /** q87's stored index: trained on the below-the-cut corpus slice only
     * (yesterday's vectors), once per sf-dir per JVM — the artifact the
@@ -302,14 +300,12 @@ object SimilarityQueries {
   private val corpusIvfCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def corpusIvfDir(
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
-    corpusIvfCache.computeIfAbsent(dir, _ => {
+    cachedIndexDir(corpusIvfCache, dir, "graft_ivf_corpus_") { d =>
       val emb = Tables.load(spark, dir, "embeddings")
-      val d = java.nio.file.Files.createTempDirectory("graft_ivf_corpus_").toString
       Similarity.writeIvfIndex(
         Similarity.ivfTrainedIndex(
           emb.filter(col("vec_id") < vecCut(emb)), iters = 2), d)
-      d
-    })
+    }
 
   def oracles: Map[String, String] = Map(
     "q30_embedding_pairs" ->

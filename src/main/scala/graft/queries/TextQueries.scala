@@ -199,11 +199,9 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def textIndexDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    txtIdxCache.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_txt_idx_").toString
+    cachedIndexDir(txtIdxCache, dir, "graft_txt_idx_") { d =>
       TextIndex.write(Tables.load(spark, dir, "documents"), d)
-      d
-    })
+    }
 
   /** q99's stored index over the BELOW-the-cut corpus slice only (the
     * "yesterday's index" the delta scores against — the q70 cut).
@@ -212,12 +210,10 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def corpusTextIndexDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    corpusTxtIdxCache.computeIfAbsent(dir, _ => {
+    cachedIndexDir(corpusTxtIdxCache, dir, "graft_txt_cidx_") { d =>
       val docs = Tables.load(spark, dir, "documents")
-      val d = java.nio.file.Files.createTempDirectory("graft_txt_cidx_").toString
       TextIndex.write(docs.filter(col("doc_id") < deltaCut(docs)), d)
-      d
-    })
+    }
 
   def oracles: Map[String, String] = Map(
     "q37_lang_id" ->

@@ -26,4 +26,17 @@ package object queries {
     val r = emb.agg(org.apache.spark.sql.functions.max("vec_id")).head
     if (r.isNullAt(0)) 0L else math.floor(0.8 * r.getLong(0)).toLong
   }
+
+  /** "Yesterday's job" stand-in for the stored-index queries: run
+    * `build` into a temp dir ONCE per sf-dir per JVM — the shared
+    * cache protocol behind every qNN-indexed query's stored artifact.
+    */
+  private[queries] def cachedIndexDir(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      dir: String, prefix: String)(build: String => Unit): String =
+    cache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      build(d)
+      d
+    })
 }

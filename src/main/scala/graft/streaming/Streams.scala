@@ -187,10 +187,18 @@ object Streams {
     sh.write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$batchId")
     Dedup.lshBands(sh, numHashes, rowsPerBand)
       .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
-    // marker write goes through the Hadoop FileSystem of the state dir,
-    // so the same code runs against HDFS/object stores, not just local
-    // disk (object-store caveat: marker visibility needs read-after-write
-    // consistency, which S3/GCS/ABFS all provide today)
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** Write the `_committed/<batchId>` marker LAST — the ONE definition
+    * of the commit protocol all three ingest tiers share. Goes through
+    * the Hadoop FileSystem of the state dir, so the same code runs
+    * against HDFS/object stores, not just local disk (object-store
+    * caveat: marker visibility needs read-after-write consistency,
+    * which S3/GCS/ABFS all provide today).
+    */
+  private def markCommitted(spark: SparkSession, stateDir: String,
+      batchId: Long): Unit = {
     val fs = fileSystem(spark, stateDir)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_committed"))
     fs.create(
@@ -263,10 +271,7 @@ object Streams {
         Similarity.ivfAssign(idx, batch).write.mode("overwrite")
           .parquet(s"$stateDir/assigned/batch=$batchId")
     }
-    val fs = fileSystem(spark, stateDir)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_committed"))
-    fs.create(
-      new org.apache.hadoop.fs.Path(s"$stateDir/_committed/$batchId"), true).close()
+    markCommitted(spark, stateDir, batchId)
   }
 
   /** The accumulated streamed index over all COMMITTED batches (None
@@ -322,10 +327,7 @@ object Streams {
       .select(lit(idx.nDocs).as("n_docs"),
         lit(idx.totalTokens).as("total_tokens"))
       .write.mode("overwrite").parquet(s"$stateDir/stats/batch=$batchId")
-    val fs = fileSystem(spark, stateDir)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_committed"))
-    fs.create(
-      new org.apache.hadoop.fs.Path(s"$stateDir/_committed/$batchId"), true).close()
+    markCommitted(spark, stateDir, batchId)
   }
 
   /** The accumulated streamed inverted index over all COMMITTED batches

@@ -187,7 +187,7 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan(q("q96_bm25_indexed"))
     // the whole point of the stored index: a probe reads postings for
     // its terms, never the corpus — the IN filter must reach parquet
-    assert(plan.contains("In(word") || plan.contains("In(word,"),
+    assert(plan.contains("In(word"),
       s"term filter not pushed into the postings scan:\n$plan")
     assert(!plan.contains("text#"),
       s"stored-index path read document text:\n$plan")
