@@ -253,6 +253,22 @@ object DedupQueries {
           n = 3, w = 4, minShared = 3L, maxPostings = 1000L)
         .orderBy("doc_a", "doc_b")),
 
+    // syndication audit: canonical near-dup pairs whose endpoints come
+    // from DIFFERENT sources — the same content crawled twice under two
+    // domains, the cross-SOURCE reading of q69's cross-split audit (a
+    // mix that counts both copies as distinct sources double-weights
+    // the text); edges ⋈ a narrow (doc_id, source) projection twice
+    "q104_syndication" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.nearDupEdges(docs)
+        .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
+        .filter(col("src_i") =!= col("src_j"))
+        .select("i", "j", "jaccard", "src_i", "src_j")
+        .orderBy("i", "j")
+    }),
+
     // agreement audit between the two dedup FAMILIES: the lexical
     // near-dup clusters (q47's components over the canonical MinHash
     // edges) vs the strict semantic clusters (q59's SemDeDup regime) —
@@ -305,6 +321,20 @@ object DedupQueries {
          |SELECT jac.i, jac.j, round(jac.jaccard, 4) AS jaccard
          |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
          |WHERE jac.jaccard >= 0.7
+         |ORDER BY jac.i, jac.j""".stripMargin,
+
+    // q27's canonical edges with the endpoint sources joined on and
+    // same-source pairs dropped
+    "q104_syndication" ->
+      s"""WITH $ShinglesSql,
+         |$MinhashCandSql,
+         |$JaccardSql
+         |SELECT jac.i, jac.j, round(jac.jaccard, 4) AS jaccard,
+         |       da.source AS src_i, db.source AS src_j
+         |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+         |JOIN documents da ON jac.i = da.doc_id
+         |JOIN documents db ON jac.j = db.doc_id
+         |WHERE jac.jaccard >= 0.7 AND da.source != db.source
          |ORDER BY jac.i, jac.j""".stripMargin,
 
     "q28_dedup_simhash_sig" ->

@@ -522,4 +522,18 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() === 30L * 29 / 2,
       "without the cap every pair shares the boilerplate fingerprints")
   }
+
+  test("syndication audit = the canonical edges minus same-source pairs, nothing else") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val edges = Dedup.nearDupEdges(docs)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val syn = SparkEntry.queries("q104_syndication")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(syn.nonEmpty, "the corpus plants cross-source near-dups")
+    syn.foreach { r =>
+      assert(edges.contains((r.getLong(0), r.getLong(1))),
+        "every syndication pair is a canonical near-dup edge")
+      assert(r.getString(3) != r.getString(4), "endpoints span sources")
+    }
+  }
 }
