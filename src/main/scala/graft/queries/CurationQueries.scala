@@ -31,6 +31,26 @@ object CurationQueries {
       Curation.curate(Tables.load(spark, dir, "documents"), minQuality = 0.15)
         .orderBy("doc_id")),
 
+    // the curation funnel report per source — the dashboard a pipeline
+    // owner reads after every run (which domains bleed docs, and to
+    // which gate); q48's verdicts rolled up with exact-ppm kept rates
+    "q105_curation_funnel" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Curation.curate(docs, minQuality = 0.15)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("verdict") === "low_quality", 1L).otherwise(0L))
+            .as("n_low_quality"),
+          sum(when(col("verdict") === "exact_dup", 1L).otherwise(0L))
+            .as("n_exact_dup"),
+          sum(when(col("verdict") === "near_dup", 1L).otherwise(0L))
+            .as("n_near_dup"))
+        .withColumn("kept_ppm", expr("(n_kept * 1000000L) div n_docs"))
+        .orderBy("source")
+    }),
+
     "q64_incremental_curation" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val nf = deltaCut(docs)
@@ -105,6 +125,27 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "q48_corpus_curation" -> FullCurationSql,
+
+    // q48's verdict chain rolled up per source with exact-ppm kept rates
+    "q105_curation_funnel" ->
+      (s"WITH RECURSIVE\n$CurationChainCtes,\n" +
+        s"m AS (\n$VerdictSelect)\n" +
+        """SELECT dd.source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN m.verdict = 'kept' THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_kept,
+          |       CAST(sum(CASE WHEN m.verdict = 'low_quality' THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_low_quality,
+          |       CAST(sum(CASE WHEN m.verdict = 'exact_dup' THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_exact_dup,
+          |       CAST(sum(CASE WHEN m.verdict = 'near_dup' THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_near_dup,
+          |       (CAST(sum(CASE WHEN m.verdict = 'kept' THEN 1 ELSE 0 END)
+          |             AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+          |         AS kept_ppm
+          |FROM m JOIN documents dd ON m.doc_id = dd.doc_id
+          |GROUP BY dd.source
+          |ORDER BY dd.source""".stripMargin),
     "q64_incremental_curation" -> FullCurationSql,
     "q71_incremental_curation_indexed" -> FullCurationSql,
     "q74_dataset_diff" -> DatasetDiffSql,

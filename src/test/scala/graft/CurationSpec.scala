@@ -130,4 +130,18 @@ class CurationSpec extends AnyFunSuite {
         .count() > 0)
     } finally k.unpersist()
   }
+
+  test("curation funnel: per-source counts partition the verdicts, rates exact") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val f = SparkEntry.queries("q105_curation_funnel")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(f.map(_.getLong(1)).sum == docs.count(),
+      "sources partition the corpus")
+    f.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) ==
+        r.getLong(1), s"verdict counts must partition source ${r.getString(0)}")
+      assert(r.getLong(6) == r.getLong(2) * 1000000L / r.getLong(1),
+        "kept_ppm is the exact floored rate")
+    }
+  }
 }
