@@ -140,7 +140,17 @@ object Bench {
     }.mkString("{", ",", "}")
 
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"queries":$qs,"queries_min":$qsMin,"hist_medians":$histJson,"errors":$errs,"outliers":$outliers,"sf":${jstr(sfDir)}}"""
-    println(line)
+    // BASELINE.md protocol: the self-contained official record lives in
+    // bench/results.json — a durable file a log-tail capture can't
+    // truncate (round 5's stdout-only record lost its head to exactly
+    // that). Written BEFORE anything else so even a crash during the
+    // history append leaves a parseable record behind.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/results.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] results.json write failed: $e") }
     // cumulative per-run history so round-over-round per-query regressions
     // are machine-diffable (driver reads the stdout line; this appends)
     try java.nio.file.Files.writeString(
@@ -149,5 +159,9 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[bench] history append failed: $e") }
     spark.stop()
+    // the metric line is the FINAL stdout line of the run (after
+    // spark.stop so no shutdown logging can trail it) — a tail capture
+    // that keeps any stdout at all keeps this line whole
+    println(line)
   }
 }

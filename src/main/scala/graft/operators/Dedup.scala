@@ -502,15 +502,29 @@ object Dedup {
   def writeIndex(docs: DataFrame, dir: String, n: Int = 3,
       numHashes: Int = 16, rowsPerBand: Int = 4): Unit = {
     val sh = Ckpt.narrow(shingles(docs, n))
-    try {
-      sh.write.mode("overwrite").parquet(s"$dir/shingles")
-      lshBands(sh, numHashes, rowsPerBand).write.mode("overwrite")
-        .parquet(s"$dir/bands")
-      docs.sparkSession.range(1)
-        .select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
-          lit(rowsPerBand).as("rows_per_band"))
-        .write.mode("overwrite").parquet(s"$dir/meta")
-    } finally Ckpt.release(sh)
+    try compactIndex(
+      DedupIndex(sh, lshBands(sh, numHashes, rowsPerBand),
+        n, numHashes, rowsPerBand), dir)
+    finally Ckpt.release(sh)
+  }
+
+  /** Write a [[DedupIndex]]'s frames in the canonical [[writeIndex]]
+    * layout — the ONE definition of that layout, used by [[writeIndex]]
+    * for fresh builds and directly for compacting an accumulated
+    * batch-partitioned ingest index (the
+    * [[graft.streaming.Streams]] `ingestNearDup` artifact shape, or any
+    * union of delta indexes) back into the canonical shape — the
+    * maintenance job that keeps a long-running ingest's probe cost flat
+    * instead of growing with batch count (the [[graft.operators.TextIndex.compact]]
+    * sibling on the dedup tier).
+    */
+  def compactIndex(index: DedupIndex, dir: String): Unit = {
+    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    index.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    index.shingles.sparkSession.range(1)
+      .select(lit(index.n).as("n"), lit(index.numHashes).as("num_hashes"),
+        lit(index.rowsPerBand).as("rows_per_band"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a [[writeIndex]] artifact. The frames come back as plain

@@ -55,9 +55,14 @@ object TextIndex {
     * stats scan inside [[bm25Rank]], repeated callers [[write]] once
     * and [[load]] per query.
     */
-  def build(docs: DataFrame): Index = {
-    val toks = docs.select(col("doc_id"),
-      explode(expr(TextAnalysis.WordsExpr)).as("word"))
+  def build(docs: DataFrame): Index = buildFrom(
+    docs.select(col("doc_id"), explode(expr(TextAnalysis.WordsExpr)).as("word")))
+
+  /** [[build]]'s body over an already-derived (doc_id, word) token
+    * frame — factored out so [[write]] can hand in a CHECKPOINTED toks
+    * frame and pay the corpus scan + tokenization exactly once.
+    */
+  private def buildFrom(toks: DataFrame): Index = {
     val postings = toks.groupBy("word", "doc_id")
       .agg(count(lit(1)).as("tf"))
     val doclens = toks.groupBy("doc_id")
@@ -68,11 +73,21 @@ object TextIndex {
   }
 
   /** Persist an index built from a corpus — the "index build job";
-    * [[load]] is what query sessions pay. Exactly [[build]] piped into
-    * [[compact]], so the canonical on-disk layout has ONE definition.
+    * [[load]] is what query sessions pay. [[build]] piped into
+    * [[compact]], so the canonical on-disk layout has ONE definition —
+    * but with the token frame checkpointed first (Ckpt.narrow, the
+    * engine's one lineage-cut policy point): build's eager stats head,
+    * compact's postings write, and its doclens write are three
+    * consumers of the same tokenization, and without the cut each would
+    * re-scan and re-tokenize the corpus — tripling the dominant cost of
+    * the fresh-build job. The ≤ |tokens|-row cut frame is released as
+    * soon as the writes land.
     */
-  def write(docs: DataFrame, dir: String): Unit =
-    compact(build(docs), dir)
+  def write(docs: DataFrame, dir: String): Unit = {
+    val toks = Ckpt.narrow(docs.select(col("doc_id"),
+      explode(expr(TextAnalysis.WordsExpr)).as("word")))
+    try compact(buildFrom(toks), dir) finally Ckpt.release(toks)
+  }
 
   /** Load a stored index. Nothing here scans the corpus: the postings /
     * doclens frames are lazy parquet reads, and a term probe pushes its

@@ -131,19 +131,31 @@ object TemporalQueries {
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 5000000
         |ORDER BY i, j""".stripMargin,
 
-    // epoch-second floor buckets both sides; keeper = min (ts, event_id)
+    // epoch-second floor buckets both sides; keeper = min (ts, event_id).
+    // FLOOR bucketing over epoch_us via the non-negative-mod identity
+    // (x - ((x % b) + b) % b), NOT floor(epoch(ts)) or x // b: epoch()'s
+    // return type varies across DuckDB versions (fractional DOUBLE vs
+    // truncated BIGINT), and DuckDB's integer // TRUNCATES toward zero
+    // (-7 // 2 = -3, measured) while the engine floors via pmod
+    // (Sessions.dedupPerWindow) — so only the posmod form keeps the
+    // pre-epoch arm bit-identical, purely in BIGINTs, on every version
     "q103_event_dedup" ->
       """WITH b AS (
-        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS bucket_start_s,
+        |  SELECT ((epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000) % 1000000)
+        |            // 1000000) AS floor_s,
         |         user_id, event_type, event_id, epoch_us(ts) AS ts_us
         |  FROM events),
+        |b2 AS (
+        |  SELECT (floor_s - ((floor_s % 600) + 600) % 600) AS bucket_start_s,
+        |         user_id, event_type, event_id, ts_us
+        |  FROM b),
         |r AS (SELECT *, row_number() OVER (
         |        PARTITION BY bucket_start_s, user_id, event_type
         |        ORDER BY ts_us, event_id) AS rk,
         |        CAST(count(*) OVER (
         |          PARTITION BY bucket_start_s, user_id, event_type) AS BIGINT)
         |          AS n_events
-        |      FROM b)
+        |      FROM b2)
         |SELECT bucket_start_s, user_id, event_type,
         |       event_id AS keep_event_id, ts_us AS keep_ts_us,
         |       n_events, n_events - 1 AS n_dupes

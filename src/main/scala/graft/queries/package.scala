@@ -30,13 +30,44 @@ package object queries {
   /** "Yesterday's job" stand-in for the stored-index queries: run
     * `build` into a temp dir ONCE per sf-dir per JVM — the shared
     * cache protocol behind every qNN-indexed query's stored artifact.
+    * Every created directory tree is deleted on JVM exit (one shutdown
+    * hook, registered lazily at first use): repeated test/bench JVMs
+    * and long-lived drivers would otherwise accumulate full on-disk
+    * index copies under the system temp dir, one per sf-dir per JVM.
     */
   private[queries] def cachedIndexDir(
       cache: java.util.concurrent.ConcurrentHashMap[String, String],
       dir: String, prefix: String)(build: String => Unit): String =
     cache.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory(prefix).toString
-      build(d)
-      d
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      CleanupOnExit.register(d)
+      build(d.toString)
+      d.toString
     })
+
+  /** JVM-exit cleanup for [[cachedIndexDir]] trees. Deletion is
+    * best-effort (exit path): children before parents, failures
+    * ignored — a half-removed temp tree is strictly better than a
+    * whole one, and nothing correct depends on the files after exit.
+    */
+  private object CleanupOnExit {
+    private val dirs = scala.collection.mutable.ListBuffer[java.nio.file.Path]()
+    private lazy val hookInstalled: Unit =
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        dirs.synchronized(dirs.toList).foreach { root =>
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).sorted(
+                java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                catch { case _: Throwable => () })
+          } catch { case _: Throwable => () }
+        }, "graft-index-cache-cleanup"))
+
+    def register(p: java.nio.file.Path): Unit = {
+      hookInstalled
+      dirs.synchronized(dirs += p)
+    }
+  }
 }

@@ -207,23 +207,78 @@ object Streams {
 
   /** The accumulated ingest index over all COMMITTED batches (None
     * before the first commit) — directly searchable by the incremental
-    * Dedup operators.
+    * Dedup operators. After a [[compactNearDup]] the base's canonical
+    * frames stand in for the batches they folded: the read is base +
+    * uncompacted deltas, so probe cost stays flat in batch count.
     */
   def ingestIndex(spark: SparkSession, stateDir: String,
       n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): Option[Dedup.DedupIndex] = {
-    val ids = committedBatches(spark, stateDir)
-    if (ids.isEmpty) None
-    else Some(Dedup.DedupIndex(
-      spark.read.parquet(ids.map(i => s"$stateDir/shingles/batch=$i"): _*),
-      spark.read.parquet(ids.map(i => s"$stateDir/bands/batch=$i"): _*),
-      n, numHashes, rowsPerBand))
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else {
+      if (c >= 0) {
+        val m = spark.read.parquet(s"${baseDir(stateDir, c)}/index/meta").head
+        require(m.getAs[Int]("n") == n && m.getAs[Int]("num_hashes") == numHashes &&
+            m.getAs[Int]("rows_per_band") == rowsPerBand,
+          s"ingestIndex params ($n,$numHashes,$rowsPerBand) differ from the " +
+            s"compacted base's manifest ($m) — refusing to mix band layouts")
+      }
+      val basePfx = if (c >= 0) Seq(s"${baseDir(stateDir, c)}/index") else Nil
+      Some(Dedup.DedupIndex(
+        spark.read.parquet(basePfx.map(_ + "/shingles") ++
+          ids.map(i => s"$stateDir/shingles/batch=$i"): _*),
+        spark.read.parquet(basePfx.map(_ + "/bands") ++
+          ids.map(i => s"$stateDir/bands/batch=$i"): _*),
+        n, numHashes, rowsPerBand))
+    }
   }
 
-  /** All committed near-dup edges of an [[ingestNearDup]] run so far. */
+  /** All committed near-dup edges of an [[ingestNearDup]] run so far
+    * (compacted base edges + uncompacted delta batches).
+    */
   def ingestEdges(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val ids = committedBatches(spark, stateDir)
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else Some(spark.read.parquet(
+      (if (c >= 0) Seq(s"${baseDir(stateDir, c)}/edges") else Nil) ++
+        ids.map(i => s"$stateDir/edges/batch=$i"): _*))
+  }
+
+  /** Fold every committed near-dup ingest batch (and any prior base)
+    * into a fresh canonical base: `base/compact=C/index` in the
+    * [[Dedup.writeIndex]] layout (loadable by [[Dedup.loadIndex]] as a
+    * standalone artifact) plus `base/compact=C/edges`, where C is the
+    * newest committed batch folded in. The `_compacted/C` marker is
+    * written LAST — the same commit protocol as the ingest itself, so a
+    * crash mid-compact leaves readers on the previous view. Covered
+    * batch dirs and the previous base are then deleted (set `gc = false`
+    * when long-lived readers may still hold lazy plans over them — a
+    * production job GCs on a delay horizon instead).
+    *
+    * Safe against a live ingest: only batches committed at the time of
+    * the listing are folded; a batch that commits mid-compact stays a
+    * delta until the next cadence run. Returns the new watermark C, or
+    * None when there is nothing new to fold.
+    */
+  def compactNearDup(spark: SparkSession, stateDir: String,
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
     if (ids.isEmpty) None
-    else Some(spark.read.parquet(ids.map(i => s"$stateDir/edges/batch=$i"): _*))
+    else {
+      val c = ids.max
+      val idx = ingestIndex(spark, stateDir, n, numHashes, rowsPerBand).get
+      Dedup.compactIndex(idx, s"${baseDir(stateDir, c)}/index")
+      ingestEdges(spark, stateDir).get.write.mode("overwrite")
+        .parquet(s"${baseDir(stateDir, c)}/edges")
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids,
+        Seq("shingles", "bands", "edges"))
+      Some(c)
+    }
   }
 
   /** Streaming embedding ingest — the [[ingestNearDup]] shape on the
@@ -276,14 +331,49 @@ object Streams {
 
   /** The accumulated streamed index over all COMMITTED batches (None
     * before bootstrap commits) — directly [[Similarity.ivfSearch]]-able.
+    * After a [[compactIvf]] the base's canonical artifact stands in for
+    * the assignment deltas it folded.
     */
   def ingestIvfIndex(spark: SparkSession, stateDir: String): Option[Similarity.IvfIndex] = {
-    val ids = committedBatches(spark, stateDir)
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else {
+      // cents/stride never change after bootstrap; read them from the
+      // base when one exists so the base alone is the full artifact
+      val pfx = if (c >= 0) baseDir(stateDir, c) else stateDir
+      Some(Similarity.ivfIndexFrom(
+        spark.read.parquet(s"$pfx/meta").head.getAs[Int]("stride"),
+        spark.read.parquet(s"$pfx/cents"),
+        spark.read.parquet(
+          (if (c >= 0) Seq(s"${baseDir(stateDir, c)}/assigned") else Nil) ++
+            ids.map(i => s"$stateDir/assigned/batch=$i"): _*)))
+    }
+  }
+
+  /** Fold every committed IVF assignment delta (and any prior base) into
+    * a fresh canonical base: `base/compact=C` in the
+    * [[Similarity.writeIvfIndex]] layout — cents + summed assignment +
+    * stride manifest, loadable by [[Similarity.loadIvfIndex]] as a
+    * standalone artifact. Same commit/GC protocol as [[compactNearDup]]
+    * (`_compacted/C` marker written last; covered `assigned/batch=N`
+    * dirs and the previous base deleted when `gc`). The bootstrap
+    * `cents`/`meta` at the state root are kept — they are the build
+    * job's artifact and stay byte-identical to the base's copy.
+    */
+  def compactIvf(spark: SparkSession, stateDir: String,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
     if (ids.isEmpty) None
-    else Some(Similarity.ivfIndexFrom(
-      spark.read.parquet(s"$stateDir/meta").head.getAs[Int]("stride"),
-      spark.read.parquet(s"$stateDir/cents"),
-      spark.read.parquet(ids.map(i => s"$stateDir/assigned/batch=$i"): _*)))
+    else {
+      val c = ids.max
+      Similarity.writeIvfIndex(
+        ingestIvfIndex(spark, stateDir).get, baseDir(stateDir, c))
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids, Seq("assigned"))
+      Some(c)
+    }
   }
 
   /** Streaming inverted-index ingest — the [[ingestNearDup]] shape on
@@ -336,16 +426,49 @@ object Streams {
     */
   def ingestTextIndexRead(spark: SparkSession,
       stateDir: String): Option[TextIndex.Index] = {
-    val ids = committedBatches(spark, stateDir)
-    if (ids.isEmpty) None
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
     else {
+      // the base's stats manifest is the already-summed fold of the
+      // batches it covers — summing it WITH the delta manifests keeps
+      // stats mergeable across compactions
+      val basePfx = if (c >= 0) Seq(baseDir(stateDir, c)) else Nil
       val s = spark.read
-        .parquet(ids.map(i => s"$stateDir/stats/batch=$i"): _*)
+        .parquet(basePfx.map(_ + "/stats") ++
+          ids.map(i => s"$stateDir/stats/batch=$i"): _*)
         .agg(sum("n_docs"), sum("total_tokens")).head
       Some(TextIndex.Index(
-        spark.read.parquet(ids.map(i => s"$stateDir/postings/batch=$i"): _*),
-        spark.read.parquet(ids.map(i => s"$stateDir/doclens/batch=$i"): _*),
+        spark.read.parquet(basePfx.map(_ + "/postings") ++
+          ids.map(i => s"$stateDir/postings/batch=$i"): _*),
+        spark.read.parquet(basePfx.map(_ + "/doclens") ++
+          ids.map(i => s"$stateDir/doclens/batch=$i"): _*),
         s.getLong(0), s.getLong(1)))
+    }
+  }
+
+  /** Fold every committed text-index ingest batch (and any prior base)
+    * into a fresh canonical base: `base/compact=C` in the
+    * [[TextIndex.compact]] layout — word-repartitioned postings,
+    * doclens, summed stats manifest, loadable by [[TextIndex.load]] as
+    * a standalone artifact. Same commit/GC protocol as
+    * [[compactNearDup]]. This is the cadence job that keeps BM25 probe
+    * cost flat: without it a term probe touches one posting file group
+    * PER BATCH forever.
+    */
+  def compactTextIndex(spark: SparkSession, stateDir: String,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
+    if (ids.isEmpty) None
+    else {
+      val c = ids.max
+      TextIndex.compact(
+        ingestTextIndexRead(spark, stateDir).get, baseDir(stateDir, c))
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids,
+        Seq("postings", "doclens", "stats"))
+      Some(c)
     }
   }
 
@@ -360,6 +483,57 @@ object Streams {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName.toLong).sorted
+  }
+
+  // ——— compaction protocol, shared by all three ingest tiers ———
+  // `_compacted/C` = every batch id ≤ C is folded into `base/compact=C`
+  // (the tier's canonical standalone artifact layout). Markers in
+  // `_committed` are never deleted — they are the replay-skip contract —
+  // so readers resolve: C = max compacted marker, deltas = committed ids
+  // greater than C.
+
+  private def baseDir(stateDir: String, c: Long): String =
+    s"$stateDir/base/compact=$c"
+
+  /** Newest compaction watermark, or -1 when never compacted. */
+  private def compactedUpTo(spark: SparkSession, stateDir: String): Long = {
+    val fs = fileSystem(spark, stateDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/_compacted")
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName.toLong).foldLeft(-1L)(math.max)
+  }
+
+  /** Committed batches NOT yet covered by the compaction watermark. */
+  private def deltaBatches(spark: SparkSession, stateDir: String,
+      compacted: Long): Seq[Long] =
+    committedBatches(spark, stateDir).filter(_ > compacted)
+
+  /** Write the `_compacted/<c>` marker — LAST, after the base's frames
+    * are all durable (the same marker-last protocol as [[markCommitted]]).
+    */
+  private def markCompacted(spark: SparkSession, stateDir: String,
+      c: Long): Unit = {
+    val fs = fileSystem(spark, stateDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_compacted"))
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$stateDir/_compacted/$c"), true).close()
+  }
+
+  /** Best-effort post-marker GC: delete the batch dirs the new base
+    * covers (under each of `frames`) and the previous base. Runs AFTER
+    * the marker commit, so a crash mid-GC only leaves extra files — the
+    * next compaction's GC sweeps them (ids derive from `_committed`,
+    * which is never pruned).
+    */
+  private def gcCovered(spark: SparkSession, stateDir: String,
+      prevBase: Long, coveredIds: Seq[Long], frames: Seq[String]): Unit = {
+    val fs = fileSystem(spark, stateDir)
+    def rm(p: String): Unit =
+      try fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      catch { case _: Throwable => () }
+    for (f <- frames; i <- coveredIds) rm(s"$stateDir/$f/batch=$i")
+    if (prevBase >= 0) rm(baseDir(stateDir, prevBase))
   }
 
   /** Typed event row for the stateful API (subset of the events schema). */

@@ -481,6 +481,47 @@ class StreamingSpec extends AnyFunSuite {
       graft.operators.Dedup.DedupIndex(
         idx.shingles, idx.bands, 3, 16, 4), docs.limit(0)))
     assert(viaIdx.isEmpty, "empty delta must produce no edges")
+
+    // ——— compaction cadence ———
+    // fold the 3 committed batches into the canonical base: every reader
+    // answer must be unchanged, and the base must be a standalone
+    // Dedup.writeIndex artifact
+    val shCount = Streams.ingestIndex(spark, state).get.shingles.count()
+    assert(Streams.compactNearDup(spark, state) == Some(2L))
+    assert(pairs(Streams.ingestEdges(spark, state).get) == all,
+      "compaction must not change the edge set")
+    val baseIdx = graft.operators.Dedup.loadIndex(spark, s"$state/base/compact=2/index")
+    assert((baseIdx.n, baseIdx.numHashes, baseIdx.rowsPerBand) == ((3, 16, 4)))
+    assert(baseIdx.shingles.count() == shCount,
+      "base must hold exactly the accumulated shingle rows")
+    // covered batch dirs are GC'd; _committed markers survive (they are
+    // the replay-skip contract)
+    assert(!new java.io.File(s"$state/shingles/batch=0").exists)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+    // nothing new to fold → no-op
+    assert(Streams.compactNearDup(spark, state).isEmpty)
+    // restart AFTER the compact with no new files: replay-skip must hold
+    // (markers outlive GC) and readers still see the identical edge set
+    val stream2 = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q2 = Streams.ingestNearDup(stream2, state, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(pairs(Streams.ingestEdges(spark, state).get) == all)
+    // ingest CONTINUES on top of the base: a post-compact delta batch
+    // (append-only ids) must produce exactly the batch-mode incremental
+    // edges, and the accumulated set must equal the from-scratch corpus
+    val delta = docs.filter(col("doc_id") < 20L)
+      .withColumn("doc_id", col("doc_id") + 500L)
+    Streams.ingestNearDupBatch(delta, state, batchId = 3L)
+    assert(pairs(spark.read.parquet(s"$state/edges/batch=3")) ==
+      pairs(graft.operators.Dedup.incrementalNearDupEdges(docs, delta)))
+    val allPlus = pairs(graft.operators.Dedup.nearDupEdges(docs.unionByName(delta)))
+    assert(pairs(Streams.ingestEdges(spark, state).get) == allPlus)
+    // second compaction folds base + the new delta; still identical
+    assert(Streams.compactNearDup(spark, state) == Some(3L))
+    assert(pairs(Streams.ingestEdges(spark, state).get) == allPlus)
+    assert(!new java.io.File(s"$state/base/compact=2").exists,
+      "previous base must be GC'd after the new marker commits")
   }
 
   test("foreachBatch ingest text index: streamed BM25 == from-scratch build, across restarts") {
@@ -538,6 +579,45 @@ class StreamingSpec extends AnyFunSuite {
       compacted.totalTokens == scratch.totalTokens)
     assert(rows(TextIndex.bm25(compacted, terms, k = 30)) ==
       rows(TextIndex.bm25Rank(docs, terms, k = 30)))
+
+    // ——— in-place compaction cadence (Streams.compactTextIndex) ———
+    // fold the committed batches into the state dir's own base: readers
+    // answer identically, the base is TextIndex.load-able standalone,
+    // and covered batch dirs are GC'd while replay markers survive
+    assert(Streams.compactTextIndex(spark, state) == Some(2L))
+    val folded = Streams.ingestTextIndexRead(spark, state).get
+    assert(folded.nDocs == scratch.nDocs &&
+      folded.totalTokens == scratch.totalTokens)
+    assert(rows(TextIndex.bm25(folded, terms, k = 30)) ==
+      rows(TextIndex.bm25Rank(docs, terms, k = 30)))
+    assert(rows(TextIndex.load(spark, s"$state/base/compact=2")
+        .postings.groupBy().count()) ==
+      rows(folded.postings.groupBy().count()))
+    assert(!new java.io.File(s"$state/postings/batch=0").exists)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+    assert(Streams.compactTextIndex(spark, state).isEmpty, "nothing new to fold")
+    // restart AFTER the compact with no new files: replay-skip must hold
+    val stream2 = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q2 = Streams.ingestTextIndex(stream2, state, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Streams.ingestTextIndexRead(spark, state).get
+      .postings.count() == scratch.postings.count())
+    // ingest CONTINUES on top of the base (append-only ids), and a second
+    // compaction folds base + delta — BM25 stays ≡ the from-scratch build
+    val delta = docs.filter(col("doc_id") < 20L)
+      .withColumn("doc_id", col("doc_id") + 500L)
+    Streams.ingestTextIndexBatch(delta, state, batchId = 3L)
+    val corpusPlus = docs.unionByName(delta)
+    assert(rows(TextIndex.bm25(
+        Streams.ingestTextIndexRead(spark, state).get, terms, k = 30)) ==
+      rows(TextIndex.bm25Rank(corpusPlus, terms, k = 30)))
+    assert(Streams.compactTextIndex(spark, state) == Some(3L))
+    assert(rows(TextIndex.bm25(
+        Streams.ingestTextIndexRead(spark, state).get, terms, k = 30)) ==
+      rows(TextIndex.bm25Rank(corpusPlus, terms, k = 30)))
+    assert(!new java.io.File(s"$state/base/compact=2").exists,
+      "previous base must be GC'd after the new marker commits")
   }
 
   test("foreachBatch ingest IVF: streamed assignment == batch ivfAppend chain, across restarts") {
@@ -591,6 +671,43 @@ class StreamingSpec extends AnyFunSuite {
     val qs = emb.filter(col("vec_id") < 10)
     assert(rows(Similarity.ivfSearch(streamed, qs, k = 5, nProbe = 3)) ==
       rows(Similarity.ivfSearch(appended, qs, k = 5, nProbe = 3)))
+
+    // ——— compaction cadence ———
+    // fold the committed assignment deltas into the canonical base: the
+    // search answer is unchanged, the base is loadIvfIndex-able
+    // standalone, covered batch dirs are GC'd, replay markers survive
+    val want = rows(Similarity.ivfSearch(appended, qs, k = 5, nProbe = 3))
+    assert(Streams.compactIvf(spark, state) == Some(2L))
+    val folded = Streams.ingestIvfIndex(spark, state).get
+    assert(folded.stride == built.stride)
+    assert(asg(folded.assigned) == asg(appended.assigned),
+      "compaction must not change the assignment")
+    assert(rows(Similarity.ivfSearch(folded, qs, k = 5, nProbe = 3)) == want)
+    val baseIdx = Similarity.loadIvfIndex(spark, s"$state/base/compact=2")
+    assert(rows(Similarity.ivfSearch(baseIdx, qs, k = 5, nProbe = 3)) == want)
+    assert(!new java.io.File(s"$state/assigned/batch=0").exists)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+    assert(Streams.compactIvf(spark, state).isEmpty, "nothing new to fold")
+    // restart AFTER the compact with no new files: replay-skip must hold
+    val stream2 = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q2 = Streams.ingestIvf(stream2, state, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Streams.ingestIvfIndex(spark, state).get.assigned.count() == emb.count())
+    // ingest CONTINUES on top of the base: a post-compact delta assigns
+    // against the SAME stored centroids (q87's law), and a second
+    // compaction folds base + delta without changing the assignment
+    val delta = emb.filter(col("vec_id") < 20L)
+      .withColumn("vec_id", col("vec_id") + 500L)
+    Streams.ingestIvfBatch(delta, state, batchId = 3L)
+    val appendedPlus = Similarity.ivfAppend(appended, delta)
+    assert(asg(Streams.ingestIvfIndex(spark, state).get.assigned) ==
+      asg(appendedPlus.assigned))
+    assert(Streams.compactIvf(spark, state) == Some(3L))
+    assert(asg(Streams.ingestIvfIndex(spark, state).get.assigned) ==
+      asg(appendedPlus.assigned))
+    assert(!new java.io.File(s"$state/base/compact=2").exists,
+      "previous base must be GC'd after the new marker commits")
   }
 
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
