@@ -85,4 +85,65 @@ object Aggregators {
 
   /** Column form: `vec_sum_long(array<bigint>)`. */
   val vec_sum_long = udaf(VecSumLong)
+
+  /** Bottom-`k` DISTINCT values of a hash column, sorted ascending —
+    * the KMV (k-minimum-values) distinct-count sketch state. Feed it
+    * the house portable 60-bit md5 of the keys; the estimator over the
+    * finished array is `(k−1) · 2⁶⁰ / h_k` when the buffer saturates
+    * (h_k = the k-th minimum) and the buffer size itself below
+    * saturation, where it is EXACT (fewer than k distinct hashes seen
+    * means the buffer holds every one of them).
+    *
+    * Scale contract, same as the HLL (q34) / GK (q49) / CMS (q98)
+    * tiers: state is ≤ k longs per group regardless of input size,
+    * reduce folds map-side, merge is a sorted-distinct merge
+    * (associative + commutative) — the shuffle moves one ≤ k-long
+    * buffer per group per partition. Unlike HLL/GK, every operation
+    * here (md5, sorted insert, distinct merge) renders identically in
+    * any engine, so the whole estimate is hash-gateable (q106).
+    */
+  final class KMinValues(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], h: Long): Array[Long] =
+      if (b.length == k && h >= b(k - 1)) b // saturated and not a new minimum
+      else {
+        val i = java.util.Arrays.binarySearch(b, h)
+        if (i >= 0) b // already a kept minimum (distinct contract)
+        else {
+          val at = -i - 1
+          val n = math.min(b.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, at)
+          out(at) = h
+          System.arraycopy(b, at, out, at + 1, n - at - 1)
+          out
+        }
+      }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else { // sorted-distinct two-pointer merge, capped at k
+        val out = new Array[Long](math.min(a.length + b.length, k))
+        var i = 0; var j = 0; var n = 0
+        while (n < k && (i < a.length || j < b.length)) {
+          val v =
+            if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+              val x = a(i); i += 1
+              if (j < b.length && b(j) == x) j += 1 // drop the duplicate
+              x
+            } else { val x = b(j); j += 1; x }
+          out(n) = v; n += 1
+        }
+        if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+      }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = longArrEnc
+    override def outputEncoder: Encoder[Array[Long]] = longArrEnc
+  }
+
+  /** Column form: `kmv64(hash60)` — the k = 64 instance q106 gates
+    * (rsd ≈ 1/√(k−2) ≈ 12.7%).
+    */
+  val kmv64 = udaf(new KMinValues(64))
 }

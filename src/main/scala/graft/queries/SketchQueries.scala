@@ -57,7 +57,73 @@ object SketchQueries {
     "q98_cms_counts" -> ((spark, dir) =>
       Sketches.cmsEstimates(Tables.load(spark, dir, "documents"),
           CmsProbes, d = 4, w = 1024)
-        .orderBy("word")))
+        .orderBy("word")),
+
+    // KMV bottom-k distinct sketch — q34's hash-gated sibling: the same
+    // distinct-count question answered with ≤ k-long mergeable state per
+    // group, but on the portable md5 hash with exact-integer minima
+    // selection, so DuckDB reproduces the full estimate bit-for-bit
+    // (q34's HLL stays for the Spark-native engine surface). The audit
+    // carries the exact counts, so the error is measured, not assumed;
+    // the rsd ≈ 1/√(k−2) bound is property-tested in SketchSpec.
+    "q106_kmv_distinct" -> ((spark, dir) => {
+      import graft.operators.Dedup.h60
+      val kmv = graft.functions.Aggregators.kmv64
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          kmv(expr(h60("concat('kmvp_', cast(l_partkey as string))")))
+            .as("pk_arr"),
+          kmv(expr(h60("concat('kmvs_', cast(l_suppkey as string))")))
+            .as("sk_arr"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        .select(col("l_returnflag"),
+          kmvEstimate("pk_arr").as("approx_parts"), col("exact_parts"),
+          kmvEstimate("sk_arr").as("approx_supps"), col("exact_supps"))
+        .orderBy("l_returnflag")
+    }),
+
+    // fixed-bucket histogram percentile — q49's hash-gated sibling: the
+    // same tail-quantile question answered with bounded mergeable state
+    // (one counter per $100 price bucket per group), pure-BIGINT
+    // arithmetic end to end (prices to cents once, ceil-rank by integer
+    // division), so DuckDB reproduces the estimate exactly (q49's GK
+    // stays for the Spark-native surface). The estimate is the
+    // containing bucket's upper bound — within one bucket width of the
+    // exact percentile, the bound SketchSpec asserts.
+    "q107_hist_percentile" -> ((spark, dir) => {
+      val hist = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("cast(round(l_extendedprice * 100) as bigint) div 10000").as("b"))
+        .groupBy("l_returnflag", "b").agg(count(lit(1)).as("c"))
+      // windows over the HISTOGRAM only — ≤ ~1.1k buckets per group at
+      // any corpus size, never over rows
+      import org.apache.spark.sql.expressions.Window
+      val cum = hist
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("l_returnflag").orderBy("b")))
+        .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
+      def pHi(pct: Int) = min(when(
+        col("cum") >= expr(s"(n * $pct + 99) div 100"),
+        (col("b") + 1L) * 10000L))
+      cum.groupBy("l_returnflag")
+        .agg(max("n").as("n"),
+          pHi(50).as("p50_hi_cents"),
+          pHi(95).as("p95_hi_cents"),
+          pHi(99).as("p99_hi_cents"))
+        .orderBy("l_returnflag")
+    }))
+
+  /** q106's estimator over a finished [[graft.functions.Aggregators.KMinValues]]
+    * array: exact below saturation, (k−1)·2⁶⁰/h_k at it. The one
+    * non-integer step (the division) is a single IEEE binary64 op on
+    * exactly-representable inputs-as-doubles, identical in any engine.
+    */
+  private def kmvEstimate(arr: String) = expr(
+    s"case when size($arr) < 64 then cast(size($arr) as bigint) " +
+      s"else cast(floor((63.0 * cast(1152921504606846976 as double)) / " +
+      s"cast(element_at($arr, 64) as double)) as bigint) end")
 
   /** q98's probe words: heavy corpus terms + one absent word. */
   private val CmsProbes =
@@ -99,5 +165,65 @@ object SketchQueries {
          |SELECT e.word, e.est, coalesce(x.exact, 0) AS exact,
          |       e.est - coalesce(x.exact, 0) AS overestimate
          |FROM est e LEFT JOIN ex x USING (word)
-         |ORDER BY e.word""".stripMargin)
+         |ORDER BY e.word""".stripMargin,
+
+    // the md5-hashed KMV renders exactly in DuckDB: same 60-bit hashes,
+    // same distinct bottom-64 selection, same single-division estimator
+    "q106_kmv_distinct" ->
+      """WITH hp AS (SELECT DISTINCT l_returnflag,
+        |              CAST('0x' || substr(md5('kmvp_' || CAST(l_partkey AS VARCHAR)), 1, 15)
+        |                AS BIGINT) AS h
+        |            FROM lineitem),
+        |hs AS (SELECT DISTINCT l_returnflag,
+        |         CAST('0x' || substr(md5('kmvs_' || CAST(l_suppkey AS VARCHAR)), 1, 15)
+        |           AS BIGINT) AS h
+        |       FROM lineitem),
+        |rp AS (SELECT l_returnflag, h,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+        |       FROM hp),
+        |rs AS (SELECT l_returnflag, h,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+        |       FROM hs),
+        |ap AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS sz,
+        |              max(CASE WHEN rk = 64 THEN h END) AS hk
+        |       FROM rp WHERE rk <= 64 GROUP BY 1),
+        |asups AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS sz,
+        |                 max(CASE WHEN rk = 64 THEN h END) AS hk
+        |          FROM rs WHERE rk <= 64 GROUP BY 1),
+        |ex AS (SELECT l_returnflag,
+        |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps
+        |       FROM lineitem GROUP BY 1)
+        |SELECT ex.l_returnflag,
+        |       CASE WHEN ap.sz < 64 THEN ap.sz
+        |            ELSE CAST(floor((63.0 * CAST(1152921504606846976 AS DOUBLE))
+        |                   / CAST(ap.hk AS DOUBLE)) AS BIGINT) END AS approx_parts,
+        |       ex.exact_parts,
+        |       CASE WHEN asups.sz < 64 THEN asups.sz
+        |            ELSE CAST(floor((63.0 * CAST(1152921504606846976 AS DOUBLE))
+        |                   / CAST(asups.hk AS DOUBLE)) AS BIGINT) END AS approx_supps,
+        |       ex.exact_supps
+        |FROM ex JOIN ap USING (l_returnflag) JOIN asups USING (l_returnflag)
+        |ORDER BY ex.l_returnflag""".stripMargin,
+
+    // pure-BIGINT histogram percentile: cents once, $100 buckets,
+    // ceil-rank by integer division — every step exact in both engines
+    "q107_hist_percentile" ->
+      """WITH hist AS (SELECT l_returnflag,
+        |                CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS b,
+        |                CAST(count(*) AS BIGINT) AS c
+        |              FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, b, c,
+        |               sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+        |               sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |        FROM hist)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |       min(CASE WHEN cum >= (n * 50 + 99) // 100
+        |                THEN (b + 1) * 10000 END) AS p50_hi_cents,
+        |       min(CASE WHEN cum >= (n * 95 + 99) // 100
+        |                THEN (b + 1) * 10000 END) AS p95_hi_cents,
+        |       min(CASE WHEN cum >= (n * 99 + 99) // 100
+        |                THEN (b + 1) * 10000 END) AS p99_hi_cents
+        |FROM cum GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 }

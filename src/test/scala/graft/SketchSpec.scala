@@ -106,6 +106,65 @@ class SketchSpec extends AnyFunSuite {
       Seq(("a", 5L, 3L), ("zz", 5L, 0L)))
   }
 
+  test("KMV estimates within 3/sqrt(k-2) of exact distinct per group (q106)") {
+    val rows = graft.queries.SketchQueries.queries("q106_kmv_distinct")(
+      spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val bound = 3.0 / math.sqrt(62.0) // 3·rsd for k = 64
+    rows.foreach { r =>
+      val (ap, ep) = (r.getLong(1), r.getLong(2))
+      val (asp, esp) = (r.getLong(3), r.getLong(4))
+      assert(math.abs(ap - ep).toDouble / ep <= bound,
+        s"${r.getString(0)}: parts approx=$ap exact=$ep")
+      assert(math.abs(asp - esp).toDouble / esp <= bound,
+        s"${r.getString(0)}: supps approx=$asp exact=$esp")
+      // sf0.001 exercises both arms: suppliers sit below saturation
+      // (k = 64 > distinct supps), where KMV must be EXACT
+      if (esp < 64) assert(asp == esp,
+        s"below-saturation KMV must be exact: $asp vs $esp")
+    }
+  }
+
+  test("KMV buffer law: distinct, sorted, capped — duplicates never double-fill") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 10 distinct keys, each repeated 7 times, shuffled across partitions
+    val df = (0 until 7).flatMap(_ => 1L to 10L).toDF("k").repartition(8)
+    val arr = df
+      .agg(Aggregators.kmv64(expr(Dedup.h60("concat('t_', cast(k as string))"))))
+      .head.getSeq[Long](0)
+    assert(arr.length == 10, "below saturation the buffer holds every distinct hash")
+    assert(arr == arr.sorted && arr.distinct.length == arr.length)
+    // saturated: k=2 instance over the same data keeps the two minima
+    val kmv2 = udaf(new Aggregators.KMinValues(2))
+    val arr2 = df
+      .agg(kmv2(expr(Dedup.h60("concat('t_', cast(k as string))"))))
+      .head.getSeq[Long](0)
+    assert(arr2 == arr.take(2), "saturated buffer = the k smallest distinct hashes")
+  }
+
+  test("histogram percentile bound: exact percentile inside the reported bucket (q107)") {
+    val rows = graft.queries.SketchQueries.queries("q107_hist_percentile")(
+      spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted.toIndexedSeq }
+    rows.foreach { r =>
+      val sorted = li(r.getString(0))
+      val n = r.getLong(1)
+      assert(n == sorted.length)
+      for ((pct, i) <- Seq(50 -> 2, 95 -> 3, 99 -> 4)) {
+        val hi = r.getLong(i)
+        val exact = sorted(((n * pct + 99) / 100 - 1).toInt) // ceil-rank, 1-indexed
+        assert(exact <= hi && exact > hi - 10000,
+          s"${r.getString(0)} p$pct: exact=$exact not in (${hi - 10000}, $hi]")
+      }
+    }
+  }
+
   test("CMS guards: empty or ill-formed probes fail fast") {
     import graft.operators.Sketches
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
