@@ -61,25 +61,33 @@ object Bench {
     } catch { case _: Throwable => Map.empty } // unreadable history never fails a bench
   }
 
+  /** One timed execution of a query against sfDir: noop-sink write (full
+    * execution, no driver materialization), then cache + graft-storage
+    * cleanup OUTSIDE the timed region. Operators persist small
+    * intermediate frames; each run constructs fresh DataFrames, so the
+    * run's cache entries are dropped afterwards — every run pays its own
+    * cache build and nothing accumulates across repeats. localCheckpoint
+    * blocks are persistent RDDs outside the SQL cache — released too, or
+    * storage accumulates across the whole run. Shared with [[ScaleBench]]
+    * so both records measure the same protocol.
+    */
+  private[graft] def timeOnce(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val t = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    graft.operators.Ckpt.releaseGraftStorage(spark)
+    t
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session(appName = "graft-bench")
 
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val t = (System.nanoTime() - t0) / 1e9
-      // operators persist small intermediate frames; each run constructs
-      // fresh DataFrames, so drop the run's cache entries afterwards —
-      // every run pays its own cache build and nothing accumulates
-      // across the 4x-per-query protocol (the clear is outside the
-      // timed region; the build cost is inside, where it belongs)
-      spark.catalog.clearCache()
-      // localCheckpoint blocks are persistent RDDs outside the SQL cache
-      // — release them too or storage accumulates across the whole run
-      graft.operators.Ckpt.releaseGraftStorage(spark)
-      t
-    }
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      timeOnce(spark, sfDir, fn)
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // (name, official median-of-3, min-of-3): the median is the record;

@@ -1,0 +1,123 @@
+package graft
+
+import java.util.Locale
+
+/** Scale-decade measurement harness (VERDICT r5 ask #4): run the
+  * scale-bearing query tiers at several corpus scales and fit a
+  * per-query scaling exponent, so "would survive 100×" stops being a
+  * plan-audit claim and becomes a measured number.
+  *
+  * Scales come from [[ScaleGen]] dirs (same workload shape at K× the
+  * rows — constant duplicate rate, preserved cluster geometry, constant
+  * sessions-per-user), so a super-linear exponent here indicts the
+  * ENGINE, not the corpus construction.
+  *
+  * Protocol: per (dir, query) — 1 warm-up, then `SPARK_GRAFT_SCALE_RUNS`
+  * (default 2) timed runs under [[Bench.timeOnce]] (same noop-sink +
+  * cache-release protocol as the official bench); the MIN is recorded
+  * (scaling fits want the noise floor, not the median — a hot repeat
+  * can only raise a min's exponent estimate, never hide a real one).
+  * The exponent is the least-squares slope of log t over log scale
+  * across the points where t ≥ 0.3 s (below that, fixed session/plan
+  * overhead dominates and a slope says nothing about the data path);
+  * `exp_last` is the same slope over just the two largest such scales.
+  *
+  * The query set is every gated query whose cost is carried by the
+  * scaled tables (documents / embeddings / events), EXCLUDING the
+  * labeled ground-truth quadratic tiers (q26 / q30 / q32 — they verify
+  * recall of the bucketed tiers and are quadratic by contract, SURVEY
+  * §2.6). Override with SPARK_GRAFT_SCALE_QUERIES (comma-separated) to
+  * trim a run.
+  *
+  * Usage: `ScaleBench <outPath> <dir>=<relScale> [<dir>=<relScale> ...]`
+  * e.g. `ScaleBench bench/scaling.json /root/testdata/sf0.1=1 /tmp/sf1=10`
+  */
+object ScaleBench {
+
+  /** documents/embeddings/events-carried gated queries — the tiers whose
+    * 100 TB story the exponents certify.
+    */
+  val ScaleQueries: Seq[String] = Seq(
+    "q24_exact_dedup", "q27_dedup_minhash", "q29_dedup_simhash_pairs",
+    "q33_ann_lsh_pairs", "q37_lang_id", "q39_token_count",
+    "q44_sessionize", "q45_ann_ivf", "q47_dedup_components",
+    "q54_semantic_dedup", "q59_semantic_dedup_strict",
+    "q61_ann_ivf_trained", "q63_tfidf", "q80_chunk_dedup",
+    "q88_int8_topk", "q92_containment", "q93_winnow_pairs",
+    "q95_bm25", "q96_bm25_indexed", "q98_cms_counts",
+    "q102_shuffle_order", "q103_event_dedup")
+
+  /** least-squares slope of log(t) on log(scale); None below 2 points. */
+  private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
+    val xs = pts.map(p => math.log(p._1))
+    val ys = pts.map(p => math.log(p._2))
+    val n = pts.size
+    if (n < 2) None
+    else {
+      val mx = xs.sum / n
+      val my = ys.sum / n
+      val den = xs.map(x => (x - mx) * (x - mx)).sum
+      if (den == 0) None else Some(xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / den)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScaleBench <outPath> <dir>=<relScale> <dir>=<relScale> ...")
+    val outPath = args(0)
+    val dirs: Seq[(String, Double)] = args.drop(1).toSeq.map { a =>
+      val i = a.lastIndexOf('=')
+      require(i > 0, s"bad dir spec: $a")
+      (a.take(i), a.drop(i + 1).toDouble)
+    }.sortBy(_._2)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(ScaleQueries)
+    val qs = SparkEntry.queries
+    val missing = names.filterNot(qs.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+
+    val spark = Graft.session(appName = "graft-scalebench")
+    // scale-major order: every query sees a given corpus while its
+    // parquet footers are hot, and the per-JVM stored-index caches
+    // (queries.cachedIndexDir) build once per dir as they would in a
+    // session pinned to that corpus
+    val times: Seq[(String, Double, String, Double)] = for {
+      (dir, scale) <- dirs
+      name <- names
+    } yield {
+      Bench.timeOnce(spark, dir, qs(name)) // warm-up
+      val t = Seq.fill(runs)(Bench.timeOnce(spark, dir, qs(name))).min
+      System.err.println(f"[scalebench] $name @ ${scale}%.3gx: $t%.3f s")
+      (name, scale, dir, t)
+    }
+    spark.stop()
+
+    def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    val perQuery = names.map { name =>
+      val pts = times.filter(_._1 == name).map(t => (t._2, t._4)).sortBy(_._1)
+      val fitPts = pts.filter(_._2 >= 0.3)
+      val exp = slope(fitPts)
+      val expLast = slope(fitPts.takeRight(2))
+      val tsJson = pts.map { case (s, t) => "\"" + s + "\":" + num(t) }.mkString("{", ",", "}")
+      "\"" + name + "\":{\"times\":" + tsJson +
+        exp.map(e => ",\"exp_fit\":" + num(e)).getOrElse("") +
+        expLast.map(e => ",\"exp_last\":" + num(e)).getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val scalesJson = dirs.map { case (d, s) => "\"" + s + "\":\"" + d + "\"" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scaling","unit":"sec","runs":$runs,"scales":$scalesJson,"queries":$perQuery}"""
+
+    val out = java.nio.file.Paths.get(outPath)
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(out, line + "\n")
+    // the scaling record joins the cumulative bench history (distinct
+    // "metric" — Bench.historyMedians only reads lines whose "sf"
+    // matches a bench sf-dir, so these lines never pollute medians)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")),
+      s"""{"at_ms":${System.currentTimeMillis()},${line.drop(1)}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable => System.err.println(s"[scalebench] history append failed: $e") }
+    println(line)
+  }
+}

@@ -43,4 +43,23 @@ class BenchSpec extends AnyFunSuite {
     assert(m.get("q01").contains(3.0), s"must read the official median: $m")
     java.nio.file.Files.delete(f)
   }
+
+  test("ScaleBench.slope: log-log least squares recovers the exponent") {
+    // exact power laws t = c·s^e
+    def pts(e: Double) = Seq(1.0, 10.0, 30.0).map(s => (s, 0.5 * math.pow(s, e)))
+    assert(math.abs(ScaleBench.slope(pts(1.0)).get - 1.0) < 1e-9)
+    assert(math.abs(ScaleBench.slope(pts(2.0)).get - 2.0) < 1e-9)
+    assert(math.abs(ScaleBench.slope(pts(0.0)).get) < 1e-9)
+    assert(ScaleBench.slope(Seq((10.0, 1.0))).isEmpty, "one point fits nothing")
+    assert(ScaleBench.slope(Seq((10.0, 1.0), (10.0, 2.0))).isEmpty,
+      "a degenerate x-range must not divide by zero")
+    // historyMedians must never read a scaling record (no "sf" field)
+    val f = java.nio.file.Files.createTempFile("bh3", ".jsonl")
+    val scaling =
+      """{"at_ms":1,"metric":"scaling","unit":"sec","runs":2,"scales":{"1.0":"/x/sf0.1"},""" +
+        """"queries":{"q24_exact_dedup":{"times":{"1.0":0.2,"10.0":1.9},"exp_fit":0.98}}}"""
+    java.nio.file.Files.write(f, Seq(scaling, scaling, scaling).mkString("\n").getBytes("UTF-8"))
+    assert(Bench.historyMedians(f.toString, "/x/sf0.1").isEmpty)
+    java.nio.file.Files.delete(f)
+  }
 }
