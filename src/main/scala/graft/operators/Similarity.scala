@@ -497,23 +497,77 @@ object Similarity {
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
-  /** LSH-accelerated near-dup pairs: same-(table, bucket) candidates,
+  /** Sign-LSH within-bucket candidate window — the similarity tier's
+    * scale guard, ON by default and mirrored bit-for-bit in the DuckDB
+    * oracle CTE ([[graft.queries.SimilarityQueries]] `lshCandSql`).
+    *
+    * Why a window and not [[Dedup.NearDupMaxBucket]]'s drop-the-bucket
+    * cap: sign-LSH's bucket space is FIXED (2^bits per table), so mean
+    * occupancy grows linearly with the corpus and same-bucket pairs grow
+    * quadratically — measured: q33 ran 2.3 s / 18.7 s / 173 s at
+    * 1×/10×/30× corpus scale (ScaleBench, exponent ≈ 2.0 on the last
+    * decade). A size cap would eventually drop EVERY bucket (occupancy
+    * grows everywhere, not just on skewed keys), zeroing recall. The
+    * window keeps every bucket: candidates = each vector × its next
+    * `window` bucket-mates, so volume is ≤ tables × window × n — linear
+    * at any density. The within-bucket order is a TABLE-SALTED md5 of
+    * the vec_id, NOT the id itself: id order would be identical across
+    * tables, so a true pair separated by > window bucket-mates would be
+    * missed by every table at once (measured: planted-dup recall 0 under
+    * id order). Salted orders are independent per table, so a pair
+    * colliding in `c` tables gets `c` independent ≈ 2·window/occupancy
+    * chances — with the default 16 tables × window 32, planted cos ≈ 1
+    * dups recall ≥ 0.9 through occupancy ≈ 250 per bucket, the DedupSpec
+    * CI gate. Dense similar clusters additionally stay fully connected
+    * through [[Components.connected]]: every within-window edge of a
+    * near-duplicate cluster verifies, and the salted chain spans the
+    * bucket.
+    */
+  val LshBucketWindow: Int = 32
+
+  /** LSH-accelerated near-dup pairs: same-(table, bucket) candidates
+    * within the [[LshBucketWindow]] id-sorted window (`window = 0` ⇒
+    * unbounded same-bucket pairs, for ground-truth comparison only),
     * exact cosine verification ≥ threshold. Verification cost tracks the
     * candidate set (same contract as [[Dedup.jaccardOfCandidates]]).
     */
   def lshCosinePairs(
       emb: DataFrame, threshold: Double,
-      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+      tables: Int = 8, bits: Int = 4, dim: Int = 64,
+      window: Int = LshBucketWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the bucketing projection (tables × bits × dim multiplies per
-    // vector) feeds BOTH sides of the candidate self-join; checkpoint
-    // the narrow (vec_id, t, bucket) result so it runs once
-    val buckets = Ckpt.narrow(signLshBuckets(emb, tables, bits, dim))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      .distinct()
+    // vector) feeds BOTH sides of the candidate join; checkpoint the
+    // narrow (vec_id, t, bucket[, rn]) result so it runs once
+    val cand =
+      if (window <= 0) {
+        val buckets = Ckpt.narrow(signLshBuckets(emb, tables, bits, dim))
+        buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+          .distinct()
+      } else {
+        val rn = Ckpt.narrow(signLshBuckets(emb, tables, bits, dim)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("t", "bucket").orderBy(
+              expr(Dedup.h60("concat('lshw_', t, '_', vec_id)")),
+              col("vec_id")))))
+        // window pairing as a pure EQUI-join on (t, bucket, rn): the
+        // probe side explodes each row into its `window` successor
+        // ranks, so no per-bucket range scan ever materializes a
+        // quadratic bucket cross product — ≤ tables·window·n rows end
+        // to end. The salted order is not id order, so normalize the
+        // pair AFTER the join (i = min id, j = max id).
+        rn.select(col("t"), col("bucket"), col("vec_id").as("ai"),
+            explode(expr(s"sequence(rn + 1, rn + $window)")).as("rn"))
+          .join(rn.select(col("t"), col("bucket"), col("rn"),
+            col("vec_id").as("bj")), Seq("t", "bucket", "rn"))
+          .select(least(col("ai"), col("bj")).as("i"),
+            greatest(col("ai"), col("bj")).as("j"))
+          .distinct()
+      }
     val v = withNorm(emb)
     cand
       .join(v.as("a"), col("i") === col("a.vec_id"))
@@ -537,8 +591,9 @@ object Similarity {
     */
   def semanticDedup(
       emb: DataFrame, threshold: Double,
-      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
-    val edges = lshCosinePairs(emb, threshold, tables, bits, dim).select("i", "j")
+      tables: Int = 8, bits: Int = 4, dim: Int = 64,
+      window: Int = LshBucketWindow): DataFrame = {
+    val edges = lshCosinePairs(emb, threshold, tables, bits, dim, window).select("i", "j")
     val comp = Components.connected(edges).withColumnRenamed("node", "vec_id")
     emb.select(col("vec_id"))
       .join(comp, Seq("vec_id"), "left")

@@ -57,12 +57,18 @@ object SimilarityQueries {
       |         list_sum(list_transform(generate_series(1, 64), k -> e[k] * pr[k])) AS proj
       |  FROM v CROSS JOIN ${p}planes),
       |${p}buckets AS (
-      |  SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+      |  SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket,
+      |         row_number() OVER (PARTITION BY t,
+      |           sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END)
+      |           ORDER BY CAST('0x' || substr(md5('lshw_' || t || '_' || vec_id), 1, 15)
+      |                    AS BIGINT), vec_id) AS rn
       |  FROM ${p}proj GROUP BY vec_id, t),
       |${p}cand AS (
-      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS i,
+      |         GREATEST(a.vec_id, b.vec_id) AS j
       |  FROM ${p}buckets a JOIN ${p}buckets b
-      |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+      |    ON a.t = b.t AND a.bucket = b.bucket
+      |   AND b.rn - a.rn BETWEEN 1 AND ${Similarity.LshBucketWindow})""".stripMargin
 
   private val LshCandSql: String = lshCandSql(16, 8)
 

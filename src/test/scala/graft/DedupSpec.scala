@@ -123,6 +123,16 @@ class DedupSpec extends AnyFunSuite {
       .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
     assert(strict / embPairs < 0.02,
       s"strict sign-LSH candidates $strict of ${embPairs.toLong} pairs")
+    // the within-bucket window guard's hard bound: the CAPPED candidate
+    // set (the default path every gated query runs) never exceeds
+    // tables × window per vector — the linear-at-any-density contract
+    // that keeps sign-LSH from going quadratic as fixed-bucket-space
+    // occupancy grows with the corpus (measured: q33 exponent ≈ 2.0 on
+    // the 10×→30× decade before the guard)
+    val capped = Similarity.lshCosinePairs(emb, threshold = -1.0,
+      tables = 16, bits = 8).count()
+    assert(capped <= 16L * Similarity.LshBucketWindow * m,
+      s"windowed candidates $capped exceed tables×window×n")
   }
 
   test("strict semantic dedup (q59 config) clusters planted embedding dups") {
