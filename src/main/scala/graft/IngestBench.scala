@@ -1,0 +1,128 @@
+package graft
+
+import java.util.Locale
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probe-cost A/B for the streaming ingest tiers (VERDICT r5 ask #3's
+  * measurement half): drive each `foreachBatch` ingest composition
+  * batch-by-batch through its public batch function, time a FIXED probe
+  * against the accumulated state as the batch count grows, then compact
+  * and time the same probe against the canonical base — the record that
+  * shows probe cost growing with batch count and falling back to
+  * ~single-batch cost after the compaction job, which is the entire
+  * reason [[graft.streaming.Streams.compactNearDup]] / `compactIvf` /
+  * `compactTextIndex` exist.
+  *
+  * Probes (constant work per measurement, only the state varies):
+  *   - neardup: [[graft.operators.Dedup.incrementalNearDupEdgesIndexed]]
+  *     of a fixed 100-doc delta against the accumulated index — the
+  *     steady-state ingest step's own shape.
+  *   - ivf: [[graft.operators.Similarity.ivfSearch]] of a fixed 64-query
+  *     frame, k=10 — the serving path.
+  *   - text: [[graft.operators.TextIndex.bm25]] over a fixed term set —
+  *     the retrieval path.
+  *
+  * Protocol per probe point: 1 warm-up + 2 timed [[Bench.timeOnce]]
+  * runs, min recorded (same noop-sink + cache-release discipline as the
+  * official bench). Probe points: every batch count in the sampled set,
+  * plus `after_compact`.
+  *
+  * Usage: `IngestBench <outPath> <sfDir> <numBatches>`
+  */
+object IngestBench {
+
+  private def probeMin(spark: SparkSession, mk: () => DataFrame): Double = {
+    def once() = Bench.timeOnce(spark, "", (_, _) => mk())
+    once() // warm-up
+    math.min(once(), once())
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: IngestBench <outPath> <sfDir> <numBatches>")
+    val (outPath, sfDir, nBatches) = (args(0), args(1), args(2).toInt)
+    val spark = Graft.session(appName = "graft-ingestbench")
+    import graft.operators.{Dedup, Similarity, TextIndex}
+    import graft.sources.Tables
+    import graft.streaming.Streams
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val probeDocs = docs.filter(col("doc_id") < 100)
+    val probeQs = emb.filter(col("vec_id") < 64)
+    val probeTerms = Seq("the", "data", "model", "with")
+    val root = java.nio.file.Files.createTempDirectory("graft-ingestbench")
+    // sample ~8 probe points; always the first and the final batch count
+    val step = math.max(1, nBatches / 8)
+    def probed(i: Int): Boolean = i == 0 || i == nBatches - 1 || (i + 1) % step == 0
+
+    def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    def tierJson(byBatches: Seq[(Int, Double)], after: Double): String =
+      "{\"probe_by_batches\":" +
+        byBatches.map { case (b, t) => "\"" + b + "\":" + num(t) }.mkString("{", ",", "}") +
+        ",\"after_compact\":" + num(after) + "}"
+
+    // ——— near-dup tier ———
+    val ndState = s"$root/neardup"
+    val ndPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestNearDupBatch(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), ndState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () => Dedup.incrementalNearDupEdgesIndexed(
+          Streams.ingestIndex(spark, ndState).get, probeDocs))
+        System.err.println(f"[ingestbench] neardup probe @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactNearDup(spark, ndState).contains((nBatches - 1).toLong))
+    val ndAfter = probeMin(spark, () => Dedup.incrementalNearDupEdgesIndexed(
+      Streams.ingestIndex(spark, ndState).get, probeDocs))
+    System.err.println(f"[ingestbench] neardup probe after compact: $ndAfter%.3f s")
+
+    // ——— ivf tier ———
+    val ivfState = s"$root/ivf"
+    val ivfPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestIvfBatch(emb.filter(pmod(col("vec_id"), lit(nBatches)) === i), ivfState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          Similarity.ivfSearch(Streams.ingestIvfIndex(spark, ivfState).get, probeQs, k = 10))
+        System.err.println(f"[ingestbench] ivf probe @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactIvf(spark, ivfState).contains((nBatches - 1).toLong))
+    val ivfAfter = probeMin(spark, () =>
+      Similarity.ivfSearch(Streams.ingestIvfIndex(spark, ivfState).get, probeQs, k = 10))
+    System.err.println(f"[ingestbench] ivf probe after compact: $ivfAfter%.3f s")
+
+    // ——— text-index tier ———
+    val txState = s"$root/text"
+    val txPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestTextIndexBatch(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), txState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          TextIndex.bm25(Streams.ingestTextIndexRead(spark, txState).get, probeTerms))
+        System.err.println(f"[ingestbench] text probe @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactTextIndex(spark, txState).contains((nBatches - 1).toLong))
+    val txAfter = probeMin(spark, () =>
+      TextIndex.bm25(Streams.ingestTextIndexRead(spark, txState).get, probeTerms))
+    System.err.println(f"[ingestbench] text probe after compact: $txAfter%.3f s")
+
+    spark.stop()
+    val line = s"""{"metric":"ingest_probe","unit":"sec","batches":$nBatches,"sf":"$sfDir","tiers":{""" +
+      s""""neardup":${tierJson(ndPoints, ndAfter)},""" +
+      s""""ivf":${tierJson(ivfPoints, ivfAfter)},""" +
+      s""""text":${tierJson(txPoints, txAfter)}}}"""
+    val out = java.nio.file.Paths.get(outPath)
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(out, line + "\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")),
+      s"""{"at_ms":${System.currentTimeMillis()},${line.drop(1)}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable => System.err.println(s"[ingestbench] history append failed: $e") }
+    println(line)
+  }
+}

@@ -24,10 +24,13 @@ import java.util.Locale
   *
   * The query set is every gated query whose cost is carried by the
   * scaled tables (documents / embeddings / events), EXCLUDING the
-  * labeled ground-truth quadratic tiers (q26 / q30 / q32 — they verify
-  * recall of the bucketed tiers and are quadratic by contract, SURVEY
-  * §2.6). Override with SPARK_GRAFT_SCALE_QUERIES (comma-separated) to
-  * trim a run.
+  * labeled ground-truth quadratic tiers (q26 / q30 / q32 / q92 — they
+  * verify recall/containment of the bucketed tiers and are quadratic by
+  * contract, SURVEY §2.6; q92's exponent ≈ 2.0 was MEASURED here on the
+  * 10×→30× decade, confirming its label — common shingles' posting
+  * lists grow with the corpus, so its raw self-join is the same shape
+  * as q26's). Override with SPARK_GRAFT_SCALE_QUERIES (comma-separated)
+  * to trim a run.
   *
   * Usage: `ScaleBench <outPath> <dir>=<relScale> [<dir>=<relScale> ...]`
   * e.g. `ScaleBench bench/scaling.json /root/testdata/sf0.1=1 /tmp/sf1=10`
@@ -43,7 +46,7 @@ object ScaleBench {
     "q44_sessionize", "q45_ann_ivf", "q47_dedup_components",
     "q54_semantic_dedup", "q59_semantic_dedup_strict",
     "q61_ann_ivf_trained", "q63_tfidf", "q80_chunk_dedup",
-    "q88_int8_topk", "q92_containment", "q93_winnow_pairs",
+    "q88_int8_topk", "q93_winnow_pairs",
     "q95_bm25", "q96_bm25_indexed", "q98_cms_counts",
     "q102_shuffle_order", "q103_event_dedup")
 

@@ -105,10 +105,12 @@ object Dedup {
     * payload), which symmetric Jaccard structurally misses: |A∩B|/|A∪B|
     * stays low whenever |B| ≫ |A| no matter how completely A is
     * contained. Ground-truth posting-list tier with [[ngramJaccardPairs]]'s
-    * cost model (pair work tracks shared-shingle collisions); the LSH
-    * tiers stay the discovery path at corpus scale — a containment-
-    * biased production variant would band only the smaller side's
-    * signature, which this exact tier exists to verify against.
+    * cost model (pair work tracks shared-shingle collisions — ScaleBench
+    * measured exponent ≈ 2.0 on the 10×→30× corpus decade, as the label
+    * predicts: common shingles' posting lists grow with the corpus); the
+    * LSH/winnowing tiers stay the discovery path at corpus scale — a
+    * containment-biased production variant would band only the smaller
+    * side's signature, which this exact tier exists to verify against.
     */
   def containmentPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.9): DataFrame = {
