@@ -14,7 +14,17 @@ import org.apache.spark.sql.functions._
   * reason [[graft.streaming.Streams.compactNearDup]] / `compactIvf` /
   * `compactTextIndex` exist.
   *
-  * Probes (constant work per measurement, only the state varies):
+  * Reading the record: the `probe_by_batches` curve mixes two effects —
+  * the corpus itself grows as batches land (a probe against 24 batches
+  * sees 24× the documents of a probe against 1), and the state
+  * fragments across batch dirs. The controlled A/B is the LAST
+  * `probe_by_batches` cell vs `after_compact`: same corpus, same probe,
+  * only the layout differs (N batch-partitioned dirs vs the one
+  * canonical base). Fragmentation cost scales with batch count, so run
+  * with many small batches (e.g. 96 at sf0.01) to isolate it from
+  * compute, and realistic batches (e.g. 24 at sf0.1) to see the blend.
+  *
+  * Probes (constant probe-side work per measurement):
   *   - neardup: [[graft.operators.Dedup.incrementalNearDupEdgesIndexed]]
   *     of a fixed 100-doc delta against the accumulated index — the
   *     steady-state ingest step's own shape.
