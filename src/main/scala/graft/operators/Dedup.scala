@@ -863,4 +863,126 @@ object Dedup {
         round(col("shared").cast("double") /
           least(col("nfp_a"), col("nfp_b")), 4).as("overlap"))
   }
+
+  /** Exact maximal shared token runs between document pairs — the
+    * substring-dedup grain (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better": verbatim repeated SEQUENCES,
+    * not whole near-dup documents, drive memorization; doc-level tiers
+    * structurally miss a 200-token quote inside two otherwise-unrelated
+    * pages). Where that work builds a corpus suffix array, the
+    * distributed rendering is diagonal run assembly over the positional
+    * gram matches: two docs share a verbatim run of L >= n consecutive
+    * words iff their positional n-gram shingles match at L-n+1
+    * consecutive positions with a CONSTANT offset pos_i - pos_j (the
+    * "diagonal", as in a dot-plot alignment). So:
+    *
+    *   positional shingles -> stop-gram guard -> equi-join on gh ->
+    *   gaps-and-islands per (i, j, diagonal) -> one run row per island.
+    *
+    * Each output row is one MAXIMAL shared run: (i, j, start_i, start_j,
+    * run_tokens) with run_tokens = matching grams + n - 1 (a run of L
+    * tokens yields L-n+1 consecutive gram matches). Runs shorter than
+    * `minRun` tokens are dropped — the tier's whole point is long
+    * verbatim spans, and the floor keeps incidental 3-gram collisions
+    * out of the report.
+    *
+    * Scale shape: the only non-linear step is the gram equi-join, and it
+    * is bounded by the stop-gram guard — grams occurring more than
+    * `maxPostings` times in the corpus are dropped FIRST (boilerplate
+    * n-grams; occurrence count, not doc count, so a pathological
+    * "word word word ..." doc cannot fan out against itself either), so
+    * per-gram pair work is <= maxPostings². Dropping a hot gram can
+    * split a run crossing it into two islands — at most it shortens
+    * reported runs through boilerplate, never invents one; the guard is
+    * mirrored in the q108 oracle so the gate checks the guarded path.
+    * The islands window partitions by (i, j, diagonal) — per-partition
+    * size is bounded by the shorter doc's length, the same grain the
+    * tokenizer already pays. All join/window traffic is 32-byte
+    * (ids, positions) rows; text never leaves the initial scan.
+    */
+  def sharedRuns(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
+      maxPostings: Long = 1000L): DataFrame = {
+    require(minRun >= n, s"minRun must be >= n = $n, got $minRun")
+    require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
+    import org.apache.spark.sql.expressions.Window
+    val ps = positionalShingles(docs, n)
+    val rare = ps.groupBy("gh").agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") <= maxPostings).select("gh")
+    val kept = ps.join(rare, "gh")
+    // (i, pi) and (j, pj) each carry one gram, so (i, j, diag, pi) is
+    // unique and the islands row_number is deterministic without a
+    // tie-break column.
+    val matches = kept.as("a")
+      .join(kept.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.pos").as("pi"), col("b.pos").as("pj"))
+      .withColumn("diag", col("pi") - col("pj"))
+    val island = Window.partitionBy("i", "j", "diag").orderBy("pi")
+    matches
+      .withColumn("island", col("pi") - row_number().over(island))
+      .groupBy("i", "j", "diag", "island")
+      .agg(min(col("pi")).as("start_i"), min(col("pj")).as("start_j"),
+        (count(lit(1)) + lit(n - 1).cast("long")).as("run_tokens"))
+      .filter(col("run_tokens") >= minRun)
+      .select(col("i"), col("j"), col("start_i"), col("start_j"),
+        col("run_tokens"))
+  }
+
+  /** Span-scrub remediation over [[sharedRuns]] — the rewrite step of
+    * exact substring dedup: every shared run keeps its FIRST occurrence
+    * (the smaller-doc_id side, matching the keeper convention of
+    * [[exactGroups]]/[[chunkDedup]]) and is cut from the later doc, so
+    * no verbatim span >= `minRun` tokens survives twice in the corpus.
+    * Overlapping cut spans from different partner docs are interval-
+    * merged per doc BEFORE touching token grain (classic running-max
+    * islands over the few span rows a doc owns), so the position
+    * explode is bounded by document length — never by how many partners
+    * quote the doc. Output is the full corpus, one row per doc:
+    * (doc_id, n_tokens, n_dropped, text_clean), with text_clean the
+    * kept tokens rejoined in order (single spaces — the tokenizer's
+    * word model, reference src/main.c:19, does not preserve runs of
+    * whitespace, and neither does the rewrite).
+    */
+  def scrubSharedRuns(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
+      maxPostings: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = sharedRuns(docs, n, minRun, maxPostings)
+      .select(col("j").as("doc_id"), col("start_j").as("s"),
+        (col("start_j") + col("run_tokens")).as("e"))
+    // interval-merge per doc: a span starts a new merged island iff it
+    // begins past every earlier span's end (running max up to the
+    // PREVIOUS row); count of island-starts so far = island id.
+    val bySpan = Window.partitionBy("doc_id")
+      .orderBy(col("s"), col("e"))
+    val merged = spans
+      .withColumn("pmax",
+        max(col("e")).over(bySpan.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("news",
+        (col("pmax").isNull || col("s") > col("pmax")).cast("bigint"))
+      .withColumn("isl",
+        sum(col("news")).over(bySpan.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(trim(text), '\\\\s+'), x -> x != '')")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+    // token-grain drop set: explode each MERGED span once — total rows
+    // <= corpus token count by construction.
+    val dropped = merged.select(col("doc_id"),
+      explode(expr("sequence(s, e - 1)")).as("pos"))
+    toks.join(dropped, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, word))), x -> x.word), ' ')").as("_kept"),
+        count(lit(1)).as("_nk"))
+      .join(docs.select(col("doc_id"),
+        size(expr("filter(split(trim(text), '\\\\s+'), x -> x != '')"))
+          .cast("long").as("n_tokens")), Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nk"), lit(0L))).as("n_dropped"),
+        coalesce(col("_kept"), lit("")).as("text_clean"))
+  }
 }

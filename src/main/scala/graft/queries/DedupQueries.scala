@@ -36,6 +36,34 @@ object DedupQueries {
 
   private[queries] val ShinglesSql: String = shinglesSql("documents")
 
+  /** Positional word-3-gram chain → maximal shared diagonal runs — the
+    * SQL twin of [[Dedup.sharedRuns]] (0-based pos = i−1 to match the
+    * engine's `positionalShingles`; stop-gram guard caps OCCURRENCES,
+    * not doc count, mirroring the engine; run_tokens = grams + n − 1).
+    * Emits `ws` (tokens) and `runs` (un-thresholded maximal runs) for
+    * q108/q109 to consume.
+    */
+  private[queries] val SharedRunsSql: String =
+    """ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |       FROM documents),
+      |psh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |               CAST('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15) AS BIGINT) AS gh
+      |        FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      |        WHERE len(w) >= 3),
+      |rare AS (SELECT gh FROM psh GROUP BY gh HAVING count(*) <= 1000),
+      |keptg AS (SELECT p.doc_id, p.pos, p.gh FROM psh p JOIN rare USING (gh)),
+      |m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj,
+      |             a.pos - b.pos AS diag
+      |      FROM keptg a JOIN keptg b
+      |        ON a.gh = b.gh AND a.doc_id < b.doc_id),
+      |isl AS (SELECT i, j, diag, pi, pj,
+      |               pi - row_number() OVER (PARTITION BY i, j, diag
+      |                                       ORDER BY pi) AS island
+      |        FROM m),
+      |runs AS (SELECT i, j, min(pi) AS start_i, min(pj) AS start_j,
+      |                CAST(count(*) + 2 AS BIGINT) AS run_tokens
+      |         FROM isl GROUP BY i, j, diag, island)""".stripMargin
+
   /** Exact Jaccard over the hashed shingle sets. */
   private[queries] val JaccardSql: String =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -252,6 +280,23 @@ object DedupQueries {
       Dedup.winnowingPairs(Tables.load(spark, dir, "documents"),
           n = 3, w = 4, minShared = 3L, maxPostings = 1000L)
         .orderBy("doc_a", "doc_b")),
+
+    // exact substring-dedup grain: one row per MAXIMAL shared verbatim
+    // token run >= 15 tokens between any doc pair — the repeated-SPAN
+    // report doc-level tiers (q26/q27) structurally cannot produce
+    "q108_shared_runs" -> ((spark, dir) =>
+      Dedup.sharedRuns(Tables.load(spark, dir, "documents"),
+          n = 3, minRun = 15L, maxPostings = 1000L)
+        .orderBy(col("run_tokens").desc, col("i"), col("j"),
+          col("start_i"), col("start_j"))),
+
+    // the remediation over q108: later occurrence of every shared run
+    // cut, overlapping cuts interval-merged, corpus rewritten — no
+    // verbatim span >= 15 tokens survives twice
+    "q109_span_scrub" -> ((spark, dir) =>
+      Dedup.scrubSharedRuns(Tables.load(spark, dir, "documents"),
+          n = 3, minRun = 15L, maxPostings = 1000L)
+        .orderBy("doc_id")),
 
     // syndication audit: canonical near-dup pairs whose endpoints come
     // from DIFFERENT sources — the same content crawled twice under two
@@ -502,6 +547,60 @@ object DedupQueries {
          |JOIN sz s1 ON p.doc_a = s1.doc_id
          |JOIN sz s2 ON p.doc_b = s2.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // positional 3-gram shingles (0-based pos = i-1, mirroring the
+    // engine's positionalShingles), occurrence-capped stop-gram guard,
+    // gram matches grouped into maximal diagonal runs — the shared CTE
+    // chain of q108/q109
+    "q108_shared_runs" ->
+      s"""WITH $SharedRunsSql
+         |SELECT i, j, start_i, start_j, run_tokens
+         |FROM runs WHERE run_tokens >= 15
+         |ORDER BY run_tokens DESC, i, j, start_i, start_j""".stripMargin,
+
+    // q108's remediation: cut spans on the later (j) side, interval-
+    // merged per doc (running-max islands), tokens outside every merged
+    // span rejoined in order; guards make token-free docs carry 0/''
+    "q109_span_scrub" ->
+      s"""WITH $SharedRunsSql,
+         |spans AS (SELECT j AS doc_id, start_j AS s,
+         |                 start_j + run_tokens AS e
+         |          FROM runs WHERE run_tokens >= 15),
+         |mrg0 AS (SELECT doc_id, s, e,
+         |                max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |                  AS pmax
+         |         FROM spans),
+         |mrg1 AS (SELECT doc_id, s, e,
+         |                sum(CASE WHEN pmax IS NULL OR s > pmax
+         |                         THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY doc_id ORDER BY s, e
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                  AS isl2
+         |         FROM mrg0),
+         |mrg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+         |        FROM mrg1 GROUP BY doc_id, isl2),
+         |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+         |         FROM ws, UNNEST(generate_series(1, len(w))) AS t(i)
+         |         WHERE trim(w[1]) <> '' OR len(w) > 1),
+         |dropped AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos
+         |            FROM mrg),
+         |keptt AS (SELECT t.doc_id, t.pos, t.word
+         |          FROM toks t LEFT JOIN dropped d
+         |            ON t.doc_id = d.doc_id AND t.pos = d.pos
+         |          WHERE d.pos IS NULL),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+         |               string_agg(word, ' ' ORDER BY pos) AS kept
+         |        FROM keptt GROUP BY doc_id),
+         |nt AS (SELECT doc_id,
+         |              CAST(CASE WHEN trim(text) = '' THEN 0
+         |                        ELSE len(w) END AS BIGINT) AS n_tokens
+         |       FROM ws JOIN documents USING (doc_id))
+         |SELECT n.doc_id, n.n_tokens,
+         |       n.n_tokens - coalesce(a.nk, 0) AS n_dropped,
+         |       coalesce(a.kept, '') AS text_clean
+         |FROM nt n LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // both family chains verbatim (q47's lexical closure, q54's weak
     // semantic chain prefixed `s`), joined into the contingency table

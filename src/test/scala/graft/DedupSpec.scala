@@ -546,4 +546,101 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getString(3) != r.getString(4), "endpoints span sources")
     }
   }
+
+  /** Plain-Scala maximal shared-run finder — the brute-force ground
+    * truth for [[Dedup.sharedRuns]]: all (i, j, start_i, start_j, len)
+    * with len >= minRun where the token slices match verbatim and the
+    * run extends neither left nor right.
+    */
+  private def bruteRuns(docs: Seq[(Long, String)], minRun: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toVector
+    }.toMap
+    (for {
+      Seq((i, a), (j, b)) <- toks.toSeq.sortBy(_._1).combinations(2).toSeq
+      si <- a.indices; sj <- b.indices
+      if a(si) == b(sj)
+      if si == 0 || sj == 0 || a(si - 1) != b(sj - 1) // maximal-left only
+    } yield {
+      var len = 0
+      while (si + len < a.length && sj + len < b.length &&
+        a(si + len) == b(sj + len)) len += 1
+      (i, j, si.toLong, sj.toLong, len.toLong)
+    }).filter(_._5 >= minRun).toSet
+  }
+
+  test("sharedRuns == brute-force maximal verbatim runs on a crafted corpus") {
+    import spark.implicits._
+    val run = (1 to 20).map(k => s"shared$k").mkString(" ") // 20-token run
+    val seq = Seq(
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"intro words here $run and a tail of extra words"),
+      // sub-threshold overlap only (8 tokens < 15): must NOT report
+      (3L, "one two " + (1 to 8).map(k => s"shared$k").mkString(" ") + " xx yy"),
+      // the run twice in one doc: two diagonals against docs 1 and 2
+      (4L, s"$run filler tokens between $run closing words"),
+      (5L, "completely unrelated content with no overlap at all whatsoever"))
+    val got = Dedup.sharedRuns(seq.toDF("doc_id", "text"),
+        n = 3, minRun = 15L, maxPostings = 1000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val want = bruteRuns(seq, 15)
+    assert(want.exists(_._5 == 20L), "the crafted 20-token run is ground truth")
+    assert(got == want, s"missed: ${want -- got}, spurious: ${got -- want}")
+    // doc 4 carries the run twice: both copies pair against doc 1
+    assert(got.count(t => t._1 == 1L && t._2 == 4L) == 2)
+  }
+
+  test("sharedRuns: stop-gram guard drops boilerplate-only runs, real runs survive it") {
+    import spark.implicits._
+    val boiler = (1 to 17).map(k => s"b$k").mkString(" ")
+    val df = ((0 until 30).map(i => (i.toLong, s"$boiler tail$i words$i")) :+
+      (100L, s"unique prefix $boiler unique suffix")).toDF("doc_id", "text")
+    // every 3-gram inside the boilerplate occurs 31 times > cap 20
+    val capped = Dedup.sharedRuns(df, n = 3, minRun = 15L, maxPostings = 20L)
+    assert(capped.isEmpty,
+      "boilerplate-only runs must vanish once gram occurrences exceed the cap")
+    val uncapped = Dedup.sharedRuns(df, n = 3, minRun = 15L, maxPostings = 1000L)
+    assert(uncapped.count() == 31L * 30 / 2,
+      "without the cap every pair shares the 17-token boilerplate run")
+  }
+
+  test("scrubSharedRuns: keeper text intact, later copy cut, overlaps merged, audit conserves") {
+    import spark.implicits._
+    val run = (1 to 20).map(k => s"s$k").mkString(" ")
+    val seq = Seq(
+      (1L, s"head $run tail"),                  // keeper: never a j side
+      (2L, s"pre $run post"),                   // loses the run to doc 1
+      // overlapping cuts: shares s1..s20 with 1/2 AND s6..s25 with 6 —
+      // spans [?,?] overlap inside this doc and must interval-merge
+      (3L, (1 to 25).map(k => s"s$k").mkString(" ")),
+      (6L, (6 to 25).map(k => s"s$k").mkString(" ")),
+      (7L, "")                                  // token-free doc: 0 / ''
+    )
+    val got = Dedup.scrubSharedRuns(seq.toDF("doc_id", "text"),
+        n = 3, minRun = 15L, maxPostings = 1000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 6L, 7L), "total audit: every doc reports")
+    assert(got(1L) == ((22L, 0L, s"head $run tail")), "smallest doc_id keeps its text")
+    assert(got(2L) == ((22L, 20L, "pre post")), "later copy loses exactly the run")
+    // doc 3: s1..s25 all cut (vs doc 1's s1..s20 and itself being doc 6's
+    // keeper — doc 3 < 6, so 3 keeps vs 6; but 3 > 1 and 3 > 2 lose s1..s20;
+    // merged spans cover the union the brute-force check below computes
+    val (nt3, nd3, clean3) = got(3L)
+    assert(nt3 == 25L && clean3.split("\\s+").filter(_.nonEmpty).length == (25L - nd3).toInt)
+    // conservation on every row: kept tokens == n_tokens - n_dropped
+    got.foreach { case (_, (nt, nd, txt)) =>
+      val kept = txt.split("\\s+").filter(_.nonEmpty).length.toLong
+      assert(kept == nt - nd && nd >= 0 && nd <= nt)
+    }
+    assert(got(7L) == ((0L, 0L, "")), "token-free doc carries 0 / empty, never NULL")
+    // the scrub's whole point: no verbatim span >= minRun survives twice
+    val rescan = Dedup.sharedRuns(
+      got.toSeq.map { case (id, (_, _, txt)) => (id, txt) }.toDF("doc_id", "text"),
+      n = 3, minRun = 15L, maxPostings = 1000L)
+    assert(rescan.isEmpty, "post-scrub corpus has no shared run >= minRun")
+  }
 }
