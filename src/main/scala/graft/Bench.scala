@@ -3,9 +3,12 @@ package graft
 import java.util.Locale
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"value":N,"unit":"sec","value_min":
+  * records ONE JSON line {"metric":...,"value":N,"unit":"sec","value_min":
   * N,"queries":{...},"queries_min":{...},"hist_medians":{...},"errors":
-  * {...},"outliers":{...},"sf":...}.
+  * {...},"outliers":{...},"sf":...} durably to bench/results.json and
+  * BENCH_HISTORY.jsonl. Stdout prints that full line AND then a compact
+  * (<1.8 KB) summary line LAST, because the driver's capture keeps only
+  * the final ~2000 stdout chars — see the tail of main.
   *
   * Protocol (BASELINE.md): per query, one warm-up run (JIT + codegen +
   * parquet footer cache), then the MEDIAN of 3 timed runs. A query that
@@ -167,9 +170,35 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[bench] history append failed: $e") }
     spark.stop()
-    // the metric line is the FINAL stdout line of the run (after
-    // spark.stop so no shutdown logging can trail it) — a tail capture
-    // that keeps any stdout at all keeps this line whole
+    // The full record is printed first for humans reading the log...
     println(line)
+    // ...but the FINAL stdout line must survive a tail capture. The
+    // driver keeps only the last ~2000 stdout chars and parses the
+    // {"metric":...} line it finds there; at 110 queries the full-name
+    // "queries" map alone is ~2.9 KB, so the full line can NEVER fit —
+    // rounds 5 and 6 both lost the line's head to exactly this. The
+    // durable full record lives in bench/results.json (and the history
+    // file); stdout ends with a length-budgeted compact line: totals,
+    // error/outlier summaries, and the slowest per-query timings packed
+    // greedily until the line reaches ~1750 chars, with the omitted
+    // remainder summarized as a count + its summed seconds.
+    val slowFirst = results.filter(_._2 >= 0).sortBy(-_._2)
+    val errsCompact =
+      if (errors.isEmpty) "{}"
+      else errors.take(3).map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+        .mkString("{", ",", if (errors.size > 3) s""","_more":${errors.size - 3}}""" else "}")
+    val fixedTail = s""""errors":$errsCompact,"outliers":{"flag":$wholesale,"compared":${ratios.size},"n_high":${high.size}},"full_record":"bench/results.json","sf":${jstr(sfDir)}}"""
+    val head = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"n_queries":${results.size},"""
+    val budget = 1750
+    val entries = slowFirst.map { case (k, v, _) => jstr(k) + ":" + num(v) }
+    // greedy slowest-first pack: how many entries fit alongside the fixed
+    // parts + the omitted-summary fields (~60 chars reserved)
+    var used = head.length + fixedTail.length + 60 + """"queries":{},""".length
+    val taken = entries.takeWhile { e => used += e.length + 1; used <= budget }
+    val omitted = slowFirst.drop(taken.size)
+    val compact = head +
+      s""""queries_omitted":${omitted.size},"omitted_sec":${num(omitted.map(_._2).sum)},""" +
+      s""""queries":${taken.mkString("{", ",", "}")},""" + fixedTail
+    println(compact)
   }
 }

@@ -142,6 +142,101 @@ object Dedup {
     * LSH an actual scale path — verification work tracks the candidate
     * set, never the full pair space.
     */
+  /** EXACT set-similarity join via prefix filtering (the AllPairs/PPJoin
+    * family — Bayardo et al. WWW'07, Xiao et al. WWW'08 — re-expressed
+    * as three DataFrame joins): unlike the LSH tiers this is complete BY
+    * THEOREM, not with probability. Order every doc's shingles by global
+    * rarity (document frequency asc, hash asc — one total order shared
+    * corpus-wide); a doc of m shingles exposes only its first
+    * p = m − ceil(t·m) + 1 rarest shingles as its "prefix". For any pair
+    * with J ≥ t, the FIRST common shingle x in the global order lies
+    * inside BOTH prefixes: were x past a's prefix, all common shingles
+    * would sit in a's last ceil(t·m_a) − 1 positions, capping the
+    * intersection below t·m_a ≤ |a∩b| — contradiction (symmetrically
+    * for b). So joining prefix-to-prefix misses nothing at threshold t.
+    *
+    * The threshold is a RATIONAL tNum/tDen and every filter is exact
+    * integer arithmetic (prefix length via `div`, the length filter
+    * tDen·m_min ≥ tNum·m_max, the final verify c·tDen ≥ tNum·(union)) —
+    * an IEEE ceil(0.8·m) can land one ULP high and silently SHORTEN the
+    * prefix, breaking the completeness proof; integers cannot.
+    *
+    * Scale shape: the prefix join's posting lists are the corpus's
+    * RAREST shingles by construction — document frequency asc is
+    * exactly "shortest posting lists first" — so candidate volume
+    * tracks true-pair volume, not corpus²; the verify is candidate-
+    * proportional ([[jaccardOfCandidates]]' shape). The global-rarity
+    * rank is one agg + an equi-join, and the per-doc prefix window is
+    * bounded by document shingle count. Like every exact tier
+    * (q26/q92) the worst case is output-proportional: a corpus of N
+    * identical docs has N²/2 qualifying pairs and no algorithm returns
+    * fewer rows than its answer.
+    */
+  def prefixJaccardPairs(docs: DataFrame, n: Int = 3,
+      tNum: Long = 4L, tDen: Long = 5L): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val sh = Ckpt.narrow(shingles(docs, n))
+    val freq = sh.groupBy("gh").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("gh"))
+    val prefix = Ckpt.narrow(sh.join(freq, "gh").join(sz, "doc_id")
+      .withColumn("p", row_number().over(byRarity))
+      .filter(col("p") <=
+        col("m") - expr(s"($tNum * m + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("gh"), col("m")))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+          lit(tDen) * least(col("a.m"), col("b.m")) >=
+            lit(tNum) * greatest(col("a.m"), col("b.m")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.gh") === col("sb.gh"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("z1"), col("i") === col("z1.doc_id"))
+      .join(sz.as("z2"), col("j") === col("z2.doc_id"))
+      .filter(col("c") * lit(tDen) >=
+        lit(tNum) * (col("z1.m") + col("z2.m") - col("c")))
+      .select(col("i"), col("j"),
+        round(col("c").cast("double") /
+          (col("z1.m") + col("z2.m") - col("c")), 4).as("jaccard"))
+  }
+
+  /** Per-document shingle novelty at ingest order — the marginal-value
+    * profile of a corpus: for each doc, how many of its distinct
+    * n-gram shingles were NEVER seen in any earlier (smaller doc_id)
+    * document. The canonical "is new data still adding anything"
+    * curve for a training-data pipeline — novelty_ppm collapsing
+    * toward 0 across a crawl snapshot is the saturation signal that
+    * justifies dropping a source before paying full dedup cost.
+    * Linear shape: one min-agg per shingle (first_doc), one equi-join
+    * back, one per-doc count — no pair work anywhere. Docs with no
+    * shingles (< n tokens) report 0/0 with NULL ppm.
+    */
+  def noveltyProfile(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Ckpt.narrow(shingles(docs, n))
+    val first = sh.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+    val per = sh.join(first, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        // integer div, not double-divide-then-cast: an IEEE quotient a
+        // hair under an exact integer truncates one off the oracle's //
+        when(col("n_shingles") > 0,
+          expr("(n_novel * 1000000) div n_shingles"))
+          .cast("long").as("novelty_ppm"))
+  }
+
   private[operators] def jaccardOfCandidates(
       sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val candDocs = cand.select(col("i").as("doc_id"))
@@ -930,10 +1025,10 @@ object Dedup {
   }
 
   /** Span-scrub remediation over [[sharedRuns]] — the rewrite step of
-    * exact substring dedup: every shared run keeps its FIRST occurrence
-    * (the smaller-doc_id side, matching the keeper convention of
-    * [[exactGroups]]/[[chunkDedup]]) and is cut from the later doc, so
-    * no verbatim span >= `minRun` tokens survives twice in the corpus.
+    * exact substring dedup: every DETECTED shared run keeps its FIRST
+    * occurrence (the smaller-doc_id side, matching the keeper convention
+    * of [[exactGroups]]/[[chunkDedup]]) and is cut from the later doc,
+    * so no PRE-EXISTING cross-doc run >= `minRun` tokens survives twice.
     * Overlapping cut spans from different partner docs are interval-
     * merged per doc BEFORE touching token grain (classic running-max
     * islands over the few span rows a doc owns), so the position
@@ -943,13 +1038,35 @@ object Dedup {
     * kept tokens rejoined in order (single spaces — the tokenizer's
     * word model, reference src/main.c:19, does not preserve runs of
     * whitespace, and neither does the rewrite).
+    *
+    * What a SINGLE pass does NOT guarantee (use [[scrubRunsFixpoint]]
+    * when the corpus-level invariant itself is the requirement):
+    *  - cutting a span makes its flanking tokens adjacent, and the new
+    *    adjacency can FORM a run >= minRun against another doc (two
+    *    sub-minRun shared fragments fused by the cut between them);
+    *  - a run repeated WITHIN one doc survives — [[sharedRuns]] pairs
+    *    distinct docs only (the within-doc grain is [[selfRuns]]);
+    *  - the stop-gram guard is a remediation blind spot here, not just
+    *    a reporting one: grams in > `maxPostings` occurrences are
+    *    dropped BEFORE detection, so the MOST heavily duplicated spans
+    *    (boilerplate in more than ~maxPostings/(L-n+1) docs) are never
+    *    cut, and a rescan under the same guard cannot see them either.
+    *    [[hotSegmentCuts]] closes the identical-block shape of that
+    *    hole at linear cost; [[scrubRunsFixpoint]] runs it by default.
     */
   def scrubSharedRuns(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
-      maxPostings: Long = 1000L): DataFrame = {
+      maxPostings: Long = 1000L): DataFrame =
+    applyCutSpans(docs,
+      sharedRuns(docs, n, minRun, maxPostings)
+        .select(col("j").as("doc_id"), col("start_j").as("s"),
+          (col("start_j") + col("run_tokens")).as("e")))
+
+  /** Apply token-position cut spans (doc_id, s, e) to the corpus:
+    * interval-merge per doc, drop covered positions, rejoin kept tokens
+    * in order. The merged-span explode is bounded by document length.
+    */
+  private[operators] def applyCutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = sharedRuns(docs, n, minRun, maxPostings)
-      .select(col("j").as("doc_id"), col("start_j").as("s"),
-        (col("start_j") + col("run_tokens")).as("e"))
     // interval-merge per doc: a span starts a new merged island iff it
     // begins past every earlier span's end (running max up to the
     // PREVIOUS row); count of island-starts so far = island id.
@@ -984,5 +1101,164 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("_nk"), lit(0L))).as("n_dropped"),
         coalesce(col("_kept"), lit("")).as("text_clean"))
+  }
+
+  /** Maximal verbatim runs repeated WITHIN a single document — the
+    * self-diagonal [[sharedRuns]] misses by construction (it pairs
+    * doc_id < doc_id only). Same machinery on the same positional
+    * grams: match a doc's grams against themselves at pos_i < pos_j,
+    * assemble islands per (doc, diagonal). Output one row per maximal
+    * repeat: (doc_id, start_i, start_j, run_tokens) with start_i the
+    * earlier occurrence. Tandem periodic repeats (offset < run length)
+    * surface as one long overlapping pair — the cut side [start_j,
+    * start_j + run) is exactly the non-primitive tail, so scrubbing it
+    * collapses "w w w ... w" to its primitive prefix. Cost shape is
+    * [[sharedRuns]]': the gram self-join is occurrence-bounded by the
+    * same stop-gram guard; per-(doc, diag) island windows are bounded
+    * by document length.
+    */
+  def selfRuns(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
+      maxPostings: Long = 1000L): DataFrame = {
+    require(minRun >= n, s"minRun must be >= n = $n, got $minRun")
+    import org.apache.spark.sql.expressions.Window
+    val ps = positionalShingles(docs, n)
+    val rare = ps.groupBy("gh").agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") <= maxPostings).select("gh")
+    val kept = ps.join(rare, "gh")
+    // within a (doc, diag) partition pi determines pj (pj = pi - diag),
+    // so pi is unique and the islands row_number is deterministic.
+    val matches = kept.as("a")
+      .join(kept.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") === col("b.doc_id") &&
+          col("a.pos") < col("b.pos"))
+      .select(col("a.doc_id").as("doc_id"),
+        col("a.pos").as("pi"), col("b.pos").as("pj"))
+      .withColumn("diag", col("pi") - col("pj"))
+    val island = Window.partitionBy("doc_id", "diag").orderBy("pi")
+    matches
+      .withColumn("island", col("pi") - row_number().over(island))
+      .groupBy("doc_id", "diag", "island")
+      .agg(min(col("pi")).as("start_i"), min(col("pj")).as("start_j"),
+        (count(lit(1)) + lit(n - 1).cast("long")).as("run_tokens"))
+      .filter(col("run_tokens") >= minRun)
+      .select(col("doc_id"), col("start_i"), col("start_j"), col("run_tokens"))
+  }
+
+  /** Cut spans for duplicated HOT segments — the remediation pass for
+    * the stop-gram guard's blind spot. Grams in > `maxPostings`
+    * occurrences never reach [[sharedRuns]]' pair join, so a boilerplate
+    * block pasted into very many docs is invisible to it. But exactly
+    * because such a block is verbatim-identical everywhere, it shows up
+    * as the same maximal stretch of consecutive hot-gram positions in
+    * every host doc: take those stretches (islands over hot positions,
+    * linear), fingerprint each by the md5 of its ordered gram-hash
+    * sequence, and exact-group by fingerprint — keeper is the minimal
+    * (doc_id, start), every other occurrence becomes a cut span. Linear
+    * cost end to end: no pair join, one agg on the fingerprint (the
+    * million-doc boilerplate group is an agg group, not a bucket
+    * self-join). Coverage caveat: a doc containing only PART of the
+    * block yields a different stretch fingerprint and is not cut — the
+    * identical-block shape (the overwhelmingly common one for
+    * boilerplate) is what this closes.
+    */
+  private[graft] def hotSegmentCuts(docs: DataFrame, n: Int = 3,
+      minRun: Long = 15L, maxPostings: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = positionalShingles(docs, n)
+    val hotG = ps.groupBy("gh").agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") > maxPostings).select("gh")
+    val hot = ps.join(hotG, "gh")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val segs = hot
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"),
+        (count(lit(1)) + lit(n - 1).cast("long")).as("run_tokens"),
+        expr("md5(array_join(transform(array_sort(collect_list(" +
+          "struct(pos, gh))), x -> cast(x.gh as string)), ','))").as("fp"))
+      .filter(col("run_tokens") >= minRun)
+    val keepers = segs.groupBy("fp")
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("doc_id"), col("s"))).as("_keep"))
+      .filter(col("_cnt") > 1)
+      .select(col("fp"), col("_keep.doc_id").as("kd"), col("_keep.s").as("ks"))
+    segs.join(keepers, "fp")
+      .filter(!(col("doc_id") === col("kd") && col("s") === col("ks")))
+      .select(col("doc_id"), col("s"), (col("s") + col("run_tokens")).as("e"))
+  }
+
+  /** Fixpoint span scrub — iterates cut-and-rescan until NO duplicated
+    * run >= `minRun` remains detectable, delivering the corpus-level
+    * invariant a single [[scrubSharedRuns]] pass cannot (cuts create
+    * new flanking adjacencies that can fuse two sub-minRun shared
+    * fragments into a fresh run; within-doc repeats need the
+    * [[selfRuns]] diagonal; identical hot boilerplate needs
+    * [[hotSegmentCuts]]). Each round gathers all three span families
+    * over the CURRENT text and applies them at once; a round that finds
+    * no span is the fixpoint. Termination: every non-final round cuts
+    * >= 1 token from a finite corpus, so rounds are bounded by total
+    * token count — `maxIters` is a cost ceiling, not a correctness
+    * crutch, and hitting it is surfaced in the `converged` column
+    * rather than silently returned. Residual caveat inherited from the
+    * guard: partially-included boilerplate (a doc carrying a fragment
+    * of a hot block) can survive; everything detectable by the guarded
+    * scan plus the hot-segment fingerprint is gone at the fixpoint.
+    *
+    * Scale shape: the driver loop holds only an iteration counter and
+    * an is-empty probe per round; each round's frame is
+    * localCheckpoint'ed (plan-growth cut — text is rewritten, lineage
+    * would otherwise stack a full scrub pipeline per round). Rounds in
+    * practice: 1 detection round + 1 empty confirmation on clean
+    * corpora, 2–3 on adversarial ones.
+    *
+    * Output: (doc_id, n_tokens — ORIGINAL count, n_dropped —
+    * cumulative, text_clean, n_iters, converged).
+    */
+  def scrubRunsFixpoint(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
+      maxPostings: Long = 1000L, maxIters: Int = 8): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val spark = docs.sparkSession
+    def spansOf(cur: DataFrame): DataFrame =
+      sharedRuns(cur, n, minRun, maxPostings)
+        .select(col("j").as("doc_id"), col("start_j").as("s"),
+          (col("start_j") + col("run_tokens")).as("e"))
+        .unionByName(selfRuns(cur, n, minRun, maxPostings)
+          .select(col("doc_id"), col("start_j").as("s"),
+            (col("start_j") + col("run_tokens")).as("e")))
+        .unionByName(hotSegmentCuts(cur, n, minRun, maxPostings))
+    var cur = docs.select(col("doc_id"), col("text"))
+    var dropped: DataFrame = null // cumulative (doc_id, n_dropped)
+    var orig: DataFrame = null // (doc_id, n_tokens) of the INPUT corpus
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      val spans = Ckpt.narrow(spansOf(cur))
+      if (spans.isEmpty) converged = true
+      else {
+        val scrubbed = Ckpt.narrow(applyCutSpans(cur, spans))
+        if (orig == null)
+          orig = scrubbed.select(col("doc_id"), col("n_tokens"))
+        dropped =
+          if (dropped == null) scrubbed.select(col("doc_id"), col("n_dropped"))
+          else Ckpt.narrow(dropped.as("d")
+            .join(scrubbed.select(col("doc_id"),
+              col("n_dropped").as("_nd")), "doc_id")
+            .select(col("doc_id"), (col("d.n_dropped") + col("_nd")).as("n_dropped")))
+        cur = scrubbed.select(col("doc_id"), col("text_clean").as("text"))
+        iters += 1
+      }
+    }
+    val base =
+      if (orig == null)
+        // zero rounds cut anything: corpus already at fixpoint
+        docs.select(col("doc_id"),
+          size(expr("filter(split(trim(text), '\\\\s+'), x -> x != '')"))
+            .cast("long").as("n_tokens"), lit(0L).as("n_dropped"),
+          col("text").as("text_clean"))
+      else orig.join(dropped, "doc_id")
+        .join(cur.select(col("doc_id"), col("text").as("text_clean")), "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_dropped"), col("text_clean"))
+    base.withColumn("n_iters", lit(iters.toLong))
+      .withColumn("converged", lit(converged))
   }
 }

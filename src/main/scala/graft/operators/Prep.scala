@@ -288,4 +288,63 @@ object Prep {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "pos", "shuffle_key")
   }
+
+  /** Morton (Z-order) interleave of two already-bucketed non-negative
+    * integer coordinates into a single layout key: bit k of x lands at
+    * key bit 2k, bit k of y at 2k+1. Pure div/mod arithmetic — no
+    * engine-specific bit operators, so a SQL oracle reproduces the key
+    * exactly. `bits` per dimension (key width = 2·bits).
+    *
+    * Why it exists at 100 TB: a table range-partitioned + sorted by
+    * this key clusters BOTH dimensions at once, so parquet row-group
+    * min/max pruning works for predicates on either column — the
+    * standard multi-dimensional layout trick a single-column sort
+    * cannot give. [[zorderLayout]] is the audit that proves the
+    * locality (tight per-bucket ranges on both dims).
+    */
+  private[graft] def zorderExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map { k =>
+      val p = 1L << k; val wx = 1L << (2 * k); val wy = 1L << (2 * k + 1)
+      s"((($x) div $p) % 2) * $wx + ((($y) div $p) % 2) * $wy"
+    }.mkString(" + ")
+
+  /** The audit's coordinate expressions, shared verbatim with the
+    * DuckDB oracle builder so engine and gate cannot drift. Portable
+    * non-negative arithmetic: ((a % m) + m) % m is the same text in
+    * Spark SQL and DuckDB (pmod is Spark-only); y clamped to the grid
+    * from both ends. The only DuckDB-side substitution is `div` → `//`.
+    */
+  private[graft] def zorderX(bits: Int): String = {
+    val m = 1L << bits
+    s"(((user_id % $m) + $m) % $m)"
+  }
+
+  private[graft] def zorderY(bits: Int): String =
+    s"greatest(cast(0 as bigint), least(cast(floor(value) as bigint), ${(1L << bits) - 1}))"
+
+  /** Z-order layout audit over `events`: coordinates x = user_id mod
+    * 2^bits, y = floor(value) clamped to 2^bits − 1, Morton-interleaved
+    * and grouped into `buckets` contiguous key ranges; per bucket the
+    * row count and min/max of BOTH coordinates. Tight ranges on both
+    * dims in every bucket == the key delivers two-dimensional pruning
+    * (the property a 1-D sort on either column alone cannot give). One
+    * scan + one bounded agg (`buckets` groups); no shuffle beyond it.
+    */
+  def zorderLayout(events: DataFrame, bits: Int = 8,
+      buckets: Int = 64): DataFrame = {
+    require(bits > 0 && bits <= 16, s"bits must be in [1,16], got $bits")
+    require(buckets > 0 && Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two, got $buckets")
+    val z = zorderExpr(zorderX(bits), zorderY(bits), bits)
+    val x = zorderX(bits)
+    val y = zorderY(bits)
+    val per = (1L << (2 * bits)) / buckets
+    events
+      .select(expr(s"($z) div $per").as("z_bucket"),
+        expr(x).as("x"), expr(y).as("y"))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
 }

@@ -84,4 +84,34 @@ object Sessions {
         col("keep.ts_us").as("keep_ts_us"),
         col("n_events"), (col("n_events") - 1L).as("n_dupes"))
   }
+
+  /** Retention cohort table: users grouped by the time bucket of their
+    * FIRST event (cohort), activity counted per (cohort, bucket-offset)
+    * as distinct active users — the classic engagement triangle, here
+    * because a training-data pipeline reads it as source-freshness
+    * decay (how long a crawl cohort keeps contributing new events).
+    * Buckets are floor(epoch_us / bucket) via the same pmod floor as
+    * [[dedupPerWindow]] (truncation-toward-zero would misplace
+    * pre-epoch instants by one bucket against an oracle's floor).
+    *
+    * Scale shape: one distinct on (user, bucket) — map-side partial —
+    * one min-agg per user, one equi-join user→cohort (broadcastable
+    * while the user dimension is small, plain hash join at scale), and
+    * a final agg bounded by cohorts × offsets, never by event count.
+    */
+  def retentionCohorts(events: DataFrame,
+      bucketSeconds: Long = 604800L): DataFrame = {
+    require(bucketSeconds > 0,
+      s"bucketSeconds must be positive, got $bucketSeconds")
+    val w = bucketSeconds * 1000000L
+    val bucket = expr(
+      s"(unix_micros(ts) - pmod(unix_micros(ts), $w)) div $w")
+    val wk = events.select(col("user_id"), bucket.as("w"))
+    val cohort = wk.groupBy("user_id").agg(min(col("w")).as("cohort"))
+    wk.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort").as("cohort_bucket"),
+        (col("w") - col("cohort")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -29,7 +29,7 @@ object DedupQueries {
     * relations (q77 shingles the eval and train slices side by side).
     */
   private[queries] def shinglesSql(src: String, p: String = ""): String =
-    s"""${p}ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $src),
+    s"""${p}ws AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM $src),
        |${p}sh AS (SELECT DISTINCT doc_id,
        |              CAST('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15) AS BIGINT) AS gh
        |       FROM ${p}ws, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3)""".stripMargin
@@ -44,7 +44,9 @@ object DedupQueries {
     * q108/q109 to consume.
     */
   private[queries] val SharedRunsSql: String =
-    """ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    """ws AS (SELECT doc_id,
+      |              list_filter(string_split_regex(trim(text), '\s+'),
+      |                          x -> x <> '') AS w
       |       FROM documents),
       |psh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
       |               CAST('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15) AS BIGINT) AS gh
@@ -290,11 +292,51 @@ object DedupQueries {
         .orderBy(col("run_tokens").desc, col("i"), col("j"),
           col("start_i"), col("start_j"))),
 
-    // the remediation over q108: later occurrence of every shared run
-    // cut, overlapping cuts interval-merged, corpus rewritten — no
-    // verbatim span >= 15 tokens survives twice
+    // the remediation over q108: later occurrence of every detected
+    // shared run cut, overlapping cuts interval-merged, corpus
+    // rewritten — single-pass (the corpus-level invariant is q111's)
     "q109_span_scrub" -> ((spark, dir) =>
       Dedup.scrubSharedRuns(Tables.load(spark, dir, "documents"),
+          n = 3, minRun = 15L, maxPostings = 1000L)
+        .orderBy("doc_id")),
+
+    // q108's self-diagonal: maximal verbatim runs repeated WITHIN one
+    // doc — the grain cross-doc pairing structurally misses. minRun 3
+    // (the floor: minRun >= n) because the synthetic corpus's internal
+    // repeats top out at 4 tokens and a gate over an empty result gates
+    // nothing; long-run semantics are property-tested in DedupSpec
+    "q110_self_runs" -> ((spark, dir) =>
+      Dedup.selfRuns(Tables.load(spark, dir, "documents"),
+          n = 3, minRun = 3L, maxPostings = 1000L)
+        .orderBy(col("run_tokens").desc, col("doc_id"),
+          col("start_i"), col("start_j"))),
+
+    // EXACT similarity join via prefix filtering (AllPairs/PPJoin
+    // family): complete by theorem, not probability — the oracle is
+    // therefore the algorithm-independent ground truth (all pairs at
+    // J >= 3/4 computed the brute-force way), gating completeness
+    // itself, not a mirrored shadow of the pruning
+    "q112_prefix_join" -> ((spark, dir) =>
+      Dedup.prefixJaccardPairs(Tables.load(spark, dir, "documents"),
+          n = 3, tNum = 3L, tDen = 4L)
+        .orderBy("i", "j")),
+
+    // per-doc shingle novelty at ingest order — the marginal-value
+    // curve of a corpus (novelty_ppm -> 0 across a snapshot is the
+    // saturation signal to drop a source before paying dedup cost)
+    "q113_novelty" -> ((spark, dir) =>
+      Dedup.noveltyProfile(Tables.load(spark, dir, "documents"), n = 3)
+        .orderBy("doc_id")),
+
+    // fixpoint scrub: cut-and-rescan (cross-doc + within-doc + hot-
+    // segment families) until no duplicated run >= minRun remains
+    // detectable — the corpus-level invariant q109's single pass
+    // cannot claim. Driver-loop iteration count is data-dependent, so
+    // no single-statement oracle exists: rows-only here; the invariant
+    // and the adversarial corpora (flank fusion, within-doc repeats,
+    // guarded hot boilerplate) are property-tested in DedupSpec.
+    "q111_scrub_fixpoint" -> ((spark, dir) =>
+      Dedup.scrubRunsFixpoint(Tables.load(spark, dir, "documents"),
           n = 3, minRun = 15L, maxPostings = 1000L)
         .orderBy("doc_id")),
 
@@ -519,7 +561,9 @@ object DedupQueries {
     // join, denominators stay the FULL fingerprint sets — both mirroring
     // Dedup.winnowingPairs exactly
     "q93_winnow_pairs" ->
-      s"""WITH pws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      s"""WITH pws AS (SELECT doc_id,
+         |                     list_filter(string_split_regex(trim(text), '\\s+'),
+         |                                 x -> x <> '') AS w
          |             FROM documents),
          |pos AS (SELECT doc_id, i,
          |          CAST('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15) AS BIGINT) AS gh,
@@ -560,7 +604,8 @@ object DedupQueries {
 
     // q108's remediation: cut spans on the later (j) side, interval-
     // merged per doc (running-max islands), tokens outside every merged
-    // span rejoined in order; guards make token-free docs carry 0/''
+    // span rejoined in order; token-free docs carry 0/'' via the outer
+    // join (ws already filters empty tokens — exact engine parity)
     "q109_span_scrub" ->
       s"""WITH $SharedRunsSql,
          |spans AS (SELECT j AS doc_id, start_j AS s,
@@ -581,8 +626,7 @@ object DedupQueries {
          |mrg AS (SELECT doc_id, min(s) AS s, max(e) AS e
          |        FROM mrg1 GROUP BY doc_id, isl2),
          |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
-         |         FROM ws, UNNEST(generate_series(1, len(w))) AS t(i)
-         |         WHERE trim(w[1]) <> '' OR len(w) > 1),
+         |         FROM ws, UNNEST(generate_series(1, len(w))) AS t(i)),
          |dropped AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos
          |            FROM mrg),
          |keptt AS (SELECT t.doc_id, t.pos, t.word
@@ -592,15 +636,67 @@ object DedupQueries {
          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
          |               string_agg(word, ' ' ORDER BY pos) AS kept
          |        FROM keptt GROUP BY doc_id),
-         |nt AS (SELECT doc_id,
-         |              CAST(CASE WHEN trim(text) = '' THEN 0
-         |                        ELSE len(w) END AS BIGINT) AS n_tokens
-         |       FROM ws JOIN documents USING (doc_id))
+         |nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM ws)
          |SELECT n.doc_id, n.n_tokens,
          |       n.n_tokens - coalesce(a.nk, 0) AS n_dropped,
          |       coalesce(a.kept, '') AS text_clean
          |FROM nt n LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // q112's gate is deliberately NOT a mirror of prefix filtering:
+    // exact pairwise Jaccard at the same rational threshold — if the
+    // prefix scheme ever drops a qualifying pair, the hash mismatches
+    "q112_prefix_join" ->
+      s"""WITH $ShinglesSql,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+         |          FROM sh a JOIN sh b
+         |            ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT ix.i, ix.j,
+         |       round(ix.c * 1.0 / (s1.n + s2.n - ix.c), 4) AS jaccard
+         |FROM inter ix
+         |JOIN sz s1 ON ix.i = s1.doc_id
+         |JOIN sz s2 ON ix.j = s2.doc_id
+         |WHERE ix.c * 4 >= 3 * (s1.n + s2.n - ix.c)
+         |ORDER BY i, j""".stripMargin,
+
+    // linear first-occurrence profile: one min per shingle, one join
+    // back, integer-div ppm (both engines' BIGINT division)
+    "q113_novelty" ->
+      s"""WITH $ShinglesSql,
+         |fst AS (SELECT gh, min(doc_id) AS fd FROM sh GROUP BY gh),
+         |per AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS ns,
+         |               CAST(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)
+         |                    AS BIGINT) AS nn
+         |        FROM sh s JOIN fst f USING (gh) GROUP BY s.doc_id)
+         |SELECT d.doc_id, coalesce(p.ns, 0) AS n_shingles,
+         |       coalesce(p.nn, 0) AS n_novel,
+         |       CASE WHEN p.ns > 0 THEN (p.nn * 1000000) // p.ns END
+         |         AS novelty_ppm
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the self-diagonal twin of q108: same positional-gram chain, the
+    // pair join restricted to one doc matched against itself at
+    // pos_i < pos_j (within a (doc, diag) partition pi determines pj,
+    // so the islands row_number is deterministic)
+    "q110_self_runs" ->
+      s"""WITH $SharedRunsSql,
+         |sm AS (SELECT a.doc_id, a.pos AS pi, b.pos AS pj,
+         |              a.pos - b.pos AS diag
+         |       FROM keptg a JOIN keptg b
+         |         ON a.gh = b.gh AND a.doc_id = b.doc_id AND a.pos < b.pos),
+         |sisl AS (SELECT doc_id, diag, pi, pj,
+         |                pi - row_number() OVER (PARTITION BY doc_id, diag
+         |                                        ORDER BY pi) AS island
+         |         FROM sm),
+         |sruns AS (SELECT doc_id, min(pi) AS start_i, min(pj) AS start_j,
+         |                 CAST(count(*) + 2 AS BIGINT) AS run_tokens
+         |          FROM sisl GROUP BY doc_id, diag, island)
+         |SELECT doc_id, start_i, start_j, run_tokens
+         |FROM sruns WHERE run_tokens >= 3
+         |ORDER BY run_tokens DESC, doc_id, start_i, start_j""".stripMargin,
 
     // both family chains verbatim (q47's lexical closure, q54's weak
     // semantic chain prefixed `s`), joined into the contingency table

@@ -54,6 +54,15 @@ object PrepQueries {
           defaultEpochs = 1.0)
         .orderBy("doc_id")),
 
+    // Morton (Z-order) layout audit: events keyed by the bit-interleave
+    // of (user bucket, value bucket), 64 contiguous key ranges, per-range
+    // min/max of BOTH dims — tight ranges prove the 2-D pruning property
+    // a single-column sort cannot give
+    "q115_zorder" -> ((spark, dir) =>
+      Prep.zorderLayout(Tables.load(spark, dir, "events"),
+          bits = 8, buckets = 64)
+        .orderBy("z_bucket")),
+
     // the leakage-free rendering of q56: near-dup clusters (q47's
     // components over the canonical q42 edges) split as a unit, so the
     // cross-split contamination q69 audits is zero by construction
@@ -79,7 +88,31 @@ object PrepQueries {
       Prep.shuffleOrder(Tables.load(spark, dir, "documents"), shards = 64)
         .orderBy("shard", "pos")))
 
+  /** q115's oracle is BUILT from the engine's own expression strings
+    * ([[Prep.zorderExpr]]/[[Prep.zorderX]]/[[Prep.zorderY]] — pure
+    * div/mod arithmetic that parses identically in both engines, with
+    * the single substitution `div` → `//`), so key derivation cannot
+    * drift between gate and engine.
+    */
+  private def zorderOracle: String = {
+    val bits = 8; val buckets = 64
+    val z = Prep.zorderExpr(Prep.zorderX(bits), Prep.zorderY(bits), bits)
+      .replace(" div ", " // ")
+    val per = (1L << (2 * bits)) / buckets
+    s"""SELECT (($z) // $per) AS z_bucket,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       min(${Prep.zorderX(bits)}) AS x_min,
+       |       max(${Prep.zorderX(bits)}) AS x_max,
+       |       min(${Prep.zorderY(bits)}) AS y_min,
+       |       max(${Prep.zorderY(bits)}) AS y_max
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY z_bucket""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q115_zorder" -> zorderOracle,
+
     "q56_split_assign" ->
       """WITH b AS (
         |  SELECT doc_id,

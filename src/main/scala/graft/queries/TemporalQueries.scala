@@ -57,6 +57,14 @@ object TemporalQueries {
           idCol = "event_id", tsCol = "ts", windowSeconds = 5L)
         .orderBy("i", "j")),
 
+    // retention triangle: users cohorted by first-event week, distinct
+    // active users per (cohort, week offset) — source-freshness decay
+    // read off the events stream
+    "q114_retention" -> ((spark, dir) =>
+      Sessions.retentionCohorts(Tables.load(spark, dir, "events"),
+          bucketSeconds = 604800L)
+        .orderBy("cohort_bucket", "bucket_offset")),
+
     // q43's attribution with the HOT-KEY TWO-PASS engaged (hourly
     // slices): the events corpus has ~15 user_ids, so each key's whole
     // history is genuinely hot — the sliced path sorts each (key, hour)
@@ -98,6 +106,22 @@ object TemporalQueries {
   def oracles: Map[String, String] = Map(
     "q43_asof_join" -> AsOfOracleSql,
     "q81_asof_sliced" -> AsOfOracleSql,
+
+    // week index = floor(epoch_us / 604800e6) via the same
+    // non-negative-mod identity as q103's floor buckets
+    "q114_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id,
+        |         ((epoch_us(ts) - ((epoch_us(ts) % 604800000000) + 604800000000)
+        |             % 604800000000) // 604800000000) AS w
+        |  FROM events),
+        |fw AS (SELECT user_id, min(w) AS cohort FROM wk GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, w FROM wk)
+        |SELECT f.cohort AS cohort_bucket, a.w - f.cohort AS bucket_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM act a JOIN fw f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q44_sessionize" ->
       """WITH o AS (SELECT user_id, ts, value, event_id,

@@ -27,7 +27,7 @@ object TextQueries {
       s"(CAST($nDistinct AS DOUBLE) / $nWords), 4)"
 
   private val WsSql =
-    """ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)"""
+    """ws AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents)"""
 
   def queries: Map[String, Q] = Map(
     "q37_lang_id" -> ((spark, dir) =>

@@ -637,10 +637,158 @@ class DedupSpec extends AnyFunSuite {
       assert(kept == nt - nd && nd >= 0 && nd <= nt)
     }
     assert(got(7L) == ((0L, 0L, "")), "token-free doc carries 0 / empty, never NULL")
-    // the scrub's whole point: no verbatim span >= minRun survives twice
+    // single-pass contract: no PRE-EXISTING cross-doc run survives (the
+    // corpus-level invariant needs the fixpoint — see the tests below)
     val rescan = Dedup.sharedRuns(
       got.toSeq.map { case (id, (_, _, txt)) => (id, txt) }.toDF("doc_id", "text"),
       n = 3, minRun = 15L, maxPostings = 1000L)
     assert(rescan.isEmpty, "post-scrub corpus has no shared run >= minRun")
+  }
+
+  /** Uncapped cross-doc + within-doc rescan — the NON-circular residual
+    * check (the scrub's own guard is deliberately not applied, so what
+    * the guard hides from remediation is visible to the test).
+    */
+  private def residualRuns(cleaned: Seq[(Long, String)], minRun: Long) = {
+    val df = cleaned.toDF("doc_id", "text")
+    Dedup.sharedRuns(df, n = 3, minRun = minRun, maxPostings = 1000000L)
+      .collect().toSeq ++
+      Dedup.selfRuns(df, n = 3, minRun = minRun, maxPostings = 1000000L)
+        .collect().toSeq
+  }
+
+  private def cleanedOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+    df.select("doc_id", "text_clean").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("flank fusion: single pass leaves a NEW run, fixpoint removes it") {
+    // ADVICE.md round-6 case: keeper 'A B'; later doc 'A X B' where A
+    // and B are each sub-minRun but X >= minRun is shared elsewhere —
+    // cutting X fuses A and B into a fresh >= minRun run
+    val a = (1 to 4).map(k => s"a$k").mkString(" ")
+    val b = (1 to 4).map(k => s"b$k").mkString(" ")
+    val x = (1 to 8).map(k => s"x$k").mkString(" ")
+    val seq = Seq((0L, s"$a $b"), (1L, x), (2L, s"$a $x $b"))
+    val once = Dedup.scrubSharedRuns(seq.toDF("doc_id", "text"),
+      n = 3, minRun = 6L, maxPostings = 1000L)
+    val onceRes = residualRuns(cleanedOf(once), 6L)
+    assert(onceRes.nonEmpty,
+      "documented single-pass residual: the fused 'A B' run survives one pass")
+    val fix = Dedup.scrubRunsFixpoint(seq.toDF("doc_id", "text"),
+      n = 3, minRun = 6L, maxPostings = 1000L)
+    val rows = fix.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(rows.values.forall(_._5), "fixpoint must report converged")
+    assert(rows(0L)._3 == s"$a $b", "keeper doc intact")
+    assert(rows(2L)._4 >= 2L, "the fused run needs a second round")
+    assert(residualRuns(cleanedOf(fix.withColumnRenamed("text_clean", "text_clean")), 6L).isEmpty,
+      "no duplicated run survives the fixpoint")
+    rows.values.foreach { case (nt, nd, txt, _, _) =>
+      assert(txt.split("\\s+").count(_.nonEmpty).toLong == nt - nd,
+        "cumulative audit conserves tokens")
+    }
+  }
+
+  test("selfRuns: within-doc repeats and tandem periodic collapse") {
+    val r = (1 to 8).map(k => s"r$k").mkString(" ")
+    val seq = Seq(
+      (0L, s"$r mid1 mid2 mid3 $r"),            // clean internal repeat
+      (1L, "w1 w2 w3 w1 w2 w3 w1 w2 w3"),       // tandem period 3
+      (2L, "no repeats in this document at all"))
+    val got = Dedup.selfRuns(seq.toDF("doc_id", "text"),
+        n = 3, minRun = 6L, maxPostings = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 0: r1..r8 at 0 and 11 -> one 8-token run
+    assert(got.contains((0L, 0L, 11L, 8L)), s"missing doc-0 repeat in $got")
+    // doc 1: diag -3 matches grams 0..3 -> tokens [0,6) == [3,9)
+    assert(got.contains((1L, 0L, 3L, 6L)), s"missing tandem run in $got")
+    assert(!got.exists(_._1 == 2L), "clean doc reports nothing")
+    // fixpoint collapses the tandem repeat to its primitive prefix
+    val fix = Dedup.scrubRunsFixpoint(seq.toDF("doc_id", "text"),
+      n = 3, minRun = 6L, maxPostings = 1000L)
+    val txt = fix.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(txt(1L) == "w1 w2 w3", s"tandem collapse, got '${txt(1L)}'")
+    assert(txt(0L) == s"$r mid1 mid2 mid3", s"later internal copy cut, got '${txt(0L)}'")
+    assert(residualRuns(txt.toSeq.map { case (k, v) => (k, v) }, 6L).isEmpty)
+  }
+
+  test("hot boilerplate: guard-blinded runs are cut by the hot-segment pass") {
+    val boiler = (1 to 17).map(k => s"b$k").mkString(" ")
+    val seq = (0 until 30).map(i => (i.toLong, s"$boiler tail$i words$i")) :+
+      (100L, s"unique prefix $boiler unique suffix")
+    val df = seq.toDF("doc_id", "text")
+    // cap 5: every interior gram occurs 31 times -> sharedRuns is blind
+    assert(Dedup.sharedRuns(df, n = 3, minRun = 15L, maxPostings = 5L).isEmpty)
+    val cuts = Dedup.hotSegmentCuts(df, n = 3, minRun = 15L, maxPostings = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cuts.length == 30, s"one cut per non-keeper host, got ${cuts.length}")
+    assert(!cuts.exists(_._1 == 0L), "minimal (doc_id, start) keeps the block")
+    val fix = Dedup.scrubRunsFixpoint(df, n = 3, minRun = 15L, maxPostings = 5L)
+    val txt = fix.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(txt(0L).startsWith(boiler), "keeper doc intact")
+    assert((1 until 30).forall(i => txt(i.toLong) == s"tail$i words$i"),
+      "every other host loses exactly the block")
+    assert(txt(100L) == "unique prefix unique suffix")
+    assert(residualRuns(txt.toSeq, 15L).isEmpty,
+      "uncapped rescan proves the guard blind spot is remediated")
+  }
+
+  test("prefixJaccardPairs == exact all-pairs Jaccard (completeness theorem)") {
+    // the prefix scheme must return EXACTLY the qualifying pairs — not
+    // almost all of them (this is what separates it from the LSH tiers)
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.75)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pref = Dedup.prefixJaccardPairs(docs, 3, tNum = 3L, tDen = 4L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty, "corpus should contain qualifying pairs")
+    assert(pref == exact,
+      s"missed: ${exact.keySet -- pref.keySet}, spurious: ${pref.keySet -- exact.keySet}")
+  }
+
+  test("prefixJaccardPairs: boundary pair exactly AT the rational threshold survives") {
+    // 9 shared shingles, 12 each side -> J = 9/15 = 3/5 exactly; an
+    // IEEE prefix length or threshold compare that rounds one ULP the
+    // wrong way drops it — the integer arithmetic cannot
+    val shared = (1 to 11).map(k => s"s$k").mkString(" ") // 9 shared 3-grams
+    val a = s"$shared a1 a2 a3 a4"   // 15 tokens -> 13 grams... adjust below
+    val b = s"$shared b1 b2 b3 b4"
+    // build sizes explicitly: tokens 11 + 4 = 15 -> 13 grams each; the
+    // 2 grams spanning the boundary differ, shared = 9, union = 17 — so
+    // use threshold 9/17 to sit exactly on the boundary
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val hit = Dedup.prefixJaccardPairs(df, 3, tNum = 9L, tDen = 17L).collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 1L)
+    val miss = Dedup.prefixJaccardPairs(df, 3, tNum = 10L, tDen = 17L).collect()
+    assert(miss.isEmpty, "one notch above the exact ratio excludes the pair")
+  }
+
+  test("noveltyProfile: first occurrence owns novelty, totals conserve") {
+    val rows = Dedup.noveltyProfile(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // the smallest doc_id with any shingles is 100% novel
+    val firstWith = rows.find(_._2 > 0).get
+    assert(firstWith._2 == firstWith._3, "first doc's shingles are all novel")
+    // each distinct shingle's novelty is granted exactly once
+    val distinctGrams = Dedup.shingles(docs, 3).select("gh").distinct().count()
+    assert(rows.map(_._3).sum == distinctGrams,
+      "sum of per-doc novel counts == corpus distinct shingle count")
+    rows.foreach { case (id, ns, nn) =>
+      assert(nn <= ns, s"doc $id: novel $nn > shingles $ns")
+    }
+  }
+
+  test("scrubRunsFixpoint: already-clean corpus is a zero-round fixpoint") {
+    val seq = Seq((0L, "entirely distinct first document text"),
+      (1L, "another unrelated second document body"))
+    val rows = Dedup.scrubRunsFixpoint(seq.toDF("doc_id", "text"),
+        n = 3, minRun = 6L, maxPostings = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.forall(_._6), "converged")
+    assert(rows.forall(_._5 == 0L), "zero rounds")
+    assert(rows.forall(r => r._3 == 0L), "nothing dropped")
+    rows.foreach { r =>
+      assert(r._4 == seq.toMap.apply(r._1), "text unchanged verbatim")
+    }
   }
 }

@@ -208,4 +208,34 @@ class PrepSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Prep.shuffleOrder(docs, salt = "bad'salt"))
   }
+
+  test("zorderExpr: exhaustive bijection + de-interleave on the 4-bit grid") {
+    import spark.implicits._
+    val grid = (0 until 256).map(i => (i.toLong % 16, i.toLong / 16))
+      .toDF("x", "y")
+    val z = grid.selectExpr("x", "y", s"(${Prep.zorderExpr("x", "y", 4)}) AS z")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(z.map(_._3).distinct.length == 256, "interleave is injective on the grid")
+    assert(z.forall { case (_, _, v) => v >= 0 && v < 256 }, "and onto [0, 4^bits)")
+    z.foreach { case (x, y, v) =>
+      val xr = (0 until 4).map(k => ((v >> (2 * k)) & 1L) << k).sum
+      val yr = (0 until 4).map(k => ((v >> (2 * k + 1)) & 1L) << k).sum
+      assert(xr == x && yr == y, s"de-interleave($v) != ($x,$y)")
+    }
+  }
+
+  test("zorderLayout: every 1024-code bucket is an aligned 32x32 tile (2-D locality)") {
+    val ev = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+    val rows = Prep.zorderLayout(ev, bits = 8, buckets = 64).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xm, xx, ym, yx) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // 1024 consecutive Morton codes aligned at a multiple of 4^5 span
+      // exactly one 32x32 tile — the audit must observe ranges inside it
+      assert(xx - xm < 32, s"bucket ${r.getLong(0)}: x spread ${xx - xm}")
+      assert(yx - ym < 32, s"bucket ${r.getLong(0)}: y spread ${yx - ym}")
+    }
+    // conservation: bucket counts sum to the event count
+    assert(rows.map(_.getLong(1)).sum == ev.count())
+  }
 }

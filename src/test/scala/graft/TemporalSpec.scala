@@ -237,4 +237,35 @@ class TemporalSpec extends AnyFunSuite {
       "one keeper per group, no keeper reused")
     assert(d.filter(col("n_dupes") < 0).isEmpty)
   }
+
+  test("retentionCohorts: offset-0 row counts the whole cohort, hand-checked triangle") {
+    import spark.implicits._
+    // bucket = 10s for a readable fixture; u1 first in bucket 0, active
+    // 0 and 2; u2 first in bucket 0, active 0 only; u3 first in bucket 2
+    val ev = Seq(
+      (1L, ts("1970-01-01 00:00:01")), (1L, ts("1970-01-01 00:00:02")),
+      (1L, ts("1970-01-01 00:00:21")),
+      (2L, ts("1970-01-01 00:00:05")),
+      (3L, ts("1970-01-01 00:00:25"))
+    ).toDF("user_id", "ts")
+    val got = Sessions.retentionCohorts(ev, bucketSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L, 2L), (0L, 2L, 1L), (2L, 0L, 1L)), s"got $got")
+  }
+
+  test("retentionCohorts laws on corpus: offsets non-negative, offset 0 == cohort size") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val t = Sessions.retentionCohorts(ev)
+    assert(t.filter(col("bucket_offset") < 0).isEmpty, "no pre-cohort activity")
+    // every user is active in their own first bucket by definition
+    val zero = t.filter(col("bucket_offset") === 0)
+      .select(col("cohort_bucket"), col("n_users").as("nz"))
+    val cohortSizes = ev
+      .groupBy(col("user_id"))
+      .agg(min(expr("(unix_micros(ts) - pmod(unix_micros(ts), 604800000000)) div 604800000000")).as("cohort_bucket"))
+      .groupBy("cohort_bucket").agg(count(lit(1)).as("n"))
+    val joined = zero.join(cohortSizes, "cohort_bucket")
+    assert(joined.filter(col("nz") =!= col("n")).isEmpty,
+      "offset-0 row must count the full cohort")
+  }
 }
