@@ -174,31 +174,52 @@ object Bench {
     println(line)
     // ...but the FINAL stdout line must survive a tail capture. The
     // driver keeps only the last ~2000 stdout chars and parses the
-    // {"metric":...} line it finds there; at 110 queries the full-name
+    // {"metric":...} line it finds there; at 110+ queries the full-name
     // "queries" map alone is ~2.9 KB, so the full line can NEVER fit —
     // rounds 5 and 6 both lost the line's head to exactly this. The
     // durable full record lives in bench/results.json (and the history
-    // file); stdout ends with a length-budgeted compact line: totals,
-    // error/outlier summaries, and the slowest per-query timings packed
-    // greedily until the line reaches ~1750 chars, with the omitted
-    // remainder summarized as a count + its summed seconds.
+    // file); stdout ends with the length-budgeted compact line.
+    println(compactLine(results, errors.toSeq, wholesale, ratios.size,
+      high.size, total, totalMin, sfDir))
+  }
+
+  /** The tail-capture-safe record: totals, error/outlier summaries, and
+    * the slowest per-query timings packed greedily until the line would
+    * exceed [[CompactBudget]] chars, with the omitted remainder
+    * summarized as a count + its summed seconds. Invariant (BenchSpec):
+    * never longer than the budget, whatever the query count — the
+    * driver's capture window is ~2000 chars minus a trailing sbt
+    * status line.
+    */
+  private[graft] val CompactBudget = 1750
+
+  private[graft] def compactLine(
+      results: Seq[(String, Double, Double)], errors: Seq[(String, String)],
+      wholesale: Boolean, nCompared: Int, nHigh: Int,
+      total: Double, totalMin: Double, sfDir: String): String = {
+    def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val slowFirst = results.filter(_._2 >= 0).sortBy(-_._2)
     val errsCompact =
       if (errors.isEmpty) "{}"
       else errors.take(3).map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
         .mkString("{", ",", if (errors.size > 3) s""","_more":${errors.size - 3}}""" else "}")
-    val fixedTail = s""""errors":$errsCompact,"outliers":{"flag":$wholesale,"compared":${ratios.size},"n_high":${high.size}},"full_record":"bench/results.json","sf":${jstr(sfDir)}}"""
+    val fixedTail = s""""errors":$errsCompact,"outliers":{"flag":$wholesale,"compared":$nCompared,"n_high":$nHigh},"full_record":"bench/results.json","sf":${jstr(sfDir)}}"""
     val head = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"n_queries":${results.size},"""
-    val budget = 1750
     val entries = slowFirst.map { case (k, v, _) => jstr(k) + ":" + num(v) }
     // greedy slowest-first pack: how many entries fit alongside the fixed
     // parts + the omitted-summary fields (~60 chars reserved)
     var used = head.length + fixedTail.length + 60 + """"queries":{},""".length
-    val taken = entries.takeWhile { e => used += e.length + 1; used <= budget }
+    val taken = entries.takeWhile { e => used += e.length + 1; used <= CompactBudget }
     val omitted = slowFirst.drop(taken.size)
-    val compact = head +
+    head +
       s""""queries_omitted":${omitted.size},"omitted_sec":${num(omitted.map(_._2).sum)},""" +
       s""""queries":${taken.mkString("{", ",", "}")},""" + fixedTail
-    println(compact)
   }
 }

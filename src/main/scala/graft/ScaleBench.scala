@@ -48,7 +48,13 @@ object ScaleBench {
     "q61_ann_ivf_trained", "q63_tfidf", "q80_chunk_dedup",
     "q88_int8_topk", "q93_winnow_pairs",
     "q95_bm25", "q96_bm25_indexed", "q98_cms_counts",
-    "q102_shuffle_order", "q103_event_dedup")
+    "q102_shuffle_order", "q103_event_dedup",
+    // round-7 additions: the prefix join's candidate volume should track
+    // answer volume (rarest-shingle postings), novelty/retention/zorder
+    // are linear scans + bounded aggs, q108's run assembly is the
+    // guard-bounded diagonal join
+    "q108_shared_runs", "q112_prefix_join", "q113_novelty",
+    "q114_retention", "q115_zorder")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

@@ -62,4 +62,38 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.historyMedians(f.toString, "/x/sf0.1").isEmpty)
     java.nio.file.Files.delete(f)
   }
+
+  test("compactLine: never exceeds the tail-capture budget, parses, accounts for every query") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // 300 queries with long names — far past what any window could hold
+    val results = (0 until 300).map(i =>
+      (f"q$i%03d_a_rather_long_query_name_tier", i * 0.017 + 0.05, i * 0.01))
+    val errs = (0 until 10).map(i => (s"qerr$i", "x" * 500)) // unbounded messages
+    val line = Bench.compactLine(results, errs, wholesale = true,
+      nCompared = 290, nHigh = 12, total = 123.456, totalMin = 100.0,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= Bench.CompactBudget,
+      s"compact line must fit the capture window: ${line.length}")
+    val node = mapper.readTree(line) // throws on malformed JSON
+    assert(node.get("metric").asText == "total")
+    assert(node.get("n_queries").asLong == 300L)
+    // every query is either in the map or counted+summed as omitted
+    val inline = node.get("queries").size()
+    assert(inline + node.get("queries_omitted").asLong == 300L)
+    val inlineSum = {
+      val it = node.get("queries").elements(); var s = 0.0
+      while (it.hasNext) s += it.next().asDouble(); s
+    }
+    assert(math.abs(inlineSum + node.get("omitted_sec").asDouble
+      - results.map(_._2).sum) < 0.01 * results.size,
+      "inline + omitted seconds cover the total (to rounding)")
+    // the slowest queries are the ones kept inline
+    assert(node.get("queries").has("q299_a_rather_long_query_name_tier"))
+    assert(!node.get("queries").has("q000_a_rather_long_query_name_tier"))
+    // a tiny surface fits whole: nothing omitted
+    val small = Bench.compactLine(results.take(5), Nil, wholesale = false,
+      nCompared = 5, nHigh = 0, total = 1.0, totalMin = 0.9, sfDir = "/x")
+    val sn = mapper.readTree(small)
+    assert(sn.get("queries_omitted").asLong == 0L && sn.get("queries").size() == 5)
+  }
 }

@@ -223,4 +223,36 @@ class PlanSpec extends AnyFunSuite {
         s"$name plans a quadratic join:\n${plan.take(2000)}")
     }
   }
+
+  test("round-7 additions never fall back to nested-loop or cartesian joins") {
+    // q108/q110/q112's pair work is equi-keyed (gram hash / prefix
+    // shingle); q113/q114 are agg + equi-join chains; q109 adds only the
+    // span/token equi-joins on top of q108
+    for (name <- Seq("q108_shared_runs", "q109_span_scrub", "q110_self_runs",
+        "q112_prefix_join", "q113_novelty", "q114_retention")) {
+      val plan = executedPlan(q(name))
+      assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+        !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
+        !plan.contains("CartesianProduct"),
+        s"$name plans a quadratic join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("q115 z-order audit is one scan + one partial-agg pair, no join, no window") {
+    val plan = executedPlan(q("q115_zorder"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"layout audit must not join or window:\n${plan.take(2000)}")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"bucket rollup should partial-aggregate map-side:\n${plan.take(2000)}")
+  }
+
+  test("q113 novelty never shuffles text — only 16-byte (doc, gh) rows cross exchanges") {
+    // the scan may read `text` to shingle it, but every exchange after
+    // tokenization carries hashed grams/ids only
+    val plan = executedPlan(q("q113_novelty"))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"raw text crosses an exchange:\n${exchanges.mkString("\n")}")
+  }
 }
