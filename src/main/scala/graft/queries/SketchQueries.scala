@@ -69,15 +69,26 @@ object SketchQueries {
     "q106_kmv_distinct" -> ((spark, dir) => {
       import graft.operators.Dedup.h60
       val kmv = graft.functions.Aggregators.kmv64
-      Tables.load(spark, dir, "lineitem")
-        .groupBy("l_returnflag")
+      val li = Tables.load(spark, dir, "lineitem")
+      // the sketch pass and the exact audit are SEPARATE aggregations
+      // joined on the 3-row group frame: two countDistinct column sets
+      // inside the sketch agg would plan an Expand (3 branches of the
+      // full table) feeding the UDAF's ObjectHashAggregate — measured
+      // 4.7s → 1.5s at sf0.1 from this split alone. The sketch agg is
+      // the 100 TB path (64-value mergeable partials); the exact
+      // distinct audit exists only to measure the sketch's error and
+      // runs as plain codegen aggs.
+      val approx = li.groupBy("l_returnflag")
         .agg(
           kmv(expr(h60("concat('kmvp_', cast(l_partkey as string))")))
             .as("pk_arr"),
           kmv(expr(h60("concat('kmvs_', cast(l_suppkey as string))")))
-            .as("sk_arr"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_suppkey")).as("exact_supps"))
+            .as("sk_arr"))
+      val exactP = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+      val exactS = li.select(col("l_returnflag"), col("l_suppkey")).distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_supps"))
+      approx.join(exactP, "l_returnflag").join(exactS, "l_returnflag")
         .select(col("l_returnflag"),
           kmvEstimate("pk_arr").as("approx_parts"), col("exact_parts"),
           kmvEstimate("sk_arr").as("approx_supps"), col("exact_supps"))
