@@ -312,6 +312,75 @@ object Dedup {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** b-bit MinHash near-dup estimates (Li & König, WWW 2010, at b = 1):
+    * keep only the LOWEST BIT of each of `numHashes` permutation minima,
+    * packed into ONE long per document — 60 bits of signature where the
+    * classic tier stores 60 × 32-bit minima. Two signatures agree on a
+    * bit with probability 1/2 + J/2 (b = 1, large-universe limit), so
+    * Ĵ = 2·(agree/numHashes) − 1, clipped at 0. Candidates come from the
+    * SAME 16-hash/4-row LSH bands as [[minhashPairs]] (the first 16
+    * permutations of the same family, same skew cap), so the tier
+    * composes with the house candidate scheme rather than inventing a
+    * second one; the estimate path then costs one XOR + popcount per
+    * candidate pair against 8-byte signatures.
+    *
+    * Why it exists at 100 TB: the signature table is the resident
+    * artifact of a dedup service; 8 bytes/doc vs 240 makes the
+    * difference between a signature store that fits hot memory and one
+    * that doesn't, at ~2× the estimator variance (σ ≈ 0.13 at 60
+    * hashes) — the audit tier (exact Jaccard on verified pairs) stays
+    * available when the estimate needs confirming.
+    *
+    * numHashes is capped at 60: bits 0..59 keep the packed signature
+    * positive, so shift/xor/popcount arithmetic is sign-free and
+    * identical in any BIGINT engine.
+    */
+  def bbitMinhashPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 60,
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
+    require(numHashes >= 16 && numHashes <= 60,
+      s"numHashes must be in [16, 60], got $numHashes")
+    val sh = Ckpt.narrow(shingles(docs, n))
+    // one aggregation computes all minima; bands use the first 16
+    // columns, the packed signature uses all of them
+    val wide = Ckpt.narrow(minhashWide(sh, numHashes))
+    val sigExpr = (0 until numHashes)
+      .map(s => s"shiftleft(m$s % 2, $s)").mkString(" + ")
+    val sig = wide.select(col("doc_id"), expr(sigExpr).as("bsig"))
+    // `wide` is already checkpointed; the band frame is its narrow
+    // projection, so skip the second eager cut
+    val cand = candidatesOfBands(
+      bandsOfWide(wide, 16, rowsPerBand), maxBucketSize, cut = false)
+    val agree = lit(numHashes) -
+      expr("bit_count(ba ^ bb)").cast("long")
+    cand
+      .join(sig.select(col("doc_id").as("i"), col("bsig").as("ba")), "i")
+      .join(sig.select(col("doc_id").as("j"), col("bsig").as("bb")), "j")
+      .select(col("i"), col("j"),
+        round(greatest(lit(0.0),
+          (lit(2.0) * agree - numHashes) / numHashes), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Frequency-capped exact dedup: keep up to `maxCopies` occurrences
+    * of each distinct text, ranked by doc_id — the "natural
+    * distribution" middle ground between no dedup and [[exactGroups]]'
+    * single keeper (hard-deduping to one copy also deletes the
+    * popularity signal; keeping a bounded few preserves it at bounded
+    * cost — the trade discussed alongside exact substring dedup in the
+    * Lee et al. 2021 line of work). Output is a per-doc audit:
+    * (doc_id, fingerprint, copy_rank, kept). One hash, one window per
+    * fingerprint group — no pair work.
+    */
+  def cappedDedup(docs: DataFrame, maxCopies: Long = 2L): DataFrame = {
+    require(maxCopies >= 1, s"maxCopies must be >= 1, got $maxCopies")
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    docs.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .withColumn("copy_rank", row_number().over(byFp).cast("long"))
+      .withColumn("kept", (col("copy_rank") <= maxCopies).cast("bigint"))
+  }
+
   /** MinHash signatures in long form: (doc_id, s, minh) — the classic
     * rendering, unpivoted from [[minhashWide]]'s single aggregation pass.
     */

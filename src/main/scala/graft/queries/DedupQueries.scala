@@ -311,6 +311,21 @@ object DedupQueries {
         .orderBy(col("run_tokens").desc, col("doc_id"),
           col("start_i"), col("start_j"))),
 
+    // 1-bit minhash estimate tier: 8-byte packed signatures (vs 240 for
+    // the classic minima), candidates from the house 16-hash bands,
+    // estimate = one XOR + popcount per pair
+    "q116_bbit_minhash" -> ((spark, dir) =>
+      Dedup.bbitMinhashPairs(Tables.load(spark, dir, "documents"),
+          n = 3, numHashes = 60, rowsPerBand = 4, threshold = 0.5)
+        .orderBy("i", "j")),
+
+    // frequency-capped exact dedup: keep up to 2 copies per distinct
+    // text — the natural-distribution middle ground between no dedup
+    // and the single-keeper q24
+    "q117_capped_dedup" -> ((spark, dir) =>
+      Dedup.cappedDedup(Tables.load(spark, dir, "documents"), maxCopies = 2L)
+        .orderBy("doc_id")),
+
     // EXACT similarity join via prefix filtering (AllPairs/PPJoin
     // family): complete by theorem, not probability — the oracle is
     // therefore the algorithm-independent ground truth (all pairs at
@@ -642,6 +657,53 @@ object DedupQueries {
          |       coalesce(a.kept, '') AS text_clean
          |FROM nt n LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // same md5-derived permutation family extended to 60 seeds; bands
+    // from the first 16 (exactly q27's candidate scheme + skew cap);
+    // packed bit signature and popcount agreement rendered in DuckDB's
+    // own operators — the whole estimate surface is hash-gated
+    "q116_bbit_minhash" ->
+      s"""WITH $ShinglesSql,
+         |s60 AS (SELECT s,
+         |          CAST('0x' || substr(md5('mh_a_' || s), 1, 15) AS BIGINT) % 2147483646 + 1 AS pa,
+         |          CAST('0x' || substr(md5('mh_b_' || s), 1, 15) AS BIGINT) % 2147483647 AS pb
+         |        FROM (SELECT unnest(generate_series(0, 59)) AS s)),
+         |sig AS (SELECT doc_id, s, min((pa * (gh % 2147483647) + pb) % 2147483647) AS minh
+         |        FROM sh CROSS JOIN s60 GROUP BY doc_id, s),
+         |bands AS (SELECT doc_id, s // 4 AS b,
+         |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
+         |          FROM sig WHERE s < 16 GROUP BY doc_id, s // 4),
+         |fbands AS (SELECT doc_id, b, band_key FROM bands
+         |           QUALIFY count(*) OVER (PARTITION BY b, band_key)
+         |                   <= ${Dedup.NearDupMaxBucket}),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM fbands a JOIN fbands b
+         |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |bb AS (SELECT doc_id,
+         |              CAST(sum((minh % 2) * (CAST(1 AS BIGINT) << s)) AS BIGINT) AS bsig
+         |       FROM sig GROUP BY doc_id)
+         |SELECT c.i, c.j,
+         |       round(greatest(0.0,
+         |         (2.0 * (60 - bit_count(xor(x.bsig, y.bsig))) - 60) / 60), 4)
+         |         AS est_jaccard
+         |FROM cand c
+         |JOIN bb x ON c.i = x.doc_id
+         |JOIN bb y ON c.j = y.doc_id
+         |WHERE round(greatest(0.0,
+         |        (2.0 * (60 - bit_count(xor(x.bsig, y.bsig))) - 60) / 60), 4) >= 0.5
+         |ORDER BY i, j""".stripMargin,
+
+    // one hash + one window: rank copies of each distinct text by
+    // doc_id, keep bit at rank <= 2
+    "q117_capped_dedup" ->
+      """SELECT doc_id, md5(text) AS fingerprint,
+        |       CAST(row_number() OVER (PARTITION BY md5(text)
+        |                               ORDER BY doc_id) AS BIGINT) AS copy_rank,
+        |       CAST(CASE WHEN row_number() OVER (PARTITION BY md5(text)
+        |                                         ORDER BY doc_id) <= 2
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // q112's gate is deliberately NOT a mirror of prefix filtering:
     // exact pairwise Jaccard at the same rational threshold — if the

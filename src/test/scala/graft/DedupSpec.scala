@@ -762,6 +762,41 @@ class DedupSpec extends AnyFunSuite {
     assert(miss.isEmpty, "one notch above the exact ratio excludes the pair")
   }
 
+  test("bbit minhash: recalls every planted pair, estimates within 4 sigma, 30ths grid") {
+    val exact = Dedup.minhashPairs(docs, 3, 16, 4, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val est = Dedup.bbitMinhashPairs(docs, 3, 60, 4, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (pair, j) =>
+      val e = est.getOrElse(pair, fail(s"1-bit tier dropped planted pair $pair"))
+      // sigma of the 60-bit agreement estimator ~ 0.13; 4 sigma ~ 0.5
+      assert(math.abs(e - j) <= 0.5, s"$pair: est $e vs exact $j")
+    }
+    // (2a - 60)/60 = (a - 30)/30 for integer agreement a: the estimator
+    // can only produce 30ths (clipped at 0), observed through the
+    // output's 4-dp rounding
+    est.values.foreach { e =>
+      assert(math.abs(e - math.round(e * 30) / 30.0) <= 5e-5,
+        s"estimate $e is not a 4-dp-rounded 30th")
+    }
+  }
+
+  test("cappedDedup: ranks contiguous, kept == min(group, cap), keeper matches exact tier") {
+    val capped = Dedup.cappedDedup(docs, maxCopies = 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byFp = capped.groupBy(_._2)
+    byFp.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq, "contiguous ranks")
+      assert(g.count(_._4 == 1L) == math.min(g.size, 2), "kept = min(|group|, cap)")
+      // ranks follow doc_id order
+      assert(g.sortBy(_._1).map(_._3).toSeq == (1L to g.size).toSeq)
+    }
+    // rank-1 rows are exactly exactGroups' keepers
+    val keepers = Dedup.exactGroups(docs).collect().map(_.getLong(2)).toSet
+    assert(capped.filter(_._3 == 1L).map(_._1).toSet == keepers)
+  }
+
   test("noveltyProfile: first occurrence owns novelty, totals conserve") {
     val rows = Dedup.noveltyProfile(docs, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
