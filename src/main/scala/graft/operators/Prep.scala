@@ -330,6 +330,28 @@ object Prep {
     * (the property a 1-D sort on either column alone cannot give). One
     * scan + one bounded agg (`buckets` groups); no shuffle beyond it.
     */
+  /** Materialize `events` as a Z-ordered parquet table: range-partition
+    * on the Morton key, sort within partitions by it, write one file
+    * per partition. Every output file then covers an (almost) aligned
+    * Morton range, so its parquet column statistics are tight on BOTH
+    * user and value dimensions — scans filtering on either column skip
+    * whole files/row-groups (PartitioningSpec proves the per-file
+    * tightness on the written artifact). This is the write-side twin of
+    * [[zorderLayout]]'s audit: the audit claims the key clusters both
+    * dims; this produces the table whose footers deliver the pruning.
+    */
+  def zorderWrite(events: DataFrame, dir: String, bits: Int = 8,
+      partitions: Int = 16): Unit = {
+    require(bits > 0 && bits <= 16, s"bits must be in [1,16], got $bits")
+    require(partitions > 0, s"partitions must be positive, got $partitions")
+    val z = zorderExpr(zorderX(bits), zorderY(bits), bits)
+    events
+      .withColumn("z", expr(z))
+      .repartitionByRange(partitions, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   def zorderLayout(events: DataFrame, bits: Int = 8,
       buckets: Int = 64): DataFrame = {
     require(bits > 0 && bits <= 16, s"bits must be in [1,16], got $bits")

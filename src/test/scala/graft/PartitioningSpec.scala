@@ -62,4 +62,40 @@ class PartitioningSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("zorderWrite: every physical file is tight on BOTH dims (file-skipping layout)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      graft.operators.Prep.zorderWrite(ev, dir, bits = 8, partitions = 16)
+      // per physical file: the spread of BOTH coordinates. A 1-D sort
+      // on user_id would leave value spanning its full range in every
+      // file; the Morton layout must bound both (range-partitioned
+      // z splits are contiguous Morton ranges — allow the one-tile
+      // boundary slack of an unaligned range: half the 256-wide grid).
+      val x = graft.operators.Prep.zorderX(8)
+      val y = graft.operators.Prep.zorderY(8)
+      val perFile = spark.read.parquet(dir)
+        .select(expr(x).as("x"), expr(y).as("y"),
+          input_file_name().as("f"))
+        .groupBy("f")
+        .agg((max(col("x")) - min(col("x"))).as("dx"),
+          (max(col("y")) - min(col("y"))).as("dy"),
+          count(lit(1)).as("n"))
+        .collect()
+      assert(perFile.length > 4, "several physical files")
+      assert(perFile.map(_.getAs[Long]("n")).sum == ev.count(), "lossless write")
+      val loose = perFile.filter(r =>
+        r.getAs[Long]("dx") > 128 || r.getAs[Long]("dy") > 128)
+      assert(loose.isEmpty,
+        s"files spanning more than half the grid on a dim: ${loose.mkString(";")}")
+      // and collectively the files must beat the trivial layout: the
+      // AVERAGE per-file spread is well under the full 255 range
+      val avgDy = perFile.map(_.getAs[Long]("dy")).sum.toDouble / perFile.length
+      assert(avgDy < 100, s"mean value-dim spread $avgDy — no better than unsorted")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
