@@ -6,6 +6,23 @@ object Scratch {
     val spark = Graft.session()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val name = args.headOption.getOrElse("q27_dedup_minhash")
+    if (name == "sharedruns_cap") {
+      // A/B the stop-gram cap on sharedRuns over SPARK_GRAFT_SF_DIR:
+      // Scratch sharedruns_cap <maxPostings> [runs]
+      val cap = args(1).toLong
+      val runs = args.lift(2).map(_.toInt).getOrElse(3)
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.sharedRuns(docs, 3, 15L, cap)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        graft.operators.Ckpt.releaseGraftStorage(spark)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SHAREDRUNS cap=$cap dir=$dir times=${times.map(t => f"$t%.2f").mkString(" ")}")
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, dir)
     if (args.contains("explain")) df.explain("formatted")
     if (args.contains("bnlj")) {
