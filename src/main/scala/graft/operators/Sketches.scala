@@ -81,4 +81,66 @@ object Sketches {
         coalesce(col("exact"), lit(0L)).as("exact"),
         (col("est") - coalesce(col("exact"), lit(0L))).as("overestimate"))
   }
+
+  /** The k (hash, bucket) positions of a fingerprint in an m-bit Bloom
+    * filter — the ONE hash definition shared by build and probe (same
+    * desynchronization argument as [[bucketStructs]]). Hash i = portable
+    * md5("bloom_i_" + fp) mod m.
+    */
+  private def bloomBuckets(fpCol: String, k: Int, m: Int) = (0 until k).map { i =>
+    expr(s"cast(conv(substr(md5(concat('bloom_${i}_', $fpCol)), 1, 15), " +
+      s"16, 10) as bigint) % $m")
+  }
+
+  /** Occupied bucket set of an m-bit / k-hash Bloom filter over the
+    * corpus's text fingerprints — the filter in relational form (one
+    * row per SET bit, ≤ m rows total regardless of corpus size). The
+    * classic ingest front door at 100 TB: a membership test against
+    * this bounded set answers "definitely new" without joining the
+    * fingerprint store, so only maybe-present rows pay the exact
+    * check. Build is one scan + one distinct bounded by m; the bitmap
+    * materialization (OR of per-partition bitmaps) is the physical
+    * twin — this rendering keeps the whole surface relational so an
+    * oracle reproduces it bit-for-bit.
+    */
+  def bloomBuild(corpus: DataFrame, k: Int = 4, m: Int = 131072): DataFrame = {
+    require(k >= 1 && m >= 2, s"need k >= 1, m >= 2: k=$k m=$m")
+    corpus.select(md5(col("text")).as("fp"))
+      .select(explode(array(bloomBuckets("fp", k, m): _*)).as("bucket"))
+      .distinct()
+  }
+
+  /** Membership audit of `probes` against the corpus filter: per probe
+    * doc, the Bloom verdict (`maybe_present` = all k buckets set) and
+    * the ground truth (`present` = fingerprint really in the corpus).
+    * Bloom's contract — NO false negatives, measured false-positive
+    * rate — is visible per row: present = 1 ⇒ maybe_present = 1 by
+    * construction (same hashes, same buckets), and the false-positive
+    * mass is exactly the maybe_present = 1 ∧ present = 0 rows.
+    *
+    * Scale posture: the occupied set is ≤ m rows (broadcast side);
+    * probes explode to k rows each, one equi-join + count-of-hits agg;
+    * the exact branch is a semi-join on the fingerprint only — at a
+    * real front door it runs on the maybe rows alone, here it runs on
+    * all probes because the AUDIT is the product.
+    */
+  def bloomMembership(corpus: DataFrame, probes: DataFrame,
+      k: Int = 4, m: Int = 131072): DataFrame = {
+    val occupied = bloomBuild(corpus, k, m)
+    val pb = probes.select(col("doc_id"), md5(col("text")).as("fp"))
+    val hits = pb
+      .select(col("doc_id"),
+        explode(array(bloomBuckets("fp", k, m): _*)).as("bucket"))
+      .join(occupied, "bucket")
+      .groupBy("doc_id").agg(count(lit(1)).as("_hits"))
+    val truth = pb.join(
+        corpus.select(md5(col("text")).as("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("present"))
+    pb.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .join(truth, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("_hits"), lit(0L)) === k).cast("bigint").as("maybe_present"),
+        coalesce(col("present"), lit(0L)).as("present"))
+  }
 }

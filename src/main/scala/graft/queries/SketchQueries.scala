@@ -95,6 +95,22 @@ object SketchQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Bloom membership front door: the delta slice (q62's cut) probed
+    // against an m = 4096-bit / k = 4 filter over the below-cut corpus
+    // fingerprints. m chosen so the false-positive band is OBSERVABLE
+    // at the gated scale (load ~0.3, fp ~1%) — a filter with fp = 0
+    // would gate nothing but the hash plumbing. Audit rows carry both
+    // the Bloom verdict and ground truth; no-false-negative is a per-
+    // row invariant (present = 1 ⇒ maybe_present = 1)
+    "q118_bloom_membership" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val cut = deltaCut(docs)
+      graft.operators.Sketches.bloomMembership(
+          docs.filter(col("doc_id") < cut),
+          docs.filter(col("doc_id") >= cut), k = 4, m = 4096)
+        .orderBy("doc_id")
+    }),
+
     // fixed-bucket histogram percentile — q49's hash-gated sibling: the
     // same tail-quantile question answered with bounded mergeable state
     // (one counter per $100 price bucket per group), pure-BIGINT
@@ -177,6 +193,38 @@ object SketchQueries {
          |       e.est - coalesce(x.exact, 0) AS overestimate
          |FROM est e LEFT JOIN ex x USING (word)
          |ORDER BY e.word""".stripMargin,
+
+    // same md5 bucket positions, same distinct occupied set, same
+    // all-k-hit verdict — the filter in relational form reproduces
+    // bit-for-bit
+    "q118_bloom_membership" ->
+      """WITH cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS v
+        |             FROM documents),
+        |cfp AS (SELECT md5(text) AS fp FROM documents
+        |        WHERE doc_id < (SELECT v FROM cut)),
+        |ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |occ AS (SELECT DISTINCT
+        |          CAST('0x' || substr(md5('bloom_' || i || '_' || fp), 1, 15)
+        |            AS BIGINT) % 4096 AS bucket
+        |        FROM cfp CROSS JOIN ks),
+        |pb AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |       WHERE doc_id >= (SELECT v FROM cut)),
+        |ph AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5('bloom_' || i || '_' || fp), 1, 15)
+        |           AS BIGINT) % 4096 AS bucket
+        |       FROM pb CROSS JOIN ks),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+        |         FROM ph JOIN occ USING (bucket) GROUP BY doc_id),
+        |truth AS (SELECT DISTINCT p.doc_id FROM pb p JOIN cfp c ON p.fp = c.fp)
+        |SELECT p.doc_id,
+        |       CAST(CASE WHEN coalesce(h.c, 0) = 4 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS maybe_present,
+        |       CAST(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS present
+        |FROM pb p
+        |LEFT JOIN hits h USING (doc_id)
+        |LEFT JOIN truth t USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
 
     // the md5-hashed KMV renders exactly in DuckDB: same 60-bit hashes,
     // same distinct bottom-64 selection, same single-division estimator

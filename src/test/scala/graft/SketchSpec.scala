@@ -175,4 +175,32 @@ class SketchSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Sketches.cmsWordMatrix(docs, d = 0))
   }
+
+  test("bloom membership: zero false negatives ever, false positives only flagged rows") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val corpus = (0 until 200).map(i => (i.toLong, s"corpus document number $i body"))
+      .toDF("doc_id", "text")
+    // 30 probes are verbatim corpus texts, 70 are novel
+    val probes = ((0 until 30).map(i => (1000L + i, s"corpus document number ${i * 6} body")) ++
+      (30 until 100).map(i => (1000L + i, s"novel probe text $i payload")))
+      .toDF("doc_id", "text")
+    // a deliberately tiny filter (m = 64) saturates and forces false
+    // positives — the contract under pressure: NO false negative, every
+    // present row maybe-present, and the fp mass is visible
+    val rows = Sketches.bloomMembership(corpus, probes, k = 4, m = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 100, "total audit: every probe reports")
+    assert(rows.count(_._3 == 1L) == 30, "ground truth finds the 30 copies")
+    rows.foreach { case (id, maybe, present) =>
+      assert(!(present == 1L && maybe == 0L), s"FALSE NEGATIVE at $id")
+    }
+    // the occupied set is bounded by m however large the corpus
+    assert(Sketches.bloomBuild(corpus, k = 4, m = 64).count() <= 64L)
+    // and a roomy filter separates: same probes, m = 1 << 17 — fp ~ 0
+    val roomy = Sketches.bloomMembership(corpus, probes, k = 4, m = 1 << 17)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(roomy.forall { case (maybe, present) => maybe == present },
+      "at load ~0.006 the filter answers exactly")
+  }
 }
