@@ -124,6 +124,42 @@ object Sketches {
     * real front door it runs on the maybe rows alone, here it runs on
     * all probes because the AUDIT is the product.
     */
+  /** Persist a built filter: occupied-bit rows + a 1-row (k, m) meta
+    * frame. The artifact is ≤ m rows of one long — the cheapest stored
+    * index in the engine, and the one a 100 TB ingest consults on
+    * EVERY arriving document, so it living across jobs (not rebuilt
+    * per session) is the whole point.
+    */
+  def writeBloom(corpus: DataFrame, dir: String, k: Int = 4,
+      m: Int = 131072): Unit = {
+    bloomBuild(corpus, k, m).write.mode("overwrite").parquet(s"$dir/bits")
+    corpus.sparkSession.range(1)
+      .select(lit(k.toLong).as("k"), lit(m.toLong).as("m"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Probe a STORED filter: the production front-door shape — no
+    * corpus in reach, only the ≤ m-row bit set — so the output is the
+    * Bloom verdict alone (doc_id, maybe_present). (k, m) come from the
+    * artifact's meta, so probes can never hash differently from the
+    * build that wrote it. Stored ≡ rebuilt is q119's hash law: the
+    * oracle recomputes the same filter from the corpus itself.
+    */
+  def bloomMembershipStored(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    val (k, m) = (meta.getAs[Long]("k").toInt, meta.getAs[Long]("m").toInt)
+    val occupied = spark.read.parquet(s"$dir/bits")
+    val pb = probes.select(col("doc_id"), md5(col("text")).as("fp"))
+    pb.select(col("doc_id"),
+        explode(array(bloomBuckets("fp", k, m): _*)).as("bucket"))
+      .join(occupied, "bucket")
+      .groupBy("doc_id").agg(count(lit(1)).as("_hits"))
+      .join(pb.select("doc_id"), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        (coalesce(col("_hits"), lit(0L)) === k).cast("bigint").as("maybe_present"))
+  }
+
   def bloomMembership(corpus: DataFrame, probes: DataFrame,
       k: Int = 4, m: Int = 131072): DataFrame = {
     val occupied = bloomBuild(corpus, k, m)

@@ -18,6 +18,12 @@ import graft.sources.Tables
   */
 object SketchQueries {
 
+  /** q119's "yesterday's filter" cache — one stored artifact per
+    * sf-dir per JVM (the shared cachedIndexDir protocol).
+    */
+  private val bloomIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, Q] = Map(
     "q34_hll_distinct" -> ((spark, dir) =>
       Tables.load(spark, dir, "lineitem")
@@ -108,6 +114,24 @@ object SketchQueries {
       graft.operators.Sketches.bloomMembership(
           docs.filter(col("doc_id") < cut),
           docs.filter(col("doc_id") >= cut), k = 4, m = 4096)
+        .orderBy("doc_id")
+    }),
+
+    // q118's stored twin: the filter persisted by "yesterday's job"
+    // (cachedIndexDir protocol), probed with (k, m) read from the
+    // artifact's meta — the realistic front door has no corpus at
+    // hand, so the output is the Bloom verdict alone; the oracle
+    // recomputes the same filter from the corpus (stored ≡ rebuilt is
+    // the hash law, as q70/q72/q96 establish for the other indexes)
+    "q119_bloom_stored" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val cut = deltaCut(docs)
+      val idx = cachedIndexDir(bloomIdxCache, dir, "graft_bloom_idx_") { d =>
+        graft.operators.Sketches.writeBloom(
+          docs.filter(col("doc_id") < cut), d, k = 4, m = 4096)
+      }
+      graft.operators.Sketches.bloomMembershipStored(spark, idx,
+          docs.filter(col("doc_id") >= cut))
         .orderBy("doc_id")
     }),
 
@@ -224,6 +248,33 @@ object SketchQueries {
         |FROM pb p
         |LEFT JOIN hits h USING (doc_id)
         |LEFT JOIN truth t USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // stored ≡ rebuilt: the oracle recomputes the filter from the
+    // corpus itself; a stale or differently-hashed artifact mismatches
+    "q119_bloom_stored" ->
+      """WITH cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS v
+        |             FROM documents),
+        |cfp AS (SELECT md5(text) AS fp FROM documents
+        |        WHERE doc_id < (SELECT v FROM cut)),
+        |ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |occ AS (SELECT DISTINCT
+        |          CAST('0x' || substr(md5('bloom_' || i || '_' || fp), 1, 15)
+        |            AS BIGINT) % 4096 AS bucket
+        |        FROM cfp CROSS JOIN ks),
+        |pb AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |       WHERE doc_id >= (SELECT v FROM cut)),
+        |ph AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5('bloom_' || i || '_' || fp), 1, 15)
+        |           AS BIGINT) % 4096 AS bucket
+        |       FROM pb CROSS JOIN ks),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+        |         FROM ph JOIN occ USING (bucket) GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |       CAST(CASE WHEN coalesce(h.c, 0) = 4 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS maybe_present
+        |FROM pb p
+        |LEFT JOIN hits h USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin,
 
     // the md5-hashed KMV renders exactly in DuckDB: same 60-bit hashes,
