@@ -14,7 +14,7 @@ Usage: python3 dev/advcorpus.py /root/testdata/sf0.001 /tmp/sfadv
        dev/run.sh graft.Verify /tmp/sfadv /tmp/verify_adv
        python3 dev/compare.py /tmp/sfadv /tmp/verify_adv
 """
-import sys, os, shutil, random
+import sys, os, shutil
 import duckdb
 
 def main(src, out):
@@ -26,7 +26,6 @@ def main(src, out):
     rows = []
     base_words = ["alpha","bravo","charlie","delta","echo","foxtrot","golf","hotel",
                   "india","juliet","kilo","lima","mike","november","oscar","papa"]
-    random.seed(42)
     for i in range(40):
         n = 30 + (i % 20)
         words = [base_words[(i*7 + j*3) % 16] + str((i*j) % 11) for j in range(n)]

@@ -32,6 +32,21 @@ import java.util.Locale
   */
 object Bench {
 
+  /** JSON number/string rendering shared by the full record and the
+    * compact line — ONE escaping definition, so the two can never
+    * diverge into one parseable and one malformed output.
+    */
+  private def num(v: Double): String =
+    String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Per-query historical medians from the cumulative history file, for
     * runs at the same sf. Parses our own single-line format with a
     * narrow regex (query keys start with 'q' and carry numeric values;
@@ -113,14 +128,6 @@ object Bench {
       }
     }
 
-    def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     // noise-robust companions to the official medians: the min of this
     // run's own 3 timed repeats per query (and its total) — a single hot
@@ -197,14 +204,6 @@ object Bench {
       results: Seq[(String, Double, Double)], errors: Seq[(String, String)],
       wholesale: Boolean, nCompared: Int, nHigh: Int,
       total: Double, totalMin: Double, sfDir: String): String = {
-    def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val slowFirst = results.filter(_._2 >= 0).sortBy(-_._2)
     val errsCompact =
       if (errors.isEmpty) "{}"

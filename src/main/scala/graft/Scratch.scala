@@ -9,7 +9,8 @@ object Scratch {
     if (name == "sharedruns_cap") {
       // A/B the stop-gram cap on sharedRuns over SPARK_GRAFT_SF_DIR:
       // Scratch sharedruns_cap <maxPostings> [runs]
-      val cap = args(1).toLong
+      val cap = args.lift(1).map(_.toLong).getOrElse(
+        sys.error("usage: Scratch sharedruns_cap <maxPostings> [runs]"))
       val runs = args.lift(2).map(_.toInt).getOrElse(3)
       val docs = graft.sources.Tables.load(spark, dir, "documents")
       val times = (1 to runs).map { _ =>

@@ -56,7 +56,7 @@ object Dedup {
       // model is "whitespace split, drop empties" (it matched only by
       // accident at n >= 2 via the size filter)
       .select(col("doc_id"),
-        expr("filter(split(trim(text), '\\\\s+'), x -> x != '')").as("w"))
+        expr(TextAnalysis.WordsExpr).as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("g"))
@@ -953,7 +953,7 @@ object Dedup {
     val gram = (0 until n).map(k => s"w[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
     docs
       .select(col("doc_id"),
-        expr("filter(split(trim(text), '\\\\s+'), x -> x != '')").as("w"))
+        expr(TextAnalysis.WordsExpr).as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, size(w) - $n), i -> $gram)")))
@@ -1160,7 +1160,7 @@ object Dedup {
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
     val toks = docs
       .select(col("doc_id"),
-        posexplode(expr("filter(split(trim(text), '\\\\s+'), x -> x != '')")))
+        posexplode(expr(TextAnalysis.WordsExpr)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("word"))
     // token-grain drop set: explode each MERGED span once — total rows
@@ -1173,7 +1173,7 @@ object Dedup {
         "struct(pos, word))), x -> x.word), ' ')").as("_kept"),
         count(lit(1)).as("_nk"))
       .join(docs.select(col("doc_id"),
-        size(expr("filter(split(trim(text), '\\\\s+'), x -> x != '')"))
+        size(expr(TextAnalysis.WordsExpr))
           .cast("long").as("n_tokens")), Seq("doc_id"), "right")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("_nk"), lit(0L))).as("n_dropped"),
@@ -1296,9 +1296,13 @@ object Dedup {
     * Scale shape: the driver loop holds only an iteration counter and
     * an is-empty probe per round; each round's frame is
     * localCheckpoint'ed (plan-growth cut — text is rewritten, lineage
-    * would otherwise stack a full scrub pipeline per round). Rounds in
-    * practice: 1 detection round + 1 empty confirmation on clean
-    * corpora, 2–3 on adversarial ones.
+    * would otherwise stack a full scrub pipeline per round), and a
+    * round RETIRES the previous round's checkpoint blocks as soon as
+    * its own are materialized ([[Ckpt.release]]), so pinned executor
+    * storage stays O(1) in rounds — an adversarial many-round corpus
+    * would otherwise hold one full rewritten-text copy per round until
+    * the run boundary. Rounds in practice: 1 detection round + 1 empty
+    * confirmation on clean corpora, 2–3 on adversarial ones.
     *
     * Output: (doc_id, n_tokens — ORIGINAL count, n_dropped —
     * cumulative, text_clean, n_iters, converged).
@@ -1311,38 +1315,52 @@ object Dedup {
     // positional shingling and the occurrence count are the round's
     // dominant linear passes, and the un-shared rendering paid them
     // three times each (measured 10.3s -> 6.4s at sf0.1 from this)
-    def spansOf(cur: DataFrame): DataFrame = {
+    def spansAndState(cur: DataFrame): (DataFrame, Seq[DataFrame]) = {
       val ps = Ckpt.narrow(positionalShingles(cur, n))
       val occ = Ckpt.narrow(ps.groupBy("gh").agg(count(lit(1)).as("_occ")))
       val kept = Ckpt.narrow(
         ps.join(occ.filter(col("_occ") <= maxPostings).select("gh"), "gh"))
       val hot = ps.join(occ.filter(col("_occ") > maxPostings).select("gh"), "gh")
-      crossRunsOf(kept, n, minRun)
+      val spans = Ckpt.narrow(crossRunsOf(kept, n, minRun)
         .select(col("j").as("doc_id"), col("start_j").as("s"),
           (col("start_j") + col("run_tokens")).as("e"))
         .unionByName(selfRunsOf(kept, n, minRun)
           .select(col("doc_id"), col("start_j").as("s"),
             (col("start_j") + col("run_tokens")).as("e")))
-        .unionByName(hotCutsOf(hot, n, minRun))
+        .unionByName(hotCutsOf(hot, n, minRun)))
+      (spans, Seq(ps, occ, kept, spans))
     }
     var cur = docs.select(col("doc_id"), col("text"))
-    var dropped: DataFrame = null // cumulative (doc_id, n_dropped)
+    var curCk: DataFrame = null // checkpoint backing cur (null = raw input)
+    var dropped: DataFrame = null // cumulative (doc_id, n_dropped), own ckpt
     var orig: DataFrame = null // (doc_id, n_tokens) of the INPUT corpus
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
-      val spans = Ckpt.narrow(spansOf(cur))
-      if (spans.isEmpty) converged = true
-      else {
+      val (spans, roundState) = spansAndState(cur)
+      if (spans.isEmpty) {
+        converged = true
+        roundState.foreach(Ckpt.release)
+      } else {
         val scrubbed = Ckpt.narrow(applyCutSpans(cur, spans))
+        // the audit columns get their OWN checkpoints so earlier
+        // rounds' full-text frames can retire below
         if (orig == null)
-          orig = scrubbed.select(col("doc_id"), col("n_tokens"))
-        dropped =
+          orig = Ckpt.narrow(scrubbed.select(col("doc_id"), col("n_tokens")))
+        val newDropped = Ckpt.narrow(
           if (dropped == null) scrubbed.select(col("doc_id"), col("n_dropped"))
-          else Ckpt.narrow(dropped.as("d")
+          else dropped.as("d")
             .join(scrubbed.select(col("doc_id"),
               col("n_dropped").as("_nd")), "doc_id")
             .select(col("doc_id"), (col("d.n_dropped") + col("_nd")).as("n_dropped")))
+        // everything this round read is materialized downstream now:
+        // retire the round's gram state + spans, the previous round's
+        // text frame, and the superseded cumulative audit
+        roundState.foreach(Ckpt.release)
+        if (curCk != null) Ckpt.release(curCk)
+        if (dropped != null) Ckpt.release(dropped)
+        dropped = newDropped
+        curCk = scrubbed
         cur = scrubbed.select(col("doc_id"), col("text_clean").as("text"))
         iters += 1
       }
@@ -1351,7 +1369,7 @@ object Dedup {
       if (orig == null)
         // zero rounds cut anything: corpus already at fixpoint
         docs.select(col("doc_id"),
-          size(expr("filter(split(trim(text), '\\\\s+'), x -> x != '')"))
+          size(expr(TextAnalysis.WordsExpr))
             .cast("long").as("n_tokens"), lit(0L).as("n_dropped"),
           col("text").as("text_clean"))
       else orig.join(dropped, "doc_id")

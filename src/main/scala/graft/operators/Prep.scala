@@ -349,6 +349,11 @@ object Prep {
       .withColumn("z", expr(z))
       .repartitionByRange(partitions, col("z"))
       .sortWithinPartitions("z")
+      // the key is fully derivable from (user_id, value): drop it so the
+      // written table is a schema-identical drop-in for the source (the
+      // projection preserves the partition sort, so the layout — and the
+      // footer stats it buys — is unchanged)
+      .drop("z")
       .write.mode("overwrite").parquet(dir)
   }
 

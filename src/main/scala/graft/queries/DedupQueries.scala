@@ -82,22 +82,24 @@ object DedupQueries {
     * above the cap are dropped before the self-join), so the oracle gates
     * the capped path the engine actually runs, not an uncapped shadow.
     */
-  private[queries] val MinhashCandSql: String =
+  private[queries] def minhashCandSql(nSeeds: Int = 16): String =
     s"""seeds AS (SELECT s,
        |                 CAST('0x' || substr(md5('mh_a_' || s), 1, 15) AS BIGINT) % 2147483646 + 1 AS pa,
        |                 CAST('0x' || substr(md5('mh_b_' || s), 1, 15) AS BIGINT) % 2147483647 AS pb
-       |          FROM (SELECT unnest(generate_series(0, 15)) AS s)),
+       |          FROM (SELECT unnest(generate_series(0, ${nSeeds - 1})) AS s)),
        |sig AS (SELECT doc_id, s, min((pa * (gh % 2147483647) + pb) % 2147483647) AS minh
        |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
        |bands AS (SELECT doc_id, s // 4 AS b,
        |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
-       |          FROM sig GROUP BY doc_id, s // 4),
+       |          FROM sig WHERE s < 16 GROUP BY doc_id, s // 4),
        |fbands AS (SELECT doc_id, b, band_key FROM bands
        |           QUALIFY count(*) OVER (PARTITION BY b, band_key)
        |                   <= ${Dedup.NearDupMaxBucket}),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM fbands a JOIN fbands b
        |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  private[queries] val MinhashCandSql: String = minhashCandSql(16)
 
   /** Verified near-dup edges at the canonical 0.7 threshold — the SQL
     * twin of `Dedup.nearDupEdges`.
@@ -658,27 +660,14 @@ object DedupQueries {
          |FROM nt n LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
-    // same md5-derived permutation family extended to 60 seeds; bands
-    // from the first 16 (exactly q27's candidate scheme + skew cap);
-    // packed bit signature and popcount agreement rendered in DuckDB's
-    // own operators — the whole estimate surface is hash-gated
+    // the SAME parameterized candidate chain as q27's oracles (one
+    // definition — minhashCandSql — so the house LSH scheme cannot
+    // drift between the q27 family and this gate), extended to 60
+    // seeds; packed bit signature and popcount agreement rendered in
+    // DuckDB's own operators — the whole estimate surface is hash-gated
     "q116_bbit_minhash" ->
       s"""WITH $ShinglesSql,
-         |s60 AS (SELECT s,
-         |          CAST('0x' || substr(md5('mh_a_' || s), 1, 15) AS BIGINT) % 2147483646 + 1 AS pa,
-         |          CAST('0x' || substr(md5('mh_b_' || s), 1, 15) AS BIGINT) % 2147483647 AS pb
-         |        FROM (SELECT unnest(generate_series(0, 59)) AS s)),
-         |sig AS (SELECT doc_id, s, min((pa * (gh % 2147483647) + pb) % 2147483647) AS minh
-         |        FROM sh CROSS JOIN s60 GROUP BY doc_id, s),
-         |bands AS (SELECT doc_id, s // 4 AS b,
-         |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
-         |          FROM sig WHERE s < 16 GROUP BY doc_id, s // 4),
-         |fbands AS (SELECT doc_id, b, band_key FROM bands
-         |           QUALIFY count(*) OVER (PARTITION BY b, band_key)
-         |                   <= ${Dedup.NearDupMaxBucket}),
-         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-         |         FROM fbands a JOIN fbands b
-         |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |${minhashCandSql(60)},
          |bb AS (SELECT doc_id,
          |              CAST(sum((minh % 2) * (CAST(1 AS BIGINT) << s)) AS BIGINT) AS bsig
          |       FROM sig GROUP BY doc_id)

@@ -211,25 +211,20 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 2, s"q103 lost its two-phase partial aggregation:\n$plan")
   }
 
-  test("round-5 additions never fall back to nested-loop or cartesian joins") {
-    // q95/q96's only cross joins are the 1-row stats frames; q98's probe
-    // fan-out is a bounded literal; q99/q100 are vocab-grain equi-joins
-    for (name <- Seq("q95_bm25", "q96_bm25_indexed", "q98_cms_counts",
-        "q99_lm_familiarity_indexed", "q100_vocab_drift")) {
-      val plan = executedPlan(q(name))
-      assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
-        !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
-        !plan.contains("CartesianProduct"),
-        s"$name plans a quadratic join:\n${plan.take(2000)}")
-    }
-  }
-
-  test("round-7 additions never fall back to nested-loop or cartesian joins") {
+  test("text/sketch/substring-tier additions never fall back to nested-loop or cartesian joins") {
+    // one assertion body, one list to extend per round. r5: q95/q96's
+    // only cross joins are the 1-row stats frames, q98's probe fan-out
+    // is a bounded literal, q99/q100 are vocab-grain equi-joins. r7:
     // q108/q110/q112's pair work is equi-keyed (gram hash / prefix
-    // shingle); q113/q114 are agg + equi-join chains; q109 adds only the
-    // span/token equi-joins on top of q108
-    for (name <- Seq("q108_shared_runs", "q109_span_scrub", "q110_self_runs",
-        "q112_prefix_join", "q113_novelty", "q114_retention")) {
+    // shingle), q113/q114 are agg + equi-join chains, q109 adds only
+    // the span/token equi-joins on top of q108, q116 probes candidate
+    // pairs against 8-byte signatures, q118/q119 join on bucket ids.
+    for (name <- Seq(
+        "q95_bm25", "q96_bm25_indexed", "q98_cms_counts",
+        "q99_lm_familiarity_indexed", "q100_vocab_drift",
+        "q108_shared_runs", "q109_span_scrub", "q110_self_runs",
+        "q112_prefix_join", "q113_novelty", "q114_retention",
+        "q116_bbit_minhash", "q118_bloom_membership")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
