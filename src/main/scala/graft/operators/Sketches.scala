@@ -149,7 +149,16 @@ object Sketches {
       dir: String, probes: DataFrame): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta").head
     val (k, m) = (meta.getAs[Long]("k").toInt, meta.getAs[Long]("m").toInt)
-    val occupied = spark.read.parquet(s"$dir/bits")
+    bloomProbe(spark.read.parquet(s"$dir/bits"), probes, k, m)
+  }
+
+  /** Verdict-only probe against an occupied-bucket frame — the ONE
+    * probe definition behind [[bloomMembershipStored]] and the
+    * streaming-accumulated filter
+    * ([[graft.streaming.Streams.ingestBloomProbe]]).
+    */
+  def bloomProbe(occupied: DataFrame, probes: DataFrame,
+      k: Int, m: Int): DataFrame = {
     val pb = probes.select(col("doc_id"), md5(col("text")).as("fp"))
     pb.select(col("doc_id"),
         explode(array(bloomBuckets("fp", k, m): _*)).as("bucket"))

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
-import graft.operators.{Dedup, Similarity, TextIndex}
+import graft.operators.{Dedup, Similarity, Sketches, TextIndex}
 
 /** Structured Streaming tier over the `events` dataflow (SURVEY.md §2.5
   * streaming row, §7 step 7).
@@ -468,6 +468,99 @@ object Streams {
       markCompacted(spark, stateDir, c)
       if (gc) gcCovered(spark, stateDir, c0, ids,
         Seq("postings", "doclens", "stats"))
+      Some(c)
+    }
+  }
+
+  /** Streaming ingest Bloom — the FOURTH `foreachBatch` composition:
+    * the membership front door ([[Sketches.bloomMembership]]) built
+    * incrementally. Per batch the arriving docs' occupied-bucket set
+    * (distinct, ≤ m rows) lands under `bits/batch=N` with the (k, m)
+    * meta written at bootstrap; the same marker-last commit protocol
+    * as the other three tiers. Bloom state is a pure SET UNION — bits
+    * only ever turn on — so the fold over committed batches is
+    * associative, replay-safe, and order-independent: the streamed
+    * filter is bit-identical to a batch [[Sketches.bloomBuild]] over
+    * the union of the batches (the StreamingSpec differential).
+    */
+  def ingestBloom(docs: DataFrame, stateDir: String, checkpointDir: String,
+      k: Int = 4, m: Int = 131072): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestBloomBatch(batch.toDF(), stateDir, batchId, k, m)
+      }
+      .start()
+
+  /** One Bloom ingest step (see [[ingestBloom]]); public for batch-mode
+    * replays and tests — the streaming query calls exactly this.
+    */
+  def ingestBloomBatch(batch: DataFrame, stateDir: String, batchId: Long,
+      k: Int = 4, m: Int = 131072): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    Sketches.bloomBuild(batch, k, m).write.mode("overwrite")
+      .parquet(s"$stateDir/bits/batch=$batchId")
+    // (k, m) pin: every batch writes the same one-row frame (the
+    // foreachBatch loop is serial, and identical content makes the
+    // overwrite idempotent under replay)
+    spark.range(1)
+      .select(lit(k.toLong).as("k"), lit(m.toLong).as("m"))
+      .write.mode("overwrite").parquet(s"$stateDir/meta")
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** The accumulated streamed filter over all COMMITTED batches (and
+    * any compacted base): the distinct union of their occupied-bucket
+    * sets, with the pinned (k, m). None before the first commit.
+    */
+  def ingestBloomRead(spark: SparkSession,
+      stateDir: String): Option[(DataFrame, Int, Int)] = {
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else {
+      val meta = spark.read.parquet(s"$stateDir/meta").head
+      val basePfx = if (c >= 0) Seq(baseDir(stateDir, c) + "/bits") else Nil
+      Some((
+        spark.read.parquet(
+          basePfx ++ ids.map(i => s"$stateDir/bits/batch=$i"): _*).distinct(),
+        meta.getAs[Long]("k").toInt, meta.getAs[Long]("m").toInt))
+    }
+  }
+
+  /** Probe the streamed filter — verdict-only rows, the ingest
+    * front-door shape ([[Sketches.bloomProbe]] over the accumulated
+    * set). None before the first commit.
+    */
+  def ingestBloomProbe(spark: SparkSession, stateDir: String,
+      probes: DataFrame): Option[DataFrame] =
+    ingestBloomRead(spark, stateDir).map { case (occ, k, m) =>
+      Sketches.bloomProbe(occ, probes, k, m)
+    }
+
+  /** Fold every committed Bloom batch (and any prior base) into a
+    * fresh canonical base: `base/compact=C` in the [[Sketches.writeBloom]]
+    * layout (`bits/` + `meta/`), loadable by
+    * [[Sketches.bloomMembershipStored]] as a standalone artifact. Same
+    * commit/GC protocol as the other tiers. Keeps probe cost flat: an
+    * uncompacted probe unions one bucket-set file group per batch
+    * forever.
+    */
+  def compactBloom(spark: SparkSession, stateDir: String,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
+    if (ids.isEmpty) None
+    else {
+      val c = ids.max
+      val (occ, k, m) = ingestBloomRead(spark, stateDir).get
+      occ.write.mode("overwrite").parquet(baseDir(stateDir, c) + "/bits")
+      spark.range(1)
+        .select(lit(k.toLong).as("k"), lit(m.toLong).as("m"))
+        .write.mode("overwrite").parquet(baseDir(stateDir, c) + "/meta")
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids, Seq("bits"))
       Some(c)
     }
   }

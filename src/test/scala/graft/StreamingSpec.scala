@@ -620,6 +620,83 @@ class StreamingSpec extends AnyFunSuite {
       "previous base must be GC'd after the new marker commits")
   }
 
+  test("foreachBatch ingest Bloom: streamed filter == batch build, across restart + compact") {
+    import graft.operators.Sketches
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_bloom_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val sch = docs.schema
+    val cuts = Seq((0L, 200L), (200L, 400L), (400L, Long.MaxValue))
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      slice(lo, hi).coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      // fresh query per drop resuming from the shared checkpoint — two
+      // full stop/restart cycles across the three micro-batches
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestBloom(stream, state, ckpt, k = 4, m = 4096)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    // probe set: half verbatim members, half novel
+    val probes = docs.filter(col("doc_id") < 100L)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .unionByName(spark.range(10100, 10170)
+        .selectExpr("id AS doc_id", "concat('novel probe ', id) AS text"))
+    // bit union is order/batching-independent: streamed filter must be
+    // BIT-IDENTICAL to the one-shot batch build over the same corpus
+    val streamed = Streams.ingestBloomProbe(spark, state, probes).get
+    val batch = Sketches.bloomProbe(
+      Sketches.bloomBuild(docs, k = 4, m = 4096), probes, k = 4, m = 4096)
+    assert(rows(streamed) == rows(batch))
+    assert(rows(streamed).count(_.getLong(1) == 1L) >= 100,
+      "all verbatim members maybe-present (no false negative)")
+
+    // compact into a canonical writeBloom-layout base: verdicts
+    // identical, the base is bloomMembershipStored-servable standalone,
+    // covered batch dirs GC'd while replay markers survive
+    assert(Streams.compactBloom(spark, state) == Some(2L))
+    assert(rows(Streams.ingestBloomProbe(spark, state, probes).get) == rows(batch))
+    assert(rows(Sketches.bloomMembershipStored(
+      spark, s"$state/base/compact=2", probes)) == rows(batch))
+    assert(!new java.io.File(s"$state/bits/batch=0").exists)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+    assert(Streams.compactBloom(spark, state).isEmpty, "nothing new to fold")
+
+    // restart after the compact with no new files: replay-skip holds
+    val stream2 = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q2 = Streams.ingestBloom(stream2, state, ckpt, k = 4, m = 4096)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rows(Streams.ingestBloomProbe(spark, state, probes).get) == rows(batch))
+
+    // ingest continues on top of the base; a second compaction folds
+    // base + delta and stays == the batch build over the grown corpus
+    val delta = docs.filter(col("doc_id") < 20L)
+      .withColumn("text", concat(col("text"), lit(" appended-delta-token")))
+      .withColumn("doc_id", col("doc_id") + 500L)
+    Streams.ingestBloomBatch(delta, state, batchId = 3L, k = 4, m = 4096)
+    val grown = Sketches.bloomProbe(
+      Sketches.bloomBuild(docs.unionByName(delta), k = 4, m = 4096),
+      probes, k = 4, m = 4096)
+    assert(rows(Streams.ingestBloomProbe(spark, state, probes).get) == rows(grown))
+    assert(Streams.compactBloom(spark, state) == Some(3L))
+    assert(rows(Streams.ingestBloomProbe(spark, state, probes).get) == rows(grown))
+    assert(!new java.io.File(s"$state/base/compact=2").exists,
+      "previous base must be GC'd after the new marker commits")
+  }
+
   test("foreachBatch ingest IVF: streamed assignment == batch ivfAppend chain, across restarts") {
     import graft.operators.Similarity
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_ivf_").toFile
