@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset profiling and declarative data-quality validation — the audit
+  * pass a training-data pipeline runs before promoting a snapshot (the
+  * Deequ/expectations shape, rendered Spark-first). Nothing here exists
+  * in the reference (its only audit is the word-count total,
+  * /root/reference/src/main.c:50-61); this is part of the declared
+  * LLM-pipeline extension surface (SURVEY.md §2.6).
+  *
+  * Scale posture: [[columnProfile]] is ONE scan of the table — every
+  * per-column statistic folds into a single aggregation (the distinct
+  * counts plan one Expand over the scan; at petabyte scale pass
+  * `exact = false` to swap them for HLL partials and drop the Expand).
+  * [[constraintAudit]] fuses all single-table checks on the same table
+  * into one aggregation pass per table, so k checks cost one scan, not
+  * k; cross-table checks (referential integrity, coverage) each add one
+  * column-pruned anti-join keyed on the constraint columns — every
+  * branch is an equi-shuffle Catalyst can broadcast when the parent's
+  * key projection is small.
+  */
+object Profile {
+
+  /** Types whose engine-side CAST(x AS STRING) is bit-identical to
+    * DuckDB's CAST(x AS VARCHAR): integrals render as plain decimal
+    * digits and strings pass through; doubles (scientific-notation
+    * thresholds differ) and timestamps (fractional-second rendering
+    * differs) do not — their min/max profile as NULL rather than as a
+    * value another engine would render differently.
+    */
+  private def portableMinMax(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** One row per column of `df`: (column_name, n_rows, n_nulls,
+    * n_distinct, min_str, max_str). `exact = true` gates against an
+    * oracle (exact COUNT DISTINCT via one Expand); `exact = false` is
+    * the petabyte path — HLL partials, no Expand, same single scan.
+    */
+  def columnProfile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    require(fields.nonEmpty, "columnProfile needs at least one column")
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val c = col(f.name)
+      val nd = if (exact) countDistinct(c) else approx_count_distinct(c)
+      Seq(count(c).as(s"__cnt_${f.name}"), nd.as(s"__nd_${f.name}")) ++
+        (if (portableMinMax(f.dataType))
+          Seq(min(c).cast("string").as(s"__min_${f.name}"),
+            max(c).cast("string").as(s"__max_${f.name}"))
+        else Nil)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.map { f =>
+      val (mn, mx) =
+        if (portableMinMax(f.dataType))
+          (col(s"__min_${f.name}"), col(s"__max_${f.name}"))
+        else (lit(null).cast("string"), lit(null).cast("string"))
+      struct(lit(f.name).as("column_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_${f.name}")).as("n_nulls"),
+        col(s"__nd_${f.name}").as("n_distinct"),
+        mn.as("min_str"), mx.as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** A declarative data-quality check. `name` is the report key (unique
+    * per audit); `table` names the frame it reads in the audit's table
+    * map.
+    */
+  sealed trait Check { def name: String; def table: String }
+
+  /** `column` must hold no NULLs. n_checked = all rows. */
+  final case class NotNull(name: String, table: String, column: String)
+      extends Check
+
+  /** `columns` must be a key. Checked over rows where every key column
+    * is non-null (SQL UNIQUE semantics — NULL keys don't collide);
+    * violations = surplus rows beyond one per distinct key.
+    */
+  final case class Unique(name: String, table: String, columns: Seq[String])
+      extends Check
+
+  /** `column` must lie in [lo, hi] (inclusive). Checked over non-null
+    * values.
+    */
+  final case class InRange(name: String, table: String, column: String,
+      lo: Double, hi: Double) extends Check
+
+  /** Every non-null `table.column` value must exist in
+    * `parentTable.parentColumn` (foreign key).
+    */
+  final case class RefIntegrity(name: String, table: String, column: String,
+      parentTable: String, parentColumn: String) extends Check
+
+  /** Every non-null `table.column` value must be REFERENCED by at least
+    * one `childTable.childColumn` row — the reverse of [[RefIntegrity]]
+    * (an unreferenced dimension row is dead weight a pipeline owner
+    * wants surfaced, not an error a join would ever reveal).
+    */
+  final case class Covered(name: String, table: String, column: String,
+      childTable: String, childColumn: String) extends Check
+
+  /** Runs `checks` against `tables` and reports one row per check:
+    * (check_name, n_checked, n_violations, pass) with pass = 1 iff
+    * n_violations = 0. Single-table checks on the same table fuse into
+    * one aggregation pass (one scan per table, k checks each); each
+    * cross-table check contributes one anti-join count over the two key
+    * projections.
+    */
+  def constraintAudit(tables: Map[String, DataFrame],
+      checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "constraintAudit needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be unique — they key the report")
+    def tbl(n: String): DataFrame = tables.getOrElse(n,
+      throw new IllegalArgumentException(s"check references unknown table '$n'"))
+
+    val (single, cross) = checks.partition {
+      case _: RefIntegrity | _: Covered => false
+      case _ => true
+    }
+
+    // fused per-table pass: every single-table check becomes a pair of
+    // aggregate columns over ONE scan, unpivoted to report rows
+    val fusedFrames = single.groupBy(_.table).toSeq.map { case (tn, cs) =>
+      val df = tbl(tn)
+      val aggs: Seq[Column] = cs.zipWithIndex.flatMap { case (c, i) =>
+        val (checked, viol): (Column, Column) = c match {
+          case NotNull(_, _, colName) =>
+            (count(lit(1)), count(lit(1)) - count(col(colName)))
+          case Unique(_, _, colNames) =>
+            val allNonNull = colNames.map(col(_).isNotNull).reduce(_ && _)
+            (sum(when(allNonNull, 1L).otherwise(0L)),
+              sum(when(allNonNull, 1L).otherwise(0L)) -
+                countDistinct(col(colNames.head), colNames.tail.map(col): _*))
+          case InRange(_, _, colName, lo, hi) =>
+            (count(col(colName)),
+              sum(when(col(colName) < lo || col(colName) > hi, 1L)
+                .otherwise(0L)))
+          case other => throw new IllegalStateException(
+            s"non-single-table check in fused pass: $other")
+        }
+        Seq(checked.cast("long").as(s"__c$i"), viol.cast("long").as(s"__v$i"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val rows = cs.zipWithIndex.map { case (c, i) =>
+        struct(lit(c.name).as("check_name"), col(s"__c$i").as("n_checked"),
+          coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select("r.*")
+    }
+
+    val crossFrames = cross.map {
+      case RefIntegrity(name, t, c, pt, pc) =>
+        val child = tbl(t).select(col(c).as("__k")).filter(col("__k").isNotNull)
+        val parent = tbl(pt).select(col(pc).as("__k")).distinct()
+        val orphans = child.join(parent, Seq("__k"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        child.agg(count(lit(1)).as("n_checked"))
+          .crossJoin(orphans) // two 1-row aggregates — bounded by construction
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"))
+      case Covered(name, t, c, ct, cc) =>
+        val parent = tbl(t).select(col(c).as("__k")).filter(col("__k").isNotNull)
+        val child = tbl(ct).select(col(cc).as("__k")).distinct()
+        val dead = parent.join(child, Seq("__k"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        parent.agg(count(lit(1)).as("n_checked"))
+          .crossJoin(dead) // two 1-row aggregates — bounded by construction
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"))
+      case other => throw new IllegalStateException(
+        s"single-table check in cross pass: $other")
+    }
+
+    (fusedFrames ++ crossFrames).reduce(_ unionByName _)
+      .select(col("check_name"), col("n_checked"), col("n_violations"),
+        when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
+  }
+}

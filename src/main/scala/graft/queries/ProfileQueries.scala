@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+import graft.operators.Profile._
+import graft.sources.Tables
+
+/** Data-quality surface (SURVEY.md §2.6): the snapshot-promotion audits
+  * a pipeline runs before training touches a new corpus drop.
+  *
+  * q120 profiles every `lineitem` column in ONE scan — null counts,
+  * exact distinct counts, and min/max for the types whose string
+  * rendering is engine-portable (integrals + strings; doubles and
+  * timestamps profile as NULL min/max because Spark and DuckDB render
+  * their edges differently — the counts still gate).
+  *
+  * q121 validates a declarative constraint set over five tables: keys,
+  * non-nulls, value ranges, two foreign keys, and a coverage check
+  * (customers with no orders — the one that genuinely fails on TPC-H
+  * shaped data, so the violation arm is exercised by real data, not
+  * just by ProfileSpec's crafted frames).
+  */
+object ProfileQueries {
+
+  def queries: Map[String, Q] = Map(
+    "q120_column_profile" -> ((spark, dir) =>
+      Profile.columnProfile(Tables.load(spark, dir, "lineitem"))
+        .orderBy("column_name")),
+
+    "q121_constraint_audit" -> ((spark, dir) => {
+      val tables = Map(
+        "orders" -> Tables.load(spark, dir, "orders"),
+        "lineitem" -> Tables.load(spark, dir, "lineitem"),
+        "customer" -> Tables.load(spark, dir, "customer"),
+        "documents" -> Tables.load(spark, dir, "documents"),
+        "events" -> Tables.load(spark, dir, "events"))
+      Profile.constraintAudit(tables, Seq(
+        Unique("pk_orders_orderkey", "orders", Seq("o_orderkey")),
+        Unique("uq_documents_text", "documents", Seq("text")),
+        NotNull("nn_documents_text", "documents", "text"),
+        NotNull("nn_events_ts", "events", "ts"),
+        InRange("rng_lineitem_quantity", "lineitem", "l_quantity", 1.0, 50.0),
+        InRange("rng_lineitem_discount", "lineitem", "l_discount", 0.0, 0.1),
+        RefIntegrity("fk_lineitem_orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        RefIntegrity("fk_orders_customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        Covered("cov_customer_has_orders", "customer", "c_custkey",
+          "orders", "o_custkey")))
+        .orderBy("check_name")
+    }))
+
+  /** q120's oracle: one UNION ALL branch per lineitem column, mirroring
+    * [[Profile.columnProfile]]'s portability rule (min/max NULL for
+    * doubles/timestamps). Generated from the same (name, portable)
+    * inventory the engine derives from the schema.
+    */
+  private val ProfiledCols: Seq[(String, Boolean)] = Seq(
+    "l_orderkey" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+    "l_linenumber" -> true, "l_quantity" -> false,
+    "l_extendedprice" -> false, "l_discount" -> false, "l_tax" -> false,
+    "l_returnflag" -> true, "l_linestatus" -> true, "l_shipdate" -> false)
+
+  private val ColumnProfileSql: String =
+    ProfiledCols.map { case (c, portable) =>
+      val mn = if (portable) s"CAST(min($c) AS VARCHAR)" else "CAST(NULL AS VARCHAR)"
+      val mx = if (portable) s"CAST(max($c) AS VARCHAR)" else "CAST(NULL AS VARCHAR)"
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       $mn AS min_str, $mx AS max_str
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  private val ConstraintAuditSql: String =
+    """WITH a AS (
+      |SELECT 'pk_orders_orderkey' AS check_name,
+      |       (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders) AS n_checked,
+      |       (SELECT CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+      |        FROM orders) AS n_violations
+      |UNION ALL
+      |SELECT 'uq_documents_text',
+      |       (SELECT CAST(count(text) AS BIGINT) FROM documents),
+      |       (SELECT CAST(count(text) - count(DISTINCT text) AS BIGINT)
+      |        FROM documents)
+      |UNION ALL
+      |SELECT 'nn_documents_text',
+      |       (SELECT CAST(count(*) AS BIGINT) FROM documents),
+      |       (SELECT CAST(count(*) - count(text) AS BIGINT) FROM documents)
+      |UNION ALL
+      |SELECT 'nn_events_ts',
+      |       (SELECT CAST(count(*) AS BIGINT) FROM events),
+      |       (SELECT CAST(count(*) - count(ts) AS BIGINT) FROM events)
+      |UNION ALL
+      |SELECT 'rng_lineitem_quantity',
+      |       (SELECT CAST(count(l_quantity) AS BIGINT) FROM lineitem),
+      |       (SELECT CAST(coalesce(sum(CASE WHEN l_quantity < 1.0
+      |                 OR l_quantity > 50.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |        FROM lineitem WHERE l_quantity IS NOT NULL)
+      |UNION ALL
+      |SELECT 'rng_lineitem_discount',
+      |       (SELECT CAST(count(l_discount) AS BIGINT) FROM lineitem),
+      |       (SELECT CAST(coalesce(sum(CASE WHEN l_discount < 0.0
+      |                 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |        FROM lineitem WHERE l_discount IS NOT NULL)
+      |UNION ALL
+      |SELECT 'fk_lineitem_orders',
+      |       (SELECT CAST(count(l_orderkey) AS BIGINT) FROM lineitem),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |        WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+      |          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL
+      |SELECT 'fk_orders_customer',
+      |       (SELECT CAST(count(o_custkey) AS BIGINT) FROM orders),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |        WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+      |          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |UNION ALL
+      |SELECT 'cov_customer_has_orders',
+      |       (SELECT CAST(count(c_custkey) AS BIGINT) FROM customer),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM customer c
+      |        WHERE c.c_custkey IS NOT NULL AND NOT EXISTS
+      |          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)))
+      |SELECT check_name, n_checked, n_violations,
+      |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM a ORDER BY check_name""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q120_column_profile" -> ColumnProfileSql,
+    "q121_constraint_audit" -> ConstraintAuditSql)
+}

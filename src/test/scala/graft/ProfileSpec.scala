@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+import graft.operators.Profile._
+import graft.sources.Tables
+
+/** Laws for the data-quality tier (q120/q121). The gated queries run on
+  * clean synthetic tables, so every VIOLATION arm is exercised here on
+  * crafted frames: nulls, duplicate keys, out-of-range values, orphaned
+  * foreign keys, and uncovered dimension rows.
+  */
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dirty = Seq(
+    (1L, Option("a"), Option(5.0)),
+    (2L, Option("a"), Option(500.0)), // dup key "a", out-of-range value
+    (3L, None, Option(-1.0)),         // null key, out-of-range value
+    (4L, Option("b"), None),          // null value
+    (5L, Option("c"), Option(9.9))
+  ).toDF("id", "k", "v")
+
+  test("columnProfile: counts nulls/distincts per column in one pass") {
+    val p = Profile.columnProfile(dirty).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "k", "v"))
+    p.values.foreach(r => assert(r.getLong(1) == 5)) // n_rows
+    assert(p("id").getLong(2) == 0 && p("id").getLong(3) == 5)
+    assert(p("k").getLong(2) == 1 && p("k").getLong(3) == 3)
+    assert(p("v").getLong(2) == 1 && p("v").getLong(3) == 4)
+    // portable min/max: bigint + string render; double stays NULL
+    assert(p("id").getString(4) == "1" && p("id").getString(5) == "5")
+    assert(p("k").getString(4) == "a" && p("k").getString(5) == "c")
+    assert(p("v").isNullAt(4) && p("v").isNullAt(5))
+  }
+
+  test("columnProfile: approx path profiles the same columns without Expand") {
+    val approx = Profile.columnProfile(dirty, exact = false)
+    val rows = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // HLL at rsd 5% is exact at cardinalities this small
+    assert(rows("id") == 5 && rows("k") == 3 && rows("v") == 4)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must not plan an Expand")
+  }
+
+  test("constraintAudit: every violation arm fires on a dirty frame") {
+    val child = Seq((10L, 1L), (11L, 1L), (12L, 99L)).toDF("cid", "fk")
+    val audit = Profile.constraintAudit(
+      Map("t" -> dirty, "child" -> child),
+      Seq(
+        NotNull("nn_k", "t", "k"),
+        Unique("uq_k", "t", Seq("k")),
+        InRange("rng_v", "t", "v", 0.0, 100.0),
+        RefIntegrity("fk_child_t", "child", "fk", "t", "id"),
+        Covered("cov_t_referenced", "t", "id", "child", "fk")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audit("nn_k") == ((5L, 1L, 0L)))
+    // 4 non-null keys, 3 distinct -> 1 surplus row (null key not counted)
+    assert(audit("uq_k") == ((4L, 1L, 0L)))
+    // 4 non-null values, two out of [0, 100]
+    assert(audit("rng_v") == ((4L, 2L, 0L)))
+    // fk=99 has no parent id
+    assert(audit("fk_child_t") == ((3L, 1L, 0L)))
+    // ids 2,3,4,5 are never referenced by child.fk
+    assert(audit("cov_t_referenced") == ((5L, 4L, 0L)))
+  }
+
+  test("constraintAudit: clean data passes and names must be unique") {
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val ok = Profile.constraintAudit(Map("t" -> clean),
+      Seq(NotNull("nn", "t", "k"), Unique("uq", "t", Seq("id"))))
+      .collect()
+    assert(ok.forall(r => r.getLong(2) == 0 && r.getLong(3) == 1))
+    assertThrows[IllegalArgumentException] {
+      Profile.constraintAudit(Map("t" -> clean),
+        Seq(NotNull("dup", "t", "k"), NotNull("dup", "t", "id")))
+    }
+    assertThrows[IllegalArgumentException] {
+      Profile.constraintAudit(Map("t" -> clean),
+        Seq(NotNull("nn", "missing_table", "k")))
+    }
+  }
+
+  test("q120/q121 shapes: one scan per table in the fused single-table pass") {
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    val plan = TestSpark.finalPlan(Profile.columnProfile(li))
+    // the whole 11-column profile reads lineitem exactly once
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"profile must be a single scan:\n$plan")
+    val audit = Profile.constraintAudit(Map("t" -> li), Seq(
+      NotNull("a", "t", "l_orderkey"),
+      InRange("b", "t", "l_quantity", 1.0, 50.0),
+      Unique("c", "t", Seq("l_orderkey", "l_linenumber"))))
+    assert("Scan parquet".r.findAllIn(TestSpark.finalPlan(audit)).size == 1,
+      "three same-table checks must fuse into one scan")
+  }
+}
