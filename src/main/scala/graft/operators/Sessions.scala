@@ -114,4 +114,75 @@ object Sessions {
         (col("w") - col("cohort")).as("bucket_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Gap-filled resample: per `keyCol`, a COMPLETE `bucketSeconds` time
+    * axis from the corpus' first to last bucket, observed buckets
+    * carrying (count, rounded value sum), missing buckets zero-filled,
+    * plus a running event total. The dense series downstream consumers
+    * (charting, anomaly detection, rate limiting) need — a plain
+    * group-by silently drops empty buckets.
+    *
+    * Scale shape: the raw-event work is ONE map-side-partial
+    * aggregation to bucket grain; everything after (axis generation,
+    * zero-fill join, running-sum window) runs at AXIS grain — rows
+    * bounded by keys × time-span/bucket, independent of event count.
+    * The bounds frame is a 1-row aggregate broadcast under the keys
+    * (bounded crossJoin by construction); the axis itself is
+    * `sequence` + `explode`, never a driver loop. Bucket arithmetic is
+    * the same pmod floor as [[dedupPerWindow]] (pre-epoch safe,
+    * engine-portable). Empty input yields an empty frame (sequence of
+    * NULL bounds explodes to nothing), not an error.
+    */
+  def gapFill(events: DataFrame, bucketSeconds: Long = 3600L,
+      keyCol: String = "event_type"): DataFrame = {
+    require(bucketSeconds > 0,
+      s"bucketSeconds must be positive, got $bucketSeconds")
+    val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
+    val b = events.select(col(keyCol),
+      expr(s"$sec - pmod($sec, $bucketSeconds)").as("bucket_s"), col("value"))
+    val observed = b.groupBy(keyCol, "bucket_s")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val bounds = b.agg(min("bucket_s").as("lo"), max("bucket_s").as("hi"))
+    val axis = b.select(keyCol).distinct()
+      .crossJoin(broadcast(bounds)) // 1-row bounds frame — bounded by construction
+      .select(col(keyCol),
+        explode(expr(s"sequence(lo, hi, $bucketSeconds)")).as("bucket_s"))
+    axis.join(observed, Seq(keyCol, "bucket_s"), "left")
+      .select(col(keyCol), col("bucket_s"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .withColumn("cum_events", sum(col("n_events")).over(
+        Window.partitionBy(keyCol).orderBy("bucket_s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** SCD2 change history: collapse each key's event stream into validity
+    * intervals of its `attrCol` state — a row per state CHANGE with
+    * [valid_from, valid_to) epoch-µs bounds, a per-key version number,
+    * and the open-interval current flag. The CDC→dimension shape: replay
+    * a change log into the as-of-queryable history an [[AsOf.join]]
+    * probes.
+    *
+    * Plan shape: one exchange on `keyCol` serves all three window passes
+    * (change detection lag, interval lead, version row_number — all
+    * share the (key, ts, event_id) sort), and the lead/row_number run on
+    * the FILTERED change rows, not every event. Determinism: (ts,
+    * event_id) is a total order within every key.
+    */
+  def changeHistory(events: DataFrame, keyCol: String = "user_id",
+      attrCol: String = "event_type"): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .select(col(keyCol), col(attrCol).as("state"), col("ts"), col("event_id"))
+      .withColumn("prev_state", lag(col("state"), 1).over(order))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+    changes
+      .select(col(keyCol), col("state"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        lead(unix_micros(col("ts")), 1).over(order).as("valid_to_us"),
+        row_number().over(order).cast("long").as("version"))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1L).otherwise(0L))
+  }
 }

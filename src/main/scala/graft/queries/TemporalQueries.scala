@@ -65,6 +65,24 @@ object TemporalQueries {
           bucketSeconds = 604800L)
         .orderBy("cohort_bucket", "bucket_offset")),
 
+    // gap-filled hourly resample: the DENSE per-type series — every
+    // hour between the corpus' first and last bucket present, empty
+    // hours zero-filled, with a running total. Output is bounded by
+    // the time axis × key count, never by event count.
+    "q123_event_resample" -> ((spark, dir) =>
+      Sessions.gapFill(Tables.load(spark, dir, "events"),
+          bucketSeconds = 3600L, keyCol = "event_type")
+        .orderBy("event_type", "bucket_s")),
+
+    // SCD2 state history: each user's event-type change log replayed
+    // into [valid_from, valid_to) validity intervals with a version
+    // number and current flag — the CDC→dimension build feeding as-of
+    // lookups
+    "q124_scd2_history" -> ((spark, dir) =>
+      Sessions.changeHistory(Tables.load(spark, dir, "events"),
+          keyCol = "user_id", attrCol = "event_type")
+        .orderBy("user_id", "version")),
+
     // q43's attribution with the HOT-KEY TWO-PASS engaged (hourly
     // slices): the events corpus has ~15 user_ids, so each key's whole
     // history is genuinely hot — the sliced path sorts each (key, hour)
@@ -122,6 +140,57 @@ object TemporalQueries {
         |FROM act a JOIN fw f USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // dense axis via unnest(generate_series) over the global bounds,
+    // same posmod floor buckets as q103; zero-fill and running sum at
+    // axis grain
+    "q123_event_resample" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         (fs - ((fs % 3600) + 3600) % 3600) AS bucket_s, value
+        |  FROM (SELECT event_type,
+        |          ((epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000)
+        |              % 1000000) // 1000000) AS fs,
+        |          value
+        |        FROM events)),
+        |obs AS (SELECT event_type, bucket_s, CAST(count(*) AS BIGINT) AS n_events,
+        |               round(sum(value), 2) AS sum_value
+        |        FROM b GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM b),
+        |axis AS (SELECT k.event_type, g.bucket_s
+        |         FROM (SELECT DISTINCT event_type FROM b) k
+        |         CROSS JOIN (SELECT unnest(generate_series(lo, hi, 3600))
+        |                       AS bucket_s FROM bounds) g)
+        |SELECT a.event_type, a.bucket_s,
+        |       CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events,
+        |       coalesce(o.sum_value, 0.0) AS sum_value,
+        |       CAST(sum(coalesce(o.n_events, 0)) OVER (
+        |         PARTITION BY a.event_type ORDER BY a.bucket_s) AS BIGINT)
+        |         AS cum_events
+        |FROM axis a LEFT JOIN obs o USING (event_type, bucket_s)
+        |ORDER BY event_type, bucket_s""".stripMargin,
+
+    // change rows by lag != state, then lead/row_number over the
+    // FILTERED change set — identical window keys and tiebreak as the
+    // engine
+    "q124_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev != state)
+        |SELECT user_id, state, ts_us AS valid_from_us,
+        |       lead(ts_us) OVER (PARTITION BY user_id
+        |                         ORDER BY ts_us, event_id) AS valid_to_us,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts_us, event_id) AS BIGINT)
+        |         AS version,
+        |       CAST(CASE WHEN lead(ts_us) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, event_id) IS NULL
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM c
+        |ORDER BY user_id, version""".stripMargin,
 
     "q44_sessionize" ->
       """WITH o AS (SELECT user_id, ts, value, event_id,

@@ -268,4 +268,85 @@ class TemporalSpec extends AnyFunSuite {
     assert(joined.filter(col("nz") =!= col("n")).isEmpty,
       "offset-0 row must count the full cohort")
   }
+
+  test("gapFill: dense axis, zero-filled holes, hand-checked sums") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "a", 1.5),
+      (2L, ts("2024-01-01 10:55:00"), 7L, "a", 2.0),
+      (3L, ts("2024-01-01 13:05:00"), 7L, "a", 4.0),  // hours 11,12 are holes
+      (4L, ts("2024-01-01 12:30:00"), 8L, "b", 8.0)   // b missing hours 10,13
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.gapFill(df, bucketSeconds = 3600L)
+      .orderBy("event_type", "bucket_s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+    // 4 hours x 2 keys: the full cross-axis, holes at zero, cum monotone
+    assert(got.length == 8)
+    assert(got.toSeq == Seq(
+      ("a", h10, 2L, 3.5, 2L), ("a", h10 + 3600, 0L, 0.0, 2L),
+      ("a", h10 + 7200, 0L, 0.0, 2L), ("a", h10 + 10800, 1L, 4.0, 3L),
+      ("b", h10, 0L, 0.0, 0L), ("b", h10 + 3600, 0L, 0.0, 0L),
+      ("b", h10 + 7200, 1L, 8.0, 1L), ("b", h10 + 10800, 0L, 0.0, 1L)))
+  }
+
+  test("gapFill laws on corpus: axis complete per key, totals conserved, empty in empty out") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val g = Sessions.gapFill(ev, bucketSeconds = 3600L).cache()
+    try {
+      val nKeys = ev.select("event_type").distinct().count()
+      val axisLen = g.select("bucket_s").distinct().count()
+      assert(g.count() == nKeys * axisLen, "every key carries the full axis")
+      assert(g.agg(sum("n_events")).head.getLong(0) == ev.count(),
+        "zero-filling must not create or drop events")
+      assert(Sessions.gapFill(ev.filter(lit(false))).isEmpty,
+        "empty input yields an empty frame, not an error")
+    } finally g.unpersist()
+  }
+
+  test("changeHistory: hand-checked intervals, within-run events collapse") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "view", 0.0),  // same state: no row
+      (3L, ts("2024-01-01 10:10:00"), 7L, "click", 0.0),
+      (4L, ts("2024-01-01 10:20:00"), 7L, "view", 0.0),  // state can recur
+      (5L, ts("2024-01-01 09:00:00"), 8L, "error", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.changeHistory(df).orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getLong(5)))
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(got.toSeq == Seq(
+      (7L, "view", us("2024-01-01 10:10:00"), 1L, 0L),
+      (7L, "click", us("2024-01-01 10:20:00"), 2L, 0L),
+      (7L, "view", -1L, 3L, 1L),
+      (8L, "error", -1L, 1L, 1L)))
+  }
+
+  test("changeHistory laws on corpus: intervals tile the timeline, one current per key") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val h = Sessions.changeHistory(ev).cache()
+    try {
+      // exactly one open interval per user, and it is the max version
+      val cur = h.filter(col("is_current") === 1)
+      assert(cur.count() == ev.select("user_id").distinct().count())
+      assert(h.filter(col("valid_to_us").isNull && col("is_current") === 0).isEmpty)
+      // intervals abut: every closed interval's end is the next version's start
+      import org.apache.spark.sql.expressions.Window
+      val nxt = h.withColumn("next_from",
+        lead(col("valid_from_us"), 1).over(
+          Window.partitionBy("user_id").orderBy("version")))
+      assert(nxt.filter(col("valid_to_us").isNotNull &&
+        col("valid_to_us") =!= col("next_from")).isEmpty,
+        "validity intervals must tile without gaps or overlaps")
+      // no two consecutive versions share a state (runs are collapsed)
+      val runs = nxt.withColumn("next_state",
+        lead(col("state"), 1).over(
+          Window.partitionBy("user_id").orderBy("version")))
+      assert(runs.filter(col("next_state").isNotNull &&
+        col("next_state") === col("state")).isEmpty)
+    } finally h.unpersist()
+  }
 }
