@@ -101,6 +101,58 @@ object SketchQueries {
         .orderBy("l_returnflag")
     }),
 
+    // KMV SET OPERATIONS — the sketch-tier answer to "how much do two
+    // cohorts overlap": per-event-type bottom-64 sketches of the user
+    // set, pairwise-merged (bottom-k of two bottom-k unions IS the
+    // union's bottom-k), intersection estimated from the merged
+    // sketch's coincidence count c via est_inter = c·est_union/k. All
+    // arithmetic integer-or-guarded-double on the portable md5 hash,
+    // so the whole estimate surface hash-gates like q106; exact
+    // counts ride along so the error is measured, not assumed. The
+    // pairwise combine runs on the AGGREGATED type-grain frame (≤
+    // #event_types rows — bounded by construction); the only
+    // row-grain work is one distinct + one KMV aggregation.
+    "q122_kmv_overlap" -> ((spark, dir) => {
+      import graft.operators.Dedup.h60
+      val kmv = graft.functions.Aggregators.kmv64
+      val ev = Tables.load(spark, dir, "events")
+      val sk = ev.select(col("event_type"),
+          expr(h60("concat('kmvu_', cast(user_id as string))")).as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("arr"))
+      val du = ev.select("event_type", "user_id").distinct()
+      val cnt = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val exactInter = du.as("a").join(du.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      sk.as("x").join(sk.as("y"), col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"),
+          col("x.arr").as("arr_a"), col("y.arr").as("arr_b"))
+        .withColumn("merged",
+          expr("slice(array_sort(array_union(arr_a, arr_b)), 1, 64)"))
+        .withColumn("k_used", size(col("merged")).cast("long"))
+        .withColumn("c", size(expr(
+          "array_intersect(array_intersect(merged, arr_a), arr_b)"))
+          .cast("long"))
+        .withColumn("est_union", kmvEstimate("merged"))
+        .withColumn("est_inter", expr("(c * est_union) div k_used"))
+        .join(cnt.select(col("event_type").as("type_a"), col("n").as("n_a")),
+          "type_a")
+        .join(cnt.select(col("event_type").as("type_b"), col("n").as("n_b")),
+          "type_b")
+        .join(exactInter, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("k_used"),
+          col("est_union"),
+          (col("n_a") + col("n_b") -
+            coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+          col("est_inter"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Bloom membership front door: the delta slice (q62's cut) probed
     // against an m = 4096-bit / k = 4 filter over the below-cut corpus
     // fingerprints. m chosen so the false-positive band is OBSERVABLE
@@ -279,6 +331,46 @@ object SketchQueries {
 
     // the md5-hashed KMV renders exactly in DuckDB: same 60-bit hashes,
     // same distinct bottom-64 selection, same single-division estimator
+    // merged bottom-64 computed directly over the pair's user-hash
+    // union (bottom-k of capped-sketch unions equals the union's
+    // bottom-k — the mergeability law), coincidence flags at user
+    // grain; the estimator expression is q106's, verbatim
+    "q122_kmv_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id,
+        |              CAST('0x' || substr(md5('kmvu_' || CAST(user_id AS VARCHAR)), 1, 15)
+        |                AS BIGINT) AS h
+        |            FROM events),
+        |tp AS (SELECT DISTINCT event_type FROM events),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |          FROM tp a JOIN tp b ON a.event_type < b.event_type),
+        |uh AS (SELECT p.type_a, p.type_b, d.h,
+        |         max(CASE WHEN d.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN d.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+        |       FROM pairs p JOIN du d
+        |         ON d.event_type IN (p.type_a, p.type_b)
+        |       GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+        |                                    ORDER BY h) AS rn
+        |       FROM uh),
+        |m AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS k_used,
+        |        max(CASE WHEN rn = 64 THEN h END) AS hk,
+        |        CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS c
+        |      FROM rk WHERE rn <= 64 GROUP BY 1, 2),
+        |ex AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS exact_union,
+        |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS exact_inter
+        |       FROM uh GROUP BY 1, 2),
+        |est AS (SELECT type_a, type_b, k_used, c,
+        |          CASE WHEN k_used < 64 THEN k_used
+        |               ELSE CAST(floor((63.0 * CAST(1152921504606846976 AS DOUBLE))
+        |                      / CAST(hk AS DOUBLE)) AS BIGINT) END AS est_union
+        |        FROM m)
+        |SELECT e.type_a, e.type_b, e.k_used, e.est_union, x.exact_union,
+        |       (e.c * e.est_union) // e.k_used AS est_inter, x.exact_inter
+        |FROM est e JOIN ex x USING (type_a, type_b)
+        |ORDER BY e.type_a, e.type_b""".stripMargin,
+
     "q106_kmv_distinct" ->
       """WITH hp AS (SELECT DISTINCT l_returnflag,
         |              CAST('0x' || substr(md5('kmvp_' || CAST(l_partkey AS VARCHAR)), 1, 15)

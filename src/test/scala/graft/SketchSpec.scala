@@ -203,4 +203,38 @@ class SketchSpec extends AnyFunSuite {
     assert(roomy.forall { case (maybe, present) => maybe == present },
       "at load ~0.006 the filter answers exactly")
   }
+
+  test("KMV overlap (q122): union within 3·rsd, below-saturation pairs exact") {
+    val rows = graft.queries.SketchQueries.queries("q122_kmv_overlap")(
+      spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val bound = 3.0 / math.sqrt(62.0)
+    rows.foreach { r =>
+      val (k, estU, exU) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (estI, exI) = (r.getLong(5), r.getLong(6))
+      assert(math.abs(estU - exU).toDouble / exU <= bound,
+        s"${r.getString(0)}~${r.getString(1)}: est_union=$estU exact=$exU")
+      // below saturation the merged sketch IS the union: both exact
+      if (exU < 64) {
+        assert(k == exU && estU == exU)
+        assert(estI == exI, s"below saturation intersection must be exact")
+      }
+      // estimates are consistent: 0 <= est_inter <= est_union
+      assert(estI >= 0 && estI <= estU)
+    }
+  }
+
+  test("KMV mergeability law: bottom-k of two capped sketches == union's bottom-k") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val h = expr(Dedup.h60("concat('mg_', cast(k as string))"))
+    val a = (1L to 300L).toDF("k")
+    val b = (200L to 500L).toDF("k")
+    def sk(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(Aggregators.kmv64(h)).head.getSeq[Long](0)
+    val merged = (sk(a) ++ sk(b)).distinct.sorted.take(64)
+    val full = sk(a.union(b))
+    assert(merged == full,
+      "merging capped sketches must equal sketching the full union")
+  }
 }
