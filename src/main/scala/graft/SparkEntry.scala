@@ -23,7 +23,8 @@ object SparkEntry {
     MapReduceShim.queries ++ Relational.queries ++ Joins.queries ++
       Analytics.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       SketchQueries.queries ++ TextQueries.queries ++ TemporalQueries.queries ++
-      CurationQueries.queries ++ PrepQueries.queries ++ ProfileQueries.queries
+      CurationQueries.queries ++ PrepQueries.queries ++
+      ProfileQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
     MapReduceShim.oracles ++ Relational.oracles ++ Joins.oracles ++
       Analytics.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       SketchQueries.oracles ++ TextQueries.oracles ++ TemporalQueries.oracles ++
-      CurationQueries.oracles ++ PrepQueries.oracles ++ ProfileQueries.oracles
+      CurationQueries.oracles ++ PrepQueries.oracles ++
+      ProfileQueries.oracles ++ GraphQueries.oracles
 }
