@@ -241,6 +241,37 @@ class PlanSpec extends AnyFunSuite {
       s"bucket rollup should partial-aggregate map-side:\n${plan.take(2000)}")
   }
 
+  test("q125 pagerank top-k is TakeOrderedAndProject; rounds stay equi-joined") {
+    val plan = executedPlan(q("q125_pagerank"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rank top-50 must never globally sort:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pagerank round regressed to a quadratic join:\n${plan.take(2000)}")
+  }
+
+  test("q123 resample: raw events collapse before the axis join; window runs at axis grain") {
+    val plan = executedPlan(q("q123_event_resample"))
+    // the zero-fill join and running-sum window read the AGGREGATED
+    // bucket frame; a SortMergeJoin against raw events (value column
+    // crossing the join) would mean row-grain axis work
+    assert(plan.contains("Window"), "running total must be a window")
+    val winDown = plan.split("Window", 2).last
+    assert(winDown.contains("HashAggregate") || winDown.contains("SortAggregate"),
+      s"window must sit above the bucket aggregation, not raw events:\n${plan.take(2500)}")
+  }
+
+  test("q121 constraint audit: ref-integrity parents broadcast under the child scan") {
+    val plan = executedPlan(q("q121_constraint_audit"))
+    // cross-table checks anti-join the child against the parent's key
+    // projection — at dimension sizes that side must broadcast, and no
+    // branch may plan a cartesian
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"fk checks should broadcast-anti-join:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"audit branch planned a cartesian:\n${plan.take(2000)}")
+  }
+
   test("q113 novelty never shuffles text — only 16-byte (doc, gh) rows cross exchanges") {
     // the scan may read `text` to shingle it, but every exchange after
     // tokenization carries hashed grams/ids only
