@@ -21,7 +21,13 @@ object Prep {
     * (or a silently different expression) on quotes/backslashes.
     */
   private def hashBucket(salt: String, modulus: Long,
-      keyCol: String = "doc_id"): Column = {
+      keyCol: String = "doc_id"): Column =
+    hash60(salt, keyCol) % modulus
+
+  /** The raw (un-bucketed) 60-bit salted key hash behind [[hashBucket]]
+    * and [[weightedSample]]'s priorities — one salt-validation site.
+    */
+  private def hash60(salt: String, keyCol: String = "doc_id"): Column = {
     // ASCII-only (not isLetterOrDigit, which admits any Unicode letter):
     // the documented contract is the [A-Za-z0-9_] identifier class, and
     // keeping to it means both engines md5 the same single-byte UTF-8
@@ -29,7 +35,7 @@ object Prep {
         (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'),
       s"salt must be non-empty [A-Za-z0-9_], got '$salt'")
-    expr(Dedup.h60(s"concat('${salt}_', cast($keyCol as string))")) % modulus
+    expr(Dedup.h60(s"concat('${salt}_', cast($keyCol as string))"))
   }
 
   private def bucket100(salt: String): Column = hashBucket(salt, 100L)
@@ -373,5 +379,37 @@ object Prep {
       .agg(count(lit(1)).as("n_events"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
+  /** Deterministic weighted sample of `k` documents with inclusion
+    * preference ∝ `weightCol` — priority sampling (Duffield/Lund/
+    * Thorup's bottom-k shape): priority = uniform-hash / weight, keep
+    * the k SMALLEST priorities. A heavier doc draws a proportionally
+    * smaller priority, so it survives more often; the whole derivation
+    * is a pure function of (salt, doc_id, weight), so reruns and other
+    * engines pick the identical sample.
+    *
+    * House determinism: the division is INTEGER (hash div weight) —
+    * zero float surface, ties broken by doc_id. Rows with NULL or
+    * non-positive weight are excluded (they carry no sampling mass;
+    * admitting weight 0 would divide by zero, and the caller almost
+    * certainly wants "never sample empty docs" anyway).
+    *
+    * Scale shape: one scan + TakeOrderedAndProject — the per-partition
+    * top-k heap shape, no global sort, no per-group state.
+    */
+  def weightedSample(docs: DataFrame, k: Int,
+      weightCol: String = "n_chars", salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col("doc_id"), col(weightCol).cast("long").as("weight"),
+        hash60(salt).as("__h"))
+      // INTEGER division — `/` on Columns is double division, whose
+      // rounding above 2^53 would diverge from an oracle's floor
+      .select(col("doc_id"), col("weight"),
+        expr("__h div weight").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
   }
 }

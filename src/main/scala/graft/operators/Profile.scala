@@ -181,4 +181,36 @@ object Profile {
       .select(col("check_name"), col("n_checked"), col("n_violations"),
         when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
   }
+
+  /** Key-skew audit over candidate join/partition columns: per column,
+    * the key count, the hottest key and its row count, and the hot
+    * key's parts-per-million share — the report a pipeline owner reads
+    * BEFORE choosing plain shuffle vs [[SkewJoin]] salting vs a
+    * broadcast, and the one that catches the null-key/default-value
+    * pile-ups that melt a 1000-executor shuffle. NULL keys are
+    * excluded (they never join); ties on the hot count resolve to the
+    * largest key string (struct-max ordering — engine-portable).
+    *
+    * Scale shape: one map-side-partial count per audited column to key
+    * grain, then one tiny struct-max aggregation over the key frame —
+    * never a sort of the full table.
+    */
+  def skewAudit(tables: Map[String, DataFrame],
+      keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "skewAudit needs at least one (table, column)")
+    require(keys.distinct.size == keys.size,
+      s"audited (table, column) pairs must be unique: $keys")
+    def tbl(n: String): DataFrame = tables.getOrElse(n,
+      throw new IllegalArgumentException(s"audit references unknown table '$n'"))
+    keys.map { case (t, c) =>
+      tbl(t).filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(struct(col("cnt"), col("key"))).as("m"))
+        .select(lit(s"$t.$c").as("key_col"), col("n_rows"), col("n_keys"),
+          col("m.cnt").as("max_key_count"), col("m.key").as("top_key"),
+          expr("(m.cnt * 1000000) div n_rows").as("max_share_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

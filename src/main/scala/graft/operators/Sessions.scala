@@ -157,6 +157,51 @@ object Sessions {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Ordered funnel: how many keys reach each step of `steps` IN ORDER —
+    * step k counts keys with an event of type k at-or-after their
+    * earliest step-(k−1) reach time (the classic conversion funnel,
+    * earliest-reach semantics: ties at the same instant count as
+    * reached, matching the inclusive as-of convention). Output one row
+    * per step with the key count and parts-per-million conversion
+    * against step 1.
+    *
+    * Scale shape: each step is one type-filtered scan equi-joined to
+    * the previous step's (key, reach) frame — O(steps) passes, no
+    * windows over the event stream, no per-key event buffering. Step
+    * frames are lineage-cut ([[Ckpt]]) because each feeds both the
+    * next step and its own count.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    val ev = events.select(col(keyCol).as("k"), col(typeCol).as("t"),
+      unix_micros(col("ts")).as("us"))
+    var frames = Vector(Ckpt.narrow(
+      ev.filter(col("t") === steps.head)
+        .groupBy("k").agg(min(col("us")).as("reach_us"))))
+    for (s <- steps.tail) {
+      frames :+= Ckpt.narrow(
+        ev.filter(col("t") === s)
+          .join(frames.last.select(col("k"), col("reach_us").as("prev_us")),
+            "k")
+          .filter(col("us") >= col("prev_us"))
+          .groupBy("k").agg(min(col("us")).as("reach_us")))
+    }
+    val counts = frames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step_idx"),
+          lit(steps(i)).as("step"), col("n_users"))
+    }.reduce(_ unionByName _)
+    counts
+      .crossJoin(broadcast( // 1-row step-1 count — bounded by construction
+        frames.head.agg(count(lit(1)).as("n_first"))))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        when(col("n_first") === 0L, 0L)
+          .otherwise(expr("(n_users * 1000000) div n_first")).as("conv_ppm"))
+  }
+
   /** SCD2 change history: collapse each key's event stream into validity
     * intervals of its `attrCol` state — a row per state CHANGE with
     * [valid_from, valid_to) epoch-µs bounds, a per-key version number,

@@ -82,6 +82,45 @@ object Sketches {
         (col("est") - coalesce(col("exact"), lit(0L))).as("overestimate"))
   }
 
+  /** The (row, bucket, c) counter matrix of a CMS over an arbitrary
+    * key expression, rendered through the SAME hash family as
+    * [[cmsWordMatrix]] (key cast to string first). Two matrices share
+    * hash space exactly when they hash equal key strings — which is
+    * precisely what [[cmsJoinSize]]'s inner product requires of its
+    * two sides.
+    */
+  def cmsKeyMatrix(df: DataFrame, keyExpr: String,
+      d: Int = 4, w: Int = 4096): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d >= 1, w >= 1: d=$d w=$w")
+    df.select(expr(keyExpr).cast("string").as("word"))
+      .filter(col("word").isNotNull) // NULL keys never join — exclude both sides
+      .select(explode(array(bucketStructs(d, w): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Equi-join cardinality estimate WITHOUT running the join: the CMS
+    * inner product (AGMS/count-min join-size estimation — Cormode &
+    * Muthukrishnan). Per hash row r, Σ_bucket cA·cB over-estimates
+    * |A ⋈ B| by the colliding cross terms; the min over the d rows is
+    * the sketch estimate, never below the true size. The planner-side
+    * use at 100 TB: decide broadcast vs shuffle vs salt BEFORE paying
+    * the join, from two single-scan sketches of d·w cells each.
+    *
+    * All arithmetic is exact integer on the portable hash, so the
+    * estimate hash-gates in DuckDB (the q98 contract). Caller bound:
+    * per-row dot ≤ |A|·|B| must fit a BIGINT — at 3·10⁹ rows a side,
+    * switch the sum to DECIMAL.
+    */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      d: Int = 4, w: Int = 4096): DataFrame = {
+    val ma = cmsKeyMatrix(a, aKey, d, w)
+    val mb = cmsKeyMatrix(b, bKey, d, w).withColumnRenamed("c", "c2")
+    ma.join(mb, Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("c") * col("c2")).as("dot"))
+      .agg(min(col("dot")).as("est_join_rows"))
+  }
+
   /** The k (hash, bucket) positions of a fingerprint in an m-bit Bloom
     * filter — the ONE hash definition shared by build and probe (same
     * desynchronization argument as [[bucketStructs]]). Hash i = portable

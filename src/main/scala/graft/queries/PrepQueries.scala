@@ -86,7 +86,14 @@ object PrepQueries {
     // rerun/backfill/other engine reads identically (vs orderBy(rand()))
     "q102_shuffle_order" -> ((spark, dir) =>
       Prep.shuffleOrder(Tables.load(spark, dir, "documents"), shards = 64)
-        .orderBy("shard", "pos")))
+        .orderBy("shard", "pos")),
+
+    // deterministic weighted (priority) sample: 100 docs preferred ∝
+    // length — bottom-k of integer hash-div-weight priorities, a pure
+    // function of (salt, doc_id, n_chars); one scan + top-k heap
+    "q129_weighted_sample" -> ((spark, dir) =>
+      Prep.weightedSample(Tables.load(spark, dir, "documents"), k = 100)
+        .orderBy("priority", "doc_id")))
 
   /** q115's oracle is BUILT from the engine's own expression strings
     * ([[Prep.zorderExpr]]/[[Prep.zorderX]]/[[Prep.zorderY]] — pure
@@ -111,6 +118,17 @@ object PrepQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // same salted 60-bit hash, same integer floor division, same
+    // (priority, doc_id) bottom-100
+    "q129_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |       (CAST('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |          AS BIGINT) // CAST(n_chars AS BIGINT)) AS priority
+        |FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
+        |ORDER BY priority, doc_id
+        |LIMIT 100""".stripMargin,
+
     "q115_zorder" -> zorderOracle,
 
     "q56_split_assign" ->

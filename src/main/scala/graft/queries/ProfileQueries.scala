@@ -48,7 +48,22 @@ object ProfileQueries {
         Covered("cov_customer_has_orders", "customer", "c_custkey",
           "orders", "o_custkey")))
         .orderBy("check_name")
-    }))
+    }),
+
+    // the pre-join skew report: hottest key + ppm share per candidate
+    // join/partition column — what decides plain shuffle vs SkewJoin
+    // salting vs broadcast before paying for the wrong plan
+    "q128_skew_audit" -> ((spark, dir) =>
+      Profile.skewAudit(
+        Map(
+          "lineitem" -> Tables.load(spark, dir, "lineitem"),
+          "orders" -> Tables.load(spark, dir, "orders"),
+          "events" -> Tables.load(spark, dir, "events"),
+          "documents" -> Tables.load(spark, dir, "documents")),
+        Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_suppkey",
+          "orders" -> "o_custkey", "events" -> "user_id",
+          "documents" -> "source"))
+        .orderBy("key_col")))
 
   /** q120's oracle: one UNION ALL branch per lineitem column, mirroring
     * [[Profile.columnProfile]]'s portability rule (min/max NULL for
@@ -125,7 +140,37 @@ object ProfileQueries {
       |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
       |FROM a ORDER BY check_name""".stripMargin
 
+  /** q128's oracle: one key-count CTE per audited column, each branch
+    * joining its aggregate row with its argmax row (ties cnt DESC, key
+    * DESC — the struct-max order the engine uses). Generated from the
+    * same (table, column) list as the query.
+    */
+  private val SkewCols: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_orderkey", "lineitem" -> "l_suppkey",
+    "orders" -> "o_custkey", "events" -> "user_id",
+    "documents" -> "source")
+
+  private val SkewAuditSql: String = {
+    val ctes = SkewCols.zipWithIndex.map { case ((t, c), i) =>
+      s"""c$i AS (SELECT CAST($c AS VARCHAR) AS key,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM $t WHERE $c IS NOT NULL GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val branches = SkewCols.zipWithIndex.map { case ((t, c), i) =>
+      s"""SELECT '$t.$c' AS key_col, a.n_rows, a.n_keys, a.max_key_count,
+         |       tk.top_key,
+         |       (a.max_key_count * 1000000) // a.n_rows AS max_share_ppm
+         |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |             CAST(count(*) AS BIGINT) AS n_keys,
+         |             max(cnt) AS max_key_count FROM c$i) a,
+         |     (SELECT key AS top_key FROM c$i
+         |      ORDER BY cnt DESC, key DESC LIMIT 1) tk""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$branches\nORDER BY key_col"
+  }
+
   def oracles: Map[String, String] = Map(
     "q120_column_profile" -> ColumnProfileSql,
-    "q121_constraint_audit" -> ConstraintAuditSql)
+    "q121_constraint_audit" -> ConstraintAuditSql,
+    "q128_skew_audit" -> SkewAuditSql)
 }

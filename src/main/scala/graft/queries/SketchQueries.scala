@@ -101,6 +101,33 @@ object SketchQueries {
         .orderBy("l_returnflag")
     }),
 
+    // JOIN-SIZE ESTIMATION from two single-scan sketches (the CMS
+    // inner product): per hash row, Σ_bucket cA·cB over-counts |A ⋈ B|
+    // only by hash collisions; min over rows is the estimate, never
+    // below the truth. The 100 TB use: choose broadcast / shuffle /
+    // salt BEFORE paying the join from d·w-cell sketches. Exact counts
+    // ride along to measure the error (the q98 audit contract).
+    "q126_join_size" -> ((spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+      val ord = Tables.load(spark, dir, "orders")
+      val cust = Tables.load(spark, dir, "customer")
+      def audit(name: String, a: org.apache.spark.sql.DataFrame, ak: String,
+          b: org.apache.spark.sql.DataFrame, bk: String) = {
+        val est = Sketches.cmsJoinSize(a, ak, b, bk)
+        val exact = a.select(col(ak).as("__k"))
+          .join(b.select(col(bk).as("__k")), "__k")
+          .agg(count(lit(1)).as("exact_join_rows"))
+        est.crossJoin(exact) // two 1-row aggregates — bounded by construction
+          .select(lit(name).as("pair"), col("est_join_rows"),
+            col("exact_join_rows"),
+            (col("est_join_rows") - col("exact_join_rows")).as("overestimate"))
+      }
+      audit("lineitem_orders", li, "l_orderkey", ord, "o_orderkey")
+        .unionByName(
+          audit("orders_customer", ord, "o_custkey", cust, "c_custkey"))
+        .orderBy("pair")
+    }),
+
     // KMV SET OPERATIONS — the sketch-tier answer to "how much do two
     // cohorts overlap": per-event-type bottom-64 sketches of the user
     // set, pairwise-merged (bottom-k of two bottom-k unions IS the
@@ -331,6 +358,53 @@ object SketchQueries {
 
     // the md5-hashed KMV renders exactly in DuckDB: same 60-bit hashes,
     // same distinct bottom-64 selection, same single-division estimator
+    // same md5 bucket family as q98 ('cms_R_' || key-as-string), same
+    // integer inner product, same min-over-rows — the estimate
+    // reproduces bit-for-bit
+    "q126_join_size" ->
+      """WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |la AS (SELECT r, CAST('0x' || substr(md5('cms_' || CAST(r AS VARCHAR)
+        |           || '_' || CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 4096 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM lineitem CROSS JOIN rs
+        |       WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
+        |ob AS (SELECT r, CAST('0x' || substr(md5('cms_' || CAST(r AS VARCHAR)
+        |           || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 4096 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM orders CROSS JOIN rs
+        |       WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),
+        |oc AS (SELECT r, CAST('0x' || substr(md5('cms_' || CAST(r AS VARCHAR)
+        |           || '_' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 4096 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM orders CROSS JOIN rs
+        |       WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+        |cc AS (SELECT r, CAST('0x' || substr(md5('cms_' || CAST(r AS VARCHAR)
+        |           || '_' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 4096 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM customer CROSS JOIN rs
+        |       WHERE c_custkey IS NOT NULL GROUP BY 1, 2),
+        |e1 AS (SELECT min(dot) AS est FROM (
+        |         SELECT a.r, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |         FROM la a JOIN ob b USING (r, bucket) GROUP BY 1)),
+        |x1 AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e2 AS (SELECT min(dot) AS est FROM (
+        |         SELECT a.r, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |         FROM oc a JOIN cc b USING (r, bucket) GROUP BY 1)),
+        |x2 AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM orders o
+        |       JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT 'lineitem_orders' AS pair, e1.est AS est_join_rows,
+        |       x1.exact AS exact_join_rows, e1.est - x1.exact AS overestimate
+        |FROM e1, x1
+        |UNION ALL
+        |SELECT 'orders_customer', e2.est, x2.exact, e2.est - x2.exact
+        |FROM e2, x2
+        |ORDER BY pair""".stripMargin,
+
     // merged bottom-64 computed directly over the pair's user-hash
     // union (bottom-k of capped-sketch unions equals the union's
     // bottom-k — the mergeability law), coincidence flags at user

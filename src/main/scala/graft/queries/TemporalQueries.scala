@@ -83,6 +83,14 @@ object TemporalQueries {
           keyCol = "user_id", attrCol = "event_type")
         .orderBy("user_id", "version")),
 
+    // ordered conversion funnel view → click → purchase with
+    // earliest-reach semantics: each step one type-filtered scan
+    // joined on the previous step's reach frame
+    "q127_funnel" -> ((spark, dir) =>
+      Sessions.funnel(Tables.load(spark, dir, "events"),
+          steps = Seq("view", "click", "purchase"))
+        .orderBy("step_idx")),
+
     // q43's attribution with the HOT-KEY TWO-PASS engaged (hourly
     // slices): the events corpus has ~15 user_ids, so each key's whole
     // history is genuinely hot — the sliced path sorts each (key, hour)
@@ -169,6 +177,36 @@ object TemporalQueries {
         |         AS cum_events
         |FROM axis a LEFT JOIN obs o USING (event_type, bucket_s)
         |ORDER BY event_type, bucket_s""".stripMargin,
+
+    // step chains as min-reach CTEs with inclusive >= joins — the
+    // identical earliest-reach semantics
+    "q127_funnel" ->
+      """WITH ev AS (SELECT user_id AS k, event_type AS t, epoch_us(ts) AS us
+        |            FROM events),
+        |s1 AS (SELECT k, min(us) AS r FROM ev WHERE t = 'view' GROUP BY k),
+        |s2 AS (SELECT e.k, min(e.us) AS r FROM ev e JOIN s1 ON e.k = s1.k
+        |       WHERE e.t = 'click' AND e.us >= s1.r GROUP BY e.k),
+        |s3 AS (SELECT e.k, min(e.us) AS r FROM ev e JOIN s2 ON e.k = s2.k
+        |       WHERE e.t = 'purchase' AND e.us >= s2.r GROUP BY e.k),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+        |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, n1.n AS n_users,
+        |         CASE WHEN n1.n = 0 THEN 0
+        |              ELSE (n1.n * 1000000) // n1.n END AS conv_ppm
+        |  FROM n1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', n2.n,
+        |         CASE WHEN n1.n = 0 THEN 0
+        |              ELSE (n2.n * 1000000) // n1.n END
+        |  FROM n2, n1
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', n3.n,
+        |         CASE WHEN n1.n = 0 THEN 0
+        |              ELSE (n3.n * 1000000) // n1.n END
+        |  FROM n3, n1)
+        |ORDER BY step_idx""".stripMargin,
 
     // change rows by lag != state, then lead/row_number over the
     // FILTERED change set — identical window keys and tiebreak as the

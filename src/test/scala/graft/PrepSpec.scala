@@ -238,4 +238,32 @@ class PrepSpec extends AnyFunSuite {
     // conservation: bucket counts sum to the event count
     assert(rows.map(_.getLong(1)).sum == ev.count())
   }
+
+  test("weightedSample: deterministic, length-biased, zero-weight excluded") {
+    val k = 50
+    val s1 = Prep.weightedSample(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s1.length == k)
+    assert(s1.toSeq == Prep.weightedSample(docs.repartition(13), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      "sample must not depend on partitioning")
+    // priority sampling prefers heavy docs: the sample's mean weight
+    // must exceed the corpus mean (uniform would match it)
+    val corpusMean = docs.filter(col("n_chars") > 0)
+      .agg(avg("n_chars")).head.getDouble(0)
+    val sampleMean = s1.map(_._2).sum.toDouble / k
+    assert(sampleMean > corpusMean,
+      s"weighted sample must over-represent long docs: $sampleMean <= $corpusMean")
+    // independent salts disagree somewhere; invalid salts fail loudly
+    val s2 = Prep.weightedSample(docs, k, salt = "ws2").collect()
+      .map(_.getLong(0)).toSet
+    assert(s1.map(_._1).toSet != s2)
+    assertThrows[IllegalArgumentException] {
+      Prep.weightedSample(docs, k, salt = "bad-salt!")
+    }
+    // zero/negative weights never sample (guard against div-by-zero)
+    import spark.implicits._
+    val z = Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("doc_id", "n_chars")
+    assert(Prep.weightedSample(z, 3).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }

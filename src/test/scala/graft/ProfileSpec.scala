@@ -85,6 +85,26 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("skewAudit: hot key, ppm share, max-key tie-break, nulls excluded") {
+    val audit = Profile.skewAudit(Map("t" -> dirty), Seq("t" -> "k"))
+      .collect()
+    assert(audit.length == 1)
+    val r = audit.head
+    assert(r.getString(0) == "t.k")
+    assert(r.getLong(1) == 4, "null keys carry no skew mass") // n_rows
+    assert(r.getLong(2) == 3) // n_keys: a, b, c
+    assert(r.getLong(3) == 2 && r.getString(4) == "a") // hottest key
+    assert(r.getLong(5) == 500000L) // 2 of 4 rows -> 500000 ppm
+    // all keys tie at count 1 -> the LARGEST key string wins
+    val tied = Profile.skewAudit(
+      Map("u" -> dirty.filter(col("k").isNotNull).dropDuplicates("k")),
+      Seq("u" -> "k")).collect().head
+    assert(tied.getLong(3) == 1 && tied.getString(4) == "c")
+    assertThrows[IllegalArgumentException] {
+      Profile.skewAudit(Map("t" -> dirty), Seq("t" -> "k", "t" -> "k"))
+    }
+  }
+
   test("q120/q121 shapes: one scan per table in the fused single-table pass") {
     val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
     val plan = TestSpark.finalPlan(Profile.columnProfile(li))

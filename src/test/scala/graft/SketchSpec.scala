@@ -224,6 +224,24 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS join-size estimate never undercounts; a roomy sketch is near-exact") {
+    import graft.operators.Sketches
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    val ord = Tables.load(spark, TestSpark.Sf0001, "orders")
+    val exact = li.select(col("l_orderkey").as("k"))
+      .join(ord.select(col("o_orderkey").as("k")), "k").count()
+    val est = Sketches.cmsJoinSize(li, "l_orderkey", ord, "o_orderkey")
+      .head.getLong(0)
+    assert(est >= exact, s"CMS inner product must never undercount: $est < $exact")
+    // with w² >> distinct-keys², birthday collisions vanish from at
+    // least one of the 4 rows and the min lands exactly (occupied
+    // cells, not w, bound the sketch's actual size)
+    val roomy = Sketches.cmsJoinSize(li, "l_orderkey", ord, "o_orderkey",
+      d = 4, w = 1 << 26).head.getLong(0)
+    assert(roomy == exact,
+      s"collision-free sketch must be exact: $roomy vs $exact")
+  }
+
   test("KMV mergeability law: bottom-k of two capped sketches == union's bottom-k") {
     import spark.implicits._
     import graft.operators.Dedup

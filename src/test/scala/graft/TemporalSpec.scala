@@ -325,6 +325,45 @@ class TemporalSpec extends AnyFunSuite {
       (8L, "error", -1L, 1L, 1L)))
   }
 
+  test("funnel: order matters, ties at the same instant count, counts never increase") {
+    import spark.implicits._
+    val df = Seq(
+      // u7 converts fully; click at the same µs as view still counts
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0),
+      (2L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      (3L, ts("2024-01-01 10:30:00"), 7L, "purchase", 0.0),
+      // u8 clicked BEFORE viewing: click must not count, purchase chain dies
+      (4L, ts("2024-01-01 09:00:00"), 8L, "click", 0.0),
+      (5L, ts("2024-01-01 09:30:00"), 8L, "view", 0.0),
+      (6L, ts("2024-01-01 09:45:00"), 8L, "purchase", 0.0),
+      // u9 views only
+      (7L, ts("2024-01-01 08:00:00"), 9L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Sessions
+      .funnel(df, Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "view", 3L, 1000000L),
+      (2L, "click", 1L, 333333L),
+      (3L, "purchase", 1L, 333333L)))
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Sessions.funnel(df, Seq("view", "view"))
+    }
+  }
+
+  test("funnel law on corpus: step counts are non-increasing, ppm consistent") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val f = graft.operators.Sessions
+      .funnel(ev, Seq("view", "click", "purchase")).orderBy("step_idx")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(f.length == 3)
+    assert(f.sliding(2).forall(p => p(0)._1 >= p(1)._1),
+      "a later step can never out-count an earlier one")
+    val n1 = f.head._1
+    f.foreach { case (n, ppm) => assert(ppm == n * 1000000L / n1) }
+  }
+
   test("changeHistory laws on corpus: intervals tile the timeline, one current per key") {
     val ev = Tables.load(spark, TestSpark.Sf0001, "events")
     val h = Sessions.changeHistory(ev).cache()
