@@ -54,7 +54,13 @@ object ScaleBench {
     // are linear scans + bounded aggs, q108's run assembly is the
     // guard-bounded diagonal join
     "q108_shared_runs", "q112_prefix_join", "q113_novelty",
-    "q114_retention", "q115_zorder")
+    "q114_retention", "q115_zorder",
+    // round-7 second batch: q122's row-grain work is one distinct + one
+    // KMV agg (pairwise combine is type-grain), q123's axis work is
+    // time-span-bounded, q124/q127 are windowed/joined passes keyed on
+    // user, q129 is a scan + top-k heap
+    "q122_kmv_overlap", "q123_event_resample", "q124_scd2_history",
+    "q127_funnel", "q129_weighted_sample")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
