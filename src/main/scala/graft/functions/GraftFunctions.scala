@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  def register(ext: SparkSessionExtensions): Unit =
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(ArrayDot.Name),
       ArrayDot.info,
@@ -22,6 +22,14 @@ object GraftFunctions {
         require(children.size == 2, s"${ArrayDot.Name} takes exactly 2 arguments")
         ArrayDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(Hash60.Name),
+      Hash60.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"${Hash60.Name} takes exactly 1 argument")
+        Hash60(children.head)
+      }))
+  }
 
   /** Column-level helper: `array_dot(a, b)` — codegen'd Σ aᵢ·bᵢ. */
   def array_dot(a: Column, b: Column): Column = call_function(ArrayDot.Name, a, b)

@@ -35,9 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Portable 60-bit hash of a string SQL expression (see class doc). */
+  /** Portable 60-bit hash of a string SQL expression (see class doc).
+    * Emits the engine's native codegen'd form
+    * ([[graft.functions.Hash60]] — same value as
+    * `cast(conv(substr(md5($sqlExpr), 1, 15), 16, 10) as bigint)`, no
+    * hex-string round-trip; equivalence pinned in FunctionsSpec and by
+    * every oracle gate). Oracle SQL keeps the hex rendering — DuckDB
+    * reproduces the value as `CAST('0x' || substr(md5(x), 1, 15) AS
+    * BIGINT)`.
+    */
   private[graft] def h60(sqlExpr: String): String =
-    s"cast(conv(substr(md5($sqlExpr), 1, 15), 16, 10) as bigint)"
+    s"${graft.functions.Hash60.Name}($sqlExpr)"
 
   /** Distinct word n-gram shingles per document, hashed at birth:
     * (doc_id, gh: long) with gh = 60-bit md5 of the shingle text.

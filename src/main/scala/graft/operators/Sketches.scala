@@ -31,8 +31,7 @@ object Sketches {
     */
   private def bucketStructs(d: Int, w: Int) = (0 until d).map { i =>
     struct(lit(i.toLong).as("r"),
-      expr(s"cast(conv(substr(md5(concat('cms_${i}_', word)), 1, 15), " +
-        s"16, 10) as bigint) % $w").as("bucket"))
+      expr(s"${Dedup.h60(s"concat('cms_${i}_', word)")} % $w").as("bucket"))
   }
 
   /** The (row, bucket, c) counter matrix of the CMS over word
@@ -127,8 +126,7 @@ object Sketches {
     * md5("bloom_i_" + fp) mod m.
     */
   private def bloomBuckets(fpCol: String, k: Int, m: Int) = (0 until k).map { i =>
-    expr(s"cast(conv(substr(md5(concat('bloom_${i}_', $fpCol)), 1, 15), " +
-      s"16, 10) as bigint) % $m")
+    expr(s"${Dedup.h60(s"concat('bloom_${i}_', $fpCol)")} % $m")
   }
 
   /** Occupied bucket set of an m-bit / k-hash Bloom filter over the

@@ -31,7 +31,7 @@ object SkewJoin {
     require(!skewed.columns.contains("_salt") && !other.columns.contains("_salt"),
       "input frames must not already have a _salt column")
     val salted = skewed.withColumn("_salt",
-      expr(s"pmod(cast(conv(substr(md5(concat($key, '#', $disambig)), 1, 15), 16, 10) as bigint), $buckets)"))
+      expr(s"pmod(${Dedup.h60(s"concat($key, '#', $disambig)")}, $buckets)"))
     val replicated = other.withColumn("_salt",
       explode(typedlit((0 until buckets).map(_.toLong))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

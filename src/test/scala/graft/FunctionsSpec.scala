@@ -75,6 +75,33 @@ class FunctionsSpec extends AnyFunSuite {
       s"expected the raise_error dim message, got: ${err.getMessage}")
   }
 
+  test("graft_h60 equals the builtin conv(substr(md5)) chain on adversarial strings") {
+    import spark.implicits._
+    val crafted = Seq(
+      "", " ", "a", "hello world", "\ttab\nnewline",
+      "ünïcödé 中文 🎉", "\\back\\slash'quote\"dq",
+      "x" * 10000,                  // long input
+      "ws_0", "cms_3_the", "bloom_1_deadbeef" // real call-site shapes
+    ).toDF("s")
+    val corpus = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(col("text").as("s"))
+    for (df <- Seq(crafted, corpus)) {
+      val mismatch = df.select(
+          expr("graft_h60(s)").as("native"),
+          expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("chain"))
+        .filter(col("native") =!= col("chain") ||
+          col("native") < 0 || col("native") >= (1L << 60))
+      assert(mismatch.isEmpty,
+        s"native h60 diverged: ${mismatch.limit(3).collect().mkString}")
+    }
+    // null propagates; non-string inputs fail at analysis
+    assert(crafted.select(expr("graft_h60(cast(null as string))"))
+      .head.isNullAt(0))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      crafted.select(expr("graft_h60(42)")).collect()
+    }
+  }
+
   test("planeComponent matches the documented md5 derivation") {
     // independently recompute one component the long way
     val md = java.security.MessageDigest.getInstance("MD5")
