@@ -556,4 +556,43 @@ object TextAnalysis {
       .withColumn("delta_ppm", col("rate_new_ppm") - col("rate_old_ppm"))
       .withColumn("abs_delta_ppm", abs(col("delta_ppm")))
   }
+
+  /** Equal-frequency quality deciles WITHOUT a global sort — the
+    * scale-safe ntile. `ntile(10)` shuffles and sorts every row; this
+    * pass buckets the (4dp-scaled) quality histogram instead: windows
+    * run over ≤ 10001 histogram rows whatever the corpus size, the
+    * nine decile thresholds reduce to ONE 9-element array broadcast
+    * back over the scan (the q107 histogram-percentile shape, turned
+    * into a per-row assignment). The curriculum/mixing use: train on
+    * decile 10 first, or mix deciles at set rates, reproducibly.
+    *
+    * Tie semantics (documented difference vs row-ntile): docs sharing
+    * a scaled score always share a decile — a histogram cannot split
+    * equal values, and for curriculum purposes equal quality SHOULD
+    * mean equal treatment. Unscored docs (0-word: quality NULL) are
+    * excluded. decile = 1 + |{p : t_p < qs}| over the ceil-rank
+    * thresholds t_10..t_90, all integer arithmetic.
+    */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val scored = qualityScores(docs)
+      .filter(col("quality").isNotNull)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 10000) as bigint)").as("qs"))
+    val hist = scored.groupBy("qs").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("qs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast( // 1-row total — bounded by construction
+        hist.agg(sum(col("c")).cast("long").as("n"))))
+    def thr(p: Int) =
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("qs")))
+        .as(s"t$p")
+    val th = cum.agg(thr(10), (20 to 90 by 10).map(thr): _*)
+    val tarr = th.select(
+      array((10 to 90 by 10).map(p => col(s"t$p")): _*).as("tarr"))
+    scored.crossJoin(broadcast(tarr)) // 1-row threshold array — bounded
+      .select(col("doc_id"), col("qs"),
+        (lit(1L) + expr("size(filter(tarr, t -> t < qs))").cast("long"))
+          .as("decile"))
+  }
 }

@@ -38,6 +38,14 @@ object TextQueries {
       TextAnalysis.qualityScores(Tables.load(spark, dir, "documents"))
         .orderBy("doc_id")),
 
+    // equal-frequency quality deciles WITHOUT a global sort: windows
+    // over the ≤ 10001-bucket scaled-quality histogram, nine
+    // thresholds broadcast back as one array — the scale-safe ntile
+    // for curriculum ordering and decile-rate mixing
+    "q130_quality_deciles" -> ((spark, dir) =>
+      TextAnalysis.qualityDeciles(Tables.load(spark, dir, "documents"))
+        .orderBy("doc_id")),
+
     "q39_token_count" -> ((spark, dir) =>
       TextAnalysis.tokenCounts(Tables.load(spark, dir, "documents"))
         .groupBy("source")
@@ -264,6 +272,37 @@ object TextQueries {
          |       ${qualitySql("n_words", "n_distinct")} AS quality
          |FROM m
          |ORDER BY doc_id""".stripMargin,
+
+    // q38's quality formula scaled to 4dp integers, histogram + cum
+    // window + ceil-rank thresholds (the q107 arithmetic), assignment
+    // by threshold count — all integer once scaled
+    "q130_quality_deciles" ->
+      s"""WITH wsq AS (SELECT doc_id,
+         |               list_filter(string_split_regex(trim(text), '\\s+'),
+         |                           x -> x != '') AS w
+         |             FROM documents),
+         |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+         |      FROM wsq),
+         |q AS (SELECT doc_id, ${qualitySql("n_words", "n_distinct")} AS quality
+         |      FROM m),
+         |s AS (SELECT doc_id, CAST(round(quality * 10000) AS BIGINT) AS qs
+         |      FROM q WHERE quality IS NOT NULL),
+         |h AS (SELECT qs, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY qs),
+         |cw AS (SELECT qs, CAST(sum(c) OVER (ORDER BY qs) AS BIGINT) AS cum,
+         |              (SELECT CAST(sum(c) AS BIGINT) FROM h) AS n
+         |       FROM h),
+         |ps AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p),
+         |th AS (SELECT ps.p,
+         |         min(CASE WHEN cw.cum >= (cw.n * ps.p + 99) // 100
+         |             THEN cw.qs END) AS t
+         |       FROM cw CROSS JOIN ps GROUP BY ps.p)
+         |SELECT s.doc_id, s.qs,
+         |       CAST(1 + sum(CASE WHEN th.t < s.qs THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS decile
+         |FROM s CROSS JOIN th
+         |GROUP BY s.doc_id, s.qs
+         |ORDER BY s.doc_id""".stripMargin,
 
     "q39_token_count" ->
       s"""WITH $WsSql,

@@ -431,4 +431,30 @@ class TextSpec extends AnyFunSuite {
     assert(!r(0).isNullAt(3) && r(0).isNullAt(4), "new-side rate NULL when T=0")
     assert(r(0).isNullAt(5) && r(0).isNullAt(6), "delta NULL when either side is")
   }
+
+  test("qualityDeciles: monotone in score, ties share a bin, coverage law") {
+    val d = TextAnalysis.qualityDeciles(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(d.nonEmpty)
+    assert(d.forall(x => x._3 >= 1 && x._3 <= 10))
+    // monotone: a strictly better score never lands in a lower decile;
+    // equal scores always share a decile
+    val byScore = d.sortBy(_._2)
+    byScore.sliding(2).foreach { p =>
+      if (p(0)._2 < p(1)._2) assert(p(0)._3 <= p(1)._3)
+      if (p(0)._2 == p(1)._2) assert(p(0)._3 == p(1)._3)
+    }
+    // ceil-rank coverage: docs at-or-below decile d are >= ceil(n*d/10)
+    val n = d.length
+    for (dec <- 1 to 9) {
+      val below = d.count(_._3 <= dec)
+      assert(below >= (n * dec + 9) / 10,
+        s"decile $dec covers $below of $n — below the ceil-rank floor")
+    }
+    // unscored (empty) docs are excluded, never bin 0
+    import spark.implicits._
+    val withEmpty = Seq((1L, "alpha beta gamma"), (2L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityDeciles(withEmpty).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L))
+  }
 }
