@@ -106,7 +106,13 @@ object Aggregators {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     override def zero: Array[Long] = Array.emptyLongArray
     override def reduce(b: Array[Long], h: Long): Array[Long] =
-      if (b.length == k && h >= b(k - 1)) b // saturated and not a new minimum
+      // negative input is the NULL sentinel (the 60-bit hash domain is
+      // non-negative): callers aggregating a nullable derivation pass
+      // coalesce(hash, -1) — a typed Aggregator's Long input cannot
+      // carry SQL NULL itself — and the sketch skips it, preserving
+      // count-distinct's ignore-NULLs semantics (Profile.profilePartial)
+      if (h < 0) b
+      else if (b.length == k && h >= b(k - 1)) b // saturated and not a new minimum
       else {
         val i = java.util.Arrays.binarySearch(b, h)
         if (i >= 0) b // already a kept minimum (distinct contract)

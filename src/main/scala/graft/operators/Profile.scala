@@ -182,6 +182,77 @@ object Profile {
         when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
   }
 
+  /** Mergeable per-column profile PARTIAL — the unit a streaming ingest
+    * accumulates per micro-batch and [[mergeProfile]] folds losslessly:
+    * counts merge by sum, min/max by min/max, and the distinct count
+    * travels as a KMV bottom-64 sketch whose merge (bottom-k of unions
+    * ≡ union's bottom-k) is exact at the sketch level — so a profile
+    * assembled from any batching of the data is IDENTICAL to one
+    * computed in a single pass (StreamingSpec's differential law). One
+    * row per column: (column_name, n_rows, n_nonnull, min_str,
+    * max_str, kmv). Still one scan of the batch; a partial is
+    * O(columns) rows, so accumulated state is negligible and needs no
+    * compaction cadence.
+    */
+  def profilePartial(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    require(fields.nonEmpty, "profilePartial needs at least one column")
+    val kmv = graft.functions.Aggregators.kmv64
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val c = col(f.name)
+      // -1 is the KMV NULL sentinel (skipped by the sketch) — a typed
+      // Long aggregator input cannot carry SQL NULL
+      val h = coalesce(
+        expr(Dedup.h60(s"concat('pp_', cast(`${f.name}` as string))")),
+        lit(-1L))
+      Seq(count(c).as(s"__cnt_${f.name}"), kmv(h).as(s"__kmv_${f.name}")) ++
+        (if (portableMinMax(f.dataType))
+          Seq(min(c).cast("string").as(s"__min_${f.name}"),
+            max(c).cast("string").as(s"__max_${f.name}"))
+        else Nil)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.map { f =>
+      val (mn, mx) =
+        if (portableMinMax(f.dataType))
+          (col(s"__min_${f.name}"), col(s"__max_${f.name}"))
+        else (lit(null).cast("string"), lit(null).cast("string"))
+      struct(lit(f.name).as("column_name"), col("__n").as("n_rows"),
+        col(s"__cnt_${f.name}").as("n_nonnull"),
+        mn.as("min_str"), mx.as("max_str"),
+        col(s"__kmv_${f.name}").as("kmv"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Fold any number of [[profilePartial]] frames into the final
+    * profile: (column_name, n_rows, n_nulls, n_distinct_est, min_str,
+    * max_str). The KMV re-aggregation over the partials' sketch
+    * elements IS the bottom-k merge, so the estimate equals the
+    * single-pass sketch of all the data; below saturation (< 64
+    * distinct values) it is the EXACT distinct count.
+    */
+  def mergeProfile(partials: DataFrame): DataFrame = {
+    val counts = partials.groupBy("column_name").agg(
+      sum(col("n_rows")).cast("long").as("n_rows"),
+      sum(col("n_nonnull")).cast("long").as("n_nonnull"),
+      min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+    val merged = partials
+      .select(col("column_name"), explode_outer(col("kmv")).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy("column_name")
+      .agg(graft.functions.Aggregators.kmv64(col("h")).as("kmv"))
+    counts.join(merged, Seq("column_name"), "left")
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        expr("case when size(kmv) is null then cast(0 as bigint) " +
+          "when size(kmv) < 64 then cast(size(kmv) as bigint) " +
+          "else cast(floor((63.0 * cast(1152921504606846976 as double)) / " +
+          "cast(element_at(kmv, 64) as double)) as bigint) end")
+          .as("n_distinct_est"),
+        col("min_str"), col("max_str"))
+  }
+
   /** Key-skew audit over candidate join/partition columns: per column,
     * the key count, the hottest key and its row count, and the hot
     * key's parts-per-million share — the report a pipeline owner reads

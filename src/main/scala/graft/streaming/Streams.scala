@@ -565,6 +565,52 @@ object Streams {
     }
   }
 
+  /** Streaming data-quality profile — the sixth `foreachBatch` ingest
+    * composition: each micro-batch writes its MERGEABLE per-column
+    * profile partial ([[graft.operators.Profile.profilePartial]]:
+    * counts + portable min/max + a KMV distinct sketch) under
+    * `profile/batch=N`, commit marker last (the shared exactly-once
+    * protocol). [[ingestProfileRead]] folds every committed partial —
+    * and because the KMV merge is lossless at the sketch level, the
+    * streamed profile is IDENTICAL to a single-pass profile of all
+    * data ingested so far, whatever the batching (the differential
+    * law StreamingSpec pins). No compaction cadence needed: a partial
+    * is O(columns) rows, so a year of micro-batches reads in
+    * milliseconds.
+    */
+  def ingestProfile(rows: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestProfileBatch(batch.toDF(), stateDir, batchId)
+      }
+      .start()
+
+  /** One profile ingest step (see [[ingestProfile]]); public for
+    * batch-mode replays and tests.
+    */
+  def ingestProfileBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    graft.operators.Profile.profilePartial(batch)
+      .write.mode("overwrite").parquet(s"$stateDir/profile/batch=$batchId")
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** The accumulated profile over all COMMITTED batches (None before
+    * the first commit): (column_name, n_rows, n_nulls, n_distinct_est,
+    * min_str, max_str).
+    */
+  def ingestProfileRead(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val ids = committedBatches(spark, stateDir).sorted
+    if (ids.isEmpty) None
+    else Some(graft.operators.Profile.mergeProfile(
+      spark.read.parquet(ids.map(i => s"$stateDir/profile/batch=$i"): _*)))
+  }
+
   private def fileSystem(
       spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir)

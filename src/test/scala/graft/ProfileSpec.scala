@@ -85,6 +85,29 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("profilePartial/mergeProfile: any batching folds to the single-pass profile") {
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("column_name").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toSeq
+    val single = canon(Profile.mergeProfile(Profile.profilePartial(docs)))
+    val batched = canon(Profile.mergeProfile(
+      Profile.profilePartial(docs.filter(col("doc_id") % 3 === 0))
+        .unionByName(Profile.profilePartial(docs.filter(col("doc_id") % 3 === 1)))
+        .unionByName(Profile.profilePartial(docs.filter(col("doc_id") % 3 === 2)))))
+    assert(single == batched,
+      "merge must be lossless under any batching of the data")
+    // sub-saturation distinct estimates are EXACT (e.g. lang/source)
+    val bySrc = single.map(r => r._1 -> r._4).toMap
+    val exactSrc = docs.select("source").distinct().count()
+    assert(bySrc("source") == exactSrc)
+    // null handling: the KMV sentinel never counts a phantom value
+    val p = Profile.mergeProfile(Profile.profilePartial(dirty))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(p("k") == ((1L, 3L)) && p("v") == ((1L, 4L)))
+  }
+
   test("skewAudit: hot key, ppm share, max-key tie-break, nulls excluded") {
     val audit = Profile.skewAudit(Map("t" -> dirty), Seq("t" -> "k"))
       .collect()

@@ -620,6 +620,49 @@ class StreamingSpec extends AnyFunSuite {
       "previous base must be GC'd after the new marker commits")
   }
 
+  test("foreachBatch ingest profile: streamed partials fold to the single-pass profile, across restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_prof_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val sch = docs.schema
+    val cuts = Seq((0L, 200L), (200L, 400L), (400L, Long.MaxValue))
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      slice(lo, hi).coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      // fresh query per drop, resuming from the shared checkpoint — two
+      // full stop/restart cycles across the three micro-batches
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestProfile(stream, state, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("column_name").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toSeq
+    val streamed = canon(Streams.ingestProfileRead(spark, state).get)
+    val single = canon(graft.operators.Profile.mergeProfile(
+      graft.operators.Profile.profilePartial(docs)))
+    assert(streamed == single,
+      "streamed partials must fold to the one-pass profile exactly")
+    // restart with no new files: replay-skip must not perturb the fold
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q = Streams.ingestProfile(stream, state, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(canon(Streams.ingestProfileRead(spark, state).get) == single)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+  }
+
   test("foreachBatch ingest Bloom: streamed filter == batch build, across restart + compact") {
     import graft.operators.Sketches
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_bloom_").toFile
