@@ -15,10 +15,11 @@ import graft.sources.Tables
   * their edges differently — the counts still gate).
   *
   * q121 validates a declarative constraint set over five tables: keys,
-  * non-nulls, value ranges, two foreign keys, and a coverage check
-  * (customers with no orders — the one that genuinely fails on TPC-H
-  * shaped data, so the violation arm is exercised by real data, not
-  * just by ProfileSpec's crafted frames).
+  * non-nulls, value ranges, two foreign keys, and two coverage
+  * checks (orders-coverage passes; events-coverage genuinely FAILS —
+  * dormant customers with no event activity — so both arms of the
+  * audit are exercised by real data, not just by ProfileSpec's
+  * crafted frames).
   */
 object ProfileQueries {
 
@@ -46,9 +47,56 @@ object ProfileQueries {
         RefIntegrity("fk_orders_customer", "orders", "o_custkey",
           "customer", "c_custkey"),
         Covered("cov_customer_has_orders", "customer", "c_custkey",
-          "orders", "o_custkey")))
+          "orders", "o_custkey"),
+        // the check that genuinely FAILS on this corpus (1350 dormant
+        // customers with no event activity at sf0.01) — the violation
+        // arm gated on real data, not just ProfileSpec's crafted frames
+        Covered("cov_customer_has_events", "customer", "c_custkey",
+          "events", "user_id")))
         .orderBy("check_name")
     }),
+
+    // the remediation view beside q121's counts: the k smallest
+    // violating keys per cross-table check — deterministic "first k by
+    // key", TakeOrderedAndProject per branch. Only the coverage check
+    // yields rows on TPC-H-shaped data; the fk branches prove the
+    // empty arm.
+    "q131_violation_rows" -> ((spark, dir) =>
+      Profile.violationSamples(
+        Map(
+          "orders" -> Tables.load(spark, dir, "orders"),
+          "lineitem" -> Tables.load(spark, dir, "lineitem"),
+          "customer" -> Tables.load(spark, dir, "customer"),
+          "events" -> Tables.load(spark, dir, "events")),
+        Seq(
+          RefIntegrity("fk_lineitem_orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          RefIntegrity("fk_orders_customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          Covered("cov_customer_has_orders", "customer", "c_custkey",
+            "orders", "o_custkey"),
+          Covered("cov_customer_has_events", "customer", "c_custkey",
+            "events", "user_id")),
+        k = 20)
+        .orderBy("check_name", "violating_key")),
+
+    // functional-dependency audit: which determinants actually
+    // determine — the profiling question behind key discovery and
+    // denormalization; two held and two violated dependencies so both
+    // arms gate on real data
+    "q132_fd_audit" -> ((spark, dir) =>
+      Profile.fdAudit(
+        Map(
+          "orders" -> Tables.load(spark, dir, "orders"),
+          "lineitem" -> Tables.load(spark, dir, "lineitem"),
+          "events" -> Tables.load(spark, dir, "events"),
+          "documents" -> Tables.load(spark, dir, "documents")),
+        Seq(
+          ("orders", "o_orderkey", "o_custkey"),
+          ("lineitem", "l_orderkey", "l_suppkey"),
+          ("documents", "doc_id", "source"),
+          ("events", "user_id", "event_type")))
+        .orderBy("dependency")),
 
     // the pre-join skew report: hottest key + ppm share per candidate
     // join/partition column — what decides plain shuffle vs SkewJoin
@@ -135,7 +183,13 @@ object ProfileQueries {
       |       (SELECT CAST(count(c_custkey) AS BIGINT) FROM customer),
       |       (SELECT CAST(count(*) AS BIGINT) FROM customer c
       |        WHERE c.c_custkey IS NOT NULL AND NOT EXISTS
-      |          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)))
+      |          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |UNION ALL
+      |SELECT 'cov_customer_has_events',
+      |       (SELECT CAST(count(c_custkey) AS BIGINT) FROM customer),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM customer c
+      |        WHERE c.c_custkey IS NOT NULL AND NOT EXISTS
+      |          (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)))
       |SELECT check_name, n_checked, n_violations,
       |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
       |FROM a ORDER BY check_name""".stripMargin
@@ -169,8 +223,74 @@ object ProfileQueries {
     s"WITH $ctes\n$branches\nORDER BY key_col"
   }
 
+  /** q131: per keyed check, the k smallest violating key STRINGS (the
+    * engine compares string-cast keys, so the oracle does too).
+    */
+  private val ViolationRowsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'fk_lineitem_orders' AS check_name, violating_key FROM (
+      |    SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS violating_key
+      |    FROM lineitem WHERE l_orderkey IS NOT NULL
+      |      AND CAST(l_orderkey AS VARCHAR) NOT IN
+      |        (SELECT CAST(o_orderkey AS VARCHAR) FROM orders
+      |         WHERE o_orderkey IS NOT NULL)
+      |    ORDER BY violating_key LIMIT 20)
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer', violating_key FROM (
+      |    SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS violating_key
+      |    FROM orders WHERE o_custkey IS NOT NULL
+      |      AND CAST(o_custkey AS VARCHAR) NOT IN
+      |        (SELECT CAST(c_custkey AS VARCHAR) FROM customer
+      |         WHERE c_custkey IS NOT NULL)
+      |    ORDER BY violating_key LIMIT 20)
+      |  UNION ALL
+      |  SELECT 'cov_customer_has_orders', violating_key FROM (
+      |    SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS violating_key
+      |    FROM customer WHERE c_custkey IS NOT NULL
+      |      AND CAST(c_custkey AS VARCHAR) NOT IN
+      |        (SELECT CAST(o_custkey AS VARCHAR) FROM orders
+      |         WHERE o_custkey IS NOT NULL)
+      |    ORDER BY violating_key LIMIT 20)
+      |  UNION ALL
+      |  SELECT 'cov_customer_has_events', violating_key FROM (
+      |    SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS violating_key
+      |    FROM customer WHERE c_custkey IS NOT NULL
+      |      AND CAST(c_custkey AS VARCHAR) NOT IN
+      |        (SELECT CAST(user_id AS VARCHAR) FROM events
+      |         WHERE user_id IS NOT NULL)
+      |    ORDER BY violating_key LIMIT 20))
+      |ORDER BY check_name, violating_key""".stripMargin
+
+  /** q132's oracle: fanout per determinant = count(DISTINCT dep) plus
+    * one if any NULL dep appears under it (the engine's null-safe
+    * struct-distinct counts NULL as a real dependent value).
+    */
+  private val FdCols: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_custkey"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("documents", "doc_id", "source"),
+    ("events", "user_id", "event_type"))
+
+  private val FdAuditSql: String =
+    FdCols.map { case (t, det, dep) =>
+      s"""SELECT '$t.$det->$dep' AS dependency,
+         |       CAST(count(*) AS BIGINT) AS n_det_values,
+         |       CAST(coalesce(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END), 0)
+         |         AS BIGINT) AS n_violating,
+         |       CAST(coalesce(max(fanout), 0) AS BIGINT) AS max_fanout,
+         |       CAST(CASE WHEN coalesce(sum(CASE WHEN fanout > 1 THEN 1
+         |              ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+         |FROM (SELECT $det,
+         |        CAST(count(DISTINCT $dep)
+         |          + max(CASE WHEN $dep IS NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS fanout
+         |      FROM $t WHERE $det IS NOT NULL GROUP BY $det)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
+
   def oracles: Map[String, String] = Map(
     "q120_column_profile" -> ColumnProfileSql,
     "q121_constraint_audit" -> ConstraintAuditSql,
-    "q128_skew_audit" -> SkewAuditSql)
+    "q128_skew_audit" -> SkewAuditSql,
+    "q131_violation_rows" -> ViolationRowsSql,
+    "q132_fd_audit" -> FdAuditSql)
 }

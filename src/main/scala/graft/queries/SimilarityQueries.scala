@@ -183,6 +183,27 @@ object SimilarityQueries {
       Similarity.cosinePairs(Tables.load(spark, dir, "embeddings"), threshold = 0.4)
         .orderBy("i", "j")),
 
+    // embedding-table health audit: per label, vector count, dimension
+    // range (ragged dims are the bug this catches), zero-norm count,
+    // and the norm envelope — per-row norms via the codegen'd
+    // graft_array_dot rounded to 1e-4 INTEGERS before any cross-row
+    // aggregation, so no float sum ever depends on row order
+    "q134_embedding_audit" -> ((spark, dir) =>
+      Tables.load(spark, dir, "embeddings")
+        .select(col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          expr("cast(round(sqrt(graft_array_dot(embedding, embedding)) " +
+            "* 10000) as bigint)").as("norm_e4"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+          sum(when(col("norm_e4") === 0L, 1L).otherwise(0L)).cast("long")
+            .as("n_zero"),
+          min(col("norm_e4")).as("min_norm_e4"),
+          max(col("norm_e4")).as("max_norm_e4"),
+          expr("sum(norm_e4) div count(1)").as("avg_norm_e4"))
+        .orderBy("label")),
+
     "q31_ann_neighbors" -> ((spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.cosineNeighbors(emb, emb.filter(col("vec_id") < 10), threshold = 0.3)
@@ -314,6 +335,27 @@ object SimilarityQueries {
     }
 
   def oracles: Map[String, String] = Map(
+    // same double-cast element order, same per-row e4 rounding before
+    // any cross-row fold — integer aggregation is order-free
+    "q134_embedding_audit" ->
+      s"""WITH ve AS (SELECT label,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |            FROM embeddings),
+         |nrm AS (SELECT label, CAST(len(e) AS BIGINT) AS dim,
+         |          CAST(round(sqrt(coalesce(
+         |              list_sum(list_transform(e, x -> x * x)), 0.0))
+         |            * 10000) AS BIGINT) AS norm_e4
+         |        FROM ve)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       min(dim) AS dim_min, max(dim) AS dim_max,
+         |       CAST(sum(CASE WHEN norm_e4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_zero,
+         |       min(norm_e4) AS min_norm_e4, max(norm_e4) AS max_norm_e4,
+         |       CAST(sum(norm_e4) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |         AS avg_norm_e4
+         |FROM nrm GROUP BY label
+         |ORDER BY label""".stripMargin,
+
     "q30_embedding_pairs" ->
       s"""WITH $VecSql
          |SELECT a.vec_id AS i, b.vec_id AS j,

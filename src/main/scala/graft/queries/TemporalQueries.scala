@@ -83,6 +83,27 @@ object TemporalQueries {
           keyCol = "user_id", attrCol = "event_type")
         .orderBy("user_id", "version")),
 
+    // the SCD2 dimension CONSUMED: each purchase enriched with the
+    // user's state interval valid at its instant — q124's history fed
+    // through the as-of operator (composition, not new machinery);
+    // every purchase matches by construction (its own event bounds the
+    // first interval), so the output is total
+    "q133_scd2_enrich" -> ((spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      val hist = Sessions.changeHistory(ev)
+        .select(col("user_id"), col("state"), col("valid_from_us"),
+          col("version"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      AsOf.join(purchases, hist, key = "user_id",
+          leftTs = "ts_us", rightTs = "valid_from_us",
+          payload = Seq("state", "version"), tiebreak = "version")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("state").as("state_at_event"), col("version"))
+        .orderBy("event_id")
+    }),
+
     // ordered conversion funnel view → click → purchase with
     // earliest-reach semantics: each step one type-filtered scan
     // joined on the previous step's reach frame
@@ -177,6 +198,27 @@ object TemporalQueries {
         |         AS cum_events
         |FROM axis a LEFT JOIN obs o USING (event_type, bucket_s)
         |ORDER BY event_type, bucket_s""".stripMargin,
+
+    // q124's change chain as a CTE, consumed by a native ASOF JOIN —
+    // the independent formulation of "state valid at the instant"
+    "q133_scd2_enrich" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev != state),
+        |v AS (SELECT user_id, state, ts_us AS valid_from_us,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts_us, event_id) AS BIGINT)
+        |          AS version
+        |      FROM c)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |       v.state AS state_at_event, v.version
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN v ON p.user_id = v.user_id
+        |           AND v.valid_from_us <= epoch_us(p.ts)
+        |ORDER BY p.event_id""".stripMargin,
 
     // step chains as min-reach CTEs with inclusive >= joins — the
     // identical earliest-reach semantics

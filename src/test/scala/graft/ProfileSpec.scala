@@ -85,6 +85,44 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("violationSamples: names the orphans, caps at k, rejects unkeyed-only checks") {
+    val child = Seq((10L, 1L), (11L, 99L), (12L, 98L), (13L, 97L))
+      .toDF("cid", "fk")
+    val got = Profile.violationSamples(
+      Map("t" -> dirty, "child" -> child),
+      Seq(RefIntegrity("fk_child_t", "child", "fk", "t", "id"),
+        Covered("cov_t_referenced", "t", "id", "child", "fk")),
+      k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    // k=2 keeps the two SMALLEST violating keys per check, by string order
+    assert(got == Seq(
+      ("cov_t_referenced", "2"), ("cov_t_referenced", "3"),
+      ("fk_child_t", "97"), ("fk_child_t", "98")))
+    assertThrows[IllegalArgumentException] {
+      Profile.violationSamples(Map("t" -> dirty),
+        Seq(NotNull("nn", "t", "k")))
+    }
+  }
+
+  test("fdAudit: held and violated dependencies, null-det excluded, null dep counts") {
+    val t = Seq(
+      (Option(1L), Option("a")), (Option(1L), Option("a")), // 1 -> a, consistent
+      (Option(2L), Option("a")), (Option(2L), Option("b")), // 2 -> {a,b}: violated
+      (Option(3L), None),                                    // 3 -> NULL only: consistent
+      (Option(4L), Option("c")), (Option(4L), None),         // 4 -> {c, NULL}: violated
+      (None, Option("z"))                                    // NULL det: excluded
+    ).toDF("det", "dep")
+    val r = Profile.fdAudit(Map("t" -> t), Seq(("t", "det", "dep")))
+      .collect().head
+    assert(r.getString(0) == "t.det->dep")
+    assert(r.getLong(1) == 4)  // dets 1..4
+    assert(r.getLong(2) == 2 && r.getLong(4) == 0)  // dets 2 and 4 violate
+    assert(r.getLong(3) == 2)  // worst fanout
+    val held = Profile.fdAudit(Map("t" -> t.filter(col("det") <= 1)),
+      Seq(("t", "det", "dep"))).collect().head
+    assert(held.getLong(4) == 1 && held.getLong(2) == 0)
+  }
+
   test("profilePartial/mergeProfile: any batching folds to the single-pass profile") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
     def canon(df: org.apache.spark.sql.DataFrame) =
@@ -128,12 +166,19 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
-  test("q120/q121 shapes: one scan per table in the fused single-table pass") {
+  test("q120/q121 shapes: bounded scans, no multi-distinct Expand, fused audits") {
     val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
     val plan = TestSpark.finalPlan(Profile.columnProfile(li))
-    // the whole 11-column profile reads lineitem exactly once
-    assert("Scan parquet".r.findAllIn(plan).size == 1,
-      s"profile must be a single scan:\n$plan")
+    // exact profile = counts pass + primitive-pair distinct pass: two
+    // column-pruned scans, and NEVER the multi-distinct rewrite's
+    // Expand→SortAggregate (measured 9× slower at sf0.1)
+    assert("Scan parquet".r.findAllIn(plan).size == 2,
+      s"exact profile is a counts pass + a distinct pass:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"multi-distinct Expand must not reappear:\n$plan")
+    val approxPlan = TestSpark.finalPlan(Profile.columnProfile(li, exact = false))
+    assert("Scan parquet".r.findAllIn(approxPlan).size == 1,
+      s"approx profile must be a single scan:\n$approxPlan")
     val audit = Profile.constraintAudit(Map("t" -> li), Seq(
       NotNull("a", "t", "l_orderkey"),
       InRange("b", "t", "l_quantity", 1.0, 50.0),
