@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
 import graft.operators.{Components, Dedup}
 import graft.sources.Tables
 
@@ -200,6 +200,32 @@ object DedupQueries {
       Components.connected(
           Dedup.nearDupEdges(Tables.load(spark, dir, "documents")))
         .orderBy("node")),
+
+    // the dedup BUSINESS CASE in one table: per near-dup cluster size,
+    // how many clusters, how many docs they hold, how many a min-keeper
+    // policy drops, and the bytes those drops free — the report that
+    // justifies (or kills) paying for the near-dup tier at 100 TB.
+    // Rollup grain is cluster size (bounded), never docs.
+    "q135_dedup_savings" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val comp = Components.connected(Dedup.nearDupEdges(docs))
+      val sized = comp.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      // component label IS the min-id keeper, so non-keepers are the
+      // nodes that differ from their label
+      val dropped = comp.filter(col("node") =!= col("component"))
+        .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+        .groupBy("component").agg(sum(col("n_chars")).as("b"))
+      sized.join(dropped, Seq("component"), "left")
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(coalesce(col("b"), lit(0L))).cast("long").as("bytes_dropped"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1L) * col("n_clusters")).as("n_dropped"),
+          col("bytes_dropped"))
+        .orderBy("cluster_size")
+    }),
 
     "q55_dedup_minhash_estimate" -> ((spark, dir) =>
       Dedup.minhashEstimatePairs(Tables.load(spark, dir, "documents"),
@@ -469,6 +495,26 @@ object DedupQueries {
          |SELECT node, component
          |FROM comp
          |ORDER BY node""".stripMargin,
+
+    // q47's closure rolled up to cluster-size grain with the
+    // non-keeper byte totals
+    "q135_dedup_savings" ->
+      s"""WITH RECURSIVE $ShinglesSql,
+         |$NearDupPairsSql,
+         |${closureSql("pairs")},
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM comp GROUP BY component),
+         |bd AS (SELECT c.component, CAST(sum(d.n_chars) AS BIGINT) AS b
+         |       FROM comp c JOIN documents d ON c.node = d.doc_id
+         |       WHERE c.node != c.component GROUP BY c.component)
+         |SELECT cs.cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(cs.cluster_size * count(*) AS BIGINT) AS n_docs,
+         |       CAST((cs.cluster_size - 1) * count(*) AS BIGINT) AS n_dropped,
+         |       CAST(coalesce(sum(bd.b), 0) AS BIGINT) AS bytes_dropped
+         |FROM cs LEFT JOIN bd USING (component)
+         |GROUP BY cs.cluster_size
+         |ORDER BY cs.cluster_size""".stripMargin,
 
     // Exact verified Jaccard on the canonical edges, joined with the
     // SHARED q56 split CTE (PrepQueries.SplitCteSql) — only pairs whose
