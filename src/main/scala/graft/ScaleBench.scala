@@ -60,7 +60,13 @@ object ScaleBench {
     // time-span-bounded, q124/q127 are windowed/joined passes keyed on
     // user, q129 is a scan + top-k heap
     "q122_kmv_overlap", "q123_event_resample", "q124_scd2_history",
-    "q127_funnel", "q129_weighted_sample")
+    "q127_funnel", "q129_weighted_sample",
+    // round-7 third batch: q130's windows run at histogram grain,
+    // q133 is the SCD2 chain + as-of (user-keyed windows/joins),
+    // q134 is a linear scan + label-grain agg, q135 is the component
+    // chain + a cluster-size-grain rollup
+    "q130_quality_deciles", "q133_scd2_enrich", "q134_embedding_audit",
+    "q135_dedup_savings")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
