@@ -39,6 +39,31 @@ object Multimodal {
   def blobs(docs: DataFrame): Dataset[Blob] =
     docs.select(col("doc_id"), col("text").cast("binary").as("bytes")).as[Blob]
 
+  /** Payload rows from a DIRECTORY of media files — the production
+    * ingestion path the [[Blob]] doc names: Spark's `binaryFile`
+    * source yields (path, modificationTime, length, content) with the
+    * bytes read on the executor that owns the split, so payloads never
+    * route through the driver. Doc ids derive from the trailing digits
+    * of each file name (contract: files are named `<id>.<ext>`), so
+    * re-listing the same directory yields the same ids — the stability
+    * every downstream dedup/feature join depends on. A file that
+    * doesn't match the contract fails LOUDLY (silently dropping or
+    * renumbering payloads would corrupt the id space).
+    */
+  def blobsFromFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Dataset[Blob] = {
+    val raw = spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "([0-9]+)\\.[^/.]*$", 1)
+        .as("id_str"), col("content"))
+    val bad = raw.filter(col("id_str") === "")
+    if (!bad.isEmpty)
+      throw new IllegalArgumentException(
+        "blobsFromFiles: file names must carry a numeric id " +
+          s"(<id>.<ext>) — non-conforming files found under $dir")
+    raw.select(col("id_str").cast("long").as("doc_id"),
+      col("content").as("bytes")).as[Blob]
+  }
+
   /** STUB of the real decoder: deterministic byte-histogram "features".
     * A production build swaps this body for the codec (JPEG decode +
     * resize, PCM frame extraction, ...) — the signature (bytes in,

@@ -67,4 +67,39 @@ class SourcesSpec extends AnyFunSuite {
     val expected = ev.filter(col("day") === target).count()
     assert(filtered.count() == expected)
   }
+
+  test("binaryFile source: payload files become Blob rows, ids from names, fail-loud contract") {
+    import graft.operators.Multimodal
+    val dir = new java.io.File(tmp("payloads")); dir.mkdirs()
+    dir.listFiles().foreach(_.delete())
+    val payloads = Map(3L -> Array.tabulate(64)(i => (i * 7 % 251).toByte),
+      12L -> Array.tabulate(200)(i => (255 - i % 256).toByte),
+      47L -> "tiny".getBytes("UTF-8"))
+    payloads.foreach { case (id, bytes) =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"$id.bin").toPath, bytes)
+    }
+    val blobs = Multimodal.blobsFromFiles(spark, dir.getAbsolutePath)
+      .collect().map(b => b.doc_id -> b.bytes).toMap
+    assert(blobs.keySet == payloads.keySet)
+    payloads.foreach { case (id, bytes) =>
+      assert(java.util.Arrays.equals(blobs(id), bytes), s"bytes differ for $id")
+    }
+    // features over the file-sourced payloads == features over the same
+    // bytes ingested any other way (the decode contract is source-blind)
+    val feats = Multimodal.extractFeatures(
+        Multimodal.blobsFromFiles(spark, dir.getAbsolutePath))
+      .collect().map(f => f.doc_id -> f).toMap
+    payloads.foreach { case (id, bytes) =>
+      assert(feats(id).n_bytes == bytes.length)
+      assert(feats(id).histogram.sum == bytes.length,
+        "histogram must conserve every byte")
+    }
+    // a file without a numeric id must fail loudly, not renumber
+    java.nio.file.Files.write(
+      new java.io.File(dir, "noid.bin").toPath, Array[Byte](1, 2))
+    assertThrows[IllegalArgumentException] {
+      Multimodal.blobsFromFiles(spark, dir.getAbsolutePath)
+    }
+  }
 }
