@@ -3,7 +3,7 @@
 dumps + oracle_sql.json, run each oracle in DuckDB over the same testdata
 tables, canonicalize (sort columns by name), and compare row-by-row.
 
-Usage: python3 dev/compare.py /root/testdata/sf0.01 /tmp/verify_out
+Usage: python3 dev/compare.py <sf_dir> <verify_out> [query names... — optional subset for chunked/resumed runs]
 """
 import sys, os, json, math
 import duckdb
@@ -20,13 +20,15 @@ def canon(v):
         return "<NULL>"
     return str(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if only and name not in only:
+            continue
         sql = oracles[name]
         pq = os.path.join(out_dir, name)
         if not os.path.isdir(pq):
@@ -71,4 +73,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
