@@ -26,6 +26,10 @@ def main(sf_dir, out_dir, only=()):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    for miss in sorted(set(only) - set(oracles)):
+        # a typo'd subset name must FAIL, not verify vacuously
+        print(f"FAIL {miss}: no such oracle")
+        n_fail += 1
     for name in sorted(oracles):
         if only and name not in only:
             continue

@@ -52,16 +52,28 @@ object Multimodal {
     */
   def blobsFromFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String): Dataset[Blob] = {
+    // anchor the WHOLE basename to <digits>.<ext> — an unanchored
+    // trailing-digit match would silently renumber img_001.jpg to 1
+    // and collide it with 1.png (review finding); collisions are
+    // checked explicitly below either way
     val raw = spark.read.format("binaryFile").load(dir)
-      .select(regexp_extract(col("path"), "([0-9]+)\\.[^/.]*$", 1)
-        .as("id_str"), col("content"))
+      .select(regexp_extract(element_at(split(col("path"), "/"), -1),
+        "^([0-9]+)\\.[^.]+$", 1).as("id_str"), col("content"))
     val bad = raw.filter(col("id_str") === "")
     if (!bad.isEmpty)
       throw new IllegalArgumentException(
-        "blobsFromFiles: file names must carry a numeric id " +
-          s"(<id>.<ext>) — non-conforming files found under $dir")
-    raw.select(col("id_str").cast("long").as("doc_id"),
+        "blobsFromFiles: file names must be exactly <id>.<ext> with a " +
+          s"numeric id — non-conforming files found under $dir")
+    val blobs = raw.select(col("id_str").cast("long").as("doc_id"),
       col("content").as("bytes")).as[Blob]
+    val dup = blobs.groupBy("doc_id").count().filter(col("count") > 1)
+    if (!dup.isEmpty) {
+      val sample = dup.limit(3).collect().map(_.getLong(0)).mkString(", ")
+      throw new IllegalArgumentException(
+        s"blobsFromFiles: duplicate payload ids (e.g. $sample) under $dir " +
+          "— e.g. 1.jpg beside 1.png; ids must be unique")
+    }
+    blobs
   }
 
   /** STUB of the real decoder: deterministic byte-histogram "features".

@@ -390,10 +390,13 @@ object Prep {
     * engines pick the identical sample.
     *
     * House determinism: the division is INTEGER (hash div weight) —
-    * zero float surface, ties broken by doc_id. Rows with NULL or
-    * non-positive weight are excluded (they carry no sampling mass;
-    * admitting weight 0 would divide by zero, and the caller almost
-    * certainly wants "never sample empty docs" anyway).
+    * zero float surface, ties broken by doc_id. Weights are taken as
+    * INTEGERS (a fractional weight column floors; 0.4 floors to 0 and
+    * is excluded). Rows whose floored weight is NULL or non-positive
+    * are excluded — they carry no sampling mass, admitting weight 0
+    * would divide by zero, and the caller almost certainly wants
+    * "never sample empty docs" anyway. The guard runs on the FLOORED
+    * weight, so a (0, 1) fractional can never reach the division.
     *
     * Scale shape: one scan + TakeOrderedAndProject — the per-partition
     * top-k heap shape, no global sort, no per-group state.
@@ -402,9 +405,11 @@ object Prep {
       weightCol: String = "n_chars", salt: String = "ws"): DataFrame = {
     require(k >= 1, s"sample size must be >= 1, got $k")
     docs
-      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .select(col("doc_id"), col(weightCol).cast("long").as("weight"),
         hash60(salt).as("__h"))
+      // guard the FLOORED weight: a 0.4 double passes `raw > 0` but
+      // floors to 0 and would divide by zero (review finding)
+      .filter(col("weight").isNotNull && col("weight") > 0)
       // INTEGER division — `/` on Columns is double division, whose
       // rounding above 2^53 would diverge from an oracle's floor
       .select(col("doc_id"), col("weight"),

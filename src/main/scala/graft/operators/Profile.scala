@@ -186,7 +186,10 @@ object Profile {
       }
       val one = df.agg(aggs.head, aggs.tail: _*)
       val rows = cs.zipWithIndex.map { case (c, i) =>
-        struct(lit(c.name).as("check_name"), col(s"__c$i").as("n_checked"),
+        // both sides coalesce: a sum() over an empty table is NULL, so
+        // a Unique check on an empty frame must still report 0 checked
+        struct(lit(c.name).as("check_name"),
+          coalesce(col(s"__c$i"), lit(0L)).as("n_checked"),
           coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
       }
       one.select(explode(array(rows: _*)).as("r")).select("r.*")
@@ -222,16 +225,30 @@ object Profile {
 
   /** Mergeable per-column profile PARTIAL — the unit a streaming ingest
     * accumulates per micro-batch and [[mergeProfile]] folds losslessly:
-    * counts merge by sum, min/max by min/max, and the distinct count
+    * counts merge by sum, extrema by min/max — integral columns travel
+    * as NUMBERS (min_num/max_num) because string-rendered extrema
+    * cannot merge ("8" > "12" lexicographically) and render to strings
+    * only at the end — and the distinct count
     * travels as a KMV bottom-64 sketch whose merge (bottom-k of unions
     * ≡ union's bottom-k) is exact at the sketch level — so a profile
     * assembled from any batching of the data is IDENTICAL to one
     * computed in a single pass (StreamingSpec's differential law). One
     * row per column: (column_name, n_rows, n_nonnull, min_str,
-    * max_str, kmv). Still one scan of the batch; a partial is
+    * max_str, min_num, max_num, kmv). Still one scan of the batch; a partial is
     * O(columns) rows, so accumulated state is negligible and needs no
     * compaction cadence.
     */
+  /** Integral types, whose partial extrema must merge NUMERICALLY —
+    * min("8", "12") is "12" lexicographically, so a string-rendered
+    * integral extremum cannot cross a merge boundary (review finding;
+    * the partial carries min_num/max_num for these and mergeProfile
+    * renders the string at the END).
+    */
+  private def integralMinMax(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
   def profilePartial(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "profilePartial needs at least one column")
@@ -244,20 +261,32 @@ object Profile {
         expr(Dedup.h60(s"concat('pp_', cast(`${f.name}` as string))")),
         lit(-1L))
       Seq(count(c).as(s"__cnt_${f.name}"), kmv(h).as(s"__kmv_${f.name}")) ++
-        (if (portableMinMax(f.dataType))
+        (if (integralMinMax(f.dataType))
+          Seq(min(c).cast("long").as(s"__minn_${f.name}"),
+            max(c).cast("long").as(s"__maxn_${f.name}"))
+        else if (portableMinMax(f.dataType))
           Seq(min(c).cast("string").as(s"__min_${f.name}"),
             max(c).cast("string").as(s"__max_${f.name}"))
         else Nil)
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = fields.map { f =>
-      val (mn, mx) =
-        if (portableMinMax(f.dataType))
-          (col(s"__min_${f.name}"), col(s"__max_${f.name}"))
-        else (lit(null).cast("string"), lit(null).cast("string"))
+      // integrals travel as numbers (merge = numeric min/max), strings
+      // as strings (lexicographic min/max IS their order), the rest as
+      // NULLs — each column populates exactly one of the two pairs
+      val (mn, mx, mnn, mxn) =
+        if (integralMinMax(f.dataType))
+          (lit(null).cast("string"), lit(null).cast("string"),
+            col(s"__minn_${f.name}"), col(s"__maxn_${f.name}"))
+        else if (portableMinMax(f.dataType))
+          (col(s"__min_${f.name}"), col(s"__max_${f.name}"),
+            lit(null).cast("long"), lit(null).cast("long"))
+        else (lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("long"), lit(null).cast("long"))
       struct(lit(f.name).as("column_name"), col("__n").as("n_rows"),
         col(s"__cnt_${f.name}").as("n_nonnull"),
         mn.as("min_str"), mx.as("max_str"),
+        mnn.as("min_num"), mxn.as("max_num"),
         col(s"__kmv_${f.name}").as("kmv"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
@@ -274,7 +303,12 @@ object Profile {
     val counts = partials.groupBy("column_name").agg(
       sum(col("n_rows")).cast("long").as("n_rows"),
       sum(col("n_nonnull")).cast("long").as("n_nonnull"),
-      min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+      // integral extrema merge numerically and render at the END —
+      // min("8", "12") is "12" lexicographically (review finding)
+      coalesce(min(col("min_num")).cast("string"), min(col("min_str")))
+        .as("min_str"),
+      coalesce(max(col("max_num")).cast("string"), max(col("max_str")))
+        .as("max_str"))
     val merged = partials
       .select(col("column_name"), explode_outer(col("kmv")).as("h"))
       .filter(col("h").isNotNull)

@@ -140,11 +140,14 @@ object Sessions {
     val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
     val b = events.select(col(keyCol),
       expr(s"$sec - pmod($sec, $bucketSeconds)").as("bucket_s"), col("value"))
-    val observed = b.groupBy(keyCol, "bucket_s")
+    // ONE row-grain pass: bounds and the key axis both read the
+    // bucket-grain aggregate, not the raw events (three raw scans
+    // otherwise — review finding); the cut makes the reuse real
+    val observed = Ckpt.narrow(b.groupBy(keyCol, "bucket_s")
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
-    val bounds = b.agg(min("bucket_s").as("lo"), max("bucket_s").as("hi"))
-    val axis = b.select(keyCol).distinct()
+        round(sum(col("value")), 2).as("sum_value")))
+    val bounds = observed.agg(min("bucket_s").as("lo"), max("bucket_s").as("hi"))
+    val axis = observed.select(keyCol).distinct()
       .crossJoin(broadcast(bounds)) // 1-row bounds frame — bounded by construction
       .select(col(keyCol),
         explode(expr(s"sequence(lo, hi, $bucketSeconds)")).as("bucket_s"))

@@ -574,10 +574,14 @@ object TextAnalysis {
     * thresholds t_10..t_90, all integer arithmetic.
     */
   def qualityDeciles(docs: DataFrame): DataFrame = {
-    val scored = qualityScores(docs)
+    // the tokenization-heavy scoring pass feeds BOTH the histogram
+    // chain and the final assignment — cut its lineage once or it runs
+    // twice (Spark has no cross-branch subtree reuse; the Ckpt doc's
+    // measured rationale)
+    val scored = Ckpt.narrow(qualityScores(docs)
       .filter(col("quality").isNotNull)
       .select(col("doc_id"),
-        expr("cast(round(quality * 10000) as bigint)").as("qs"))
+        expr("cast(round(quality * 10000) as bigint)").as("qs")))
     val hist = scored.groupBy("qs").agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("cum", sum(col("c")).over(Window.orderBy("qs")

@@ -87,7 +87,11 @@ object TemporalQueries {
     // user's state interval valid at its instant — q124's history fed
     // through the as-of operator (composition, not new machinery);
     // every purchase matches by construction (its own event bounds the
-    // first interval), so the output is total
+    // first interval), so the output is total. Determinism rests on
+    // the corpus invariant the q43 oracle already relies on — (user,
+    // ts) unique, so no two change intervals share a valid_from_us and
+    // DuckDB's tie-rule-free ASOF JOIN cannot diverge from the
+    // engine's version tiebreak
     "q133_scd2_enrich" -> ((spark, dir) => {
       val ev = Tables.load(spark, dir, "events")
       val hist = Sessions.changeHistory(ev)

@@ -265,5 +265,11 @@ class PrepSpec extends AnyFunSuite {
     import spark.implicits._
     val z = Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("doc_id", "n_chars")
     assert(Prep.weightedSample(z, 3).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // fractional weights floor BEFORE the guard: 0.4 floors to 0 and is
+    // excluded rather than reaching an integer divide-by-zero
+    val fr = Seq((1L, 0.4), (2L, 1.7), (3L, 12.0)).toDF("doc_id", "n_chars")
+    val fs = Prep.weightedSample(fr, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fs.keySet == Set(2L, 3L) && fs(2L) == 1L && fs(3L) == 12L)
   }
 }

@@ -144,6 +144,19 @@ class ProfileSpec extends AnyFunSuite {
     val p = Profile.mergeProfile(Profile.profilePartial(dirty))
       .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(p("k") == ((1L, 3L)) && p("v") == ((1L, 4L)))
+    // integral extrema must merge NUMERICALLY across batches whose
+    // per-batch extremes differ in digit count — min("8","12") is "12"
+    // lexicographically, the bug this pins
+    import spark.implicits._
+    val lo = Seq((8L, "a")).toDF("id", "k")
+    val hi = Seq((12L, "b")).toDF("id", "k")
+    val m = Profile.mergeProfile(
+      Profile.profilePartial(lo).unionByName(Profile.profilePartial(hi)))
+      .collect().map(r => r.getString(0) -> (r.getString(4), r.getString(5)))
+      .toMap
+    assert(m("id") == (("8", "12")),
+      s"integral extrema merged lexicographically: ${m("id")}")
+    assert(m("k") == (("a", "b")))
   }
 
   test("skewAudit: hot key, ppm share, max-key tie-break, nulls excluded") {

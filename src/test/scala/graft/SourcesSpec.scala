@@ -101,5 +101,21 @@ class SourcesSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Multimodal.blobsFromFiles(spark, dir.getAbsolutePath)
     }
+    // a trailing-digit name like img_001.jpg must ALSO fail — an
+    // unanchored match would silently renumber it to 1
+    new java.io.File(dir, "noid.bin").delete()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "img_001.jpg").toPath, Array[Byte](3))
+    assertThrows[IllegalArgumentException] {
+      Multimodal.blobsFromFiles(spark, dir.getAbsolutePath)
+    }
+    // duplicate ids across extensions must fail, not merge payloads
+    new java.io.File(dir, "img_001.jpg").delete()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "3.jpg").toPath, Array[Byte](9))
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.blobsFromFiles(spark, dir.getAbsolutePath)
+    }
+    assert(ex.getMessage.contains("duplicate"))
   }
 }
