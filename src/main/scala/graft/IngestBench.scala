@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   *     frame, k=10 — the serving path.
   *   - text: [[graft.operators.TextIndex.bm25]] over a fixed term set —
   *     the retrieval path.
+  *   - bloom: [[graft.streaming.Streams.ingestBloomProbe]] of a fixed
+  *     100-doc delta — the membership front door every arriving doc
+  *     pays.
+  *   - profile: [[graft.streaming.Streams.ingestProfileRead]]'s fold —
+  *     no compact job exists for this tier (partials are O(columns)
+  *     rows), so the flat read-cost curve IS the claim under test.
   *
   * Protocol per probe point: 1 warm-up + 2 timed [[Bench.timeOnce]]
   * runs, min recorded (same noop-sink + cache-release discipline as the
@@ -120,11 +126,43 @@ object IngestBench {
       TextIndex.bm25(Streams.ingestTextIndexRead(spark, txState).get, probeTerms))
     System.err.println(f"[ingestbench] text probe after compact: $txAfter%.3f s")
 
+    // ——— bloom tier ———
+    val blState = s"$root/bloom"
+    val blPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestBloomBatch(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), blState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          Streams.ingestBloomProbe(spark, blState, probeDocs).get)
+        System.err.println(f"[ingestbench] bloom probe @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactBloom(spark, blState).contains((nBatches - 1).toLong))
+    val blAfter = probeMin(spark, () =>
+      Streams.ingestBloomProbe(spark, blState, probeDocs).get)
+    System.err.println(f"[ingestbench] bloom probe after compact: $blAfter%.3f s")
+
+    // ——— profile tier (no compact job: partials are O(columns) rows;
+    // the flat read cost IS the claim this measures) ———
+    val prState = s"$root/profile"
+    val prPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestProfileBatch(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), prState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          Streams.ingestProfileRead(spark, prState).get)
+        System.err.println(f"[ingestbench] profile fold @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    val prAfter = prPoints.last._2 // no compact: "after" = the final fold
+
     spark.stop()
     val line = s"""{"metric":"ingest_probe","unit":"sec","batches":$nBatches,"sf":"$sfDir","tiers":{""" +
       s""""neardup":${tierJson(ndPoints, ndAfter)},""" +
       s""""ivf":${tierJson(ivfPoints, ivfAfter)},""" +
-      s""""text":${tierJson(txPoints, txAfter)}}}"""
+      s""""text":${tierJson(txPoints, txAfter)},""" +
+      s""""bloom":${tierJson(blPoints, blAfter)},""" +
+      s""""profile":${tierJson(prPoints, prAfter)}}}"""
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, line + "\n")
