@@ -71,4 +71,25 @@ class DeterminismSpec extends AnyFunSuite {
   test("BPE pair scoring is partitioning-independent") {
     assertStable(d => TextAnalysis.bpePairCounts(d, k = 20), docs)
   }
+
+  test("round-7 tiers are partitioning-independent") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    // column profile: xxhash-distinct pass + fused counts
+    assertStable(d => graft.operators.Profile.columnProfile(d), docs)
+    // mergeable profile partial (KMV buffers under different layouts)
+    assertStable(d => graft.operators.Profile.mergeProfile(
+      graft.operators.Profile.profilePartial(d)), docs)
+    // gap-fill: axis generation + zero-fill + running sum
+    assertStable(e => graft.operators.Sessions.gapFill(e), ev)
+    // SCD2 history: windowed change detection
+    assertStable(e => graft.operators.Sessions.changeHistory(e), ev)
+    // funnel: chained min-reach joins
+    assertStable(e => graft.operators.Sessions.funnel(
+      e, Seq("view", "click", "purchase")), ev)
+    // CMS join-size inner product
+    assertStable(e => graft.operators.Sketches.cmsJoinSize(
+      e, "user_id", e, "user_id"), ev)
+    // quality deciles: histogram thresholds broadcast back
+    assertStable(d => TextAnalysis.qualityDeciles(d), docs)
+  }
 }
