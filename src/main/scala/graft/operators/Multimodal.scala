@@ -54,26 +54,35 @@ object Multimodal {
       dir: String): Dataset[Blob] = {
     // anchor the WHOLE basename to <digits>.<ext> — an unanchored
     // trailing-digit match would silently renumber img_001.jpg to 1
-    // and collide it with 1.png (review finding); collisions are
-    // checked explicitly below either way
+    // and collide it with 1.png (review finding); try_cast keeps a
+    // >Long.MaxValue id inside the fail-loud contract instead of a
+    // raw ANSI overflow or a silent NULL id
     val raw = spark.read.format("binaryFile").load(dir)
       .select(regexp_extract(element_at(split(col("path"), "/"), -1),
         "^([0-9]+)\\.[^.]+$", 1).as("id_str"), col("content"))
-    val bad = raw.filter(col("id_str") === "")
-    if (!bad.isEmpty)
+      .withColumn("doc_id", expr("try_cast(id_str as bigint)"))
+    // ONE validation job over the path-derived columns (content is
+    // pruned from this scan): malformed names, ids beyond bigint, and
+    // duplicate ids all surface here — the diagnostic re-scan below
+    // runs only on the failure path
+    val v = raw.agg(
+      sum(when(col("id_str") === "" || col("doc_id").isNull, 1L)
+        .otherwise(0L)).as("n_bad"),
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("n_ids")).head
+    if (v.getLong(0) > 0)
       throw new IllegalArgumentException(
         "blobsFromFiles: file names must be exactly <id>.<ext> with a " +
-          s"numeric id — non-conforming files found under $dir")
-    val blobs = raw.select(col("id_str").cast("long").as("doc_id"),
-      col("content").as("bytes")).as[Blob]
-    val dup = blobs.groupBy("doc_id").count().filter(col("count") > 1)
-    if (!dup.isEmpty) {
-      val sample = dup.limit(3).collect().map(_.getLong(0)).mkString(", ")
+          s"numeric id that fits a 64-bit integer — non-conforming " +
+          s"files found under $dir")
+    if (v.getLong(1) != v.getLong(2)) {
+      val sample = raw.groupBy("doc_id").count().filter(col("count") > 1)
+        .limit(3).collect().map(_.getLong(0)).mkString(", ")
       throw new IllegalArgumentException(
         s"blobsFromFiles: duplicate payload ids (e.g. $sample) under $dir " +
           "— e.g. 1.jpg beside 1.png; ids must be unique")
     }
-    blobs
+    raw.select(col("doc_id"), col("content").as("bytes")).as[Blob]
   }
 
   /** STUB of the real decoder: deterministic byte-histogram "features".

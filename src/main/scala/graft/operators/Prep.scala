@@ -405,10 +405,14 @@ object Prep {
       weightCol: String = "n_chars", salt: String = "ws"): DataFrame = {
     require(k >= 1, s"sample size must be >= 1, got $k")
     docs
-      .select(col("doc_id"), col(weightCol).cast("long").as("weight"),
+      // try_cast, then guard the FLOORED weight: a 0.4 double passes
+      // `raw > 0` but floors to 0 (divide-by-zero); NaN and
+      // out-of-long-range weights try_cast to NULL instead of raising
+      // ANSI CAST_OVERFLOW mid-scan — all excluded by one guard
+      // (review findings)
+      .select(col("doc_id"),
+        expr(s"try_cast(`$weightCol` as long)").as("weight"),
         hash60(salt).as("__h"))
-      // guard the FLOORED weight: a 0.4 double passes `raw > 0` but
-      // floors to 0 and would divide by zero (review finding)
       .filter(col("weight").isNotNull && col("weight") > 0)
       // INTEGER division — `/` on Columns is double division, whose
       // rounding above 2^53 would diverge from an oracle's floor

@@ -249,6 +249,15 @@ object Profile {
     case _ => false
   }
 
+  /** Format version stamped into every [[profilePartial]] row. v2 =
+    * numeric integral extrema (min_num/max_num). A reader that folds
+    * mixed-version state would silently mis-merge (v1 rendered
+    * integral extrema as strings), so [[graft.streaming.Streams
+    * .ingestProfileRead]] REFUSES state carrying any other version
+    * instead of guessing.
+    */
+  val ProfilePartialVersion = 2L
+
   def profilePartial(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "profilePartial needs at least one column")
@@ -287,7 +296,8 @@ object Profile {
         col(s"__cnt_${f.name}").as("n_nonnull"),
         mn.as("min_str"), mx.as("max_str"),
         mnn.as("min_num"), mxn.as("max_num"),
-        col(s"__kmv_${f.name}").as("kmv"))
+        col(s"__kmv_${f.name}").as("kmv"),
+        lit(ProfilePartialVersion).as("pp_version"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }

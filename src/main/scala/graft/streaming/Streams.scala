@@ -607,8 +607,28 @@ object Streams {
       stateDir: String): Option[DataFrame] = {
     val ids = committedBatches(spark, stateDir).sorted
     if (ids.isEmpty) None
-    else Some(graft.operators.Profile.mergeProfile(
-      spark.read.parquet(ids.map(i => s"$stateDir/profile/batch=$i"): _*)))
+    else {
+      // mergeSchema + an explicit version gate: a state dir written by
+      // an older partial format must FAIL here, not silently mis-merge
+      // (v1 rendered integral extrema as strings — coalescing them
+      // under the v2 schema would discard them)
+      val partials = spark.read.option("mergeSchema", "true")
+        .parquet(ids.map(i => s"$stateDir/profile/batch=$i"): _*)
+      val ok = partials.columns.contains("pp_version") && {
+        // coalesce BEFORE min: rows from a version-less partial read
+        // under the merged schema carry NULL, which a bare min() would
+        // skip right past
+        val r = partials.agg(org.apache.spark.sql.functions.min(
+          coalesce(col("pp_version"), lit(-1L)))).head
+        !r.isNullAt(0) &&
+          r.getLong(0) == graft.operators.Profile.ProfilePartialVersion
+      }
+      if (!ok) throw new IllegalStateException(
+        s"profile state under $stateDir carries partials from an older " +
+          "format version — re-ingest (mixed-version folds would " +
+          "silently mis-merge integral extrema)")
+      Some(graft.operators.Profile.mergeProfile(partials))
+    }
   }
 
   private def fileSystem(

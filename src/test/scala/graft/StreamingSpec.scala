@@ -663,6 +663,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$state/_committed/0").exists)
   }
 
+  test("profile ingest refuses pre-versioning state instead of mis-merging") {
+    import spark.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_prof_ver_").toFile.getAbsolutePath
+    Streams.ingestProfileBatch(Seq((8L, "a")).toDF("id", "k"), state, 0L)
+    Streams.ingestProfileBatch(Seq((12L, "b")).toDF("id", "k"), state, 1L)
+    // rewrite batch 1 as a version-less (v1-style) partial
+    val dir1 = s"$state/profile/batch=1"
+    val v1 = spark.read.parquet(dir1).drop("pp_version")
+    val (sch, rows) = (v1.schema, v1.collect().toSeq)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), sch)
+      .write.mode("overwrite").parquet(dir1)
+    val ex = intercept[IllegalStateException] {
+      Streams.ingestProfileRead(spark, state)
+    }
+    assert(ex.getMessage.contains("older"))
+  }
+
   test("foreachBatch ingest Bloom: streamed filter == batch build, across restart + compact") {
     import graft.operators.Sketches
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_bloom_").toFile
