@@ -108,6 +108,40 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // fulfillment-lag tail percentiles per order month — the q107
+    // bounded-histogram percentile machinery at a SECOND grain: windows
+    // run over (month, lag-day) buckets (≤ a few thousand rows at any
+    // corpus size), never over line items; lag uses the posmod FLOOR
+    // (negative lags exist in this corpus, where `div` truncation and
+    // an oracle's floor division would land one day apart)
+    "q136_ship_lag" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val ord = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val d = "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+      val lag = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (year(col("o_orderdate")).cast("long") * 100L +
+            month(col("o_orderdate")).cast("long")).as("order_month"),
+          expr(s"($d - pmod($d, 86400000000)) div 86400000000")
+            .as("lag_days"))
+      val cum = lag.groupBy("order_month", "lag_days")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("order_month").orderBy("lag_days")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("order_month")))
+      def pHi(p: Int) = min(when(
+        col("cum") >= expr(s"(n * $p + 99) div 100"), col("lag_days")))
+      cum.groupBy("order_month")
+        .agg(max(col("n")).as("n_lines"),
+          pHi(50).as("p50_days"), pHi(95).as("p95_days"),
+          max(col("lag_days")).as("max_days"))
+        .orderBy("order_month")
+    }),
+
     // ordered conversion funnel view → click → purchase with
     // earliest-reach semantics: each step one type-filtered scan
     // joined on the previous step's reach frame
@@ -202,6 +236,33 @@ object TemporalQueries {
         |         AS cum_events
         |FROM axis a LEFT JOIN obs o USING (event_type, bucket_s)
         |ORDER BY event_type, bucket_s""".stripMargin,
+
+    // same posmod floor lag, same ceil-rank threshold arithmetic as
+    // the engine (and q107); year()/month() are BIGINT in DuckDB, the
+    // engine casts to match
+    "q136_ship_lag" ->
+      """WITH lag AS (
+        |  SELECT year(o.o_orderdate) * 100 + month(o.o_orderdate) AS order_month,
+        |         ((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+        |             - (((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+        |                  % 86400000000) + 86400000000) % 86400000000)
+        |            // 86400000000) AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |h AS (SELECT order_month, lag_days, CAST(count(*) AS BIGINT) AS c
+        |      FROM lag GROUP BY 1, 2),
+        |cw AS (SELECT order_month, lag_days, c,
+        |              CAST(sum(c) OVER (PARTITION BY order_month
+        |                                ORDER BY lag_days) AS BIGINT) AS cum,
+        |              CAST(sum(c) OVER (PARTITION BY order_month) AS BIGINT) AS n
+        |       FROM h)
+        |SELECT order_month, max(n) AS n_lines,
+        |       min(CASE WHEN cum >= (n * 50 + 99) // 100
+        |           THEN lag_days END) AS p50_days,
+        |       min(CASE WHEN cum >= (n * 95 + 99) // 100
+        |           THEN lag_days END) AS p95_days,
+        |       max(lag_days) AS max_days
+        |FROM cw GROUP BY order_month
+        |ORDER BY order_month""".stripMargin,
 
     // q124's change chain as a CTE, consumed by a native ASOF JOIN —
     // the independent formulation of "state valid at the instant"
