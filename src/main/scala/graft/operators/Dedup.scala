@@ -348,9 +348,15 @@ object Dedup {
       maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
     require(numHashes >= 16 && numHashes <= 60,
       s"numHashes must be in [16, 60], got $numHashes")
+    require(rowsPerBand >= 1 && rowsPerBand <= 16,
+      s"rowsPerBand must be in [1, 16], got $rowsPerBand")
     val sh = Ckpt.narrow(shingles(docs, n))
-    // one aggregation computes all minima; bands use the first 16
-    // columns, the packed signature uses all of them
+    // one aggregation computes all minima; bands draw from the first
+    // ≤16 columns (the house 16-hash candidate scheme), the packed
+    // signature uses all of them. The band pool is the largest
+    // rowsPerBand multiple ≤ 16, so any rowsPerBand in [1, 16] forms
+    // full bands — a trailing partial band never silently drops.
+    val bandPool = 16 / rowsPerBand * rowsPerBand
     val wide = Ckpt.narrow(minhashWide(sh, numHashes))
     val sigExpr = (0 until numHashes)
       .map(s => s"shiftleft(m$s % 2, $s)").mkString(" + ")
@@ -358,7 +364,7 @@ object Dedup {
     // `wide` is already checkpointed; the band frame is its narrow
     // projection, so skip the second eager cut
     val cand = candidatesOfBands(
-      bandsOfWide(wide, 16, rowsPerBand), maxBucketSize, cut = false)
+      bandsOfWide(wide, bandPool, rowsPerBand), maxBucketSize, cut = false)
     val agree = lit(numHashes) -
       expr("bit_count(ba ^ bb)").cast("long")
     cand

@@ -115,9 +115,16 @@ object Sketches {
       d: Int = 4, w: Int = 4096): DataFrame = {
     val ma = cmsKeyMatrix(a, aKey, d, w)
     val mb = cmsKeyMatrix(b, bKey, d, w).withColumnRenamed("c", "c2")
-    ma.join(mb, Seq("r", "bucket"))
+    val dots = ma.join(mb, Seq("r", "bucket"))
       .groupBy("r").agg(sum(col("c") * col("c2")).as("dot"))
-      .agg(min(col("dot")).as("est_join_rows"))
+    // Anchor the min on a generated (0 until d) row axis: a hash row
+    // whose two bucket sets are disjoint has true dot 0 and must
+    // participate in the min (tightening the bound), and two fully
+    // disjoint key sets estimate 0 rather than NULL — the planner-side
+    // consumer always gets a number.
+    a.sparkSession.range(d).select(col("id").as("r"))
+      .join(dots, Seq("r"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_rows"))
   }
 
   /** The k (hash, bucket) positions of a fingerprint in an m-bit Bloom

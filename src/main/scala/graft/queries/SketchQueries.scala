@@ -387,14 +387,18 @@ object SketchQueries {
         |         CAST(count(*) AS BIGINT) AS c
         |       FROM customer CROSS JOIN rs
         |       WHERE c_custkey IS NOT NULL GROUP BY 1, 2),
-        |e1 AS (SELECT min(dot) AS est FROM (
+        |e1 AS (SELECT min(COALESCE(d.dot, 0)) AS est FROM rs
+        |       LEFT JOIN (
         |         SELECT a.r, CAST(sum(a.c * b.c) AS BIGINT) AS dot
-        |         FROM la a JOIN ob b USING (r, bucket) GROUP BY 1)),
+        |         FROM la a JOIN ob b USING (r, bucket) GROUP BY 1) d
+        |       USING (r)),
         |x1 AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM lineitem l
         |       JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |e2 AS (SELECT min(dot) AS est FROM (
+        |e2 AS (SELECT min(COALESCE(d.dot, 0)) AS est FROM rs
+        |       LEFT JOIN (
         |         SELECT a.r, CAST(sum(a.c * b.c) AS BIGINT) AS dot
-        |         FROM oc a JOIN cc b USING (r, bucket) GROUP BY 1)),
+        |         FROM oc a JOIN cc b USING (r, bucket) GROUP BY 1) d
+        |       USING (r)),
         |x2 AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM orders o
         |       JOIN customer c ON o.o_custkey = c.c_custkey)
         |SELECT 'lineitem_orders' AS pair, e1.est AS est_join_rows,

@@ -498,7 +498,21 @@ object Streams {
   def ingestBloomBatch(batch: DataFrame, stateDir: String, batchId: Long,
       k: Int = 4, m: Int = 131072): Unit = {
     val spark = batch.sparkSession
-    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    val prior = committedBatches(spark, stateDir)
+    if (prior.contains(batchId)) return // replayed
+    // (k, m) drift gate: bucket sets hashed under different moduli must
+    // never be unioned — a mixed filter can yield FALSE NEGATIVES, the
+    // one failure a Bloom filter's contract forbids. On any non-first
+    // batch the pinned meta is authoritative; fail loudly on mismatch
+    // (the profile tier gates the same drift class via pp_version).
+    if (prior.nonEmpty || compactedUpTo(spark, stateDir) >= 0) {
+      val meta = spark.read.parquet(s"$stateDir/meta").head
+      val (k0, m0) = (meta.getAs[Long]("k").toInt, meta.getAs[Long]("m").toInt)
+      require(k0 == k && m0 == m,
+        s"Bloom ingest (k=$k, m=$m) conflicts with the pinned state " +
+          s"(k=$k0, m=$m0) at $stateDir — mixed-modulus bucket unions " +
+          "break the no-false-negatives contract")
+    }
     Sketches.bloomBuild(batch, k, m).write.mode("overwrite")
       .parquet(s"$stateDir/bits/batch=$batchId")
     // (k, m) pin: every batch writes the same one-row frame (the

@@ -782,6 +782,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bbit minhash accepts any rowsPerBand in [1, 16] (pool = largest multiple <= 16)") {
+    // 5 does not divide 16 — the band pool derives to 15 (3 bands of
+    // 5) instead of tripping the full-bands require; candidates only
+    // shrink as bands lengthen, so estimates stay a subset of the
+    // loosest (rowsPerBand = 1) tier and remain 30ths-grid values
+    val loose = Dedup.bbitMinhashPairs(docs, 3, 60, 1, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val banded5 = Dedup.bbitMinhashPairs(docs, 3, 60, 5, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(banded5.keySet.subsetOf(loose.keySet),
+      "stricter bands must not invent candidate pairs")
+    banded5.foreach { case (p, e) =>
+      assert(loose(p) == e, s"estimate for $p must not depend on banding")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bbitMinhashPairs(docs, 3, 60, 17, 0.5)
+    }
+  }
+
   test("cappedDedup: ranks contiguous, kept == min(group, cap), keeper matches exact tier") {
     val capped = Dedup.cappedDedup(docs, maxCopies = 2L).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

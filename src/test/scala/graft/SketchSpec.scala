@@ -242,6 +242,19 @@ class SketchSpec extends AnyFunSuite {
       s"collision-free sketch must be exact: $roomy vs $exact")
   }
 
+  test("CMS join-size is always defined: disjoint key sets estimate 0, not NULL") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val a = Seq(1L, 2L, 3L).toDF("k")
+    val b = Seq(1000001L, 1000002L).toDF("k")
+    // 3 + 2 occupied buckets out of a roomy w: every hash row's bucket
+    // sets are disjoint, so each row's true dot is 0 — and the min must
+    // see those rows (the planner-side consumer expects a number)
+    val row = Sketches.cmsJoinSize(a, "k", b, "k", d = 4, w = 1 << 20).head
+    assert(!row.isNullAt(0), "est_join_rows must never be NULL")
+    assert(row.getLong(0) == 0L, s"disjoint sides must estimate 0: $row")
+  }
+
   test("KMV mergeability law: bottom-k of two capped sketches == union's bottom-k") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -682,6 +682,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("older"))
   }
 
+  test("Bloom ingest refuses a (k, m) drift against the pinned meta") {
+    import spark.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_bloom_km_").toFile.getAbsolutePath
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    Streams.ingestBloomBatch(docs, state, 0L, k = 4, m = 4096)
+    // mixed-modulus unions can produce FALSE NEGATIVES — the one
+    // failure the filter's contract forbids; the batch must die loudly
+    val ex = intercept[IllegalArgumentException] {
+      Streams.ingestBloomBatch(docs, state, 1L, k = 4, m = 2048)
+    }
+    assert(ex.getMessage.contains("pinned state"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Streams.ingestBloomBatch(docs, state, 1L, k = 8, m = 4096)
+    }
+    assert(ex2.getMessage.contains("pinned state"))
+    // matching params still ingest, and the replayed id 0 still skips
+    Streams.ingestBloomBatch(docs, state, 1L, k = 4, m = 4096)
+    Streams.ingestBloomBatch(docs, state, 0L, k = 8, m = 2048) // replay: no-op
+    val (_, k, m) = Streams.ingestBloomRead(spark, state).get
+    assert((k, m) == (4, 4096))
+  }
+
   test("foreachBatch ingest Bloom: streamed filter == batch build, across restart + compact") {
     import graft.operators.Sketches
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_bloom_").toFile
