@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the pass an LLM-training pipeline runs
@@ -210,5 +211,51 @@ object Curation {
           .when(col("new_hash").isNull, "removed")
           .when(col("old_hash") =!= col("new_hash"), "changed")
           .otherwise("unchanged").as("status"))
+  }
+
+  /** Pareto frontier of the quality-vs-cost trade: the documents no
+    * other document dominates on (quality ↑, token cost ↓) — the
+    * skyline a curation budget reads instead of a single weighted
+    * score (every frontier doc is SOME budget's optimal pick; every
+    * dominated doc is nobody's).
+    *
+    * Domination: A dominates B iff qs_A ≥ qs_B ∧ tok_A ≤ tok_B with at
+    * least one strict; identical (qs, tok) points tie and both survive.
+    * Quality is q130's integer grid (round(quality·10⁴)); cost is the
+    * word count — both exact, so the frontier hash-gates.
+    *
+    * Scale shape: the naive skyline is a NOT EXISTS self-join —
+    * quadratic, unrunnable at corpus scale. This is the 2-D
+    * sort-and-sweep instead: frontier ⟺ tok < min(tok over all
+    * strictly-higher qs) ∧ tok = min(tok within the qs tie group) —
+    * a min-per-quality-cell aggregation (map-side combined) followed
+    * by one range-frame sweep over the occupied quality cells. The
+    * single-partition window is over a PROVABLY bounded frame (≤ 10⁴+1
+    * rows, the q130 threshold argument — the quality grid, never the
+    * corpus), then docs semi-join back on the surviving cells.
+    */
+  def paretoFrontier(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.qualityScores(docs)
+      .filter(col("quality").isNotNull)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 10000) as bigint)").as("qs"),
+        col("n_words").as("tokens"))
+    // within a quality cell only its min-token value can be on the
+    // frontier (any higher-token doc is strictly dominated inside the
+    // cell) — so the sweep frame is one row per occupied qs cell,
+    // bounded by the 10^4+1-value quality grid, never by corpus size
+    val qsMin = scored.groupBy("qs").agg(min("tokens").as("tokens"))
+    // min tokens over STRICTLY higher qs: range frame ending 1 below
+    // the current qs under a descending order = all cells with qs >
+    // current; NULL when none exist (the top-quality cell)
+    val above = Window.orderBy(col("qs").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontierCells = qsMin
+      .select(col("qs"), col("tokens"),
+        min("tokens").over(above).as("best_above"))
+      .filter(col("best_above").isNull || col("tokens") < col("best_above"))
+      .select("qs", "tokens")
+    scored.join(frontierCells, Seq("qs", "tokens"), "left_semi")
+      .select(col("doc_id"), col("qs"), col("tokens"))
   }
 }

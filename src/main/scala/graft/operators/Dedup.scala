@@ -395,6 +395,52 @@ object Dedup {
       .withColumn("kept", (col("copy_rank") <= maxCopies).cast("bigint"))
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández-Stolfo SNM): sort
+    * each blocking pass by a derived key, compare every record only
+    * against its `windowSize − 1` successors in sort order, then verify
+    * candidates with exact Jaccard — the classic linkage-era
+    * alternative to hash blocking, useful when duplicates share a
+    * PREFIX or SUFFIX but not necessarily any full shingle band.
+    *
+    * Two passes (the multi-pass design from the original paper): pass 0
+    * sorts by the leading 4 words within first-word blocks, pass 1 by
+    * the reversed trailing 4 words within last-word blocks — a pair
+    * split across one pass's block boundary is recovered by the other
+    * pass instead of by an unbounded sliding sort.
+    *
+    * Scale posture (100 TB): each pass is one shuffle on the block key
+    * + `windowSize − 1` `lead()`s inside the partition-local sort — no
+    * self-join, no global sort, candidate volume ≤ 2·(w−1)·n rows by
+    * construction (the linear-output guarantee that makes SNM
+    * attractive at scale); verification is candidate-proportional
+    * ([[jaccardOfCandidates]], the q27 contract).
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, n: Int = 3,
+      windowSize: Int = 5, threshold: Double = 0.7): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .select(col("doc_id"), expr(TextAnalysis.WordsExpr).as("w"))
+      .filter(size(col("w")) >= 1)
+    def pass(blk: Column, key: Column): DataFrame = {
+      val win = Window.partitionBy("blk").orderBy("k", "doc_id")
+      keyed.select(col("doc_id"), blk.as("blk"), key.as("k"))
+        .select(col("doc_id"),
+          array((1 until windowSize)
+            .map(d => lead(col("doc_id"), d).over(win)): _*).as("nbrs"))
+        .select(col("doc_id"), explode(col("nbrs")).as("nbr"))
+        .filter(col("nbr").isNotNull)
+        .select(least(col("doc_id"), col("nbr")).as("i"),
+          greatest(col("doc_id"), col("nbr")).as("j"))
+    }
+    val cand = pass(element_at(col("w"), 1),
+        concat_ws(" ", slice(col("w"), 1, 4)))
+      .union(pass(element_at(col("w"), -1),
+        concat_ws(" ", slice(reverse(col("w")), 1, 4))))
+      .distinct()
+    jaccardOfCandidates(Ckpt.narrow(shingles(docs, n)), cand, threshold)
+  }
+
   /** MinHash signatures in long form: (doc_id, s, minh) — the classic
     * rendering, unpivoted from [[minhashWide]]'s single aggregation pass.
     */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -448,5 +449,61 @@ object Profile {
           col("m.cnt").as("max_key_count"), col("m.key").as("top_key"),
           expr("(m.cnt * 1000000) div n_rows").as("max_share_ppm"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Robust per-group outlier audit: lower median and MAD (median
+    * absolute deviation) of a numeric column, with the count of rows
+    * beyond `kNum/kDen` MADs — the outlier detector that, unlike
+    * mean/stddev z-scores, is not itself dragged by the outliers it is
+    * meant to find (50% breakdown point vs 0%).
+    *
+    * Arithmetic is exact BIGINT end-to-end: values are fixed-pointed to
+    * cents at entry (one deterministic round), both medians are LOWER
+    * medians read off cumulative histograms, and the threshold test is
+    * the cross-multiplied rational `dev · kDen > kNum · mad` — no
+    * division, so the audit hash-gates in any engine.
+    *
+    * Scale posture (100 TB): the q130 histogram pattern — every window
+    * runs over the per-group DISTINCT-value histogram (bounded by the
+    * value domain, NOT the row count), so no per-group row sort exists
+    * anywhere; the raw table is touched by exactly one groupBy. MAD = 0
+    * groups (over half the mass on one value) flag every dev > 0 row —
+    * the standard MAD caveat, deterministic here.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    require(kNum >= 1 && kDen >= 1, s"threshold must be positive: $kNum/$kDen")
+    val hist = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"),
+        expr(s"cast(round($valueCol * 100) as bigint)").as("cents"))
+      .agg(count(lit(1)).as("c"))
+    // lower median off a cumulative histogram: first value whose
+    // cumulative count reaches position (n+1) div 2
+    def lowerMedian(h: DataFrame, vCol: String): DataFrame = {
+      val wc = Window.partitionBy("grp").orderBy(vCol)
+      val wn = Window.partitionBy("grp")
+      h.select(col("grp"), col(vCol),
+          sum("c").over(wc).as("cum"), sum("c").over(wn).as("n"))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("grp").agg(min(col(vCol)).as("med"))
+    }
+    val med = lowerMedian(hist, "cents")
+    val dev = hist.join(med, "grp")
+      .select(col("grp"), abs(col("cents") - col("med")).as("dev"), col("c"))
+      .groupBy("grp", "dev").agg(sum("c").as("c"))
+    val mad = lowerMedian(dev, "dev").withColumnRenamed("med", "mad")
+    hist.join(med, "grp").join(mad, "grp")
+      .groupBy("grp").agg(
+        sum("c").as("n"),
+        min("med").as("median_cents"),
+        min("mad").as("mad_cents"),
+        sum(when(abs(col("cents") - col("med")) * kDen > lit(kNum) * col("mad"),
+          col("c")).otherwise(lit(0L))).as("n_outliers"),
+        max(abs(col("cents") - col("med"))).as("max_dev"))
+      .select(col("grp"), col("n"), col("median_cents"), col("mad_cents"),
+        col("n_outliers"),
+        expr("(n_outliers * 1000000) div n").as("outlier_ppm"),
+        col("max_dev"))
   }
 }

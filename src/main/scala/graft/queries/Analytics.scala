@@ -149,7 +149,17 @@ object Analytics {
         .count()
         .na.fill(0L)
         .orderBy("user_id")
-    }))
+    }),
+
+    // MARKET-BASKET LIFT: brand pairs co-ordered more (or less) than
+    // independence predicts — the relational sibling of q84's token
+    // collocations; the pair explosion is bounded by the basket cap
+    // (oracle-mirrored) and everything else is counts
+    "q137_basket_lift" -> ((spark, dir) =>
+      graft.operators.Associations.brandLift(
+          Tables.load(spark, dir, "lineitem"), Tables.load(spark, dir, "part"),
+          minSupport = 20L, maxBasket = 16)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))))
 
   def oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -252,5 +262,37 @@ object Analytics {
         |       count(*) FILTER (event_type = 'error') AS error
         |FROM events
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+
+    // identical basket population on every branch: items -> capped
+    // baskets -> pairs/singles/total all read the `kept` CTE; lift is
+    // one double division of exact-in-double BIGINTs rounded at 4 dp
+    "q137_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |kept AS (
+        |  SELECT * FROM items
+        |  WHERE basket IN (SELECT basket FROM items
+        |                   GROUP BY basket HAVING count(*) <= 16)),
+        |tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+        |        FROM kept),
+        |singles AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        |            FROM kept GROUP BY item),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM kept a JOIN kept b
+        |    ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |       sa.n_item AS n_a, sb.n_item AS n_b, t.n_baskets,
+        |       (p.n_ab * 1000000) // t.n_baskets AS support_ppm,
+        |       round(CAST(p.n_ab AS DOUBLE) * t.n_baskets
+        |             / (sa.n_item * sb.n_item), 4) AS lift
+        |FROM pairs p
+        |JOIN singles sa ON p.item_a = sa.item
+        |JOIN singles sb ON p.item_b = sb.item
+        |CROSS JOIN tot t
+        |ORDER BY lift DESC, item_a, item_b""".stripMargin)
 }

@@ -51,6 +51,13 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // PARETO FRONTIER of quality vs token cost: the docs no other doc
+    // dominates — every budget's optimal picks in one sweep; the
+    // skyline is a bounded-grid window, never the NOT EXISTS self-join
+    "q139_pareto_frontier" -> ((spark, dir) =>
+      Curation.paretoFrontier(Tables.load(spark, dir, "documents"))
+        .orderBy("doc_id")),
+
     "q64_incremental_curation" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val nf = deltaCut(docs)
@@ -150,7 +157,8 @@ object CurationQueries {
     "q71_incremental_curation_indexed" -> FullCurationSql,
     "q74_dataset_diff" -> DatasetDiffSql,
     "q91_quality_keeper" -> QualityKeeperSql,
-    "q66_training_manifest" -> ManifestSql)
+    "q66_training_manifest" -> ManifestSql,
+    "q139_pareto_frontier" -> ParetoFrontierSql)
 
   /** q91: the canonical edge chain + closure over the RAW corpus (no
     * quality gate — keeper choice needs every member scored, not
@@ -303,4 +311,34 @@ object CurationQueries {
         |JOIN spl ON m.doc_id = spl.doc_id
         |JOIN tok ON m.doc_id = tok.doc_id
         |ORDER BY m.doc_id""".stripMargin)
+
+  /** q139: the same sort-and-sweep — min tokens per quality cell, one
+    * descending RANGE window (1 PRECEDING under DESC = strictly higher
+    * quality), docs join back on surviving cells.
+    */
+  private lazy val ParetoFrontierSql: String =
+      s"""WITH wq AS (SELECT doc_id,
+         |              list_filter(string_split_regex(trim(text), '\\s+'),
+         |                          x -> x != '') AS w
+         |            FROM documents),
+         |scored AS (
+         |  SELECT doc_id,
+         |         CAST(round(q.quality * 10000) AS BIGINT) AS qs,
+         |         CAST(len(w) AS BIGINT) AS tokens
+         |  FROM (SELECT doc_id, w,
+         |          ${TextQueries.qualitySql("len(w)", "len(list_distinct(w))")} AS quality
+         |        FROM wq) q
+         |  WHERE q.quality IS NOT NULL),
+         |qsmin AS (SELECT qs, min(tokens) AS tokens FROM scored GROUP BY qs),
+         |sweep AS (
+         |  SELECT qs, tokens,
+         |         min(tokens) OVER (ORDER BY qs DESC
+         |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS best_above
+         |  FROM qsmin),
+         |cells AS (SELECT qs, tokens FROM sweep
+         |          WHERE best_above IS NULL OR tokens < best_above)
+         |SELECT s.doc_id, s.qs, s.tokens
+         |FROM scored s JOIN cells USING (qs, tokens)
+         |ORDER BY s.doc_id""".stripMargin
 }

@@ -188,6 +188,16 @@ object DedupQueries {
           n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7)
         .orderBy("i", "j")),
 
+    // SORTED-NEIGHBORHOOD near-dups (Hernández-Stolfo SNM): two
+    // blocked sort passes (leading / reversed-trailing words), each
+    // record compared only to its 4 sort successors, candidates
+    // verified by exact Jaccard — the linear-candidate-volume
+    // alternative to hash blocking
+    "q141_sorted_neighborhood" -> ((spark, dir) =>
+      Dedup.sortedNeighborhoodPairs(Tables.load(spark, dir, "documents"),
+          n = 3, windowSize = 5, threshold = 0.7)
+        .orderBy("i", "j")),
+
     "q28_dedup_simhash_sig" -> ((spark, dir) =>
       Dedup.simhashSignatures(Tables.load(spark, dir, "documents"), n = 3)
         .orderBy("doc_id")),
@@ -443,6 +453,38 @@ object DedupQueries {
          |SELECT i, j, round(jaccard, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.8
          |ORDER BY i, j""".stripMargin,
+
+    // same two SNM passes: row_number within the block sorted by the
+    // derived key, neighbors at rank distance 1..4, least/greatest
+    // normalization, union-distinct, exact-Jaccard verify
+    "q141_sorted_neighborhood" ->
+      s"""WITH $ShinglesSql,
+         |r0 AS (SELECT doc_id,
+         |              row_number() OVER (PARTITION BY w[1]
+         |                ORDER BY array_to_string(w[1:4], ' '), doc_id) AS rn,
+         |              w[1] AS blk
+         |       FROM ws WHERE len(w) >= 1),
+         |r1 AS (SELECT doc_id,
+         |              row_number() OVER (PARTITION BY w[-1]
+         |                ORDER BY array_to_string(list_reverse(w)[1:4], ' '),
+         |                         doc_id) AS rn,
+         |              w[-1] AS blk
+         |       FROM ws WHERE len(w) >= 1),
+         |c0 AS (SELECT least(a.doc_id, b.doc_id) AS i,
+         |              greatest(a.doc_id, b.doc_id) AS j
+         |       FROM r0 a JOIN r0 b
+         |         ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 4),
+         |c1 AS (SELECT least(a.doc_id, b.doc_id) AS i,
+         |              greatest(a.doc_id, b.doc_id) AS j
+         |       FROM r1 a JOIN r1 b
+         |         ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 4),
+         |cand AS (SELECT DISTINCT i, j FROM
+         |         (SELECT * FROM c0 UNION ALL SELECT * FROM c1)),
+         |$JaccardSql
+         |SELECT jac.i, jac.j, round(jac.jaccard, 4) AS jaccard
+         |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+         |WHERE jac.jaccard >= 0.7
+         |ORDER BY jac.i, jac.j""".stripMargin,
 
     "q27_dedup_minhash" ->
       s"""WITH $ShinglesSql,

@@ -23,6 +23,16 @@ import graft.sources.Tables
 object Joins {
 
   def queries: Map[String, Q] = Map(
+    // FUZZY LINKAGE JOIN: edit-distance matches between distinct part
+    // names, blocked on the trailing "entity type" token — the
+    // similarity join at NAME grain (bounded by the vocabulary);
+    // levenshtein is exact-integer in both engines
+    "q140_fuzzy_linkage" -> ((spark, dir) =>
+      graft.operators.Linkage.nameMatches(
+          Tables.load(spark, dir, "part"), "p_partkey", "p_name",
+          maxDist = 3, maxBlock = 10000)
+        .orderBy("name_a", "name_b")),
+
     "q04_join_inner" -> ((spark, dir) => {
       val orders = Tables.load(spark, dir, "orders")
       val customer = Tables.load(spark, dir, "customer")
@@ -193,6 +203,24 @@ object Joins {
     }))
 
   def oracles: Map[String, String] = Map(
+    // same block key (last space-token), same whole-block cap, same
+    // exact-integer levenshtein
+    "q140_fuzzy_linkage" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows,
+        |         string_split(p_name, ' ')[-1] AS blk
+        |  FROM part WHERE p_name IS NOT NULL GROUP BY p_name),
+        |kept AS (
+        |  SELECT * FROM names
+        |  WHERE blk IN (SELECT blk FROM names
+        |                GROUP BY blk HAVING count(*) <= 10000))
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |       a.n_rows AS n_a, b.n_rows AS n_b
+        |FROM kept a JOIN kept b ON a.blk = b.blk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
     "q04_join_inner" ->
       """SELECT c_mktsegment,
         |       round(sum(o_totalprice), 2) AS total_price,

@@ -111,7 +111,15 @@ object ProfileQueries {
         Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_suppkey",
           "orders" -> "o_custkey", "events" -> "user_id",
           "documents" -> "source"))
-        .orderBy("key_col")))
+        .orderBy("key_col")),
+
+    // ROBUST OUTLIERS: per-event-type median/MAD fence in exact cents
+    // arithmetic — the detector the outliers cannot drag (unlike
+    // mean/stddev); windows run over value histograms, never row sorts
+    "q138_robust_outliers" -> ((spark, dir) =>
+      Profile.robustOutliers(Tables.load(spark, dir, "events"),
+          groupCol = "event_type", valueCol = "value", kNum = 3L, kDen = 1L)
+        .orderBy("grp")))
 
   /** q120's oracle: one UNION ALL branch per lineitem column, mirroring
     * [[Profile.columnProfile]]'s portability rule (min/max NULL for
@@ -292,5 +300,46 @@ object ProfileQueries {
     "q121_constraint_audit" -> ConstraintAuditSql,
     "q128_skew_audit" -> SkewAuditSql,
     "q131_violation_rows" -> ViolationRowsSql,
-    "q132_fd_audit" -> FdAuditSql)
+    "q132_fd_audit" -> FdAuditSql,
+    "q138_robust_outliers" -> RobustOutliersSql)
+
+  /** q138's oracle: the same cumulative-histogram lower medians (value
+    * and deviation grain), the same cross-multiplied rational fence —
+    * exact BIGINT throughout, so the gate is a hash match.
+    */
+  private val RobustOutliersSql: String =
+    """WITH hist AS (
+      |  SELECT event_type AS grp,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |med AS (
+      |  SELECT grp, min(cents) AS med FROM (
+      |    SELECT grp, cents,
+      |           sum(c) OVER (PARTITION BY grp ORDER BY cents) AS cum,
+      |           sum(c) OVER (PARTITION BY grp) AS n
+      |    FROM hist)
+      |  WHERE cum >= (n + 1) // 2 GROUP BY grp),
+      |dev AS (
+      |  SELECT h.grp, abs(h.cents - m.med) AS dev, sum(h.c) AS c
+      |  FROM hist h JOIN med m USING (grp) GROUP BY 1, 2),
+      |mad AS (
+      |  SELECT grp, min(dev) AS mad FROM (
+      |    SELECT grp, dev,
+      |           sum(c) OVER (PARTITION BY grp ORDER BY dev) AS cum,
+      |           sum(c) OVER (PARTITION BY grp) AS n
+      |    FROM dev)
+      |  WHERE cum >= (n + 1) // 2 GROUP BY grp)
+      |SELECT h.grp, CAST(sum(h.c) AS BIGINT) AS n,
+      |       min(m.med) AS median_cents, min(d.mad) AS mad_cents,
+      |       CAST(sum(CASE WHEN abs(h.cents - m.med) * 1 > 3 * d.mad
+      |                     THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       (CAST(sum(CASE WHEN abs(h.cents - m.med) * 1 > 3 * d.mad
+      |                      THEN h.c ELSE 0 END) AS BIGINT) * 1000000)
+      |         // CAST(sum(h.c) AS BIGINT) AS outlier_ppm,
+      |       max(abs(h.cents - m.med)) AS max_dev
+      |FROM hist h JOIN med m USING (grp) JOIN mad d USING (grp)
+      |GROUP BY h.grp
+      |ORDER BY grp""".stripMargin
 }

@@ -144,4 +144,22 @@ class CurationSpec extends AnyFunSuite {
         "kept_ppm is the exact floored rate")
     }
   }
+
+  test("paretoFrontier == the brute-force NOT EXISTS skyline (soundness + completeness)") {
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val scored = graft.operators.TextAnalysis.qualityScores(docs)
+      .filter(org.apache.spark.sql.functions.col("quality").isNotNull)
+      .selectExpr("doc_id", "cast(round(quality * 10000) as bigint) as qs",
+        "n_words as tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3)
+    val want = scored.filter(b => !scored.exists(a => dominates(a, b)))
+      .map(_._1).toSet
+    val got = graft.operators.Curation.paretoFrontier(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"sweep != brute force: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty)
+  }
 }

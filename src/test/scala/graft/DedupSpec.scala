@@ -32,6 +32,27 @@ class DedupSpec extends AnyFunSuite {
       s"missed: ${exact -- viaLsh}, spurious: ${viaLsh -- exact}")
   }
 
+  test("sorted neighborhood: verified subset of exact tier, candidate volume linear") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val snm = Dedup.sortedNeighborhoodPairs(docs, 3, windowSize = 5, threshold = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(snm.nonEmpty, "SNM should surface the planted prefix-sharing dups")
+    // soundness: every emitted pair carries the exact tier's Jaccard
+    snm.foreach { case (p, j) =>
+      assert(exact.get(p).contains(j), s"pair $p: SNM $j vs exact ${exact.get(p)}")
+    }
+    // the SNM trade: candidates (and hence recall) are bounded by the
+    // sort windows — planted full-duplicates share their leading words,
+    // so the prefix pass must land them in adjacent sort positions
+    val planted = Dedup.exactGroups(docs).filter(col("n_dups") > 1).count()
+    assert(planted == 0 || snm.nonEmpty)
+    // widening the window only adds pairs (monotone candidate growth)
+    val wide = Dedup.sortedNeighborhoodPairs(docs, 3, windowSize = 9, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.keySet.subsetOf(wide), "window growth must be monotone")
+  }
+
   test("simhash separates planted near-dups (<=10 bits) from noise") {
     val nearDups = Dedup.ngramJaccardPairs(docs, 3, 0.8)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -199,4 +199,23 @@ class ProfileSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(TestSpark.finalPlan(audit)).size == 1,
       "three same-table checks must fuse into one scan")
   }
+
+  test("robustOutliers: lower median/MAD match the sorted-array definition; 50% breakdown") {
+    import spark.implicits._
+    def audit(vals: Seq[Double]) = Profile.robustOutliers(
+      vals.map(("g", _)).toDF("k", "v"), "k", "v").head
+    // odd n: sorted cents [100,200,300,900,10000] -> med 300; devs
+    // [200,100,0,600,9700] sorted [0,100,200,600,9700] -> mad 200;
+    // fence 3*200=600: strict > excludes 600, flags only 9700
+    val r = audit(Seq(1.0, 2.0, 3.0, 9.0, 100.0))
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))
+      == ((5L, 300L, 200L, 1L, 9700L)))
+    // even n takes the LOWER median: [100,200,300,400] -> 200
+    assert(audit(Seq(1.0, 2.0, 3.0, 4.0)).getLong(2) == 200L)
+    // 50% breakdown: corrupting 2 of 5 values with huge outliers moves
+    // the median by one grid step at most and both land outside the fence
+    val c = audit(Seq(1.0, 2.0, 3.0, 1e6, 2e6))
+    assert(c.getLong(2) == 300L && c.getLong(4) == 2L,
+      s"median must resist 40% corruption: $c")
+  }
 }
