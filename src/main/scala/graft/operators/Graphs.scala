@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over an undirected edge relation `(i, j)` with
+  * `i < j`, one row per edge (the [[Dedup.nearDupEdges]] /
+  * [[Components]] shape). Extends the graph tier beyond connectivity
+  * (q47) and centrality (q125) with local-structure operators:
+  * triangle enumeration and common-neighbor link prediction.
+  *
+  * Not in the reference (SURVEY.md §2.5). On the near-dup graph these
+  * are dedup-auditing tools: a triangle-supported edge is corroborated
+  * by a third witness (edge-cohesion reading), and a common-neighbor
+  * pair is a candidate edge the banding missed — transitive near-dups
+  * worth re-verifying.
+  */
+object Graphs {
+
+  /** All triangles, one row per triangle as an ordered triple
+    * `a < b < c`.
+    *
+    * Physical shape is the degree-oriented node-iterator (the
+    * MapReduce-era standard — Suri & Vassilvitskii's "Counting
+    * triangles and the curse of the last reducer"): orient every edge
+    * from its (degree, id)-smaller endpoint, form wedges only at each
+    * node's ORIENTED out-neighbors, and close them with an oriented
+    * equi-join. Wedge work at a node is C(out-deg, 2), and orientation
+    * bounds out-degree by O(√|E|) — the hub that breaks the naive
+    * neighbor-join cannot own a reducer here. Each triangle is
+    * produced exactly once (its unique (degree, id)-minimum corner).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("i"), col("j"))
+    val sym = e.union(e.select(col("j").as("i"), col("i").as("j")))
+    val deg = sym.groupBy(col("i").as("node")).agg(count(lit(1)).as("d"))
+    // orient u -> v iff (d_u, u) < (d_v, v); carry both endpoint
+    // degrees so the wedge step can compare without another join
+    val withDeg = sym
+      .join(deg.select(col("node").as("i"), col("d").as("di")), "i")
+      .join(deg.select(col("node").as("j"), col("d").as("dj")), "j")
+    val oriented = withDeg
+      .filter(col("di") < col("dj") ||
+        (col("di") === col("dj") && col("i") < col("j")))
+      .select(col("i").as("u"), col("j").as("v"),
+        col("dj").as("dv"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.u") === col("y.u") &&
+        (col("x.dv") < col("y.dv") ||
+          (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("u"), col("x.v").as("v"), col("y.v").as("w"))
+    wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(least(col("u"), col("v"), col("w")).as("a"),
+        greatest(col("u"), col("v"), col("w")).as("c"),
+        (col("u") + col("v") + col("w")).as("s"))
+      .select(col("a"), (col("s") - col("a") - col("c")).as("b"), col("c"))
+  }
+
+  /** Common-neighbor link prediction: for every NON-adjacent pair with
+    * at least one shared neighbor, the shared-neighbor count, each
+    * side's degree, and the neighborhood-Jaccard score — on the
+    * near-dup graph, the transitive candidates worth re-verifying.
+    *
+    * Scale posture: wedges form only at nodes with degree ≤
+    * `maxDegree` (hub suppression, dropped WHOLE and oracle-mirrored —
+    * a boilerplate hub's C(d, 2) wedges are exactly the quadratic blow
+    * that kills this at corpus scale, and its "predictions" are noise
+    * by the same token); degrees in the score stay the TRUE degrees.
+    */
+  def commonNeighborPredictions(edges: DataFrame,
+      maxDegree: Long = 1000L): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val e = edges.select(col("i"), col("j"))
+    val sym = e.union(e.select(col("j").as("i"), col("i").as("j")))
+      .toDF("u", "v")
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val hubs = deg.filter(col("d") > maxDegree).select(col("node").as("u"))
+    val thin = sym.join(hubs, Seq("u"), "left_anti")
+    val common = thin.as("x")
+      .join(thin.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("i"), col("y.v").as("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(e, Seq("i", "j"), "left_anti") // predicted, not present
+      .join(deg.select(col("node").as("i"), col("d").as("deg_i")), "i")
+      .join(deg.select(col("node").as("j"), col("d").as("deg_j")), "j")
+      .select(col("i"), col("j"), col("common"), col("deg_i"), col("deg_j"),
+        round(col("common").cast("double")
+          / (col("deg_i") + col("deg_j") - col("common")), 4).as("score"))
+  }
+}

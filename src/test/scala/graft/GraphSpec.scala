@@ -57,4 +57,50 @@ class GraphSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(run(edges) == run(edges.repartition(7)))
   }
+
+  private def undirected(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("i", "j")
+  }
+
+  test("triangles: enumeration == brute force, each triple once, ordered a<b<c") {
+    import graft.operators.Graphs
+    // K4 on 1..4 (4 triangles) + a pendant + a disjoint open wedge
+    val e = undirected(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 5L, 6L -> 7L, 7L -> 8L)
+    val got = Graphs.triangles(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length == got.distinct.length, "each triangle exactly once")
+    assert(got.toSet == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    got.foreach { case (a, b, c) => assert(a < b && b < c) }
+    // the real input shape: every triangle's three edges exist
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val nd = graft.operators.Dedup.nearDupEdges(docs)
+    val edgeSet = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tri = Graphs.triangles(nd.select("i", "j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.nonEmpty, "planted clusters of >= 3 must close triangles")
+    tri.foreach { case (a, b, c) =>
+      assert(edgeSet((a, b)) && edgeSet((b, c)) && edgeSet((a, c)))
+    }
+  }
+
+  test("link prediction: open wedges only, hub centers suppressed, score in (0,1]") {
+    import graft.operators.Graphs
+    // path 1-2-3 plus star center 9 over 4..8: wedge (1,3) via 2 is a
+    // prediction; the star's C(5,2) wedges vanish once 9 is capped out
+    val e = undirected(1L -> 2L, 2L -> 3L,
+      9L -> 4L, 9L -> 5L, 9L -> 6L, 9L -> 7L, 9L -> 8L)
+    val all = Graphs.commonNeighborPredictions(e, maxDegree = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.contains((1L, 3L)) && all.size == 1 + 10)
+    val capped = Graphs.commonNeighborPredictions(e, maxDegree = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(capped.map(t => (t._1, t._2)).toSet == Set((1L, 3L)),
+      s"hub wedges must vanish whole: $capped")
+    val (_, _, common, di, dj, score) = capped.head
+    assert(common == 1L && di == 1L && dj == 1L && score == 1.0)
+  }
 }
