@@ -219,12 +219,20 @@ class PlanSpec extends AnyFunSuite {
     // shingle), q113/q114 are agg + equi-join chains, q109 adds only
     // the span/token equi-joins on top of q108, q116 probes candidate
     // pairs against 8-byte signatures, q118/q119 join on bucket ids.
+    // r8: q137's pair self-join is basket-equi-keyed (the 1-row total
+    // rides a broadcast Cross, which is sanctioned); q138 is histogram
+    // aggs + windows; q140/q141 pair only within blocks / sort windows;
+    // q142's wedges and closures are all equi-joins on node ids. (q143
+    // is excluded: its INPUT is q30's labeled quadratic ground-truth
+    // tier; the prediction machinery itself is equi-keyed.)
     for (name <- Seq(
         "q95_bm25", "q96_bm25_indexed", "q98_cms_counts",
         "q99_lm_familiarity_indexed", "q100_vocab_drift",
         "q108_shared_runs", "q109_span_scrub", "q110_self_runs",
         "q112_prefix_join", "q113_novelty", "q114_retention",
-        "q116_bbit_minhash", "q118_bloom_membership")) {
+        "q116_bbit_minhash", "q118_bloom_membership",
+        "q137_basket_lift", "q138_robust_outliers", "q140_fuzzy_linkage",
+        "q141_sorted_neighborhood", "q142_triangles")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
