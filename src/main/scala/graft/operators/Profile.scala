@@ -451,6 +451,44 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Cross-table financial reconciliation: does each order header's
+    * total equal the line-item math (`extendedprice · (1 − discount) ·
+    * (1 + tax)` summed over its lines)? The audit every warehouse runs
+    * between a rollup table and its fact table — drift here means a
+    * broken ETL, partial loads, or rounding-policy divergence.
+    *
+    * Determinism: each LINE fixes to cents with one deterministic
+    * round, then only exact BIGINT sums/diffs cross rows — no float
+    * sum ever depends on row order. Output is one row per order-status
+    * group: order counts, match counts, matched ppm, total/max
+    * absolute drift in cents — bounded by the status vocabulary.
+    *
+    * Scale shape: one map-side-combined groupBy per table, one
+    * equi-join on the order key, one bounded final rollup. An order
+    * with NO lines reconciles only against 0 (left join, recomputed
+    * coalesced to 0 — the missing-lines case IS drift, not a skip).
+    */
+  def reconcileOrderTotals(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val recomputed = lineitem.groupBy(col("l_orderkey").as("okey"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)" +
+          " as bigint)")).as("line_cents"))
+    orders
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("hdr_cents"))
+      .join(recomputed, Seq("okey"), "left")
+      .select(col("o_orderstatus"),
+        (col("hdr_cents") - coalesce(col("line_cents"), lit(0L))).as("diff"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("diff") === 0L, 1L).otherwise(0L)).as("n_matched"),
+        sum(abs(col("diff"))).as("abs_drift_cents"),
+        max(abs(col("diff"))).as("max_drift_cents"))
+      .select(col("o_orderstatus"), col("n_orders"), col("n_matched"),
+        expr("(n_matched * 1000000) div n_orders").as("matched_ppm"),
+        col("abs_drift_cents"), col("max_drift_cents"))
+  }
+
   /** Robust per-group outlier audit: lower median and MAD (median
     * absolute deviation) of a numeric column, with the count of rows
     * beyond `kNum/kDen` MADs — the outlier detector that, unlike

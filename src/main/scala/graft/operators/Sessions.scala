@@ -233,4 +233,47 @@ object Sessions {
       .withColumn("is_current",
         when(col("valid_to_us").isNull, 1L).otherwise(0L))
   }
+
+  /** Time-weighted average (the TWAP/metrics-rollup shape): per key,
+    * each observation weighted by how long it was the CURRENT value —
+    * the mean a monitoring/pricing consumer wants when samples arrive
+    * irregularly (a plain mean over-weights bursts; the q123 resample
+    * shows the same pathology at bucket grain).
+    *
+    * Semantics: step-function hold — observation i holds from its ts
+    * until the next observation's ts; the LAST observation has no
+    * successor and carries zero weight (the standard left-closed
+    * convention; callers wanting a horizon pass a sentinel row).
+    * Single-observation keys have an empty weighted span → NULL twap.
+    *
+    * Determinism: values fixed-pointed to cents, hold times floored to
+    * whole seconds — `twap_cents = Σ cents·dt div Σ dt` is exact
+    * BIGINT floor division (per-row cents ≤ ~10⁶ × dt ≤ ~10⁸ s keeps
+    * the sum far inside BIGINT), `mean_cents` rides along for the
+    * burstiness contrast. Scale shape: one `lead` window partitioned
+    * by the key (per-key data, not global), one groupBy — nothing
+    * crosses an exchange but (key, cents, dt) longs.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String = "user_id",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy("ts_us")
+    events
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull
+        && col("ts").isNotNull)
+      .select(col(keyCol).as("key"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr(s"cast(round($valueCol * 100) as bigint)").as("cents"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("dt_s", expr("(next_us - ts_us) div 1000000"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dt_s")).as("span_s"),
+        sum(col("cents") * col("dt_s")).as("wsum"),
+        sum(col("cents")).as("csum"))
+      .select(col("key"), col("n_events"),
+        coalesce(col("span_s"), lit(0L)).as("span_s"),
+        when(col("span_s") > 0, expr("wsum div span_s")).as("twap_cents"),
+        expr("csum div n_events").as("mean_cents"))
+  }
 }

@@ -119,7 +119,15 @@ object ProfileQueries {
     "q138_robust_outliers" -> ((spark, dir) =>
       Profile.robustOutliers(Tables.load(spark, dir, "events"),
           groupCol = "event_type", valueCol = "value", kNum = 3L, kDen = 1L)
-        .orderBy("grp")))
+        .orderBy("grp")),
+
+    // RECONCILIATION: order headers vs their line-item math, per-line
+    // cents fixing then exact BIGINT everywhere — the rollup-vs-fact
+    // drift audit (this corpus' headers drift 100%: caught by design)
+    "q144_reconciliation" -> ((spark, dir) =>
+      Profile.reconcileOrderTotals(
+          Tables.load(spark, dir, "orders"), Tables.load(spark, dir, "lineitem"))
+        .orderBy("o_orderstatus")))
 
   /** q120's oracle: one UNION ALL branch per lineitem column, mirroring
     * [[Profile.columnProfile]]'s portability rule (min/max NULL for
@@ -301,7 +309,33 @@ object ProfileQueries {
     "q128_skew_audit" -> SkewAuditSql,
     "q131_violation_rows" -> ViolationRowsSql,
     "q132_fd_audit" -> FdAuditSql,
-    "q138_robust_outliers" -> RobustOutliersSql)
+    "q138_robust_outliers" -> RobustOutliersSql,
+    "q144_reconciliation" -> ReconciliationSql)
+
+  /** q144's oracle: identical per-line cents fixing, BIGINT sums,
+    * left-join-coalesce for line-less orders, bounded status rollup.
+    */
+  private val ReconciliationSql: String =
+    """WITH r AS (
+      |  SELECT l_orderkey AS okey,
+      |         sum(CAST(round(l_extendedprice * (1 - l_discount)
+      |                        * (1 + l_tax) * 100) AS BIGINT)) AS line_cents
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT o.o_orderstatus,
+      |         CAST(round(o.o_totalprice * 100) AS BIGINT)
+      |           - COALESCE(r.line_cents, 0) AS diff
+      |  FROM orders o LEFT JOIN r ON o.o_orderkey = r.okey)
+      |SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_matched,
+      |       (CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |        * 1000000) // CAST(count(*) AS BIGINT) AS matched_ppm,
+      |       CAST(sum(abs(diff)) AS BIGINT) AS abs_drift_cents,
+      |       CAST(max(abs(diff)) AS BIGINT) AS max_drift_cents
+      |FROM d GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 
   /** q138's oracle: the same cumulative-histogram lower medians (value
     * and deviation grain), the same cross-multiplied rational fence —

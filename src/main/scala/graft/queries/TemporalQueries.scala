@@ -150,6 +150,15 @@ object TemporalQueries {
           steps = Seq("view", "click", "purchase"))
         .orderBy("step_idx")),
 
+    // TIME-WEIGHTED AVERAGE per user: each observation weighted by its
+    // hold time (step-function semantics) — the mean for irregular
+    // samples; exact cents·seconds BIGINT with floor division, the
+    // per-event mean beside it for the burstiness contrast
+    "q145_twap" -> ((spark, dir) =>
+      Sessions.timeWeightedAvg(Tables.load(spark, dir, "events"),
+          keyCol = "user_id", valueCol = "value")
+        .orderBy("key")),
+
     // q43's attribution with the HOT-KEY TWO-PASS engaged (hourly
     // slices): the events corpus has ~15 user_ids, so each key's whole
     // history is genuinely hot — the sliced path sorts each (key, hour)
@@ -398,5 +407,30 @@ object TemporalQueries {
         |       event_id AS keep_event_id, ts_us AS keep_ts_us,
         |       n_events, n_events - 1 AS n_dupes
         |FROM r WHERE rk = 1
-        |ORDER BY bucket_start_s, user_id, event_type""".stripMargin)
+        |ORDER BY bucket_start_s, user_id, event_type""".stripMargin,
+
+    // same step-function hold: lead over (key, ts), whole-second
+    // floors, cents·dt BIGINT sums, floor-division twap, NULL for
+    // single-observation keys
+    "q145_twap" ->
+      """WITH s AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |d AS (
+        |  SELECT key, cents,
+        |         (lead(ts_us) OVER (PARTITION BY key ORDER BY ts_us)
+        |          - ts_us) // 1000000 AS dt_s
+        |  FROM s),
+        |a AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(dt_s) AS BIGINT) AS span_raw,
+        |         CAST(sum(cents * dt_s) AS BIGINT) AS wsum,
+        |         CAST(sum(cents) AS BIGINT) AS csum
+        |  FROM d GROUP BY key)
+        |SELECT key, n_events, COALESCE(span_raw, 0) AS span_s,
+        |       CASE WHEN span_raw > 0 THEN wsum // span_raw END AS twap_cents,
+        |       csum // n_events AS mean_cents
+        |FROM a ORDER BY key""".stripMargin)
 }

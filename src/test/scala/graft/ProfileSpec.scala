@@ -200,6 +200,26 @@ class ProfileSpec extends AnyFunSuite {
       "three same-table checks must fuse into one scan")
   }
 
+  test("reconcileOrderTotals: consistent books match, drift measured exactly, line-less orders flagged") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "O", 230.0),  // 2 lines: 100*1.0*1.0 + 130*1.0*1.0
+      (2L, "O", 150.0),  // 1 line recomputes 149.00 -> drift 100 cents
+      (3L, "F", 42.5)    // no lines at all -> full header is drift
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val li = Seq(
+      (1L, 100.0, 0.0, 0.0), (1L, 130.0, 0.0, 0.0),
+      (2L, 149.0, 0.0, 0.0)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val r = graft.operators.Profile.reconcileOrderTotals(orders, li)
+      .orderBy("o_orderstatus").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      ("F", 1L, 0L, 0L, 4250L, 4250L),
+      ("O", 2L, 1L, 500000L, 100L, 100L)))
+  }
+
   test("robustOutliers: lower median/MAD match the sorted-array definition; 50% breakdown") {
     import spark.implicits._
     def audit(vals: Seq[Double]) = Profile.robustOutliers(

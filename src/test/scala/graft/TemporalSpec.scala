@@ -388,4 +388,31 @@ class TemporalSpec extends AnyFunSuite {
         col("next_state") === col("state")).isEmpty)
     } finally h.unpersist()
   }
+
+  test("timeWeightedAvg: hand-computed holds, last observation weightless, singleton NULL") {
+    import spark.implicits._
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (7L, ts(0L), 1.0), (7L, ts(10L), 2.0), (7L, ts(30L), 4.0),
+      (8L, ts(100L), 9.99)
+    ).toDF("user_id", "ts", "value")
+    val r = Sessions.timeWeightedAvg(ev).orderBy("key").collect()
+    // key 7: holds 10s@100c + 20s@200c, last weightless ->
+    // twap = (1000 + 4000) div 30 = 166; mean = 700 div 3 = 233
+    val k7 = r(0)
+    assert((k7.getLong(0), k7.getLong(1), k7.getLong(2), k7.getLong(3),
+      k7.getLong(4)) == ((7L, 3L, 30L, 166L, 233L)))
+    // a lone observation holds for no measured time: NULL twap, 0 span
+    val k8 = r(1)
+    assert(k8.getLong(1) == 1L && k8.getLong(2) == 0L && k8.isNullAt(3)
+      && k8.getLong(4) == 999L)
+    // burst insensitivity: after 1.0 held for 1000s, 99 rapid-fire
+    // 500.0 samples arrive 1 ms apart (sub-second holds floor to 0) —
+    // the plain mean is dragged to ~495, the twap stays at the held 1.0
+    val burst = (0 until 99).map(i => (9L, new Timestamp(1000000L + i), 500.0))
+    val ev2 = ((9L, ts(0L), 1.0) +: burst).toDF("user_id", "ts", "value")
+    val b = Sessions.timeWeightedAvg(ev2).collect().head
+    assert(b.getLong(3) == 100L, s"twap must shrug off the burst: $b")
+    assert(b.getLong(4) == 49501L, "the plain mean is dragged to ~495")
+  }
 }
