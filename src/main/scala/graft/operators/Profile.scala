@@ -509,13 +509,25 @@ object Profile {
     * the standard MAD caveat, deterministic here.
     */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
-    require(kNum >= 1 && kDen >= 1, s"threshold must be positive: $kNum/$kDen")
-    val hist = df
-      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      kNum: Long = 3L, kDen: Long = 1L): DataFrame =
+    robustOutliersFromHist(valueHist(df, groupCol, valueCol), kNum, kDen)
+
+  /** The (grp, cents, c) value histogram [[robustOutliers]] runs over —
+    * exposed because it is a MERGEABLE partial: histograms from
+    * disjoint batches fold by summing `c` per (grp, cents), which is
+    * what the streaming ingest tier persists per batch
+    * (`Streams.ingestValueHist`) and folds on read.
+    */
+  def valueHist(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("grp"),
         expr(s"cast(round($valueCol * 100) as bigint)").as("cents"))
       .agg(count(lit(1)).as("c"))
+
+  /** [[robustOutliers]] over a prebuilt (possibly folded) histogram. */
+  def robustOutliersFromHist(hist: DataFrame,
+      kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    require(kNum >= 1 && kDen >= 1, s"threshold must be positive: $kNum/$kDen")
     // lower median off a cumulative histogram: first value whose
     // cumulative count reaches position (n+1) div 2
     def lowerMedian(h: DataFrame, vCol: String): DataFrame = {

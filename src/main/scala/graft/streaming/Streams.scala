@@ -645,6 +645,83 @@ object Streams {
     }
   }
 
+  /** Streaming value histogram — the SEVENTH `foreachBatch` ingest
+    * composition: each micro-batch writes its (grp, cents, c)
+    * histogram partial ([[graft.operators.Profile.valueHist]] — a pure
+    * mergeable: partials from disjoint batches fold by summing `c`,
+    * so the fold is associative, replay-safe, and order-independent).
+    * The folded histogram feeds the robust median/MAD outlier audit
+    * ([[Profile.robustOutliersFromHist]]) — streamed ≡ the one-shot
+    * batch [[Profile.robustOutliers]] over the union of the batches,
+    * at hash level (the StreamingSpec differential). Same marker-last
+    * commit protocol and [[compactValueHist]] cadence job as the
+    * other tiers; state is bounded by groups × value grid, never rows.
+    */
+  def ingestValueHist(rows: DataFrame, stateDir: String, checkpointDir: String,
+      groupCol: String, valueCol: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestValueHistBatch(batch.toDF(), stateDir, batchId, groupCol, valueCol)
+      }
+      .start()
+
+  /** One histogram ingest step (see [[ingestValueHist]]); public for
+    * batch-mode replays and tests.
+    */
+  def ingestValueHistBatch(batch: DataFrame, stateDir: String, batchId: Long,
+      groupCol: String, valueCol: String): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    graft.operators.Profile.valueHist(batch, groupCol, valueCol)
+      .write.mode("overwrite").parquet(s"$stateDir/hist/batch=$batchId")
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** The folded histogram over all COMMITTED batches (and any compacted
+    * base): one row per (grp, cents) with the summed count. None before
+    * the first commit.
+    */
+  def ingestValueHistRead(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else {
+      val basePfx = if (c >= 0) Seq(baseDir(stateDir, c) + "/hist") else Nil
+      Some(spark.read
+        .parquet(basePfx ++ ids.map(i => s"$stateDir/hist/batch=$i"): _*)
+        .groupBy("grp", "cents").agg(sum("c").as("c")))
+    }
+  }
+
+  /** The robust outlier audit over the streamed state — the ingest-side
+    * face of q138. None before the first commit.
+    */
+  def ingestRobustOutliers(spark: SparkSession, stateDir: String,
+      kNum: Long = 3L, kDen: Long = 1L): Option[DataFrame] =
+    ingestValueHistRead(spark, stateDir)
+      .map(graft.operators.Profile.robustOutliersFromHist(_, kNum, kDen))
+
+  /** Fold every committed histogram batch (and any prior base) into a
+    * fresh canonical base — same commit/GC protocol as [[compactBloom]];
+    * keeps read cost flat as batch count grows.
+    */
+  def compactValueHist(spark: SparkSession, stateDir: String,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
+    if (ids.isEmpty) None
+    else {
+      val c = ids.max
+      ingestValueHistRead(spark, stateDir).get
+        .write.mode("overwrite").parquet(baseDir(stateDir, c) + "/hist")
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids, Seq("hist"))
+      Some(c)
+    }
+  }
+
   private def fileSystem(
       spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir)

@@ -682,6 +682,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("older"))
   }
 
+  test("foreachBatch ingest value-hist: streamed robust outliers == batch, across restart + compact") {
+    import graft.operators.Profile
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_vhist_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val events = Tables.load(spark, TestSpark.Sf0001, "events")
+    val sch = events.schema
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grp").collect().toSeq
+    val cuts = Seq((0L, 300L), (300L, 700L), (700L, Long.MaxValue))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      events.filter(col("event_id") >= lo && col("event_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      // fresh query per drop resuming from the shared checkpoint —
+      // two full stop/restart cycles across the three micro-batches
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestValueHist(stream, state, ckpt, "event_type", "value")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // histogram fold is order/batching-independent: the streamed audit
+    // must equal the one-shot batch audit over the same corpus
+    val batch = Profile.robustOutliers(events, "event_type", "value")
+    assert(rows(Streams.ingestRobustOutliers(spark, state).get) == rows(batch))
+
+    // compact folds the three partials into one base; audit unchanged,
+    // covered batch dirs GC'd while replay markers survive
+    assert(Streams.compactValueHist(spark, state) == Some(2L))
+    assert(rows(Streams.ingestRobustOutliers(spark, state).get) == rows(batch))
+    assert(!new java.io.File(s"$state/hist/batch=0").exists)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+    assert(Streams.compactValueHist(spark, state).isEmpty, "nothing new to fold")
+
+    // replay of a committed batch id is a no-op on top of the base
+    Streams.ingestValueHistBatch(
+      events.limit(50), state, batchId = 1L, "event_type", "value")
+    assert(rows(Streams.ingestRobustOutliers(spark, state).get) == rows(batch))
+
+    // ingest continues on top of the base and a second compaction
+    // matches the batch audit over the grown corpus
+    val delta = events.filter(col("event_id") < 100L)
+      .withColumn("event_id", col("event_id") + 100000L)
+      .withColumn("value", col("value") * 3.0)
+    Streams.ingestValueHistBatch(delta, state, batchId = 3L, "event_type", "value")
+    val grown = Profile.robustOutliers(
+      events.unionByName(delta), "event_type", "value")
+    assert(rows(Streams.ingestRobustOutliers(spark, state).get) == rows(grown))
+    assert(Streams.compactValueHist(spark, state) == Some(3L))
+    assert(rows(Streams.ingestRobustOutliers(spark, state).get) == rows(grown))
+    assert(!new java.io.File(s"$state/base/compact=2").exists,
+      "previous base must be GC'd after the new marker commits")
+  }
+
   test("Bloom ingest refuses a (k, m) drift against the pinned meta") {
     import spark.implicits._
     val state = java.nio.file.Files
