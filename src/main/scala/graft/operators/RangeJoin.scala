@@ -41,4 +41,39 @@ object RangeJoin {
       .select(col("a.id").as("i"), col("b.id").as("j"),
         (col("b.us") - col("a.us")).as("delta_us"))
   }
+
+  /** Keyed one-sided band join: for each left row, the right rows with
+    * the SAME key whose timestamp falls in `[leftTs − windowSeconds,
+    * leftTs]` — the lookback shape behind attribution, feature windows,
+    * and "recent activity" enrichment.
+    *
+    * Same bucketization argument as [[timeBandPairs]], one-sided: a
+    * window-wide lookback from a left row in bin b only reaches right
+    * rows in bins b−1 and b, so the right side explodes to (bin, bin+1)
+    * probes and candidates are ONE hash equi-join on (key, bin) — never
+    * a nested-loop range join — then exact `0 ≤ Δ ≤ w` verification.
+    * Inner-join semantics: left rows with no in-window partner emit
+    * nothing (callers wanting them back left-join on the left id).
+    *
+    * Output: every left column prefixed `l_` is preserved by the
+    * CALLER's projection; this returns (left id, right id, gap_us) at
+    * candidate-verified grain.
+    */
+  def lookbackJoin(left: DataFrame, right: DataFrame, key: String,
+      leftId: String, leftTs: String, rightId: String, rightTs: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0, got $windowSeconds")
+    val wUs = windowSeconds * 1000000L
+    val l = left.select(col(key).as("k"), col(leftId).as("lid"),
+        unix_micros(col(leftTs)).as("lus"))
+      .withColumn("bin", expr(s"lus div $wUs"))
+    val r = right.select(col(key).as("k"), col(rightId).as("rid"),
+        unix_micros(col(rightTs)).as("rus"))
+      .withColumn("bin",
+        explode(array(expr(s"rus div $wUs"), expr(s"rus div $wUs") + 1)))
+    l.join(r, Seq("k", "bin"))
+      .filter(col("lus") - col("rus") >= 0L && col("lus") - col("rus") <= wUs)
+      .select(col("k"), col("lid"), col("rid"),
+        (col("lus") - col("rus")).as("gap_us"))
+  }
 }

@@ -234,6 +234,98 @@ object Sessions {
         when(col("valid_to_us").isNull, 1L).otherwise(0L))
   }
 
+  /** Rolling spike detection over the gap-filled event-rate series: a
+    * bucket's event count is a spike when it sits more than
+    * `kNum/kDen` trailing standard deviations above (or below) the
+    * previous `windowBuckets` buckets' mean — the monitoring-tier
+    * anomaly pass, run on the DENSE series ([[gapFill]]) because a
+    * plain group-by would hide exactly the zero-count outage buckets
+    * this exists to catch.
+    *
+    * The z-test is cross-multiplied into exact BIGINT so it hash-gates:
+    * with trailing sum S and sum-of-squares Q over W buckets,
+    * z² > k² ⟺ dev² · den² > num² · (W·Q − S²) where
+    * dev = W·x − S (both sides exact; W·Q − S² = W²·σ² ≥ 0). A
+    * zero-variance history flags any deviation (the MAD-tier caveat,
+    * deterministic). The first `windowBuckets` buckets of each key
+    * have no full history and are not judged.
+    *
+    * Scale shape: everything beyond [[gapFill]]'s one raw-event
+    * aggregation runs at AXIS grain (keys × span/bucket) — the rolling
+    * window is rows-framed over that bounded series, never the events.
+    */
+  def spikeDetection(events: DataFrame, bucketSeconds: Long = 3600L,
+      keyCol: String = "event_type", windowBuckets: Int = 24,
+      kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    require(windowBuckets >= 2, s"windowBuckets must be >= 2, got $windowBuckets")
+    require(kNum >= 1 && kDen >= 1, s"threshold must be positive: $kNum/$kDen")
+    val w = Window.partitionBy(keyCol).orderBy("bucket_s")
+      .rowsBetween(-windowBuckets, -1)
+    val W = windowBuckets.toLong
+    gapFill(events, bucketSeconds, keyCol)
+      .select(col(keyCol), col("bucket_s"), col("n_events"))
+      .withColumn("hist_n", count(lit(1)).over(w))
+      .withColumn("s", sum("n_events").over(w))
+      .withColumn("q", sum(expr("n_events * n_events")).over(w))
+      .filter(col("hist_n") === W)
+      .select(col(keyCol), col("bucket_s"), col("n_events"),
+        col("s"), col("q"),
+        (lit(W) * col("n_events") - col("s")).as("dev_w"),
+        (lit(W) * col("q") - col("s") * col("s")).as("var_w2"))
+      .withColumn("is_spike",
+        (col("dev_w") * col("dev_w") * lit(kDen * kDen) >
+          lit(kNum * kNum) * col("var_w2")).cast("bigint"))
+  }
+
+  /** Linear multi-touch attribution: every conversion credits ALL of
+    * the same user's touch events inside the lookback window EQUALLY —
+    * the multi-touch generalization of q43's last-touch as-of join
+    * (last-touch over-credits whatever happened to land final; linear
+    * is the standard first-order correction).
+    *
+    * Per conversion: the touch count, the equal per-touch credit in ppm
+    * (exact floor division — total credited ppm differs from 10⁶ only
+    * by the floor remainder, deterministically), and the first/last
+    * touch ids (min/max over (ts, id) structs — deterministic because
+    * (user, ts) is unique in this corpus, and the id tiebreak makes it
+    * deterministic even when it is not). Conversions with NO in-window
+    * touch emit with n_touches = 0 and NULL credit/ids — the organic
+    * segment a marketing reader explicitly wants visible.
+    *
+    * Scale shape: the lookback pairing is [[RangeJoin.lookbackJoin]] —
+    * one hash equi-join on (user, time-bin) with 2× right-side
+    * amplification, never a nested-loop range join; everything after
+    * is one map-side-combinable groupBy at conversion grain plus the
+    * left join restoring organics.
+    */
+  def linearAttribution(events: DataFrame, convType: String = "purchase",
+      touchType: String = "click",
+      windowSeconds: Long = 7L * 86400L): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val touch = events.filter(col("event_type") === touchType)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val per = RangeJoin.lookbackJoin(conv, touch, key = "user_id",
+        leftId = "event_id", leftTs = "ts",
+        rightId = "event_id", rightTs = "ts",
+        windowSeconds = windowSeconds)
+      .groupBy(col("lid").as("event_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        // first touch = largest gap (earliest); struct max/min break
+        // gap ties on the touch id, so the pick is total-ordered
+        max(struct(col("gap_us"), col("rid"))).as("ft"),
+        min(struct(col("gap_us"), col("rid"))).as("lt"))
+    conv
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .join(per, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        when(col("n_touches") > 0,
+          expr("1000000 div n_touches")).as("credit_ppm"),
+        col("ft.rid").as("first_touch_id"),
+        col("lt.rid").as("last_touch_id"))
+  }
+
   /** Time-weighted average (the TWAP/metrics-rollup shape): per key,
     * each observation weighted by how long it was the CURRENT value —
     * the mean a monitoring/pricing consumer wants when samples arrive

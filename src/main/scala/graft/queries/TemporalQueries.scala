@@ -159,6 +159,28 @@ object TemporalQueries {
           keyCol = "user_id", valueCol = "value")
         .orderBy("key")),
 
+    // ROLLING SPIKE DETECTION on the gap-filled per-type event-rate
+    // series: trailing-24-bucket z-test cross-multiplied into exact
+    // BIGINT (dev² · den² > num² · (W·Q − S²)) — the monitoring
+    // anomaly pass, judged at axis grain, zero-count outage buckets
+    // included by construction
+    "q146_spike_detect" -> ((spark, dir) =>
+      Sessions.spikeDetection(Tables.load(spark, dir, "events"),
+          bucketSeconds = 3600L, keyCol = "event_type",
+          windowBuckets = 24, kNum = 3L, kDen = 1L)
+        .orderBy("event_type", "bucket_s")),
+
+    // LINEAR MULTI-TOUCH ATTRIBUTION: every purchase credits ALL the
+    // user's clicks in the 7-day lookback equally (exact ppm floor
+    // division); the lookback pairing is one (user, time-bin)
+    // equi-join, never a nested-loop range join; organic conversions
+    // stay visible with n_touches = 0
+    "q147_attribution" -> ((spark, dir) =>
+      Sessions.linearAttribution(Tables.load(spark, dir, "events"),
+          convType = "purchase", touchType = "click",
+          windowSeconds = 7L * 86400L)
+        .orderBy("event_id")),
+
     // q43's attribution with the HOT-KEY TWO-PASS engaged (hourly
     // slices): the events corpus has ~15 user_ids, so each key's whole
     // history is genuinely hot — the sliced path sorts each (key, hour)
@@ -432,5 +454,65 @@ object TemporalQueries {
         |SELECT key, n_events, COALESCE(span_raw, 0) AS span_s,
         |       CASE WHEN span_raw > 0 THEN wsum // span_raw END AS twap_cents,
         |       csum // n_events AS mean_cents
-        |FROM a ORDER BY key""".stripMargin)
+        |FROM a ORDER BY key""".stripMargin,
+
+    // q123's dense axis, then the trailing-24 rows window and the same
+    // cross-multiplied integer z-test; buckets without 24 full history
+    // rows are not judged
+    "q146_spike_detect" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         (fs - ((fs % 3600) + 3600) % 3600) AS bucket_s
+        |  FROM (SELECT event_type,
+        |          ((epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000)
+        |              % 1000000) // 1000000) AS fs
+        |        FROM events)),
+        |obs AS (SELECT event_type, bucket_s, CAST(count(*) AS BIGINT) AS n_events
+        |        FROM b GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM b),
+        |axis AS (SELECT k.event_type, g.bucket_s
+        |         FROM (SELECT DISTINCT event_type FROM b) k
+        |         CROSS JOIN (SELECT unnest(generate_series(lo, hi, 3600))
+        |                       AS bucket_s FROM bounds) g),
+        |dense AS (SELECT a.event_type, a.bucket_s,
+        |                 CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events
+        |          FROM axis a LEFT JOIN obs o USING (event_type, bucket_s)),
+        |r AS (SELECT event_type, bucket_s, n_events,
+        |             CAST(count(*) OVER w AS BIGINT) AS hist_n,
+        |             CAST(sum(n_events) OVER w AS BIGINT) AS s,
+        |             CAST(sum(n_events * n_events) OVER w AS BIGINT) AS q
+        |      FROM dense
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s
+        |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket_s, n_events, s, q,
+        |       24 * n_events - s AS dev_w,
+        |       24 * q - s * s AS var_w2,
+        |       CAST(CASE WHEN (24 * n_events - s) * (24 * n_events - s)
+        |                      > 9 * (24 * q - s * s)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+        |FROM r WHERE hist_n = 24
+        |ORDER BY event_type, bucket_s""".stripMargin,
+
+    // naive BETWEEN range join as the independent formulation; list
+    // max/min give the (gap, id)-lexicographic first/last touch picks
+    "q147_attribution" ->
+      """WITH conv AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |              FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |        FROM events WHERE event_type = 'click'),
+        |m AS (SELECT c.event_id, t.event_id AS rid,
+        |             c.ts_us - t.ts_us AS gap_us
+        |      FROM conv c JOIN tch t ON c.user_id = t.user_id
+        |      WHERE c.ts_us - t.ts_us BETWEEN 0 AND 604800000000),
+        |a AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n_touches,
+        |             max([gap_us, rid])[2] AS first_touch_id,
+        |             min([gap_us, rid])[2] AS last_touch_id
+        |      FROM m GROUP BY event_id)
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       COALESCE(a.n_touches, 0) AS n_touches,
+        |       CASE WHEN a.n_touches > 0 THEN 1000000 // a.n_touches END
+        |         AS credit_ppm,
+        |       a.first_touch_id, a.last_touch_id
+        |FROM conv c LEFT JOIN a USING (event_id)
+        |ORDER BY c.event_id""".stripMargin)
 }

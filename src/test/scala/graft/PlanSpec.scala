@@ -232,7 +232,8 @@ class PlanSpec extends AnyFunSuite {
         "q112_prefix_join", "q113_novelty", "q114_retention",
         "q116_bbit_minhash", "q118_bloom_membership",
         "q137_basket_lift", "q138_robust_outliers", "q140_fuzzy_linkage",
-        "q141_sorted_neighborhood", "q142_triangles")) {
+        "q141_sorted_neighborhood", "q142_triangles",
+        "q146_spike_detect", "q147_attribution")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

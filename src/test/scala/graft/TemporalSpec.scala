@@ -389,6 +389,81 @@ class TemporalSpec extends AnyFunSuite {
     } finally h.unpersist()
   }
 
+  test("spikeDetection: flat history flags the burst, first W buckets unjudged, flat series clean") {
+    import spark.implicits._
+    def ev(t: Long, n: Int) = (0 until n).map(i =>
+      ("a", new Timestamp(t * 1000L + i), 1.0))
+    // 30 flat hourly buckets then one 10-event burst bucket
+    val flat = (0 until 30).flatMap(h => ev(h * 3600L, 1))
+    val burst = ev(30 * 3600L, 10)
+    val rows = Sessions.spikeDetection(
+        (flat ++ burst).toDF("event_type", "ts", "value"),
+        bucketSeconds = 3600L, keyCol = "event_type", windowBuckets = 24)
+      .orderBy("bucket_s").collect()
+    // 31 buckets, first 24 unjudged
+    assert(rows.length == 31 - 24)
+    val spikes = rows.filter(_.getLong(7) == 1L).map(_.getLong(1))
+    assert(spikes.toSeq == Seq(30L * 3600L),
+      s"exactly the burst bucket flags: ${spikes.toSeq}")
+    // zero-variance history + zero deviation stays clean
+    val clean = Sessions.spikeDetection(
+        flat.toDF("event_type", "ts", "value"),
+        bucketSeconds = 3600L, keyCol = "event_type", windowBuckets = 24)
+      .filter(col("is_spike") === 1L)
+    assert(clean.isEmpty)
+  }
+
+  test("linearAttribution: equal ppm credit, first/last touch, organics visible, window edge") {
+    import spark.implicits._
+    def row(id: Long, u: Long, t: Long, typ: String) =
+      (id, new Timestamp(t * 1000L), u, typ)
+    val w = 7L * 86400L
+    val ev = Seq(
+      row(1L, 1L, 0L, "click"), row(2L, 1L, 10L, "click"),
+      row(3L, 1L, 100L, "purchase"),
+      row(4L, 2L, 0L, "purchase"),                  // organic
+      row(5L, 3L, 0L, "click"),                     // exactly at the edge
+      row(6L, 3L, w, "purchase"),
+      row(7L, 4L, 0L, "click"),                     // one past the edge
+      row(8L, 4L, w + 1L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = Sessions.linearAttribution(ev, windowSeconds = w)
+      .orderBy("event_id").collect()
+      .map(x => (x.getLong(0), x.getLong(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4),
+        if (x.isNullAt(5)) -1L else x.getLong(5),
+        if (x.isNullAt(6)) -1L else x.getLong(6)))
+    assert(r.toSeq == Seq(
+      (3L, 2L, 500000L, 1L, 2L),   // two touches, first=earliest click
+      (4L, 0L, -1L, -1L, -1L),     // organic stays visible
+      (6L, 1L, 1000000L, 5L, 5L),  // inclusive window edge
+      (8L, 0L, -1L, -1L, -1L)))    // one second past: out
+  }
+
+  test("lookbackJoin == the naive range join on the real event stream (binning completeness)") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val tch = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val w = 86400L
+    val binned = graft.operators.RangeJoin.lookbackJoin(conv, tch,
+        key = "user_id", leftId = "event_id", leftTs = "ts",
+        rightId = "event_id", rightTs = "ts", windowSeconds = w)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = conv.as("c").join(tch.as("t"),
+        col("c.user_id") === col("t.user_id") &&
+          unix_micros(col("c.ts")) - unix_micros(col("t.ts")) >= 0L &&
+          unix_micros(col("c.ts")) - unix_micros(col("t.ts")) <= w * 1000000L)
+      .select(col("c.event_id"), col("t.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.length == binned.distinct.length, "no candidate emitted twice")
+    assert(binned.toSet == naive.toSet,
+      s"missing=${naive.toSet -- binned.toSet} extra=${binned.toSet -- naive.toSet}")
+    assert(naive.nonEmpty)
+  }
+
   test("timeWeightedAvg: hand-computed holds, last observation weightless, singleton NULL") {
     import spark.implicits._
     def ts(s: Long) = new Timestamp(s * 1000L)
