@@ -66,7 +66,21 @@ object ScaleBench {
     // q134 is a linear scan + label-grain agg, q135 is the component
     // chain + a cluster-size-grain rollup
     "q130_quality_deciles", "q133_scd2_enrich", "q134_embedding_audit",
-    "q135_dedup_savings")
+    "q135_dedup_savings",
+    // round-8 additions carried by the scaled tables: q138's windows
+    // run at value-histogram grain, q139's sweep at quality-grid grain,
+    // q141's candidate volume is ≤ 2(w−1)·n by construction, q142 rides
+    // the bounded near-dup edge relation, q148 rides q33's windowed LSH
+    // candidates, q145 is one per-user lead window, q146 judges at axis
+    // grain, q147's lookback is the (user, bin) equi-join.
+    // (q137/q140/q144 are carried by the UNSCALED TPC-H tables and
+    // would read as flat — excluded. q143 is excluded like q26/q30/q32:
+    // its INPUT is q30's labeled ground-truth exact all-pairs tier, so
+    // it inherits that tier's quadratic — measured exp 1.3–1.6 in
+    // bench/scaling_r8.json; q148 is the scale-path sibling.)
+    "q138_robust_outliers", "q139_pareto_frontier",
+    "q141_sorted_neighborhood", "q142_triangles", "q148_link_predict_lsh",
+    "q145_twap", "q146_spike_detect", "q147_attribution")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

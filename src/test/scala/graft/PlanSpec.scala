@@ -222,9 +222,11 @@ class PlanSpec extends AnyFunSuite {
     // r8: q137's pair self-join is basket-equi-keyed (the 1-row total
     // rides a broadcast Cross, which is sanctioned); q138 is histogram
     // aggs + windows; q140/q141 pair only within blocks / sort windows;
-    // q142's wedges and closures are all equi-joins on node ids. (q143
-    // is excluded: its INPUT is q30's labeled quadratic ground-truth
-    // tier; the prediction machinery itself is equi-keyed.)
+    // q142's wedges and closures are all equi-joins on node ids; q148
+    // rides q33's windowed LSH candidate equi-join (planes fold to
+    // literals — no plane join). (q143 is excluded: its INPUT is q30's
+    // labeled quadratic ground-truth tier; the prediction machinery
+    // itself is equi-keyed.)
     for (name <- Seq(
         "q95_bm25", "q96_bm25_indexed", "q98_cms_counts",
         "q99_lm_familiarity_indexed", "q100_vocab_drift",
@@ -233,7 +235,8 @@ class PlanSpec extends AnyFunSuite {
         "q116_bbit_minhash", "q118_bloom_membership",
         "q137_basket_lift", "q138_robust_outliers", "q140_fuzzy_linkage",
         "q141_sorted_neighborhood", "q142_triangles",
-        "q146_spike_detect", "q147_attribution")) {
+        "q146_spike_detect", "q147_attribution",
+        "q148_link_predict_lsh")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
