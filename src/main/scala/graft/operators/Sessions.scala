@@ -368,4 +368,45 @@ object Sessions {
         when(col("span_s") > 0, expr("wsum div span_s")).as("twap_cents"),
         expr("csum div n_events").as("mean_cents"))
   }
+
+  /** Interval-concurrency audit over the sessionized stream: for every
+    * `bucketSeconds` bucket a session touches, how many sessions were
+    * LIVE there (bucket overlap of the closed session interval), how
+    * many STARTED there, and a peak marker — the capacity-planning
+    * reading of [[sessionize]]'s output (what the peak simultaneous
+    * load was, and when). Buckets no session touches do not appear
+    * (concurrent ≥ 1 on every output row by construction).
+    *
+    * Scale shape: the textbook +1/−1 event sweep needs a SINGLE total
+    * order over all boundaries — a one-partition sort that cannot
+    * scale. Instead each session explodes into only the buckets it
+    * covers (fan-out = duration/bucket + 1, so total work is
+    * session-time/bucket — linear in the corpus while sessions stay
+    * gap-bounded), and the count is ONE bucket-grain aggregation with
+    * map-side partial combine. The peak marker reads a 1-row max frame
+    * back over the bucket axis (broadcast, bounded by construction).
+    * Bucket arithmetic is exact integer floor on epoch seconds —
+    * engine-portable, no timezone/format ambiguity.
+    */
+  def concurrency(events: DataFrame, bucketSeconds: Long = 3600L,
+      gapSeconds: Long = 1800L): DataFrame = {
+    require(bucketSeconds > 0,
+      s"bucketSeconds must be positive, got $bucketSeconds")
+    val floorB = (c: String) =>
+      expr(s"($c div 1000000) - pmod($c div 1000000, $bucketSeconds)")
+    val cov = sessionize(events, gapSeconds)
+      .select(floorB("session_start_us").as("sb"),
+        floorB("session_end_us").as("eb"))
+      .select(col("sb"),
+        explode(expr(s"sequence(sb, eb, ${bucketSeconds}L)")).as("bucket_s"))
+    val counts = cov.groupBy("bucket_s")
+      .agg(count(lit(1)).as("concurrent"),
+        sum(when(col("sb") === col("bucket_s"), 1L).otherwise(0L))
+          .as("started"))
+    val peak = counts.agg(max(col("concurrent")).as("mx"))
+    counts.crossJoin(broadcast(peak)) // 1-row max frame — bounded
+      .select(col("bucket_s"), col("concurrent"), col("started"),
+        when(col("concurrent") === col("mx"), 1L).otherwise(0L)
+          .as("is_peak"))
+  }
 }

@@ -43,6 +43,14 @@ object TemporalQueries {
       Sessions.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
         .orderBy("user_id", "session_start_us")),
 
+    // interval concurrency at hour grain: live/started sessions per
+    // bucket + the peak marker — per-session bucket explode, one
+    // bucket-grain agg, never a single-total-order boundary sweep
+    "q149_concurrency" -> ((spark, dir) =>
+      Sessions.concurrency(Tables.load(spark, dir, "events"),
+          bucketSeconds = 3600L, gapSeconds = 1800L)
+        .orderBy("bucket_s")),
+
     // windowed ingest dedup, batch face: earliest event per (user, type)
     // survives each 10-min bucket; min-struct partial agg, so the
     // exchange carries groups, never events
@@ -219,6 +227,30 @@ object TemporalQueries {
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** The 30-minute gap-and-island session relation `sess(user_id,
+    * session_start_us, session_end_us, n_events, sum_value)` — shared
+    * by q44 (the session rollup itself) and q149 (its concurrency
+    * reading) so the interval definition cannot drift between them.
+    */
+  private val SessionCte: String =
+    """o AS (SELECT user_id, ts, value, event_id,
+      |             lag(ts) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS pts
+      |           FROM events),
+      |f AS (SELECT *, CASE WHEN pts IS NULL
+      |                       OR epoch_us(ts) - epoch_us(pts) > 1800000000
+      |                     THEN 1 ELSE 0 END AS ns
+      |      FROM o),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS sess
+      |      FROM f),
+      |sess AS (SELECT user_id,
+      |           min(epoch_us(ts)) AS session_start_us,
+      |           max(epoch_us(ts)) AS session_end_us,
+      |           count(*) AS n_events,
+      |           round(sum(value), 2) AS sum_value
+      |         FROM s GROUP BY user_id, sess)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q43_asof_join" -> AsOfOracleSql,
     "q81_asof_sliced" -> AsOfOracleSql,
@@ -369,25 +401,36 @@ object TemporalQueries {
         |ORDER BY user_id, version""".stripMargin,
 
     "q44_sessionize" ->
-      """WITH o AS (SELECT user_id, ts, value, event_id,
-        |             lag(ts) OVER (PARTITION BY user_id
-        |                           ORDER BY ts, event_id) AS pts
-        |           FROM events),
-        |f AS (SELECT *, CASE WHEN pts IS NULL
-        |                       OR epoch_us(ts) - epoch_us(pts) > 1800000000
-        |                     THEN 1 ELSE 0 END AS ns
-        |      FROM o),
-        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
-        |                              ORDER BY ts, event_id) AS sess
-        |      FROM f)
-        |SELECT user_id,
-        |       min(epoch_us(ts)) AS session_start_us,
-        |       max(epoch_us(ts)) AS session_end_us,
-        |       count(*) AS n_events,
-        |       round(sum(value), 2) AS sum_value
-        |FROM s
-        |GROUP BY user_id, sess
-        |ORDER BY user_id, session_start_us""".stripMargin,
+      s"""WITH $SessionCte
+         |SELECT user_id, session_start_us, session_end_us,
+         |       n_events, sum_value
+         |FROM sess
+         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // same session islands (shared CTE text with q44 — the interval
+    // definition cannot drift), each exploded into its covered hour
+    // buckets, counted at bucket grain
+    "q149_concurrency" ->
+      s"""WITH $SessionCte,
+         |cov AS (SELECT
+         |          (session_start_us // 1000000)
+         |            - ((session_start_us // 1000000) % 3600) AS sb,
+         |          unnest(generate_series(
+         |            (session_start_us // 1000000)
+         |              - ((session_start_us // 1000000) % 3600),
+         |            (session_end_us // 1000000)
+         |              - ((session_end_us // 1000000) % 3600),
+         |            3600)) AS bucket_s
+         |        FROM sess),
+         |c AS (SELECT bucket_s, count(*) AS concurrent,
+         |        CAST(sum(CASE WHEN sb = bucket_s THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS started
+         |      FROM cov GROUP BY 1),
+         |m AS (SELECT max(concurrent) AS mx FROM c)
+         |SELECT bucket_s, concurrent, started,
+         |       CAST(CASE WHEN concurrent = (SELECT mx FROM m)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+         |FROM c ORDER BY bucket_s""".stripMargin,
 
     // Naive inequality formulation — correct at oracle scale; the engine
     // side runs the bucketed band join (equi-shuffle + verify) instead.

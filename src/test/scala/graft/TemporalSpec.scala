@@ -196,6 +196,39 @@ class TemporalSpec extends AnyFunSuite {
     assert(batch.toSeq == sw.toSeq)
   }
 
+  test("concurrency: hand-checked bucket coverage, started counts, peak marker") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "a", 1.0),  // u7: [10:00, 10:10]
+      (3L, ts("2024-01-01 10:50:00"), 8L, "a", 1.0),
+      (4L, ts("2024-01-01 11:05:00"), 8L, "a", 1.0),  // u8 spans the 11:00 boundary
+      (5L, ts("2024-01-01 11:30:00"), 9L, "a", 1.0)   // u9: single-event session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.concurrency(df, bucketSeconds = 3600L, gapSeconds = 1800L)
+      .orderBy("bucket_s")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 10:00 bucket: u7 + u8 live, both started; 11:00: u8 ongoing + u9 started
+    assert(got.toSeq == Seq((2L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("concurrency conservation on corpus: starts partition sessions, peak is the max") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val c = Sessions.concurrency(ev).cache()
+    try {
+      // every session starts in exactly one bucket
+      assert(c.agg(sum("started")).head.getLong(0) ==
+        Sessions.sessionize(ev).count())
+      // covered buckets have at least one live session; peak rows carry
+      // exactly the global max and at least one exists
+      assert(c.filter(col("concurrent") < 1).count() == 0)
+      val mx = c.agg(max("concurrent")).head.getLong(0)
+      assert(c.filter(col("is_peak") === 1).count() >= 1)
+      assert(c.filter(col("is_peak") === 1 && col("concurrent") =!= mx).count() == 0)
+      assert(c.filter(col("is_peak") === 0 && col("concurrent") === mx).count() == 0)
+    } finally c.unpersist()
+  }
+
   test("dedupPerWindow: hand-checked keeper, bucket boundary, tie-break") {
     import spark.implicits._
     def ts(s: Long) = new Timestamp(s * 1000L)
