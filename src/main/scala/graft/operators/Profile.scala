@@ -512,6 +512,66 @@ object Profile {
       kNum: Long = 3L, kDen: Long = 1L): DataFrame =
     robustOutliersFromHist(valueHist(df, groupCol, valueCol), kNum, kDen)
 
+  /** Benford expected first-digit mass, parts-per-million:
+    * `round(log10(1 + 1/d) · 10⁶)` for d = 1..9 — frozen as integer
+    * LITERALS (they sum to exactly 1,000,000) and shared with the
+    * DuckDB oracle text, so no engine evaluates a transcendental at
+    * query time and the audit hash-gates bit-for-bit.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-significant-digit forensics over numeric columns —
+    * the fraud/synthetic-data screen: naturally-occurring amounts
+    * spanning magnitudes lead with 1 ~30% of the time; fabricated or
+    * mechanically-generated values don't. One row per (column, digit
+    * 1–9): observed count, column total, observed ppm, the frozen
+    * Benford expectation, and the signed deviation. A bounded-domain
+    * column (e.g. uniform quantities) deviates wildly BY DESIGN —
+    * Benford presumes multi-magnitude span; the audit reports, the
+    * reader judges applicability.
+    *
+    * Determinism: values fix-point to cents (one deterministic round);
+    * the leading digit is read from the INTEGER's decimal string
+    * (integer formatting is engine-portable — never the double's, whose
+    * shortest-repr rules differ by engine); zeros/negatives are
+    * excluded (Benford is about positive magnitudes); ppm is exact
+    * BIGINT floor division. The digit axis is dense — zero-observed
+    * digits still get rows (their absence IS the finding).
+    *
+    * Scale: one stacked scan of the requested columns (explode of a
+    * `|cols|`-literal array — row amplification is the column count,
+    * the price of one pass), one (column, digit)-grain agg with
+    * map-side combine; everything downstream runs at ≤ 9·|cols| rows.
+    */
+  def benfordAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "benfordAudit needs at least one column")
+    val obs = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          expr(s"cast(round($c * 100) as bigint)").as("cents"))): _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.cents").as("cents"))
+      .filter(col("cents") > 0)
+      .select(col("col_name"),
+        expr("cast(substring(cast(cents as string), 1, 1) as bigint)")
+          .as("digit"))
+      .groupBy("col_name", "digit").agg(count(lit(1)).as("observed"))
+    val totals = obs.groupBy("col_name").agg(sum(col("observed")).as("n"))
+    val axis = totals.select(col("col_name"), col("n"),
+        explode(array(BenfordPpm.map { case (d, p) =>
+          struct(lit(d.toLong).as("digit"), lit(p).as("expected_ppm"))
+        }: _*)).as("e"))
+      .select(col("col_name"), col("n"),
+        col("e.digit").as("digit"), col("e.expected_ppm").as("expected_ppm"))
+    axis.join(obs, Seq("col_name", "digit"), "left")
+      .select(col("col_name"), col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"), col("n"),
+        expr("coalesce(observed, 0) * 1000000 div n").as("observed_ppm"),
+        col("expected_ppm"))
+      .withColumn("dev_ppm", col("observed_ppm") - col("expected_ppm"))
+  }
+
   /** The (grp, cents, c) value histogram [[robustOutliers]] runs over —
     * exposed because it is a MERGEABLE partial: histograms from
     * disjoint batches fold by summing `c` per (grp, cents), which is

@@ -127,7 +127,15 @@ object ProfileQueries {
     "q144_reconciliation" -> ((spark, dir) =>
       Profile.reconcileOrderTotals(
           Tables.load(spark, dir, "orders"), Tables.load(spark, dir, "lineitem"))
-        .orderBy("o_orderstatus")))
+        .orderBy("o_orderstatus")),
+
+    // BENFORD: first-digit forensics on a multi-magnitude amount (should
+    // track the law) next to a bounded uniform quantity (deviates BY
+    // DESIGN — the contrast demonstrates the screen)
+    "q150_benford" -> ((spark, dir) =>
+      Profile.benfordAudit(Tables.load(spark, dir, "lineitem"),
+          Seq("l_extendedprice", "l_quantity"))
+        .orderBy("col_name", "digit")))
 
   /** q120's oracle: one UNION ALL branch per lineitem column, mirroring
     * [[Profile.columnProfile]]'s portability rule (min/max NULL for
@@ -310,6 +318,7 @@ object ProfileQueries {
     "q131_violation_rows" -> ViolationRowsSql,
     "q132_fd_audit" -> FdAuditSql,
     "q138_robust_outliers" -> RobustOutliersSql,
+    "q150_benford" -> BenfordSql,
     "q144_reconciliation" -> ReconciliationSql)
 
   /** q144's oracle: identical per-line cents fixing, BIGINT sums,
@@ -341,6 +350,43 @@ object ProfileQueries {
     * and deviation grain), the same cross-multiplied rational fence —
     * exact BIGINT throughout, so the gate is a hash match.
     */
+  /** q150's oracle: cents fixing, leading digit off the INTEGER's
+    * decimal string, dense digit axis, exact ppm floor division — the
+    * expected-ppm literals come from the SAME `Profile.BenfordPpm`
+    * constants the engine folds into its plan, so neither engine ever
+    * evaluates log10.
+    */
+  private val BenfordSql: String = {
+    val expRows = Profile.BenfordPpm.map { case (d, p) =>
+      s"(CAST($d AS BIGINT), CAST($p AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH src AS (
+       |  SELECT 'l_extendedprice' AS col_name,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'l_quantity', CAST(round(l_quantity * 100) AS BIGINT)
+       |  FROM lineitem),
+       |obs AS (SELECT col_name,
+       |          CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |          count(*) AS observed
+       |        FROM src WHERE cents > 0 GROUP BY 1, 2),
+       |tot AS (SELECT col_name, CAST(sum(observed) AS BIGINT) AS n
+       |        FROM obs GROUP BY 1),
+       |exp AS (SELECT * FROM (VALUES $expRows) AS t(digit, expected_ppm)),
+       |axis AS (SELECT t.col_name, t.n, e.digit, e.expected_ppm
+       |         FROM tot t CROSS JOIN exp e)
+       |SELECT a.col_name, a.digit,
+       |       CAST(coalesce(o.observed, 0) AS BIGINT) AS observed, a.n,
+       |       (coalesce(o.observed, 0) * 1000000) // a.n AS observed_ppm,
+       |       a.expected_ppm,
+       |       (coalesce(o.observed, 0) * 1000000) // a.n - a.expected_ppm
+       |         AS dev_ppm
+       |FROM axis a LEFT JOIN obs o
+       |  ON a.col_name = o.col_name AND a.digit = o.digit
+       |ORDER BY a.col_name, a.digit""".stripMargin
+  }
+
   private val RobustOutliersSql: String =
     """WITH hist AS (
       |  SELECT event_type AS grp,

@@ -23,6 +23,32 @@ class ProfileSpec extends AnyFunSuite {
     (5L, Option("c"), Option(9.9))
   ).toDF("id", "k", "v")
 
+  test("benfordAudit: hand-checked digits, dense axis, exclusions, ppm law") {
+    // cents 100/200/1999/50 -> digits 1, 2, 1, 5; zero and negative excluded
+    val df = Seq(1.00, 2.00, 19.99, 0.50, 0.0, -3.0).toDF("amt")
+    val got = Profile.benfordAudit(df, Seq("amt")).orderBy("digit")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 9, "digit axis must be dense")
+    assert(got.map(_._3).distinct.toSeq == Seq(4L), "n counts positive rows only")
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 1L,
+        6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 0L))
+    // the frozen expectation is a true distribution: exactly 1e6 ppm
+    assert(Profile.BenfordPpm.map(_._2).sum == 1000000L)
+  }
+
+  test("benfordAudit conservation on corpus: observed partitions n, 9 rows per column") {
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    val a = Profile.benfordAudit(li, Seq("l_extendedprice", "l_quantity")).cache()
+    try {
+      assert(a.count() == 18)
+      val bad = a.groupBy("col_name")
+        .agg(sum("observed").as("s"), max("n").as("n"), min("n").as("n2"))
+        .filter(col("s") =!= col("n") || col("n") =!= col("n2"))
+      assert(bad.count() == 0, "observed must partition each column's n")
+    } finally a.unpersist()
+  }
+
   test("columnProfile: counts nulls/distincts per column in one pass") {
     val p = Profile.columnProfile(dirty).collect()
       .map(r => r.getString(0) -> r).toMap
