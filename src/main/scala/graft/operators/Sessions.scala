@@ -369,6 +369,40 @@ object Sessions {
         expr("csum div n_events").as("mean_cents"))
   }
 
+  /** First-order Markov transition matrix over per-key event streams:
+    * for every ordered pair of consecutive events of the same key
+    * closer than `gapSeconds` (the [[sessionize]] gap — a transition
+    * across a session boundary is not behavior, it's absence), the
+    * transition count, the from-state row total, and the row-normalized
+    * probability in exact ppm floor division — the next-event model
+    * behind sequence features, anomaly scoring ("this transition has
+    * p < 1e-4"), and funnel hypothesis generation.
+    *
+    * Scale shape: one (key)-partitioned lead window (the stream never
+    * globally sorts), then everything downstream at state×state grain —
+    * bounded by the type vocabulary squared, never the event count.
+    * Tie order within a key is (ts, event_id), the corpus-wide
+    * deterministic order every temporal operator here uses.
+    */
+  def transitionMatrix(events: DataFrame, gapSeconds: Long = 1800L,
+      keyCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    val trans = events
+      .select(col(keyCol), col("ts"), col("event_id"),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .withColumn("dt_us",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("to_type").isNotNull && col("dt_us") <= gapUs)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    trans.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("n * 1000000 div n_from").as("p_ppm"))
+  }
+
   /** Interval-concurrency audit over the sessionized stream: for every
     * `bucketSeconds` bucket a session touches, how many sessions were
     * LIVE there (bucket overlap of the closed session interval), how

@@ -51,6 +51,14 @@ object TemporalQueries {
           bucketSeconds = 3600L, gapSeconds = 1800L)
         .orderBy("bucket_s")),
 
+    // first-order Markov next-event matrix: within-session consecutive
+    // pairs, row-normalized to exact ppm — one per-user lead window,
+    // then state×state grain
+    "q151_transitions" -> ((spark, dir) =>
+      Sessions.transitionMatrix(Tables.load(spark, dir, "events"),
+          gapSeconds = 1800L)
+        .orderBy("from_type", "to_type")),
+
     // windowed ingest dedup, batch face: earliest event per (user, type)
     // survives each 10-min bucket; min-struct partial agg, so the
     // exchange carries groups, never events
@@ -431,6 +439,25 @@ object TemporalQueries {
          |       CAST(CASE WHEN concurrent = (SELECT mx FROM m)
          |            THEN 1 ELSE 0 END AS BIGINT) AS is_peak
          |FROM c ORDER BY bucket_s""".stripMargin,
+
+    "q151_transitions" ->
+      """WITH t AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) AS to_type,
+        |             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts, event_id)
+        |               - epoch_us(ts) AS dt_us
+        |           FROM events),
+        |tr AS (SELECT from_type, to_type, count(*) AS n
+        |       FROM t
+        |       WHERE to_type IS NOT NULL AND dt_us <= 1800000000
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |        FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n, tot.n_from,
+        |       (tr.n * 1000000) // tot.n_from AS p_ppm
+        |FROM tr JOIN tot ON tr.from_type = tot.from_type
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin,
 
     // Naive inequality formulation — correct at oracle scale; the engine
     // side runs the bucketed band join (equi-shuffle + verify) instead.

@@ -196,6 +196,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(batch.toSeq == sw.toSeq)
   }
 
+  test("transitionMatrix: within-gap pairs counted, boundary crossings and tails excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "click", 0.0),  // view->click
+      (3L, ts("2024-01-01 12:00:00"), 7L, "view", 0.0),   // gap > 30m: no click->view
+      (4L, ts("2024-01-01 12:01:00"), 7L, "click", 0.0),  // view->click
+      (5L, ts("2024-01-01 10:00:00"), 8L, "view", 0.0),
+      (6L, ts("2024-01-01 10:01:00"), 8L, "view", 0.0)    // view->view
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.transitionMatrix(df).orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("view", "click", 2L, 3L, 666666L),
+      ("view", "view", 1L, 3L, 333333L)))
+  }
+
+  test("transitionMatrix rows normalize on corpus: sum(n) == n_from per state, p_ppm <= 1e6") {
+    val m = Sessions.transitionMatrix(
+      Tables.load(spark, TestSpark.Sf0001, "events")).cache()
+    try {
+      val bad = m.groupBy("from_type")
+        .agg(sum("n").as("s"), max("n_from").as("t"), min("n_from").as("t2"))
+        .filter(col("s") =!= col("t") || col("t") =!= col("t2"))
+      assert(bad.count() == 0, "each row's n must partition its from-state total")
+      assert(m.filter(col("p_ppm") > 1000000L || col("p_ppm") < 0L).count() == 0)
+    } finally m.unpersist()
+  }
+
   test("concurrency: hand-checked bucket coverage, started counts, peak marker") {
     import spark.implicits._
     val df = Seq(
