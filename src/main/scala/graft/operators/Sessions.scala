@@ -369,6 +369,54 @@ object Sessions {
         expr("csum div n_events").as("mean_cents"))
   }
 
+  /** Per-group exact-integer OLS trend over the DENSE daily series:
+    * slope of each group's daily cents total against the day index,
+    * with zero-filled gap days (a quiet day is evidence of decline,
+    * not a missing sample — the q123/q146 dense-axis posture). The
+    * trend detector behind "is this error type growing".
+    *
+    * Arithmetic is the cross-multiplied OLS rational, exact BIGINT end
+    * to end: num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)², emitted as the
+    * exact pair plus a sign and `(10⁶·|num|) div den` (abs-then-floor,
+    * because trunc-vs-floor division of NEGATIVES differs between
+    * engines — the q136 lesson). x is the day index SHIFTED to the
+    * global span start: slope is shift-invariant, and small x keeps
+    * the Σxy products inside BIGINT (envelope: |num|·10⁶ < 2⁶³ —
+    * holds through ~10¹² daily cents at year spans).
+    *
+    * Scale shape: one row-grain groupBy to (group, day) grain, a
+    * broadcast 1-row bounds frame, a dense axis of groups × span days
+    * (bounded by time, never row count), one group-grain agg.
+    */
+  def dailyTrend(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val daySec = 86400L
+    val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
+    val daily = Ckpt.narrow(events
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("grp"),
+        expr(s"($sec - pmod($sec, $daySec)) div $daySec").as("day"))
+      .agg(sum(expr(s"cast(round($valueCol * 100) as bigint)")).as("y")))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val axis = daily.select("grp").distinct()
+      .crossJoin(broadcast(bounds)) // 1-row bounds frame — bounded
+      .select(col("grp"), col("lo"),
+        explode(expr("sequence(lo, hi)")).as("day"))
+    axis.join(daily, Seq("grp", "day"), "left")
+      .select(col("grp"), (col("day") - col("lo")).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sum_y_cents"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("grp"), col("n_days"), col("sum_y_cents"),
+        (col("n_days") * col("sxy") - col("sx") * col("sum_y_cents")).as("num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope_sign", signum(col("num")).cast("bigint"))
+      .withColumn("slope_abs_microcents",
+        when(col("den") > 0, expr("(abs(num) * 1000000) div den")))
+  }
+
   /** First-order Markov transition matrix over per-key event streams:
     * for every ordered pair of consecutive events of the same key
     * closer than `gapSeconds` (the [[sessionize]] gap — a transition

@@ -59,6 +59,12 @@ object TemporalQueries {
           gapSeconds = 1800L)
         .orderBy("from_type", "to_type")),
 
+    // per-type exact-integer OLS slope over the dense zero-filled daily
+    // cents series — cross-multiplied rational, abs-then-floor division
+    "q152_daily_trend" -> ((spark, dir) =>
+      Sessions.dailyTrend(Tables.load(spark, dir, "events"))
+        .orderBy("grp")),
+
     // windowed ingest dedup, batch face: earliest event per (user, type)
     // survives each 10-min bucket; min-struct partial agg, so the
     // exchange carries groups, never events
@@ -458,6 +464,40 @@ object TemporalQueries {
         |       (tr.n * 1000000) // tot.n_from AS p_ppm
         |FROM tr JOIN tot ON tr.from_type = tot.from_type
         |ORDER BY tr.from_type, tr.to_type""".stripMargin,
+
+    "q152_daily_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |         ((epoch_us(ts) // 1000000)
+        |           - ((epoch_us(ts) // 1000000) % 86400)) // 86400 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |axis AS (SELECT g.grp, b.lo,
+        |           unnest(generate_series(b.lo, b.hi)) AS day
+        |         FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN b),
+        |f AS (SELECT a.grp, a.day - a.lo AS x, coalesce(d.y, 0) AS y
+        |      FROM axis a LEFT JOIN daily d
+        |        ON a.grp = d.grp AND a.day = d.day),
+        |agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+        |          CAST(sum(y) AS BIGINT) AS sum_y_cents,
+        |          CAST(sum(x * y) AS BIGINT) AS sxy,
+        |          CAST(sum(x) AS BIGINT) AS sx,
+        |          CAST(sum(x * x) AS BIGINT) AS sxx
+        |        FROM f GROUP BY 1)
+        |SELECT grp, n_days, sum_y_cents,
+        |       n_days * sxy - sx * sum_y_cents AS num,
+        |       n_days * sxx - sx * sx AS den,
+        |       CAST(CASE WHEN n_days * sxy - sx * sum_y_cents > 0 THEN 1
+        |                 WHEN n_days * sxy - sx * sum_y_cents < 0 THEN -1
+        |                 ELSE 0 END AS BIGINT) AS slope_sign,
+        |       CASE WHEN n_days * sxx - sx * sx > 0
+        |            THEN (abs(n_days * sxy - sx * sum_y_cents) * 1000000)
+        |                 // (n_days * sxx - sx * sx)
+        |       END AS slope_abs_microcents
+        |FROM agg ORDER BY grp""".stripMargin,
 
     // Naive inequality formulation — correct at oracle scale; the engine
     // side runs the bucketed band join (equi-shuffle + verify) instead.

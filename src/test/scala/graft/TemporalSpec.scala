@@ -196,6 +196,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(batch.toSeq == sw.toSeq)
   }
 
+  test("dailyTrend: exact slope on a hand series, zero-filled gap days, sign convention") {
+    import spark.implicits._
+    val df = Seq(
+      // group "up": 1.00, 2.00, 3.00 over three days -> +100 cents/day
+      (1L, ts("2024-01-01 10:00:00"), 1L, "up", 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "up", 2.0),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "up", 3.0),
+      // group "gap": day 0 and day 2 only; the dense axis zero-fills day 1
+      (4L, ts("2024-01-01 00:00:00"), 2L, "gap", 4.0),
+      (5L, ts("2024-01-03 00:00:00"), 2L, "gap", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.dailyTrend(df).orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // up: n=3, sy=600, sxy=800, sx=3, sxx=5 -> num=600, den=6, slope=+100c/day
+    // gap: y=(400,0,200) -> sy=600, sxy=400 -> num=3*400-3*600=-600, den=6
+    assert(got == Seq(
+      ("gap", 3L, 600L, -600L, 6L, -1L, 100000000L),
+      ("up", 3L, 600L, 600L, 6L, 1L, 100000000L)))
+  }
+
   test("transitionMatrix: within-gap pairs counted, boundary crossings and tails excluded") {
     import spark.implicits._
     val df = Seq(
