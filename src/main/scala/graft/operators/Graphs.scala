@@ -58,6 +58,57 @@ object Graphs {
       .select(col("a"), (col("s") - col("a") - col("c")).as("b"), col("c"))
   }
 
+  /** Bounded-round k-core peel: `rounds` synchronous rounds of "remove
+    * every node whose CURRENT degree is < k (edges to removed nodes
+    * don't count)", over the canonical `(i, j)` edge relation. On the
+    * near-dup graph this grades cluster cohesion one level deeper than
+    * [[triangles]]: a 2-core member is held by at least two witnesses
+    * that are themselves held — isolated pair-edges peel away.
+    *
+    * Output: one row per node — `removed_round` (1-based round of
+    * removal; NULL = survivor) and `core_deg` (degree in the final
+    * surviving subgraph; NULL = removed). BOUNDED-round semantics, not
+    * run-to-fixpoint: a long chain peels one layer per round, so after
+    * R rounds the survivor set is a SUPERSET of the true k-core —
+    * exactly R rounds is the portable contract (the [[PageRank]]
+    * pattern: the oracle unrolls the same R rounds, so there is no
+    * convergence ambiguity to hash-gate away).
+    *
+    * Scale shape: each round is one degree aggregation plus two
+    * anti-joins — O(|E|) per round, map-side partial counts, no
+    * all-pairs anywhere; frame lineage is cut per round ([[Ckpt]]).
+    */
+  def kCorePeel(edges: DataFrame, k: Long = 2L, rounds: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("i"), col("j"))
+    var sym = Ckpt.narrow(
+      e.union(e.select(col("j").as("i"), col("i").as("j"))).toDF("u", "v"))
+    var alive = Ckpt.narrow(sym.select(col("u").as("node")).distinct())
+    var removed: DataFrame = null
+    for (r <- 1 to rounds) {
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val peel = Ckpt.narrow(alive
+        .join(deg, Seq("node"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < k)
+        .select(col("node"), lit(r.toLong).as("removed_round")))
+      removed =
+        if (removed == null) peel else Ckpt.narrow(removed.union(peel))
+      alive = Ckpt.narrow(alive.join(peel, Seq("node"), "left_anti"))
+      sym = Ckpt.narrow(sym
+        .join(peel.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(peel.select(col("node").as("v")), Seq("v"), "left_anti"))
+    }
+    val coreDeg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("cd"))
+    val survivors = alive.join(coreDeg, Seq("node"), "left")
+      .select(col("node"), lit(null).cast("bigint").as("removed_round"),
+        coalesce(col("cd"), lit(0L)).as("core_deg"))
+    removed
+      .select(col("node"), col("removed_round"),
+        lit(null).cast("bigint").as("core_deg"))
+      .union(survivors)
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent pair with
     * at least one shared neighbor, the shared-neighbor count, each
     * side's degree, and the neighborhood-Jaccard score — on the

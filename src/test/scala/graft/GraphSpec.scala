@@ -103,4 +103,28 @@ class GraphSpec extends AnyFunSuite {
     val (_, _, common, di, dj, score) = capped.head
     assert(common == 1L && di == 1L && dj == 1L && score == 1.0)
   }
+
+  test("kCorePeel: triangle survives, pendant chain peels one layer per round") {
+    import graft.operators.Graphs
+    // triangle {1,2,3} + chain 3-4-5: deg(5)=1 peels in r1, exposing
+    // deg(4)=1 for r2; the triangle holds at core_deg 2 everywhere
+    val e = undirected(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L)
+    val got = Graphs.kCorePeel(e, k = 2L, rounds = 5).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, -1L, 2L), (2L, -1L, 2L), (3L, -1L, 2L),
+      (4L, 2L, -1L), (5L, 1L, -1L)))
+  }
+
+  test("kCorePeel bounded-round contract: a long chain is NOT fully peeled in few rounds") {
+    import graft.operators.Graphs
+    // path of 7 nodes: the true 2-core is empty, but 2 rounds peel only
+    // the outermost two layers — exactly-R-rounds is the portable law
+    val e = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 6L -> 7L)
+    val r2 = Graphs.kCorePeel(e, k = 2L, rounds = 2).collect()
+    assert(r2.count(_.isNullAt(1)) == 3, "nodes 3,4,5 must still be alive after 2 rounds")
+    val r5 = Graphs.kCorePeel(e, k = 2L, rounds = 5).collect()
+    assert(r5.count(_.isNullAt(1)) == 0, "5 rounds fully peel a 7-path")
+  }
 }
