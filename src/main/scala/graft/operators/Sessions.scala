@@ -369,6 +369,57 @@ object Sessions {
         expr("csum div n_events").as("mean_cents"))
   }
 
+  /** Weekly growth accounting: per week, the active-user count split
+    * into NEW (first-ever week), RETAINED (also active the week
+    * before), and RESURRECTED (active before, skipped ≥ 1 week), plus
+    * CHURNED = last week's actives who went silent (the identity
+    * churned_w = active_{w−1} − retained_w) — the standard
+    * startup-metrics decomposition, and the engagement complement of
+    * [[retentionCohorts]]' fixed-cohort triangle.
+    *
+    * Scale shape: presence collapses to (user, week) grain map-side
+    * (one distinct), per-user lag runs in the user partition (never a
+    * global sort), and everything after is WEEK grain. The one global
+    * window (the churn lag over the week axis) runs on the
+    * time-bounded axis — hundreds of rows for years of data — the
+    * q130/q123 bounded-axis posture. Weeks are exact integer floors of
+    * epoch seconds / 604800 (engine-portable; no calendar ambiguity).
+    */
+  def growthAccounting(events: DataFrame,
+      keyCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pres = events
+      .filter(col(keyCol).isNotNull && col("ts").isNotNull)
+      .select(col(keyCol).as("u"),
+        expr("unix_micros(ts) div 1000000 div 604800").as("week"))
+      .distinct()
+    val byUser = Window.partitionBy("u").orderBy("week")
+    val marked = pres
+      .withColumn("prev", lag(col("week"), 1).over(byUser))
+      .select(col("week"),
+        when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+        when(col("prev") === col("week") - 1, 1L).otherwise(0L)
+          .as("is_retained"),
+        when(col("prev").isNotNull && col("prev") < col("week") - 1, 1L)
+          .otherwise(0L).as("is_resurrected"))
+    val byWeek = Ckpt.narrow(marked.groupBy("week")
+      .agg(count(lit(1)).as("active"), sum(col("is_new")).as("new_users"),
+        sum(col("is_retained")).as("retained"),
+        sum(col("is_resurrected")).as("resurrected")))
+    val bounds = byWeek.agg(min("week").as("lo"), max("week").as("hi"))
+    val axis = broadcast(bounds) // 1-row frame — bounded
+      .select(explode(expr("sequence(lo, hi)")).as("week"))
+    val dense = axis.join(byWeek, Seq("week"), "left")
+      .select(col("week"), coalesce(col("active"), lit(0L)).as("active"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"))
+    dense
+      .withColumn("churned",
+        coalesce(lag(col("active"), 1).over(Window.orderBy("week")), lit(0L))
+          - col("retained"))
+  }
+
   /** Per-group exact-integer OLS trend over the DENSE daily series:
     * slope of each group's daily cents total against the day index,
     * with zero-filled gap days (a quiet day is evidence of decline,

@@ -65,6 +65,12 @@ object TemporalQueries {
       Sessions.dailyTrend(Tables.load(spark, dir, "events"))
         .orderBy("grp")),
 
+    // weekly growth accounting: active = new + retained + resurrected,
+    // churned = last week's actives who went silent — week-grain output
+    "q154_growth_accounting" -> ((spark, dir) =>
+      Sessions.growthAccounting(Tables.load(spark, dir, "events"))
+        .orderBy("week")),
+
     // windowed ingest dedup, batch face: earliest event per (user, type)
     // survives each 10-min bucket; min-struct partial agg, so the
     // exchange carries groups, never events
@@ -498,6 +504,35 @@ object TemporalQueries {
         |                 // (n_days * sxx - sx * sx)
         |       END AS slope_abs_microcents
         |FROM agg ORDER BY grp""".stripMargin,
+
+    "q154_growth_accounting" ->
+      """WITH pres AS (SELECT DISTINCT user_id AS u,
+        |                (epoch_us(ts) // 1000000) // 604800 AS week
+        |              FROM events
+        |              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT week,
+        |        lag(week) OVER (PARTITION BY u ORDER BY week) AS prev
+        |      FROM pres),
+        |bw AS (SELECT week, count(*) AS active,
+        |         CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS new_users,
+        |         CAST(sum(CASE WHEN prev = week - 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS retained,
+        |         CAST(sum(CASE WHEN prev IS NOT NULL AND prev < week - 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |       FROM m GROUP BY 1),
+        |b AS (SELECT min(week) AS lo, max(week) AS hi FROM bw),
+        |axis AS (SELECT unnest(generate_series(b.lo, b.hi)) AS week FROM b),
+        |dense AS (SELECT a.week,
+        |            coalesce(bw.active, 0) AS active,
+        |            coalesce(bw.new_users, 0) AS new_users,
+        |            coalesce(bw.retained, 0) AS retained,
+        |            coalesce(bw.resurrected, 0) AS resurrected
+        |          FROM axis a LEFT JOIN bw ON a.week = bw.week)
+        |SELECT week, active, new_users, retained, resurrected,
+        |       coalesce(lag(active) OVER (ORDER BY week), 0) - retained
+        |         AS churned
+        |FROM dense ORDER BY week""".stripMargin,
 
     // Naive inequality formulation — correct at oracle scale; the engine
     // side runs the bucketed band join (equi-shuffle + verify) instead.

@@ -196,6 +196,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(batch.toSeq == sw.toSeq)
   }
 
+  test("growthAccounting: hand-checked new/retained/resurrected/churned, additivity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),  // u1: w0, w1, w2
+      (2L, ts("2024-01-08 10:00:00"), 1L, "a", 0.0),
+      (3L, ts("2024-01-15 10:00:00"), 1L, "a", 0.0),
+      (4L, ts("2024-01-01 11:00:00"), 2L, "a", 0.0),  // u2: w0, skip, w2
+      (5L, ts("2024-01-15 11:00:00"), 2L, "a", 0.0),
+      (6L, ts("2024-01-08 11:00:00"), 3L, "a", 0.0)   // u3: w1 only
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.growthAccounting(df).orderBy("week")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // (active, new, retained, resurrected, churned) per week
+    assert(got == Seq((2L, 2L, 0L, 0L, 0L), (2L, 1L, 1L, 0L, 1L),
+      (2L, 0L, 1L, 1L, 1L)))
+    assert(got.forall(t => t._1 == t._2 + t._3 + t._4),
+      "active must decompose exactly into new + retained + resurrected")
+  }
+
   test("dailyTrend: exact slope on a hand series, zero-filled gap days, sign convention") {
     import spark.implicits._
     val df = Seq(
