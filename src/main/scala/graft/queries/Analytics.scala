@@ -159,7 +159,41 @@ object Analytics {
       graft.operators.Associations.brandLift(
           Tables.load(spark, dir, "lineitem"), Tables.load(spark, dir, "part"),
           minSupport = 20L, maxBasket = 16)
-        .orderBy(col("lift").desc, col("item_a"), col("item_b"))))
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))),
+
+    // MARKET CONCENTRATION: per-nation Herfindahl-Hirschman index over
+    // supplier revenue shares, exact ppm arithmetic end to end — the
+    // antitrust/vendor-risk reading of the trading graph (a nation at
+    // hhi_ppm > 250000 is the classic "highly concentrated" market).
+    // The big table collapses to supplier grain FIRST (map-side
+    // combine), so the share/HHI math runs at dimension grain; revenue
+    // is per-LINE cents fixing then exact BIGINT (the q144 contract).
+    // Envelope: share_ppm needs sup_cents·10⁶ < 2⁶³ — holds through
+    // ~9·10¹² cents (~$92B) per supplier.
+    "q155_market_concentration" -> ((spark, dir) => {
+      val sup = Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val sn = Tables.load(spark, dir, "lineitem")
+        .select(col("l_suppkey"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+        .groupBy("l_suppkey").agg(sum(col("cents")).as("sup_cents"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("sup_cents"))
+      val totals = sn.groupBy("nation")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("sup_cents")).as("total_cents"))
+      sn.join(totals, Seq("nation"))
+        .select(col("nation"), col("n_suppliers"), col("total_cents"),
+          expr("sup_cents * 1000000 div total_cents").as("share_ppm"))
+        .groupBy("nation", "n_suppliers", "total_cents")
+        .agg(max(col("share_ppm")).as("top_share_ppm"),
+          expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
+        .orderBy("nation")
+    }))
 
   def oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -263,6 +297,31 @@ object Analytics {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q155_market_concentration" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                             * 100) AS BIGINT)) AS BIGINT)
+        |           AS sup_cents
+        |  FROM lineitem GROUP BY 1),
+        |sn AS (SELECT n.n_name AS nation, r.sup_cents
+        |       FROM rev r
+        |       JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |       JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |t AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |        CAST(sum(sup_cents) AS BIGINT) AS total_cents
+        |      FROM sn GROUP BY 1),
+        |sh AS (SELECT sn.nation,
+        |         (sn.sup_cents * 1000000) // t.total_cents AS share_ppm
+        |       FROM sn JOIN t ON sn.nation = t.nation)
+        |SELECT t.nation, t.n_suppliers, t.total_cents,
+        |       CAST(max(sh.share_ppm) AS BIGINT) AS top_share_ppm,
+        |       CAST(sum(sh.share_ppm * sh.share_ppm) AS BIGINT) // 1000000
+        |         AS hhi_ppm
+        |FROM sh JOIN t ON sh.nation = t.nation
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1""".stripMargin,
 
     // identical basket population on every branch: items -> capped
     // baskets -> pairs/singles/total all read the `kept` CTE; lift is

@@ -30,4 +30,18 @@ class QueriesSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q155 HHI laws: bounded by 1e6, at least the top share's own square, floor of 1e6/n") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q155_market_concentration")(spark, TestSpark.Sf0001)
+      .select(col("n_suppliers"), col("top_share_ppm"), col("hhi_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, top, hhi) =>
+      assert(hhi <= 1000000L, s"HHI above monopoly: $hhi")
+      assert(hhi >= top * top / 1000000L, "HHI can't undercut its own top share")
+      // equal split minimizes HHI at ~1e6/n (floor slack from ppm rounding)
+      assert(hhi >= 1000000L / n - n, s"HHI $hhi below the equal-split floor for n=$n")
+    }
+  }
 }
