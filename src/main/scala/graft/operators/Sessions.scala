@@ -484,11 +484,23 @@ object Sessions {
     * deterministic order every temporal operator here uses.
     */
   def transitionMatrix(events: DataFrame, gapSeconds: Long = 1800L,
+      keyCol: String = "user_id", typeCol: String = "event_type"): DataFrame =
+    normalizeTransitions(
+      transitionCounts(events, gapSeconds, keyCol, typeCol))
+
+  /** The raw (from_type, to_type, n) transition counts behind
+    * [[transitionMatrix]] — exposed because counts from batches that
+    * PARTITION a key's ordered stream (each boundary pair counted by
+    * the batch holding its later member) fold by summing `n`, which is
+    * what the streaming ingest tier persists per micro-batch
+    * ([[graft.streaming.Streams.ingestTransitions]]) and folds on read.
+    */
+  def transitionCounts(events: DataFrame, gapSeconds: Long = 1800L,
       keyCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCol).orderBy(col("ts"), col("event_id"))
     val gapUs = gapSeconds * 1000000L
-    val trans = events
+    events
       .select(col(keyCol), col("ts"), col("event_id"),
         col(typeCol).as("from_type"))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
@@ -496,6 +508,13 @@ object Sessions {
         lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
       .filter(col("to_type").isNotNull && col("dt_us") <= gapUs)
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+  }
+
+  /** Row-normalization tail shared by the batch and streamed faces (so
+    * the two cannot drift): from-state totals and exact-ppm
+    * probabilities over a (from_type, to_type, n) counts frame.
+    */
+  def normalizeTransitions(trans: DataFrame): DataFrame = {
     val totals = trans.groupBy("from_type").agg(sum(col("n")).as("n_from"))
     trans.join(totals, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),

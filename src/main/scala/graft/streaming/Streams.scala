@@ -722,6 +722,135 @@ object Streams {
     }
   }
 
+  /** Streaming Markov transition matrix — the EIGHTH `foreachBatch`
+    * ingest composition, and the first ORDER-SENSITIVE one: transition
+    * counts are NOT a pure mergeable (the pair spanning two batches
+    * belongs to neither batch alone), so each micro-batch carries a
+    * per-user FRONTIER — the last (ts, event_id, type) seen per user —
+    * and counts its within-batch pairs PLUS the frontier→first-event
+    * boundary pair, writing a summable (from_type, to_type, n) partial.
+    * Folded counts + the shared normalization tail
+    * ([[graft.operators.Sessions.normalizeTransitions]]) ≡ the one-shot
+    * batch [[graft.operators.Sessions.transitionMatrix]] over the
+    * concatenated stream, at hash level (the StreamingSpec
+    * differential).
+    *
+    * Contract: per-user event-time monotone ingest (append order — a
+    * log). A batch event at-or-before its user's stored frontier would
+    * silently mis-pair, so the batch step FAILS LOUDLY on the first
+    * violation instead (the Bloom-meta / profile-version posture:
+    * detectable drift never folds quietly). Same marker-last commit,
+    * replay-skip, and [[compactTransitions]] cadence as the other
+    * tiers; state is the (from, to) count grid plus one frontier row
+    * per user.
+    */
+  def ingestTransitions(events: DataFrame, stateDir: String,
+      checkpointDir: String, gapSeconds: Long = 1800L): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestTransitionsBatch(batch.toDF(), stateDir, batchId, gapSeconds)
+      }
+      .start()
+
+  /** One transition ingest step (see [[ingestTransitions]]); public for
+    * batch-mode replays and tests.
+    */
+  def ingestTransitionsBatch(batch: DataFrame, stateDir: String,
+      batchId: Long, gapSeconds: Long = 1800L): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    val ev = batch.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"))
+    val all = latestTransitionFrontier(spark, stateDir) match {
+      case None => ev
+      case Some(f) =>
+        val firsts = ev.groupBy("user_id")
+          .agg(min(struct(unix_micros(col("ts")).as("ts_us"),
+            col("event_id").as("event_id"))).as("first"))
+        val viol = firsts
+          .join(f.select(col("user_id"),
+            struct(col("ts_us"), col("event_id")).as("last")), "user_id")
+          .filter(!(col("first") > col("last")))
+        val bad = viol.limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"ingestTransitions: batch $batchId carries an event at-or-" +
+            s"before the stored frontier for user ${bad.head.get(0)} — " +
+            "out-of-order ingest would silently mis-pair transitions; " +
+            "this tier requires per-user event-time monotone batches")
+        ev.unionByName(f.select(col("user_id"),
+          expr("timestamp_micros(ts_us)").as("ts"), col("event_id"),
+          col("event_type")))
+    }
+    graft.operators.Sessions.transitionCounts(all, gapSeconds)
+      .write.mode("overwrite").parquet(s"$stateDir/trans/batch=$batchId")
+    all.groupBy("user_id")
+      .agg(max(struct(unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("event_id"),
+        col("event_type").as("event_type"))).as("m"))
+      .select(col("user_id"), col("m.ts_us").as("ts_us"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"))
+      .write.mode("overwrite").parquet(s"$stateDir/frontier/batch=$batchId")
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** The newest committed frontier snapshot (one row per user), from
+    * the highest delta batch or, failing that, the compacted base.
+    */
+  private def latestTransitionFrontier(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (ids.nonEmpty)
+      Some(spark.read.parquet(s"$stateDir/frontier/batch=${ids.max}"))
+    else if (c >= 0)
+      Some(spark.read.parquet(baseDir(stateDir, c) + "/frontier"))
+    else None
+  }
+
+  /** The row-normalized transition matrix over all committed batches
+    * (and any compacted base) — the ingest-side face of q151. None
+    * before the first commit.
+    */
+  def ingestTransitionsRead(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else {
+      val basePfx = if (c >= 0) Seq(baseDir(stateDir, c) + "/trans") else Nil
+      Some(graft.operators.Sessions.normalizeTransitions(spark.read
+        .parquet(basePfx ++ ids.map(i => s"$stateDir/trans/batch=$i"): _*)
+        .groupBy("from_type", "to_type").agg(sum("n").as("n"))))
+    }
+  }
+
+  /** Fold every committed transition partial (and any prior base) into
+    * a fresh canonical base, carrying the newest frontier forward —
+    * same commit/GC protocol as [[compactValueHist]]; keeps read cost
+    * flat as batch count grows.
+    */
+  def compactTransitions(spark: SparkSession, stateDir: String,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
+    if (ids.isEmpty) None
+    else {
+      val c = ids.max
+      val basePfx = if (c0 >= 0) Seq(baseDir(stateDir, c0) + "/trans") else Nil
+      spark.read
+        .parquet(basePfx ++ ids.map(i => s"$stateDir/trans/batch=$i"): _*)
+        .groupBy("from_type", "to_type").agg(sum("n").as("n"))
+        .write.mode("overwrite").parquet(baseDir(stateDir, c) + "/trans")
+      latestTransitionFrontier(spark, stateDir).get
+        .write.mode("overwrite").parquet(baseDir(stateDir, c) + "/frontier")
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids, Seq("trans", "frontier"))
+      Some(c)
+    }
+  }
+
   private def fileSystem(
       spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir)

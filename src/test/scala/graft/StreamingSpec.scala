@@ -742,6 +742,81 @@ class StreamingSpec extends AnyFunSuite {
       "previous base must be GC'd after the new marker commits")
   }
 
+  test("foreachBatch ingest transitions: streamed matrix == batch, across restart + compact") {
+    import graft.operators.Sessions
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_trans_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val events = Tables.load(spark, TestSpark.Sf0001, "events")
+    val sch = events.schema
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("from_type", "to_type").collect().toSeq
+    // event_id order is event-time order in this corpus, so id-range
+    // batches satisfy the tier's per-user monotone-ingest contract —
+    // and they SPLIT user streams mid-session, which is exactly the
+    // boundary the frontier must repair
+    val cuts = Seq((0L, 300L), (300L, 700L), (700L, Long.MaxValue))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      events.filter(col("event_id") >= lo && col("event_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestTransitions(stream, state, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // boundary pairs live in neither batch alone: only the carried
+    // frontier makes streamed == one-shot batch over the whole corpus
+    val batch = Sessions.transitionMatrix(events)
+    assert(rows(Streams.ingestTransitionsRead(spark, state).get) == rows(batch))
+
+    // compact folds partials + carries the frontier; matrix unchanged,
+    // covered dirs GC'd while replay markers survive
+    assert(Streams.compactTransitions(spark, state) == Some(2L))
+    assert(rows(Streams.ingestTransitionsRead(spark, state).get) == rows(batch))
+    assert(!new java.io.File(s"$state/trans/batch=0").exists)
+    assert(!new java.io.File(s"$state/frontier/batch=0").exists)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+    assert(Streams.compactTransitions(spark, state).isEmpty, "nothing new to fold")
+
+    // replay of a committed id is a no-op on top of the base
+    Streams.ingestTransitionsBatch(events.limit(50), state, batchId = 1L)
+    assert(rows(Streams.ingestTransitionsRead(spark, state).get) == rows(batch))
+
+    // ingest continues on the compacted base: a later-in-time delta
+    // folds to the batch matrix over the grown corpus
+    val delta = events.filter(col("event_id") < 200L)
+      .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+      .withColumn("event_id", col("event_id") + 100000L)
+    Streams.ingestTransitionsBatch(delta, state, batchId = 3L)
+    val grown = Sessions.transitionMatrix(events.unionByName(delta))
+    assert(rows(Streams.ingestTransitionsRead(spark, state).get) == rows(grown))
+    assert(Streams.compactTransitions(spark, state) == Some(3L))
+    assert(rows(Streams.ingestTransitionsRead(spark, state).get) == rows(grown))
+    assert(!new java.io.File(s"$state/base/compact=2").exists,
+      "previous base must be GC'd after the new marker commits")
+  }
+
+  test("transition ingest fails loudly on out-of-order batches instead of mis-pairing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_trans_ooo_").toFile
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val events = Tables.load(spark, TestSpark.Sf0001, "events")
+    Streams.ingestTransitionsBatch(
+      events.filter(col("event_id") >= 500L && col("event_id") < 600L),
+      state, batchId = 0L)
+    val e = intercept[IllegalStateException] {
+      Streams.ingestTransitionsBatch(
+        events.filter(col("event_id") < 500L), state, batchId = 1L)
+    }
+    assert(e.getMessage.contains("monotone"))
+  }
+
   test("Bloom ingest refuses a (k, m) drift against the pinned meta") {
     import spark.implicits._
     val state = java.nio.file.Files
