@@ -80,7 +80,16 @@ object ScaleBench {
     // bench/scaling_r8.json; q148 is the scale-path sibling.)
     "q138_robust_outliers", "q139_pareto_frontier",
     "q141_sorted_neighborhood", "q142_triangles", "q148_link_predict_lsh",
-    "q145_twap", "q146_spike_detect", "q147_attribution")
+    "q145_twap", "q146_spike_detect", "q147_attribution",
+    // round-8 second batch: q149's fan-out is session-time/bucket,
+    // q151/q154 are one per-user window then vocabulary²/week grain,
+    // q152 is one row-grain groupBy then a time-bounded axis, q153 is
+    // O(E)/round over the bounded near-dup edges. (q150/q155 ride the
+    // UNSCALED lineitem — excluded.)
+    "q149_concurrency", "q151_transitions", "q152_daily_trend",
+    "q153_kcore", "q154_growth_accounting",
+    // q156's explode fan-out is windowDays × presence — linear
+    "q156_rolling_active")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

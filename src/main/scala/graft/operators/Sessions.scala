@@ -369,6 +369,47 @@ object Sessions {
         expr("csum div n_events").as("mean_cents"))
   }
 
+  /** Rolling active users: per day of the dense span, the exact
+    * distinct-user counts for the day itself (DAU) and the trailing
+    * `windowDays` window (WAU at 7), plus the DAU/WAU stickiness ratio
+    * in exact ppm — the engagement headline metric.
+    *
+    * Exactness without a sliding distinct: presence collapses to
+    * (user, day) grain map-side, then each presence row EXPLODES into
+    * the `windowDays` report-days it makes the user active in —
+    * total work is windowDays × |presence|, and the count per report
+    * day is a plain distinct at (reportDay, user) grain. No window
+    * function ever sees a user row; the only per-day state is the
+    * count. Days with zero actives appear (dense axis; DAU = 0,
+    * stickiness NULL when WAU = 0) — the outage reading. Leading days
+    * whose trailing window starts before the span are reported as-is
+    * (partial window, the standard convention).
+    */
+  def rollingActive(events: DataFrame, windowDays: Int = 7,
+      keyCol: String = "user_id"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val pres = Ckpt.narrow(events
+      .filter(col(keyCol).isNotNull && col("ts").isNotNull)
+      .select(col(keyCol).as("u"),
+        expr("unix_micros(ts) div 1000000 div 86400").as("day"))
+      .distinct())
+    val bounds = pres.agg(min("day").as("lo"), max("day").as("hi"))
+    val dau = pres.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = pres
+      .crossJoin(broadcast(bounds)) // 1-row bounds frame — bounded
+      .select(col("u"), explode(expr(
+        s"sequence(day, least(day + ${windowDays - 1}L, hi))")).as("day"))
+      .distinct() // a user active twice inside one window counts once
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    val axis = broadcast(bounds)
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+    axis.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .withColumn("stickiness_ppm",
+        when(col("wau") > 0, expr("dau * 1000000 div wau")))
+  }
+
   /** Weekly growth accounting: per week, the active-user count split
     * into NEW (first-ever week), RETAINED (also active the week
     * before), and RESURRECTED (active before, skipped ≥ 1 week), plus

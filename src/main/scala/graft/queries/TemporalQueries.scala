@@ -71,6 +71,14 @@ object TemporalQueries {
       Sessions.growthAccounting(Tables.load(spark, dir, "events"))
         .orderBy("week")),
 
+    // rolling DAU/WAU + stickiness: presence explodes into the 7
+    // report-days it covers — exact trailing distinct, no sliding
+    // window over user rows
+    "q156_rolling_active" -> ((spark, dir) =>
+      Sessions.rollingActive(Tables.load(spark, dir, "events"),
+          windowDays = 7)
+        .orderBy("day")),
+
     // windowed ingest dedup, batch face: earliest event per (user, type)
     // survives each 10-min bucket; min-struct partial agg, so the
     // exchange carries groups, never events
@@ -533,6 +541,27 @@ object TemporalQueries {
         |       coalesce(lag(active) OVER (ORDER BY week), 0) - retained
         |         AS churned
         |FROM dense ORDER BY week""".stripMargin,
+
+    "q156_rolling_active" ->
+      """WITH pres AS (SELECT DISTINCT user_id AS u,
+        |                (epoch_us(ts) // 1000000) // 86400 AS day
+        |              FROM events
+        |              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM pres),
+        |dau AS (SELECT day, count(*) AS dau FROM pres GROUP BY 1),
+        |cov AS (SELECT DISTINCT p.u,
+        |          unnest(generate_series(p.day,
+        |            least(p.day + 6, (SELECT hi FROM b)))) AS day
+        |        FROM pres p),
+        |wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b)
+        |SELECT a.day, coalesce(d.dau, 0) AS dau, coalesce(w.wau, 0) AS wau,
+        |       CASE WHEN coalesce(w.wau, 0) > 0
+        |            THEN (coalesce(d.dau, 0) * 1000000) // w.wau END
+        |         AS stickiness_ppm
+        |FROM axis a LEFT JOIN dau d ON a.day = d.day
+        |            LEFT JOIN wau w ON a.day = w.day
+        |ORDER BY a.day""".stripMargin,
 
     // Naive inequality formulation — correct at oracle scale; the engine
     // side runs the bucketed band join (equi-shuffle + verify) instead.

@@ -236,7 +236,14 @@ class PlanSpec extends AnyFunSuite {
         "q137_basket_lift", "q138_robust_outliers", "q140_fuzzy_linkage",
         "q141_sorted_neighborhood", "q142_triangles",
         "q146_spike_detect", "q147_attribution",
-        "q148_link_predict_lsh")) {
+        "q148_link_predict_lsh",
+        // r8 second batch: q149/q152's only cross joins are broadcast
+        // 1-row bounds/peak frames (sanctioned), q151/q154 are windows
+        // + equi-joins, q153 is degree aggs + anti-joins per round,
+        // q155 collapses to supplier grain then dimension equi-joins
+        "q149_concurrency", "q151_transitions", "q152_daily_trend",
+        "q153_kcore", "q154_growth_accounting",
+        "q155_market_concentration", "q156_rolling_active")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

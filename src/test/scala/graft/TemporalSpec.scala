@@ -196,6 +196,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(batch.toSeq == sw.toSeq)
   }
 
+  test("rollingActive: hand-checked DAU/WAU, window coverage, dense zero days") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "a", 0.0),  // same user+day: once
+      (3L, ts("2024-01-01 10:00:00"), 2L, "a", 0.0),
+      (4L, ts("2024-01-04 10:00:00"), 1L, "a", 0.0)   // days 2-3 silent
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.rollingActive(df, windowDays = 3).orderBy("day")
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // day0: dau 2, wau 2; day1: dau 0, wau 2 (both in trailing 3d);
+    // day2: dau 0, wau 2; day3: dau 1, wau 1 (day0 aged out)
+    assert(got == Seq((2L, 2L, 1000000L), (0L, 2L, 0L),
+      (0L, 2L, 0L), (1L, 1L, 1000000L)))
+  }
+
+  test("rollingActive laws on corpus: dau <= wau, wau <= trailing-sum bound, stickiness in [0, 1e6]") {
+    val r = Sessions.rollingActive(
+      Tables.load(spark, TestSpark.Sf0001, "events")).cache()
+    try {
+      assert(r.filter(col("dau") > col("wau")).count() == 0)
+      assert(r.filter(col("stickiness_ppm") > 1000000L
+        || col("stickiness_ppm") < 0L).count() == 0)
+      // WAU can never exceed the sum of the window's DAUs
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      assert(r.withColumn("s", sum("dau").over(w))
+        .filter(col("wau") > col("s")).count() == 0)
+    } finally r.unpersist()
+  }
+
   test("growthAccounting: hand-checked new/retained/resurrected/churned, additivity") {
     import spark.implicits._
     val df = Seq(
