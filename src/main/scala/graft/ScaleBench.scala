@@ -88,8 +88,9 @@ object ScaleBench {
     // UNSCALED lineitem — excluded.)
     "q149_concurrency", "q151_transitions", "q152_daily_trend",
     "q153_kcore", "q154_growth_accounting",
-    // q156's explode fan-out is windowDays × presence — linear
-    "q156_rolling_active")
+    // q156's explode fan-out is windowDays × presence — linear;
+    // q157 is one linear documents scan
+    "q156_rolling_active", "q157_readability")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

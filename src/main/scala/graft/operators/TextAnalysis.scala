@@ -117,6 +117,36 @@ object TextAnalysis {
             * (col("n_distinct").cast("double") / col("n_words"))), 4).as("quality"))
   }
 
+  /** Flesch-Kincaid readability per document, exact-integer: whitespace
+    * words, sentence count as `[.!?]+` runs floored at 1 (a fragment
+    * still reads as one sentence — on THIS corpus' punctuation-free
+    * synthetic text every doc hits the floor, exercising the degenerate
+    * arm by design), and syllables as lowercase `[aeiouy]+` vowel
+    * groups (the standard cheap heuristic; vowel-less tokens contribute
+    * 0, documented). The grade 0.39·W/S + 11.8·Y/W − 15.59 becomes the
+    * cross-multiplied rational num = 39W² + 1180YS − 1559SW over
+    * den = S·W at centi-grade scale, emitted as sign + abs-then-floor
+    * centi (negatives floor differently per engine — the q152 pattern).
+    * One linear scan, no joins.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(expr(WordsExpr)).cast("long").as("n_words"),
+        greatest(lit(1L),
+          expr("regexp_count(text, '[.!?]+')").cast("long"))
+          .as("n_sentences"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").cast("long")
+          .as("n_syllables"))
+      .withColumn("num",
+        lit(39L) * col("n_words") * col("n_words")
+          + lit(1180L) * col("n_syllables") * col("n_sentences")
+          - lit(1559L) * col("n_sentences") * col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        signum(col("num")).cast("bigint").as("fk_sign"),
+        when(col("n_words") > 0,
+          expr("abs(num) div (n_sentences * n_words)")).as("fk_abs_centi"))
+
   /** Per-doc token counts: whitespace words and a BPE-ish segmentation
     * (maximal alnum runs + single non-alnum marks) — the cheap proxy for
     * "how many tokens will the tokenizer bill for this doc".

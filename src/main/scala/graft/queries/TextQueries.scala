@@ -142,6 +142,13 @@ object TextQueries {
           vocabTopK = 1000L)
         .orderBy("doc_id")),
 
+    // Flesch-Kincaid grade per doc in exact centi-integer rational —
+    // sentence floor at 1 (this corpus is punctuation-free: the floor
+    // arm runs corpus-wide by design), vowel-group syllables
+    "q157_readability" -> ((spark, dir) =>
+      TextAnalysis.readability(Tables.load(spark, dir, "documents"))
+        .orderBy("doc_id")),
+
     // exact-integer rational BM25 ranked retrieval (k1=6/5, b=3/4,
     // un-logged idf — the q63/q84/q94 parity trade); scores in ppm by
     // BIGINT floor division so the ranking hashes identically in DuckDB
@@ -224,6 +231,29 @@ object TextQueries {
     }
 
   def oracles: Map[String, String] = Map(
+    "q157_readability" ->
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+        |            ELSE 0 END AS BIGINT) AS fk_sign,
+        |       CASE WHEN n_words > 0
+        |            THEN abs(num) // (n_sentences * n_words)
+        |       END AS fk_abs_centi
+        |FROM (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |        39 * n_words * n_words
+        |          + 1180 * n_syllables * n_sentences
+        |          - 1559 * n_sentences * n_words AS num
+        |      FROM (SELECT doc_id,
+        |              CAST(len(list_filter(
+        |                string_split_regex(trim(text), '\s+'),
+        |                x -> x <> '')) AS BIGINT) AS n_words,
+        |              greatest(CAST(1 AS BIGINT),
+        |                CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |                     AS BIGINT)) AS n_sentences,
+        |              CAST(len(regexp_extract_all(lower(text),
+        |                '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
     "q37_lang_id" ->
       """WITH tri AS (
         |  SELECT doc_id, lang,

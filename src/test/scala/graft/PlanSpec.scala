@@ -243,7 +243,8 @@ class PlanSpec extends AnyFunSuite {
         // q155 collapses to supplier grain then dimension equi-joins
         "q149_concurrency", "q151_transitions", "q152_daily_trend",
         "q153_kcore", "q154_growth_accounting",
-        "q155_market_concentration", "q156_rolling_active")) {
+        "q155_market_concentration", "q156_rolling_active",
+        "q157_readability")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

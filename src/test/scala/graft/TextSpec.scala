@@ -56,6 +56,24 @@ class TextSpec extends AnyFunSuite {
     assert(!r(2).isNullAt(8))
   }
 
+  test("readability: hand-checked FK rational, sentence floor, vowel-less tokens, empty doc") {
+    import spark.implicits._
+    val df = Seq(
+      // 9 words, 2 sentence runs, 9 vowel groups:
+      // FK = 0.39*(9/2) + 11.8*(9/9) - 15.59 = -2.035 -> sign -1, 203 centi
+      (1L, "the cat sat on a mat. it is flat!"),
+      // no punctuation -> sentence floor 1; no vowels -> 0 syllables:
+      // num = 39*4 - 1559*1*2 = -2962, den = 2 -> 1481 centi
+      (2L, "pfft 7"),
+      (3L, "")  // 0 words: sign of num 0, NULL centi
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df).orderBy("doc_id").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        if (x.isNullAt(5)) -1L else x.getLong(5))).toSeq
+    assert(r == Seq((9L, 2L, 9L, -1L, 203L), (2L, 1L, 0L, -1L, 1481L),
+      (0L, 1L, 0L, 0L, -1L)))
+  }
+
   test("tokenCounts parity on a hand-checked doc") {
     import spark.implicits._
     val df = Seq((1L, "src", "the cat, the hat!")).toDF("doc_id", "source", "text")
