@@ -90,7 +90,10 @@ object ScaleBench {
     "q153_kcore", "q154_growth_accounting",
     // q156's explode fan-out is windowDays × presence — linear;
     // q157 is one linear documents scan
-    "q156_rolling_active", "q157_readability")
+    "q156_rolling_active", "q157_readability",
+    // q158/q160 run at time-axis grain past two map-side aggs, q159 is
+    // one scan + a dow-grain join
+    "q158_cohort_ltv", "q159_dow_profile", "q160_cusum")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

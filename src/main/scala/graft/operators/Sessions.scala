@@ -369,6 +369,127 @@ object Sessions {
         expr("csum div n_events").as("mean_cents"))
   }
 
+  /** Day-of-week seasonality profile per event type: event count, the
+    * number of CALENDAR days of that weekday inside the corpus span
+    * (a ragged span gives some weekdays one more day than others —
+    * dividing by it is what makes rates comparable; a naive share
+    * against 1/7 would bake that bias in), and the exact per-day rate
+    * in milli-events. dow 0 = Monday via `pmod(epoch_day + 3, 7)` —
+    * pure integer arithmetic, no calendar/locale functions (DATE_PART
+    * weekday numbering differs between engines).
+    */
+  def dowProfile(events: DataFrame,
+      keyCol: String = "event_type"): DataFrame = {
+    val obs = events
+      .filter(col(keyCol).isNotNull && col("ts").isNotNull)
+      .select(col(keyCol).as("grp"),
+        expr("unix_micros(ts) div 1000000 div 86400").as("day"))
+    val counts = Ckpt.narrow(obs
+      .select(col("grp"), expr("pmod(day + 3, 7)").as("dow"))
+      .groupBy("grp", "dow").agg(count(lit(1)).as("n_events")))
+    val bounds = obs.agg(min("day").as("lo"), max("day").as("hi"))
+    val dowDays = broadcast(bounds)
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+      .select(expr("pmod(day + 3, 7)").as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("n_days"))
+    counts.join(dowDays, Seq("dow"))
+      .select(col("grp"), col("dow"), col("n_events"), col("n_days"),
+        expr("n_events * 1000 div n_days").as("rate_milli"))
+  }
+
+  /** CUSUM drift audit per event type over the dense daily cents
+    * series: cumulative sum of (day's cents − target) with target =
+    * the type's floor-mean daily cents, reporting the maximum positive
+    * and negative excursions and the first day each was reached — the
+    * classic change-point screen ("when did this type's volume
+    * structurally depart from its own average"). Exact BIGINT: the
+    * target is one floor division, every excursion an integer; first-
+    * reach ties resolve by day (min-struct, deterministic).
+    *
+    * Scale shape: one row-grain groupBy to (type, day); the CUSUM
+    * windows run over the dense TIME axis (the q130/q123 bounded-axis
+    * posture), never over events.
+    */
+  def cusumDrift(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daySec = 86400L
+    val daily = Ckpt.narrow(events
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull
+        && col("ts").isNotNull)
+      .groupBy(col(keyCol).as("grp"),
+        expr(s"unix_micros(ts) div 1000000 div $daySec").as("day"))
+      .agg(sum(expr(s"cast(round($valueCol * 100) as bigint)")).as("y")))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val axis = daily.select("grp").distinct()
+      .crossJoin(broadcast(bounds)) // 1-row bounds frame — bounded
+      .select(col("grp"), explode(expr("sequence(lo, hi)")).as("day"))
+    val dense = axis.join(daily, Seq("grp", "day"), "left")
+      .select(col("grp"), col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val targets = dense.groupBy("grp")
+      .agg(expr("sum(y) div count(1)").as("target_cents"))
+    val w = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = Ckpt.narrow(dense.join(targets, Seq("grp"))
+      .withColumn("cusum", sum(col("y") - col("target_cents")).over(w)))
+    val ext = cs.groupBy("grp")
+      .agg(max(col("cusum")).as("max_cusum_cents"),
+        min(col("cusum")).as("min_cusum_cents"))
+    cs.join(ext, Seq("grp"))
+      .groupBy("grp")
+      .agg(max(col("target_cents")).as("target_cents"),
+        max(col("max_cusum_cents")).as("max_cusum_cents"),
+        min(when(col("cusum") === col("max_cusum_cents"), col("day")))
+          .as("max_day"),
+        min(col("min_cusum_cents")).as("min_cusum_cents"),
+        min(when(col("cusum") === col("min_cusum_cents"), col("day")))
+          .as("min_day"))
+  }
+
+  /** Cohort LTV triangle: users cohorted by first-event week, and per
+    * (cohort, week offset) the cohort's revenue cents, the running
+    * cumulative, and the per-user cumulative floor — the lifetime-value
+    * table a growth team reads next to [[retentionCohorts]]' activity
+    * triangle (this one sums money where that one counts heads).
+    *
+    * Offsets are DENSE per cohort through the corpus' last week
+    * (zero-revenue weeks are rows — flat stretches of the LTV curve
+    * are the finding), so the triangle is bounded by weeks², never by
+    * event count; the raw table is touched by exactly two user-grain
+    * map-side aggs (first week, weekly cents). Exact BIGINT cents end
+    * to end; the per-user average is floor division.
+    */
+  def cohortLtv(events: DataFrame, keyCol: String = "user_id",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Ckpt.narrow(events
+      .filter(col(keyCol).isNotNull && col("ts").isNotNull
+        && col(valueCol).isNotNull)
+      .select(col(keyCol).as("u"),
+        expr("unix_micros(ts) div 1000000 div 604800").as("week"),
+        expr(s"cast(round($valueCol * 100) as bigint)").as("cents")))
+    val firstWeek = Ckpt.narrow(
+      ev.groupBy("u").agg(min(col("week")).as("cohort")))
+    val sizes = firstWeek.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    val rev = ev.groupBy("u", "week").agg(sum(col("cents")).as("cents"))
+      .join(firstWeek, Seq("u"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val hi = ev.agg(max(col("week")).as("hi"))
+    val axis = sizes.crossJoin(broadcast(hi)) // 1-row frame — bounded
+      .select(col("cohort"), col("cohort_size"),
+        explode(expr("sequence(0L, hi - cohort)")).as("offset"))
+    axis.join(rev, Seq("cohort", "offset"), "left")
+      .select(col("cohort"), col("offset"), col("cohort_size"),
+        coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(
+        Window.partitionBy("cohort").orderBy("offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_per_user_cents",
+        expr("cum_revenue_cents div cohort_size"))
+  }
+
   /** Rolling active users: per day of the dense span, the exact
     * distinct-user counts for the day itself (DAU) and the trailing
     * `windowDays` window (WAU at 7), plus the DAU/WAU stickiness ratio

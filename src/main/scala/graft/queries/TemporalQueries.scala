@@ -79,6 +79,24 @@ object TemporalQueries {
           windowDays = 7)
         .orderBy("day")),
 
+    // cohort LTV triangle: first-week cohorts × dense week offsets,
+    // exact cents, cumulative + per-user floor — q114's money twin
+    "q158_cohort_ltv" -> ((spark, dir) =>
+      Sessions.cohortLtv(Tables.load(spark, dir, "events"))
+        .orderBy("cohort", "offset")),
+
+    // day-of-week seasonality: rates normalized by how many of each
+    // weekday the ragged span actually contains — pure integer dow
+    "q159_dow_profile" -> ((spark, dir) =>
+      Sessions.dowProfile(Tables.load(spark, dir, "events"))
+        .orderBy("grp", "dow")),
+
+    // CUSUM change-point screen: extremal excursions of the cumulative
+    // deviation from each type's own floor-mean daily cents
+    "q160_cusum" -> ((spark, dir) =>
+      Sessions.cusumDrift(Tables.load(spark, dir, "events"))
+        .orderBy("grp")),
+
     // windowed ingest dedup, batch face: earliest event per (user, type)
     // survives each 10-min bucket; min-struct partial agg, so the
     // exchange carries groups, never events
@@ -562,6 +580,94 @@ object TemporalQueries {
         |FROM axis a LEFT JOIN dau d ON a.day = d.day
         |            LEFT JOIN wau w ON a.day = w.day
         |ORDER BY a.day""".stripMargin,
+
+    "q158_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |              (epoch_us(ts) // 1000000) // 604800 AS week,
+        |              CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL),
+        |fw AS (SELECT u, min(week) AS cohort FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM fw GROUP BY 1),
+        |uw AS (SELECT u, week, CAST(sum(cents) AS BIGINT) AS cents
+        |       FROM ev GROUP BY 1, 2),
+        |rev AS (SELECT f.cohort, uw.week - f.cohort AS off,
+        |          CAST(sum(uw.cents) AS BIGINT) AS revenue_cents
+        |        FROM uw JOIN fw f ON uw.u = f.u GROUP BY 1, 2),
+        |hi AS (SELECT max(week) AS hi FROM ev),
+        |axis AS (SELECT sz.cohort, sz.cohort_size,
+        |           unnest(generate_series(0, (SELECT hi FROM hi)
+        |                                     - sz.cohort)) AS off
+        |         FROM sz),
+        |dense AS (SELECT a.cohort, a.off, a.cohort_size,
+        |            coalesce(r.revenue_cents, 0) AS revenue_cents
+        |          FROM axis a LEFT JOIN rev r
+        |            ON a.cohort = r.cohort AND a.off = r.off),
+        |cum AS (SELECT cohort, off AS "offset", cohort_size, revenue_cents,
+        |          CAST(sum(revenue_cents) OVER (PARTITION BY cohort
+        |            ORDER BY off) AS BIGINT) AS cum_revenue_cents
+        |        FROM dense)
+        |SELECT cohort, "offset", cohort_size, revenue_cents,
+        |       cum_revenue_cents,
+        |       cum_revenue_cents // cohort_size AS cum_per_user_cents
+        |FROM cum ORDER BY cohort, "offset"""".stripMargin,
+
+    "q159_dow_profile" ->
+      """WITH obs AS (SELECT event_type AS grp,
+        |               (epoch_us(ts) // 1000000) // 86400 AS day
+        |             FROM events
+        |             WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT grp, (day + 3) % 7 AS dow, count(*) AS n_events
+        |      FROM obs GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+        |dd AS (SELECT (day + 3) % 7 AS dow, count(*) AS n_days
+        |       FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS day
+        |             FROM b) GROUP BY 1)
+        |SELECT c.grp, c.dow, c.n_events, dd.n_days,
+        |       (c.n_events * 1000) // dd.n_days AS rate_milli
+        |FROM c JOIN dd ON c.dow = dd.dow
+        |ORDER BY c.grp, c.dow""".stripMargin,
+
+    "q160_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |         (epoch_us(ts) // 1000000) // 86400 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |axis AS (SELECT g.grp, unnest(generate_series(b.lo, b.hi)) AS day
+        |         FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN b),
+        |dense AS (SELECT a.grp, a.day, coalesce(d.y, 0) AS y
+        |          FROM axis a LEFT JOIN daily d
+        |            ON a.grp = d.grp AND a.day = d.day),
+        |t AS (SELECT grp,
+        |        CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |          AS target_cents
+        |      FROM dense GROUP BY 1),
+        |cs AS (SELECT dense.grp, dense.day,
+        |         CAST(sum(dense.y - t.target_cents) OVER (
+        |           PARTITION BY dense.grp ORDER BY dense.day) AS BIGINT)
+        |           AS cusum
+        |       FROM dense JOIN t ON dense.grp = t.grp),
+        |ext AS (SELECT grp, max(cusum) AS max_cusum_cents,
+        |          min(cusum) AS min_cusum_cents
+        |        FROM cs GROUP BY 1)
+        |SELECT cs.grp, t.target_cents,
+        |       e.max_cusum_cents,
+        |       min(CASE WHEN cs.cusum = e.max_cusum_cents
+        |           THEN cs.day END) AS max_day,
+        |       e.min_cusum_cents,
+        |       min(CASE WHEN cs.cusum = e.min_cusum_cents
+        |           THEN cs.day END) AS min_day
+        |FROM cs JOIN ext e ON cs.grp = e.grp
+        |        JOIN t ON cs.grp = t.grp
+        |GROUP BY 1, 2, 3, 5
+        |ORDER BY cs.grp""".stripMargin,
 
     // Naive inequality formulation — correct at oracle scale; the engine
     // side runs the bucketed band join (equi-shuffle + verify) instead.

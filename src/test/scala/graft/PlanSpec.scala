@@ -244,7 +244,8 @@ class PlanSpec extends AnyFunSuite {
         "q149_concurrency", "q151_transitions", "q152_daily_trend",
         "q153_kcore", "q154_growth_accounting",
         "q155_market_concentration", "q156_rolling_active",
-        "q157_readability")) {
+        "q157_readability", "q158_cohort_ltv", "q159_dow_profile",
+        "q160_cusum")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

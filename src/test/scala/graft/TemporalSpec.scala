@@ -196,6 +196,53 @@ class TemporalSpec extends AnyFunSuite {
     assert(batch.toSeq == sw.toSeq)
   }
 
+  test("cohortLtv: hand-checked triangle, dense offsets, revenue conservation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0),  // u1 cohort w0
+      (2L, ts("2024-01-08 10:00:00"), 1L, "a", 2.0),  // u1 at offset 1
+      (3L, ts("2024-01-08 11:00:00"), 2L, "a", 4.0)   // u2 cohort w1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.cohortLtv(df).orderBy("cohort", "offset")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // (offset, size, revenue, cum, per-user) — cohorts in week order
+    assert(got == Seq((0L, 1L, 100L, 100L, 100L), (1L, 1L, 200L, 300L, 300L),
+      (0L, 1L, 400L, 400L, 400L)))
+    assert(got.map(_._3).sum == 700L, "triangle must conserve total cents")
+  }
+
+  test("dowProfile: Monday mapping, ragged-span day counts") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; span Mon..Wed has one day of each dow 0..2
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "a", 0.0),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "a", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.dowProfile(df).orderBy("dow")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((0L, 2L, 1L, 2000L), (2L, 1L, 1L, 1000L)),
+      s"expected Monday=0 with 2 events and Wednesday=2 with 1: $got")
+  }
+
+  test("cusumDrift: hand-checked excursions and first-reach days") {
+    import spark.implicits._
+    // daily cents 100, 400, 100 -> target 200, cusum -100, +100, 0
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "a", 4.0),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "a", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Sessions.cusumDrift(df).collect()
+    assert(r.length == 1)
+    val d0 = 19723L // epoch day of 2024-01-01
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4), r(0).getLong(5)) ==
+      (200L, 100L, d0 + 1, -100L, d0))
+  }
+
   test("rollingActive: hand-checked DAU/WAU, window coverage, dense zero days") {
     import spark.implicits._
     val df = Seq(
