@@ -156,13 +156,38 @@ object IngestBench {
     }
     val prAfter = prPoints.last._2 // no compact: "after" = the final fold
 
+    // ——— transitions tier (order-sensitive: CONTIGUOUS event-id
+    // ranges, not pmod shards — id order is event-time order in this
+    // corpus, and the tier's contract is per-user monotone batches) ———
+    val events = Tables.load(spark, sfDir, "events")
+    val nEv = events.count()
+    val trState = s"$root/transitions"
+    val trPoints = (0 until nBatches).flatMap { i =>
+      val lo = i * nEv / nBatches
+      val hi = if (i == nBatches - 1) Long.MaxValue else (i + 1) * nEv / nBatches
+      Streams.ingestTransitionsBatch(
+        events.filter(col("event_id") >= lo && col("event_id") < hi),
+        trState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          Streams.ingestTransitionsRead(spark, trState).get)
+        System.err.println(f"[ingestbench] transitions fold @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactTransitions(spark, trState).contains((nBatches - 1).toLong))
+    val trAfter = probeMin(spark, () =>
+      Streams.ingestTransitionsRead(spark, trState).get)
+    System.err.println(f"[ingestbench] transitions fold after compact: $trAfter%.3f s")
+
     spark.stop()
     val line = s"""{"metric":"ingest_probe","unit":"sec","batches":$nBatches,"sf":"$sfDir","tiers":{""" +
       s""""neardup":${tierJson(ndPoints, ndAfter)},""" +
       s""""ivf":${tierJson(ivfPoints, ivfAfter)},""" +
       s""""text":${tierJson(txPoints, txAfter)},""" +
       s""""bloom":${tierJson(blPoints, blAfter)},""" +
-      s""""profile":${tierJson(prPoints, prAfter)}}}"""
+      s""""profile":${tierJson(prPoints, prAfter)},""" +
+      s""""transitions":${tierJson(trPoints, trAfter)}}}"""
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, line + "\n")

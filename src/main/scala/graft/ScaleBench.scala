@@ -93,7 +93,9 @@ object ScaleBench {
     "q156_rolling_active", "q157_readability",
     // q158/q160 run at time-axis grain past two map-side aggs, q159 is
     // one scan + a dow-grain join
-    "q158_cohort_ltv", "q159_dow_profile", "q160_cusum")
+    "q158_cohort_ltv", "q159_dow_profile", "q160_cusum",
+    // q161's row-grain pass is one per-user lead window
+    "q161_interevent")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

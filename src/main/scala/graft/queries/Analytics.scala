@@ -193,6 +193,39 @@ object Analytics {
         .agg(max(col("share_ppm")).as("top_share_ppm"),
           expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
         .orderBy("nation")
+    }),
+
+    // GINI coefficient of the same supplier-revenue distribution —
+    // q155's inequality sibling (HHI weighs the top, Gini the whole
+    // curve): G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending
+    // (revenue, suppkey) ranks. The rank window partitions by NATION
+    // over supplier-grain rows (dimension grain, parallel across
+    // markets — never a global sort); exact ppm with one floor
+    // division at the end. Ties don't matter: equal xᵢ make Σi·xᵢ
+    // order-invariant. Envelope: 2·10⁶·Σi·xᵢ < 2⁶³.
+    "q162_gini" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val ranked = Tables.load(spark, dir, "lineitem")
+        .select(col("l_suppkey"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+        .groupBy("l_suppkey").agg(sum(col("cents")).as("x"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("x"), col("l_suppkey"))
+        .withColumn("i", row_number().over(Window.partitionBy("nation")
+          .orderBy(col("x"), col("l_suppkey"))).cast("long"))
+      ranked.groupBy("nation")
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("x")).as("total_cents"),
+          sum(col("i") * col("x")).as("s1"))
+        .select(col("nation"), col("n_suppliers"), col("total_cents"),
+          expr("""(1000000 * (2 * s1 - (n_suppliers + 1) * total_cents))
+                  div (n_suppliers * total_cents)""").as("gini_ppm"))
+        .orderBy("nation")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -297,6 +330,27 @@ object Analytics {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q162_gini" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                             * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |ranked AS (SELECT n.n_name AS nation, r.x,
+        |             CAST(row_number() OVER (PARTITION BY n.n_name
+        |               ORDER BY r.x, r.l_suppkey) AS BIGINT) AS i
+        |           FROM rev r
+        |           JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |           JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |agg AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |          CAST(sum(x) AS BIGINT) AS total_cents,
+        |          CAST(sum(i * x) AS BIGINT) AS s1
+        |        FROM ranked GROUP BY 1)
+        |SELECT nation, n_suppliers, total_cents,
+        |       (1000000 * (2 * s1 - (n_suppliers + 1) * total_cents))
+        |         // (n_suppliers * total_cents) AS gini_ppm
+        |FROM agg ORDER BY nation""".stripMargin,
 
     "q155_market_concentration" ->
       """WITH rev AS (

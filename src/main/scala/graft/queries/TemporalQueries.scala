@@ -196,6 +196,39 @@ object TemporalQueries {
         .orderBy("order_month")
     }),
 
+    // inter-event gap tail percentiles per type (the wait AFTER an
+    // event of that type, per user): q136's bounded-histogram
+    // percentile machinery over (type, minute-gap) buckets — the
+    // per-user lead window is the only row-grain pass, every
+    // percentile window runs at histogram grain
+    "q161_interevent" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("dt_us",
+          lead(unix_micros(col("ts")), 1).over(byUser)
+            - unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull)
+        .select(col("event_type"), expr("dt_us div 60000000").as("gap_min"))
+      val cum = gaps.groupBy("event_type", "gap_min")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("event_type").orderBy("gap_min")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy("event_type")))
+      def pHi(p: Int) = min(when(
+        col("cum") >= expr(s"(n * $p + 99) div 100"), col("gap_min")))
+      cum.groupBy("event_type")
+        .agg(max(col("n")).as("n_gaps"),
+          pHi(50).as("p50_min"), pHi(90).as("p90_min"),
+          pHi(99).as("p99_min"), max(col("gap_min")).as("max_min"))
+        .orderBy("event_type")
+    }),
+
     // ordered conversion funnel view → click → purchase with
     // earliest-reach semantics: each step one type-filtered scan
     // joined on the previous step's reach frame
@@ -612,6 +645,30 @@ object TemporalQueries {
         |       cum_revenue_cents,
         |       cum_revenue_cents // cohort_size AS cum_per_user_cents
         |FROM cum ORDER BY cohort, "offset"""".stripMargin,
+
+    "q161_interevent" ->
+      """WITH g AS (SELECT event_type,
+        |             (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) - epoch_us(ts))
+        |               // 60000000 AS gap_min
+        |           FROM events),
+        |h AS (SELECT event_type, gap_min, count(*) AS c
+        |      FROM g WHERE gap_min IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT event_type, gap_min, c,
+        |          CAST(sum(c) OVER (PARTITION BY event_type
+        |            ORDER BY gap_min) AS BIGINT) AS cum,
+        |          CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+        |            AS n
+        |        FROM h)
+        |SELECT event_type, max(n) AS n_gaps,
+        |       min(CASE WHEN cum >= (n * 50 + 99) // 100
+        |           THEN gap_min END) AS p50_min,
+        |       min(CASE WHEN cum >= (n * 90 + 99) // 100
+        |           THEN gap_min END) AS p90_min,
+        |       min(CASE WHEN cum >= (n * 99 + 99) // 100
+        |           THEN gap_min END) AS p99_min,
+        |       max(gap_min) AS max_min
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q159_dow_profile" ->
       """WITH obs AS (SELECT event_type AS grp,

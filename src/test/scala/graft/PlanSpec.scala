@@ -245,7 +245,7 @@ class PlanSpec extends AnyFunSuite {
         "q153_kcore", "q154_growth_accounting",
         "q155_market_concentration", "q156_rolling_active",
         "q157_readability", "q158_cohort_ltv", "q159_dow_profile",
-        "q160_cusum")) {
+        "q160_cusum", "q161_interevent", "q162_gini")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

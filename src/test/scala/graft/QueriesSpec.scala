@@ -31,6 +31,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q162 Gini laws: in [0, (n-1)/n * 1e6), zero for an equal split") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q162_gini")(spark, TestSpark.Sf0001)
+      .select(col("n_suppliers"), col("gini_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, g) =>
+      assert(g >= 0L && g <= (n - 1) * 1000000L / n,
+        s"Gini $g out of [0, (n-1)/n] for n=$n")
+    }
+  }
+
   test("q155 HHI laws: bounded by 1e6, at least the top share's own square, floor of 1e6/n") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q155_market_concentration")(spark, TestSpark.Sf0001)

@@ -196,6 +196,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(batch.toSeq == sw.toSeq)
   }
 
+  test("q161 interevent laws on corpus: monotone percentiles, gap count = events - users") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val r = SparkEntry.queries("q161_interevent")(spark, TestSpark.Sf0001)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.nonEmpty)
+    r.foreach { case (_, p50, p90, p99, mx) =>
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx,
+        s"percentiles must be monotone: $p50/$p90/$p99/$mx")
+    }
+    // every user with k events contributes exactly k-1 gaps
+    assert(r.map(_._1).sum ==
+      ev.count() - ev.select("user_id").distinct().count())
+  }
+
   test("cohortLtv: hand-checked triangle, dense offsets, revenue conservation") {
     import spark.implicits._
     val df = Seq(
