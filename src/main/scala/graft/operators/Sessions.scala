@@ -723,4 +723,108 @@ object Sessions {
         when(col("concurrent") === col("mx"), 1L).otherwise(0L)
           .as("is_peak"))
   }
+
+  /** Fano-factor burstiness per group: variance-to-mean ratio of the
+    * DENSE zero-filled daily event counts (Poisson arrivals sit at
+    * fano ≈ 1; sessions/campaigns/incidents push it up; a rate limiter
+    * or scheduler pins it below 1 — the dispersion reading that tells
+    * a capacity planner whether [[dowProfile]]'s averages are safe to
+    * provision against). Exact integer end to end: with n days and
+    * daily counts c, fano_ppm = 10⁶·(n·Σc² − (Σc)²) div (n·Σc) — the
+    * population variance/mean cross-multiplied so the one floor
+    * division happens last; the numerator is ≥ 0 by Cauchy-Schwarz,
+    * so floor-vs-trunc never disagrees across engines.
+    *
+    * Shape: the [[dailyTrend]] skeleton — row-grain groupBy to
+    * (group, day), a broadcast 1-row bounds frame, the dense
+    * groups × span-days axis, one group-grain fold. Envelope:
+    * 10⁶·n·Σc² < 2⁶³ — holds through ~5·10⁶ events/day at year spans.
+    */
+  def fanoFactor(events: DataFrame, keyCol: String = "event_type"): DataFrame = {
+    val daySec = 86400L
+    val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
+    val daily = events.filter(col(keyCol).isNotNull && col("ts").isNotNull)
+      .groupBy(col(keyCol).as("grp"),
+        expr(s"($sec - pmod($sec, $daySec)) div $daySec").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val axis = daily.select("grp").distinct()
+      .crossJoin(broadcast(bounds)) // 1-row bounds frame — bounded
+      .select(col("grp"), explode(expr("sequence(lo, hi)")).as("day"))
+    axis.join(daily, Seq("grp", "day"), "left")
+      .select(col("grp"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("grp"), col("n_days"), col("n_events"),
+        expr("(n_events * 1000) div n_days").as("mean_milli"),
+        when(col("n_events") > 0, expr(
+          "((n_days * sum_c2 - n_events * n_events) * 1000000)" +
+            " div (n_days * n_events)")).as("fano_ppm"))
+  }
+
+  /** Nelson–Aalen cumulative hazard of the SECOND event of `eventType`
+    * per user — time-to-repurchase survival analysis at week grain.
+    * Study population = users with ≥ 1 such event; the duration is
+    * weeks from first to second event, right-censored at the corpus'
+    * last event timestamp for one-event users (the honest treatment a
+    * naive "average days between purchases" gets wrong: silent users
+    * are evidence, not missing data). Per week w: d_w = repurchases
+    * landing at week w, c_w = censoring there, risk set n_w = users
+    * whose duration ≥ w (the standard convention: a user censored AT
+    * w is still at risk at w), hazard h_w = d_w/n_w and the cumulative
+    * hazard H_w = Σ_{v≤w} h_v — all in exact ppm floor division, the
+    * per-week ppm summed AFTER flooring so both engines agree
+    * bit-for-bit (Nelson–Aalen needs only sums, never the products a
+    * Kaplan–Meier curve would force through libm).
+    *
+    * Shape: one user-partitioned (ts, event_id) rank window picks each
+    * user's first/second event, user-grain duration rows, then
+    * everything at dense WEEK grain (bounded by the corpus span, never
+    * user count): one running-sum window orders the week axis.
+    */
+  def repurchaseHazard(events: DataFrame,
+      eventType: String = "purchase"): DataFrame = {
+    val weekSec = 7L * 86400L
+    val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("s"), col("event_id"))
+    val purchases = events.filter(col("event_type") === eventType
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), expr(sec).as("s"))
+    val horizon = purchases.agg(max(col("s")).as("tmax"))
+    val perUser = purchases
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 2)
+      .groupBy("user_id")
+      .agg(min(when(col("rn") === 1, col("s"))).as("t1"),
+        min(when(col("rn") === 2, col("s"))).as("t2"))
+    val durations = perUser
+      .crossJoin(broadcast(horizon)) // 1-row study horizon — bounded
+      .select(
+        expr(s"if(t2 IS NOT NULL, (t2 - t1) div $weekSec," +
+          s" (tmax - t1) div $weekSec)").as("week"),
+        col("t2").isNotNull.cast("long").as("observed"))
+    val weekly = durations.groupBy("week")
+      .agg(sum(col("observed")).as("d"),
+        sum(lit(1L) - col("observed")).as("c"))
+    val bounds = weekly.agg(max("week").as("hi"),
+      sum(col("d") + col("c")).as("n_users"))
+    val axis = bounds.select(col("n_users"),
+      explode(expr("sequence(0L, hi)")).as("week"))
+    val wOrd = Window.orderBy("week") // dense week axis — bounded by span
+    axis.join(weekly, Seq("week"), "left")
+      .select(col("week"), col("n_users"),
+        coalesce(col("d"), lit(0L)).as("n_events"),
+        coalesce(col("c"), lit(0L)).as("n_censored"))
+      .withColumn("n_at_risk", col("n_users")
+        - coalesce(sum(col("n_events") + col("n_censored"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("hazard_ppm", when(col("n_at_risk") > 0,
+        expr("(n_events * 1000000) div n_at_risk")).otherwise(lit(0L)))
+      .withColumn("cumhaz_ppm", sum(col("hazard_ppm"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("week", "n_at_risk", "n_events", "n_censored",
+        "hazard_ppm", "cumhaz_ppm")
+  }
 }

@@ -629,4 +629,73 @@ object TextAnalysis {
         (lit(1L) + expr("size(filter(tarr, t -> t < qs))").cast("long"))
           .as("decile"))
   }
+
+  /** Corpus-level lexical richness per source: token count, type count,
+    * hapax-legomenon count (types occurring exactly once), and the
+    * corpus TTR / hapax share in exact ppm floor division. The per-DOC
+    * TTR already lives in [[qualityScores]]; this is the SOURCE-grain
+    * reading — a source whose corpus TTR or hapax share collapses is
+    * template/boilerplate farmland, one whose hapax share explodes is
+    * OCR noise or ID soup. The two ratios disagree with any per-doc
+    * average because types pool sublinearly across docs (Heaps' law) —
+    * which is exactly why the corpus grain is worth a separate scan.
+    *
+    * Shape: one token explode into a (source, word)-grain count agg
+    * (map-side combined — the exchange carries the per-source VOCAB,
+    * never token occurrences), then a source-grain fold. A zero-token
+    * source survives with NULL ratios via the left join from the
+    * source axis. Envelope: n_types·10⁶ < 2⁶³ — holds through ~9·10¹²
+    * types per source.
+    */
+  def lexicalRichness(docs: DataFrame): DataFrame = {
+    val types = docs
+      .select(col("source"), explode(expr(WordsExpr)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_types"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(types, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("hapax_types"), lit(0L)).as("hapax_types"))
+      .withColumn("ttr_ppm",
+        when(col("n_tokens") > 0, expr("(n_types * 1000000) div n_tokens")))
+      .withColumn("hapax_ppm",
+        when(col("n_types") > 0, expr("(hapax_types * 1000000) div n_types")))
+  }
+
+  /** Rank-frequency (Zipf) profile per source: what share of a source's
+    * token mass its top-1 / top-10 / top-100 word types carry, and the
+    * tail mass beyond rank 100, in exact ppm. Natural prose sits near
+    * the Zipfian shape (top-10 ≈ 20–30%); a head share near 10⁶ means
+    * a degenerate template corpus, a near-uniform profile (tail share
+    * ≈ type share) means ID/hash soup — the distribution-shape
+    * companion to [[lexicalRichness]]'s two scalars.
+    *
+    * Shape: the same (source, word)-grain agg, then a rank window
+    * PARTITIONED BY SOURCE over the vocab frame (unlike
+    * [[vocabCoverage]]'s sanctioned global window, this one
+    * parallelizes across sources) and a source-grain fold. Rank ties
+    * break (count desc, word asc) — the house vocab order.
+    */
+  def zipfProfile(docs: DataFrame): DataFrame = {
+    val rk = Window.partitionBy("source").orderBy(col("c").desc, col("word"))
+    docs.select(col("source"), explode(expr(WordsExpr)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("total_tokens"),
+        sum(when(col("rank") <= 1, col("c")).otherwise(0L)).as("top1"),
+        sum(when(col("rank") <= 10, col("c")).otherwise(0L)).as("top10"),
+        sum(when(col("rank") <= 100, col("c")).otherwise(0L)).as("top100"))
+      .select(col("source"), col("n_types"), col("total_tokens"),
+        expr("(top1 * 1000000) div total_tokens").as("top1_ppm"),
+        expr("(top10 * 1000000) div total_tokens").as("top10_ppm"),
+        expr("(top100 * 1000000) div total_tokens").as("top100_ppm"),
+        expr("((total_tokens - top100) * 1000000) div total_tokens")
+          .as("tail_ppm"))
+  }
 }

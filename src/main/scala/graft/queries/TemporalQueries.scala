@@ -97,6 +97,18 @@ object TemporalQueries {
       Sessions.cusumDrift(Tables.load(spark, dir, "events"))
         .orderBy("grp")),
 
+    // Nelson–Aalen cumulative repurchase hazard at week grain: exact
+    // ppm, right-censored one-purchase users, dense week axis
+    "q165_repurchase_hazard" -> ((spark, dir) =>
+      Sessions.repurchaseHazard(Tables.load(spark, dir, "events"))
+        .orderBy("week")),
+
+    // Fano-factor burstiness: variance-to-mean of the dense zero-filled
+    // daily counts per type, exact ppm — Poisson ⇒ ~10⁶
+    "q166_burstiness" -> ((spark, dir) =>
+      Sessions.fanoFactor(Tables.load(spark, dir, "events"))
+        .orderBy("grp")),
+
     // windowed ingest dedup, batch face: earliest event per (user, type)
     // survives each 10-min bucket; min-struct partial agg, so the
     // exchange carries groups, never events
@@ -725,6 +737,88 @@ object TemporalQueries {
         |        JOIN t ON cs.grp = t.grp
         |GROUP BY 1, 2, 3, 5
         |ORDER BY cs.grp""".stripMargin,
+
+    // Mirrors Sessions.repurchaseHazard exactly: study population =
+    // users with >= 1 purchase, duration = weeks first->second purchase,
+    // censored at the corpus' last purchase second; per-week ppm floored
+    // FIRST, then summed, so the cumulative hazard is bit-identical.
+    "q165_repurchase_hazard" ->
+      """WITH p AS (SELECT user_id, event_id,
+        |             epoch_us(ts) // 1000000 AS s
+        |           FROM events
+        |           WHERE event_type = 'purchase'
+        |             AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT max(s) AS tmax FROM p),
+        |r AS (SELECT user_id, s,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY s, event_id) AS rn
+        |      FROM p),
+        |u AS (SELECT user_id,
+        |        min(CASE WHEN rn = 1 THEN s END) AS t1,
+        |        min(CASE WHEN rn = 2 THEN s END) AS t2
+        |      FROM r WHERE rn <= 2 GROUP BY 1),
+        |dur AS (SELECT CASE WHEN t2 IS NOT NULL
+        |                    THEN (t2 - t1) // 604800
+        |                    ELSE ((SELECT tmax FROM h) - t1) // 604800
+        |               END AS week,
+        |               CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |                 AS observed
+        |        FROM u),
+        |wk AS (SELECT week, CAST(sum(observed) AS BIGINT) AS d,
+        |         CAST(sum(1 - observed) AS BIGINT) AS c
+        |       FROM dur GROUP BY 1),
+        |b AS (SELECT max(week) AS hi,
+        |        CAST(sum(d + c) AS BIGINT) AS n_users
+        |      FROM wk),
+        |axis AS (SELECT b.n_users,
+        |           unnest(generate_series(0, b.hi)) AS week FROM b),
+        |dense AS (SELECT a.week, a.n_users,
+        |            coalesce(wk.d, 0) AS n_events,
+        |            coalesce(wk.c, 0) AS n_censored
+        |          FROM axis a LEFT JOIN wk ON a.week = wk.week),
+        |risk AS (SELECT week, n_events, n_censored,
+        |           n_users - coalesce(CAST(sum(n_events + n_censored)
+        |             OVER (ORDER BY week
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND 1 PRECEDING) AS BIGINT), 0) AS n_at_risk
+        |         FROM dense),
+        |hz AS (SELECT week, n_at_risk, n_events, n_censored,
+        |         CASE WHEN n_at_risk > 0
+        |              THEN (n_events * 1000000) // n_at_risk
+        |              ELSE 0 END AS hazard_ppm
+        |       FROM risk)
+        |SELECT week, n_at_risk, n_events, n_censored, hazard_ppm,
+        |       CAST(sum(hazard_ppm) OVER (ORDER BY week) AS BIGINT)
+        |         AS cumhaz_ppm
+        |FROM hz ORDER BY week""".stripMargin,
+
+    // Same dense daily axis as q152/q160; the Fano numerator is >= 0 by
+    // Cauchy–Schwarz, so // (trunc) and div (floor) agree.
+    "q166_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |         (epoch_us(ts) // 1000000) // 86400 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |axis AS (SELECT g.grp, unnest(generate_series(b.lo, b.hi)) AS day
+        |         FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN b),
+        |dense AS (SELECT a.grp, coalesce(d.c, 0) AS c
+        |          FROM axis a LEFT JOIN daily d
+        |            ON a.grp = d.grp AND a.day = d.day),
+        |agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+        |          CAST(sum(c) AS BIGINT) AS n_events,
+        |          CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |        FROM dense GROUP BY 1)
+        |SELECT grp, n_days, n_events,
+        |       (n_events * 1000) // n_days AS mean_milli,
+        |       CASE WHEN n_events > 0
+        |            THEN ((n_days * sum_c2 - n_events * n_events)
+        |                  * 1000000) // (n_days * n_events)
+        |       END AS fano_ppm
+        |FROM agg ORDER BY grp""".stripMargin,
 
     // Naive inequality formulation — correct at oracle scale; the engine
     // side runs the bucketed band join (equi-shuffle + verify) instead.

@@ -137,6 +137,19 @@ object TextQueries {
           sizes = Seq(100L, 500L, 1000L, 2000L, 5000L))
         .orderBy("vocab_size")),
 
+    // corpus-grain lexical richness per source: pooled type/token and
+    // hapax counts with exact-ppm ratios — the Heaps'-law reading the
+    // per-doc TTR (q38) cannot give
+    "q163_lexical_richness" -> ((spark, dir) =>
+      TextAnalysis.lexicalRichness(Tables.load(spark, dir, "documents"))
+        .orderBy("source")),
+
+    // rank-frequency Zipf profile per source: top-1/10/100 token-mass
+    // shares + tail mass in exact ppm, rank window partitioned by source
+    "q164_zipf_profile" -> ((spark, dir) =>
+      TextAnalysis.zipfProfile(Tables.load(spark, dir, "documents"))
+        .orderBy("source")),
+
     "q94_lm_familiarity" -> ((spark, dir) =>
       TextAnalysis.lmFamiliarity(Tables.load(spark, dir, "documents"),
           vocabTopK = 1000L)
@@ -591,6 +604,58 @@ object TextQueries {
          |CROSS JOIN t
          |GROUP BY sz.vocab_size, t.total_tokens
          |ORDER BY vocab_size""".stripMargin,
+
+    "q163_lexical_richness" ->
+      s"""WITH $WsSql,
+         |tok AS (SELECT source, unnest(w) AS word
+         |        FROM ws JOIN documents d USING (doc_id)),
+         |ty AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY 1, 2),
+         |agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |          CAST(count(*) AS BIGINT) AS n_types,
+         |          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS hapax_types
+         |        FROM ty GROUP BY 1),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM documents GROUP BY 1)
+         |SELECT d.source, d.n_docs,
+         |       coalesce(a.n_tokens, 0) AS n_tokens,
+         |       coalesce(a.n_types, 0) AS n_types,
+         |       coalesce(a.hapax_types, 0) AS hapax_types,
+         |       CASE WHEN coalesce(a.n_tokens, 0) > 0
+         |            THEN (a.n_types * 1000000) // a.n_tokens END AS ttr_ppm,
+         |       CASE WHEN coalesce(a.n_types, 0) > 0
+         |            THEN (a.hapax_types * 1000000) // a.n_types END
+         |         AS hapax_ppm
+         |FROM d LEFT JOIN agg a ON d.source = a.source
+         |ORDER BY d.source""".stripMargin,
+
+    "q164_zipf_profile" ->
+      s"""WITH $WsSql,
+         |tok AS (SELECT source, unnest(w) AS word
+         |        FROM ws JOIN documents d USING (doc_id)),
+         |ty AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY 1, 2),
+         |rk AS (SELECT source, c,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY c DESC, word) AS BIGINT) AS rank
+         |       FROM ty),
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |          CAST(sum(c) AS BIGINT) AS total_tokens,
+         |          CAST(sum(CASE WHEN rank <= 1 THEN c ELSE 0 END)
+         |               AS BIGINT) AS top1,
+         |          CAST(sum(CASE WHEN rank <= 10 THEN c ELSE 0 END)
+         |               AS BIGINT) AS top10,
+         |          CAST(sum(CASE WHEN rank <= 100 THEN c ELSE 0 END)
+         |               AS BIGINT) AS top100
+         |        FROM rk GROUP BY 1)
+         |SELECT source, n_types, total_tokens,
+         |       (top1 * 1000000) // total_tokens AS top1_ppm,
+         |       (top10 * 1000000) // total_tokens AS top10_ppm,
+         |       (top100 * 1000000) // total_tokens AS top100_ppm,
+         |       ((total_tokens - top100) * 1000000) // total_tokens
+         |         AS tail_ppm
+         |FROM agg ORDER BY source""".stripMargin,
 
     "q94_lm_familiarity" ->
       s"""WITH $WsSql,

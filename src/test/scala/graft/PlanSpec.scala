@@ -245,7 +245,12 @@ class PlanSpec extends AnyFunSuite {
         "q153_kcore", "q154_growth_accounting",
         "q155_market_concentration", "q156_rolling_active",
         "q157_readability", "q158_cohort_ltv", "q159_dow_profile",
-        "q160_cusum", "q161_interevent", "q162_gini")) {
+        "q160_cusum", "q161_interevent", "q162_gini",
+        // r8 third batch: q163/q164 are vocab-grain aggs + windows,
+        // q165's only cross join is the broadcast 1-row study horizon,
+        // q166 rides the q152 dense-axis skeleton (broadcast bounds)
+        "q163_lexical_richness", "q164_zipf_profile",
+        "q165_repurchase_hazard", "q166_burstiness")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

@@ -242,6 +242,57 @@ class TemporalSpec extends AnyFunSuite {
       s"expected Monday=0 with 2 events and Wednesday=2 with 1: $got")
   }
 
+  test("repurchaseHazard: hand-checked risk sets, censoring, cumulative sum") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0),
+      (2L, ts("2024-01-09 10:00:00"), 1L, "purchase", 1.0), // 8d -> week 1
+      (3L, ts("2024-01-01 10:00:00"), 2L, "purchase", 1.0), // censored at e2
+      (4L, ts("2024-01-02 10:00:00"), 2L, "view", 1.0)      // wrong type: ignored
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessions.repurchaseHazard(df).orderBy("week")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // week 0: both at risk, nothing happens; week 1: u1 repurchases,
+    // u2 censors at the horizon (the corpus' last purchase)
+    assert(got == Seq((0L, 2L, 0L, 0L, 0L, 0L),
+      (1L, 2L, 1L, 1L, 500000L, 500000L)))
+  }
+
+  test("repurchaseHazard conservation on corpus: exits partition the population, cumhaz monotone") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    val rows = Sessions.repurchaseHazard(ev).orderBy("week").collect()
+    assert(rows.nonEmpty)
+    val n0 = rows.head.getLong(1) // week-0 risk set = whole study population
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == n0,
+      "every user must exit exactly once (event or censor)")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(5) >= a.getLong(5), "cumulative hazard must be monotone")
+        assert(b.getLong(1) == a.getLong(1) - a.getLong(2) - a.getLong(3),
+          "risk set must shrink by exactly the previous week's exits")
+      case _ =>
+    }
+    val users = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(n0 == users, "study population = users with >= 1 purchase")
+  }
+
+  test("fanoFactor: hand-checked dispersion over the dense daily axis") {
+    import spark.implicits._
+    // type a: day counts 2, 0, 1 -> n=3, total=3, sum_c2=5
+    // fano = (3*5 - 9)/(3*3) = 2/3 -> 666666 ppm
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "a", 0.0),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "a", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Sessions.fanoFactor(df).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) == (3L, 3L, 1000L, 666666L))
+  }
+
   test("cusumDrift: hand-checked excursions and first-reach days") {
     import spark.implicits._
     // daily cents 100, 400, 100 -> target 200, cusum -100, +100, 0

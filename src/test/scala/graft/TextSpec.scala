@@ -36,6 +36,41 @@ class TextSpec extends AnyFunSuite {
     assert(r(1).getString(2) === "unknown" && r(1).getLong(3) === 0L)
   }
 
+  test("lexicalRichness: hand-checked pooled counts, zero-token source survives") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1", "a b a"), (2L, "s1", "c"),   // tokens 4; types a,b,c; hapax b,c
+      (3L, "s2", "   ")                       // whitespace-only: 0 tokens
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.lexicalRichness(df).orderBy("source").collect()
+    assert(r.length == 2)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4),
+      r(0).getLong(5), r(0).getLong(6)) == (2L, 4L, 3L, 2L, 750000L, 666666L))
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3),
+      r(1).getLong(4)) == (1L, 0L, 0L, 0L))
+    assert(r(1).isNullAt(5) && r(1).isNullAt(6),
+      "zero-token source must yield NULL ratios, not 0/0")
+  }
+
+  test("zipfProfile: hand-checked head shares; shares partition the mass") {
+    import spark.implicits._
+    val df = Seq((1L, "s1", "a b a"), (2L, "s1", "c"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.zipfProfile(df).collect()
+    assert(r.length == 1)
+    // a(2) ranks 1st; top1 = 2/4, everything inside top10/top100, no tail
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4),
+      r(0).getLong(5), r(0).getLong(6)) ==
+      (3L, 4L, 500000L, 1000000L, 1000000L, 0L))
+    // corpus law: top100 + tail == total mass (in exact ppm, pre-floor)
+    val c = TextAnalysis.zipfProfile(docs).collect()
+    c.foreach { row =>
+      val (total, t100, tail) = (row.getLong(2), row.getLong(5), row.getLong(6))
+      assert(math.abs(t100 + tail - 1000000L) <= 1L,
+        s"top100+tail must cover the mass: $t100 + $tail over $total")
+    }
+  }
+
   test("qualityScores invariants: 0 <= quality <= 1, distinct <= words <= chars") {
     val q = TextAnalysis.qualityScores(docs)
     val bad = q.filter(
