@@ -359,6 +359,65 @@ object Similarity {
         (col("cell_rank") <= quota).cast("bigint").as("kept"))
   }
 
+  /** Label-coherence audit: per vector, the cosine to its OWN label's
+    * mean centroid and to the best OTHER label's — the embedding-space
+    * health check for a labeled corpus (a vector closer to a foreign
+    * centroid is a label error, a drifted encoder, or a genuinely
+    * ambiguous item; a label whose members hug foreign centroids is a
+    * cluster that never separated). The per-class twin of the
+    * per-vector norms audit ([[int8QuantAudit]]'s sibling q134).
+    *
+    * Determinism discipline: centroid coordinates are exact micro-unit
+    * long sums ([[graft.functions.Aggregators.vec_sum_long]], the
+    * [[ivfTrainedIndex]] contract) divided back once at 6 dp — bit
+    * identical under any partitioning and reproducible in DuckDB;
+    * cosines rank on the 6 dp rounding with label-asc ties.
+    *
+    * Scale shape: labels are bounded, so the centroid frame broadcasts
+    * and the score pass is ONE corpus scan (O(n·labels) dot products);
+    * the best-other pick is a per-vector window over `labels − 1` rows.
+    */
+  def labelCoherence(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val cents = v.select(col("label"), expr(
+        s"transform(e, x -> cast(round(cast(x as double) * $KmQ.0d) as bigint))")
+        .as("qv"))
+      .groupBy("label")
+      .agg(graft.functions.Aggregators.vec_sum_long(col("qv")).as("s"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("clabel"), expr(
+        s"transform(s, x -> round(cast(x as double) / ($KmQ.0d * cnt), 6))")
+        .as("ce"))
+      .withColumn("cn", sqrt(array_dot(col("ce"), col("ce"))))
+    // labels are bounded — the centroid frame broadcasts by construction.
+    // Rank/compare on the 6 dp rounding; EMIT the 4 dp round of the RAW
+    // cosine (rounding an already-rounded double is the double-rounding
+    // parity trap: engines disagree on whether 0.193150 re-rounds up)
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        cosCol(col("e"), col("ce"), col("nrm"), col("cn")).as("craw"))
+      .withColumn("ccos", round(col("craw"), 6))
+    val own = scored.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("ccos").as("own6"),
+        col("craw").as("own_raw"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc_nulls_last, col("clabel"))
+    val other = scored.filter(col("label") =!= col("clabel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("best_other_label"),
+        col("ccos").as("oth6"), col("craw").as("oth_raw"))
+    own.join(other, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        round(col("own_raw"), 4).as("own_cos"),
+        col("best_other_label"),
+        round(col("oth_raw"), 4).as("best_other_cos"),
+        when(col("own6") > col("oth6"), 1L).otherwise(0L).as("separated"))
+  }
+
   /** Default IVF centroid stride: ⌈√n⌉ ⇒ ~√n centroids of ~√n vectors. */
   private[graft] def derivedStride(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt

@@ -226,7 +226,94 @@ object Analytics {
           expr("""(1000000 * (2 * s1 - (n_suppliers + 1) * total_cents))
                   div (n_suppliers * total_cents)""").as("gini_ppm"))
         .orderBy("nation")
-    }))
+    }),
+
+    // CONTINGENCY LIFT: market-segment × order-priority independence
+    // screen — per cell, observed orders vs the expected count under
+    // independence (row_total·col_total/N), as an exact-ppm lift. The
+    // χ²-free rendering of the independence test: squares of O·N−R·C
+    // overflow BIGINT at corpus scale, lift doesn't (R·C < N² needs
+    // N < 3·10⁹; the two floors compound < 1 expected-row of slack,
+    // visible in the emitted exact operands). Cells are bounded
+    // (segments × priorities); the only row-grain work is one
+    // customer-dimension equi-join and a map-side-combined cell count.
+    "q167_contingency_lift" -> ((spark, dir) => {
+      val cells = Tables.load(spark, dir, "orders")
+        .join(Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+      val rows = cells.groupBy("segment").agg(sum("n").as("row_total"))
+      val cols = cells.groupBy("priority").agg(sum("n").as("col_total"))
+      val tot = cells.agg(sum("n").as("grand_total"))
+      cells.join(rows, Seq("segment")).join(cols, Seq("priority"))
+        .crossJoin(broadcast(tot)) // 1-row grand total — bounded
+        .select(col("segment"), col("priority"), col("n"),
+          col("row_total"), col("col_total"), col("grand_total"),
+          expr("(row_total * col_total) div grand_total")
+            .as("expected_rows"))
+        .withColumn("lift_ppm", when(col("expected_rows") > 0,
+          expr("(n * 1000000) div expected_rows")))
+        .orderBy("segment", "priority")
+    }),
+
+    // ABC CLASSIFICATION: per part-type, parts ranked by revenue and
+    // split at 80% / 95% cumulative share — the inventory-policy
+    // reading of the revenue curve (A = the heads that deserve
+    // per-part attention, C = the long tail to automate). Class
+    // boundaries are EXACT integer cross-multiplications (cum·5 ≤
+    // tot·4 ⟺ share ≤ 0.8 — no ppm rounding at the boundary); the
+    // rank/cumsum window partitions by TYPE over part-grain collapsed
+    // revenue (dimension grain, parallel across types — the q162
+    // posture, never a global sort). Envelope: cum·20 < 2⁶³.
+    "q168_abc_classes" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val partRev = Tables.load(spark, dir, "lineitem")
+        .select(col("l_partkey"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+        .groupBy("l_partkey").agg(sum(col("cents")).as("rev"))
+        .join(Tables.load(spark, dir, "part")
+          .select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+      val w = Window.partitionBy("p_type")
+        .orderBy(col("rev").desc, col("p_partkey"))
+      partRev
+        .withColumn("cum", sum(col("rev")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("rev")).over(Window.partitionBy("p_type")))
+        .select(col("p_type"), col("rev"),
+          when(col("cum") * 5 <= col("tot") * 4, "A")
+            .when(col("cum") * 20 <= col("tot") * 19, "B")
+            .otherwise("C").as("abc"), col("tot"))
+        .groupBy("p_type", "abc")
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("class_cents"),
+          expr("(sum(rev) * 1000000) div max(tot)").as("share_ppm"))
+        .orderBy("p_type", "abc")
+    }),
+
+    // EVENT-TYPE DIVERSITY: per-user Gini–Simpson index over the event
+    // mix in exact ppm — 10⁶·(n² − Σc²)/n², the probability two of the
+    // user's events differ in type (0 = single-type bot signature,
+    // → 10⁶·(k−1)/k = uniform over k types). The entropy-free diversity
+    // reading: Shannon needs libm logs, Gini–Simpson is pure integer.
+    // One (user, type)-grain map-side-combined count, one user-grain
+    // fold. Envelope: n²·10⁶ < 2⁶³ — holds through ~3·10⁶ events/user.
+    "q169_event_diversity" -> ((spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          expr("((n_events * n_events - sum_c2) * 1000000)" +
+            " div (n_events * n_events)").as("simpson_ppm"))
+        .orderBy("user_id")))
 
   def oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -376,6 +463,70 @@ object Analytics {
         |FROM sh JOIN t ON sh.nation = t.nation
         |GROUP BY 1, 2, 3
         |ORDER BY 1""".stripMargin,
+
+    // the two floors (expected_rows, then lift) mirror the engine side
+    // exactly; both operands are emitted so the slack is auditable
+    "q167_contingency_lift" ->
+      """WITH cells AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT segment, CAST(sum(n) AS BIGINT) AS row_total
+        |      FROM cells GROUP BY 1),
+        |c2 AS (SELECT priority, CAST(sum(n) AS BIGINT) AS col_total
+        |       FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS grand_total FROM cells),
+        |e AS (SELECT cells.segment, cells.priority, cells.n,
+        |        r.row_total, c2.col_total, t.grand_total,
+        |        (r.row_total * c2.col_total) // t.grand_total
+        |          AS expected_rows
+        |      FROM cells JOIN r USING (segment)
+        |                 JOIN c2 USING (priority) CROSS JOIN t)
+        |SELECT segment, priority, n, row_total, col_total, grand_total,
+        |       expected_rows,
+        |       CASE WHEN expected_rows > 0
+        |            THEN (n * 1000000) // expected_rows END AS lift_ppm
+        |FROM e ORDER BY segment, priority""".stripMargin,
+
+    // unique (rev DESC, partkey) sort keys make DuckDB's default RANGE
+    // frame equal the engine's explicit ROWS frame
+    "q168_abc_classes" ->
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                             * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT p.p_type, pr.rev, pr.l_partkey
+        |      FROM pr JOIN part p ON pr.l_partkey = p.p_partkey),
+        |wn AS (SELECT p_type, rev,
+        |         CAST(sum(rev) OVER (PARTITION BY p_type
+        |           ORDER BY rev DESC, l_partkey) AS BIGINT) AS cum,
+        |         CAST(sum(rev) OVER (PARTITION BY p_type) AS BIGINT) AS tot
+        |       FROM j),
+        |cls AS (SELECT p_type, rev, tot,
+        |          CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |               WHEN cum * 20 <= tot * 19 THEN 'B'
+        |               ELSE 'C' END AS abc
+        |        FROM wn)
+        |SELECT p_type, abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev) AS BIGINT) AS class_cents,
+        |       (CAST(sum(rev) AS BIGINT) * 1000000) // max(tot) AS share_ppm
+        |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q169_event_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |           GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |        CAST(count(*) AS BIGINT) AS n_types,
+        |        CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |      FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |       ((n_events * n_events - sum_c2) * 1000000)
+        |         // (n_events * n_events) AS simpson_ppm
+        |FROM u ORDER BY user_id""".stripMargin,
 
     // identical basket population on every branch: items -> capped
     // baskets -> pairs/singles/total all read the `kept` CTE; lift is

@@ -204,6 +204,13 @@ object SimilarityQueries {
           expr("sum(norm_e4) div count(1)").as("avg_norm_e4"))
         .orderBy("label")),
 
+    // label-coherence audit: per vector, cosine to its OWN label's
+    // exact-integer mean centroid vs the best OTHER label's — the
+    // label-error / cluster-separation screen beside q134's norms
+    "q170_label_coherence" -> ((spark, dir) =>
+      Similarity.labelCoherence(Tables.load(spark, dir, "embeddings"))
+        .orderBy("vec_id")),
+
     "q31_ann_neighbors" -> ((spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.cosineNeighbors(emb, emb.filter(col("vec_id") < 10), threshold = 0.3)
@@ -452,6 +459,44 @@ object SimilarityQueries {
          |       round(max(scale), 6) AS max_scale
          |FROM per GROUP BY label
          |ORDER BY label""".stripMargin,
+
+    // same exact-integer centroid arithmetic as the trained-IVF CTEs
+    // (micro-long coordinate sums, divided back once at 6 dp), scores
+    // ranked on the 6 dp rounding with label-asc ties
+    "q170_label_coherence" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings WHERE label IS NOT NULL),
+         |qv AS (SELECT vec_id, label,
+         |         list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT))
+         |           AS qv
+         |       FROM v),
+         |agg AS (SELECT label, t.k, sum(q.qv[t.k]) AS s, count(*) AS cnt
+         |        FROM qv q, UNNEST(generate_series(1, len(q.qv))) AS t(k)
+         |        GROUP BY label, t.k),
+         |cents AS (SELECT label AS clabel,
+         |            list_transform(list(s ORDER BY k), x ->
+         |              round(CAST(x AS DOUBLE) / (1000000.0 * cnt), 6)) AS ce
+         |          FROM agg GROUP BY label, cnt),
+         |sc AS (SELECT vec_id, label, clabel, craw,
+         |         round(craw, 6) AS ccos
+         |       FROM (SELECT v.vec_id, v.label, c.clabel,
+         |               ${cosSql("v.e", "c.ce")} AS craw
+         |             FROM v CROSS JOIN cents c)),
+         |own AS (SELECT vec_id, label, ccos AS own6, craw AS own_raw
+         |        FROM sc WHERE label = clabel),
+         |oth AS (SELECT vec_id, clabel AS best_other_label, oth6, oth_raw
+         |        FROM (SELECT vec_id, clabel, ccos AS oth6, craw AS oth_raw,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY ccos DESC NULLS LAST, clabel) AS rn
+         |              FROM sc WHERE label <> clabel)
+         |        WHERE rn = 1)
+         |SELECT o.vec_id, o.label, round(o.own_raw, 4) AS own_cos,
+         |       t.best_other_label, round(t.oth_raw, 4) AS best_other_cos,
+         |       CAST(CASE WHEN o.own6 > t.oth6 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS separated
+         |FROM own o LEFT JOIN oth t ON o.vec_id = t.vec_id
+         |ORDER BY o.vec_id""".stripMargin,
 
     "q61_ann_ivf_trained" -> TrainedIvfSql,
 

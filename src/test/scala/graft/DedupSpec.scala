@@ -852,6 +852,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("labelCoherence: axis-aligned labels separate; flipped member flagged") {
+    import spark.implicits._
+    // label 0 hugs the x-axis, label 1 the y-axis; vec 5 is y-aligned
+    // but labeled 0 — the label error the audit exists to surface
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCoherence(emb).orderBy("vec_id").collect()
+    assert(r.length == 5)
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getDouble(2), x.getInt(3), x.getDouble(4), x.getLong(5))).toMap
+    // clean members sit closer to their own centroid
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      val (own, _, oth, sep) = byId(id)
+      assert(own > oth && sep == 1L, s"vec $id should separate: $own vs $oth")
+    }
+    // the flipped vector is closer to label 1's centroid
+    val (own5, lbl5, oth5, sep5) = byId(5L)
+    assert(lbl5 == 1 && oth5 > own5 && sep5 == 0L,
+      s"planted label error must surface: own=$own5 other=$oth5")
+  }
+
   test("scrubRunsFixpoint: already-clean corpus is a zero-round fixpoint") {
     val seq = Seq((0L, "entirely distinct first document text"),
       (1L, "another unrelated second document body"))

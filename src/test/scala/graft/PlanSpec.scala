@@ -250,7 +250,11 @@ class PlanSpec extends AnyFunSuite {
         // q165's only cross join is the broadcast 1-row study horizon,
         // q166 rides the q152 dense-axis skeleton (broadcast bounds)
         "q163_lexical_richness", "q164_zipf_profile",
-        "q165_repurchase_hazard", "q166_burstiness")) {
+        "q165_repurchase_hazard", "q166_burstiness",
+        // q167's one cross join is the broadcast 1-row grand total;
+        // q168/q169 are equi-joins + per-type windows / user-grain aggs
+        "q167_contingency_lift", "q168_abc_classes",
+        "q169_event_diversity")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

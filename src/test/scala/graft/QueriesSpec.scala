@@ -43,6 +43,49 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q167 contingency laws: cells conserve the grand total, lift centers on 1e6") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q167_contingency_lift")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(df.nonEmpty)
+    val grand = df.head.getLong(5)
+    assert(df.map(_.getLong(2)).sum == grand, "cell counts must sum to N")
+    // expected counts also partition N up to per-cell floor slack
+    val expSum = df.map(_.getLong(6)).sum
+    assert(expSum <= grand && expSum >= grand - df.length,
+      s"expected rows $expSum vs N=$grand with ${df.length} cells of slack")
+  }
+
+  test("q168 ABC laws: per-type shares partition 1e6, class revenue ordered A >= B-per-part") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q168_abc_classes")(spark, TestSpark.Sf0001)
+      .collect().groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ptype, cls) =>
+      val shares = cls.map(_.getLong(4)).sum
+      assert(shares <= 1000000L && shares >= 1000000L - cls.length,
+        s"$ptype shares must partition the mass: $shares")
+      // an A part out-earns any C part (classes are a revenue sort)
+      val byCls = cls.map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3))).toMap
+      for ((na, ca) <- byCls.get("A"); (nc, cc) <- byCls.get("C"))
+        assert(ca / na + 1 >= cc / nc, // +1 absorbs the floored-mean tie edge
+          s"$ptype: A per-part must out-earn C")
+    }
+  }
+
+  test("q169 diversity laws: simpson in [0, (k-1)/k * 1e6], types <= events") {
+    val rows = SparkEntry.queries("q169_event_diversity")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, s) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k >= 1 && k <= n, s"types $k vs events $n")
+      assert(s >= 0 && s <= (k - 1) * 1000000L / k + 1,
+        s"simpson $s out of bounds for k=$k")
+    }
+  }
+
   test("q155 HHI laws: bounded by 1e6, at least the top share's own square, floor of 1e6/n") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q155_market_concentration")(spark, TestSpark.Sf0001)
