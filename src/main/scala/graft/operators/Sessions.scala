@@ -763,6 +763,49 @@ object Sessions {
             " div (n_days * n_events)")).as("fano_ppm"))
   }
 
+  /** AR(1) autoregression of the dense zero-filled daily counts per
+    * group: the exact-integer OLS slope of x_{t+1} on x_t — the
+    * mean-reversion/momentum screen beside [[dailyTrend]]'s drift and
+    * [[fanoFactor]]'s dispersion (slope ≈ 0: memoryless Poisson days;
+    * → 1: persistent regimes — campaigns, incidents; < 0: alternating
+    * load). Same cross-multiplied rational as [[dailyTrend]] over the
+    * m = n−1 consecutive day pairs: num = m·Σxy − Σx·Σy, den = m·Σx² −
+    * (Σx)², emitted exact plus sign and abs-then-floor micro units
+    * (floor-vs-trunc of negatives differs across engines — the q152
+    * pattern throughout).
+    *
+    * Shape: the [[fanoFactor]] dense-axis skeleton, one lead window AT
+    * AXIS GRAIN (groups × span days — time-bounded, never row count),
+    * one group-grain fold.
+    */
+  def ar1Daily(events: DataFrame, keyCol: String = "event_type"): DataFrame = {
+    val daySec = 86400L
+    val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
+    val daily = events.filter(col(keyCol).isNotNull && col("ts").isNotNull)
+      .groupBy(col(keyCol).as("grp"),
+        expr(s"($sec - pmod($sec, $daySec)) div $daySec").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val axis = daily.select("grp").distinct()
+      .crossJoin(broadcast(bounds)) // 1-row bounds frame — bounded
+      .select(col("grp"), explode(expr("sequence(lo, hi)")).as("day"))
+    val wLead = Window.partitionBy("grp").orderBy("day")
+    axis.join(daily, Seq("grp", "day"), "left")
+      .select(col("grp"), col("day"), coalesce(col("c"), lit(0L)).as("x"))
+      .withColumn("y", lead(col("x"), 1).over(wLead))
+      .filter(col("y").isNotNull)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("grp"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("ar1_sign", signum(col("num")).cast("bigint"))
+      .withColumn("ar1_abs_micro",
+        when(col("den") > 0, expr("(abs(num) * 1000000) div den")))
+  }
+
   /** Nelson–Aalen cumulative hazard of the SECOND event of `eventType`
     * per user — time-to-repurchase survival analysis at week grain.
     * Study population = users with ≥ 1 such event; the duration is

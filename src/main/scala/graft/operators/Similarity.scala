@@ -418,6 +418,42 @@ object Similarity {
         when(col("own6") > col("oth6"), 1L).otherwise(0L).as("separated"))
   }
 
+  /** Leave-one-out 1-NN label agreement per label — the standard
+    * embedding-quality metric (a good encoder puts same-label items
+    * nearest each other; per-label agreement collapse localizes WHICH
+    * class the encoder confuses, the complement of [[labelCoherence]]'s
+    * centroid view, which averages away multi-modal classes that 1-NN
+    * sees). Neighbor rank ties break on the 6 dp-rounded cosine then
+    * neighbor id; zero-norm vectors (NULL cosine everywhere) still
+    * appear, counted as disagreement, so totals conserve the corpus.
+    *
+    * GROUND-TRUTH TIER: the exact 1-NN is the O(n²) pair scan
+    * ([[cosinePairs]]' contract) — it exists to calibrate the bucketed
+    * tiers and runs on samples at corpus scale; labeled and excluded
+    * from the scaling suite like q26/q30/q32.
+    */
+  def knnLabelAgreement(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val a = v.select(col("vec_id"), col("label"), col("e"), col("nrm"))
+    val b = v.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("e").as("ne"), col("nrm").as("nn"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("c6").desc_nulls_last, col("nid"))
+    a.join(b, col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("label"), col("nid"), col("nlabel"),
+        round(cosCol(col("e"), col("ne"), col("nrm"), col("nn")), 6).as("c6"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("label") === col("nlabel"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_ppm", expr("(n_agree * 1000000) div n_vecs"))
+  }
+
   /** Default IVF centroid stride: ⌈√n⌉ ⇒ ~√n centroids of ~√n vectors. */
   private[graft] def derivedStride(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt

@@ -667,6 +667,89 @@ object TextAnalysis {
         when(col("n_types") > 0, expr("(hapax_types * 1000000) div n_types")))
   }
 
+  /** Character-class profile per source: letter / digit / whitespace /
+    * other shares of the corpus bytes in exact ppm — the cheapest
+    * source-health fingerprint there is (markup and code push OTHER up,
+    * tables and IDs push DIGIT, OCR noise drifts every class at once;
+    * a jump between snapshots means the extraction pipeline changed
+    * before any model ever sees the text). Class counts are
+    * length-minus-stripped-length — one linear scan, no explode, no
+    * shuffle beyond the source-grain fold.
+    */
+  def charClassProfile(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        length(col("text")).cast("long").as("n"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[a-zA-Z]", "")))
+          .cast("long").as("alpha"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("digit"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "\\s", "")))
+          .cast("long").as("space"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"),
+        sum(col("alpha")).as("a"), sum(col("digit")).as("d"),
+        sum(col("space")).as("s"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        when(col("n_chars") > 0, expr("(a * 1000000) div n_chars"))
+          .as("alpha_ppm"),
+        when(col("n_chars") > 0, expr("(d * 1000000) div n_chars"))
+          .as("digit_ppm"),
+        when(col("n_chars") > 0, expr("(s * 1000000) div n_chars"))
+          .as("space_ppm"),
+        when(col("n_chars") > 0,
+          expr("((n_chars - a - d - s) * 1000000) div n_chars"))
+          .as("other_ppm"))
+
+  /** Two-sample Kolmogorov–Smirnov distance between each source's
+    * doc-length distribution and the whole corpus', at
+    * `bucketChars`-wide length buckets: D = max over buckets of
+    * |CDF_source − CDF_corpus| in exact ppm, plus the bucket where the
+    * gap peaks (lowest such bucket — deterministic). The
+    * distribution-drift screen for mixture construction: a source
+    * whose length CDF sits far from the corpus' will dominate some
+    * context-length band after packing ([[graft.operators.Prep.pack]]),
+    * and D is the one-number ranking of which sources to re-weight.
+    *
+    * Exactness: both CDFs are integer cumulative counts over the
+    * bucket axis; each is scaled to ppm with ONE floor division before
+    * the subtraction, so the statistic is engine-portable (the floors
+    * shift each side < 1 ppm). Shape: doc-grain collapses to
+    * (source, bucket) map-side; every window runs at source × bucket
+    * grain — bounded by max-length/`bucketChars`, never doc count.
+    */
+  def lengthKsDrift(docs: DataFrame, bucketChars: Int = 64): DataFrame = {
+    require(bucketChars >= 1, s"bucketChars must be >= 1: $bucketChars")
+    val b = docs
+      .select(col("source"), expr(s"n_chars div $bucketChars").as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val corpusCum = b.groupBy("bucket").agg(sum(col("c")).as("call"))
+      .withColumn("cuma", sum(col("call")).over(Window.orderBy("bucket")))
+    val nsrc = b.groupBy("source").agg(sum(col("c")).as("ns"))
+    val ntot = b.agg(sum(col("c")).as("na"))
+    // sources × corpus buckets — both bounded dimension frames
+    val axis = b.select("source").distinct()
+      .crossJoin(broadcast(corpusCum.select("bucket")))
+    val wS = Window.partitionBy("source").orderBy("bucket")
+    val gaps = axis.join(b, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cums", sum(col("c")).over(
+        wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(corpusCum.select(col("bucket"), col("cuma")), Seq("bucket"))
+      .join(nsrc, Seq("source"))
+      .crossJoin(broadcast(ntot)) // 1-row corpus total — bounded
+      .select(col("source"), col("bucket"), col("ns"),
+        abs(expr("(cums * 1000000) div ns - (cuma * 1000000) div na"))
+          .as("gap"))
+    val w = Window.partitionBy("source").orderBy(col("gap").desc, col("bucket"))
+    gaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("ns").as("n_docs"),
+        col("gap").as("d_ppm"), col("bucket").as("ks_bucket"))
+  }
+
   /** Rank-frequency (Zipf) profile per source: what share of a source's
     * token mass its top-1 / top-10 / top-100 word types carry, and the
     * tail mass beyond rank 100, in exact ppm. Natural prose sits near

@@ -211,6 +211,13 @@ object SimilarityQueries {
       Similarity.labelCoherence(Tables.load(spark, dir, "embeddings"))
         .orderBy("vec_id")),
 
+    // leave-one-out exact 1-NN label agreement per label — the
+    // embedding-quality metric's ground-truth tier (O(n²) by contract,
+    // like q30/q32; calibrates the bucketed tiers, sampled at scale)
+    "q171_knn_agreement" -> ((spark, dir) =>
+      Similarity.knnLabelAgreement(Tables.load(spark, dir, "embeddings"))
+        .orderBy("label")),
+
     "q31_ann_neighbors" -> ((spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.cosineNeighbors(emb, emb.filter(col("vec_id") < 10), threshold = 0.3)
@@ -497,6 +504,29 @@ object SimilarityQueries {
          |         AS separated
          |FROM own o LEFT JOIN oth t ON o.vec_id = t.vec_id
          |ORDER BY o.vec_id""".stripMargin,
+
+    // 1-NN ranked on the 6 dp cosine with neighbor-id ties — the same
+    // ordering contract as the engine's window
+    "q171_knn_agreement" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings WHERE label IS NOT NULL),
+         |sc AS (SELECT a.vec_id, a.label, b.vec_id AS nid,
+         |         b.label AS nlabel,
+         |         round(${cosSql("a.e", "b.e")}, 6) AS c6
+         |       FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         |nn AS (SELECT vec_id, label, nlabel
+         |       FROM (SELECT vec_id, label, nlabel,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY c6 DESC NULLS LAST, nid) AS rn
+         |             FROM sc)
+         |       WHERE rn = 1)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CASE WHEN label = nlabel THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_agree,
+         |       (CAST(sum(CASE WHEN label = nlabel THEN 1 ELSE 0 END)
+         |             AS BIGINT) * 1000000) // count(*) AS agree_ppm
+         |FROM nn GROUP BY label ORDER BY label""".stripMargin,
 
     "q61_ann_ivf_trained" -> TrainedIvfSql,
 

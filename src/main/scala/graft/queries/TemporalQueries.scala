@@ -109,6 +109,12 @@ object TemporalQueries {
       Sessions.fanoFactor(Tables.load(spark, dir, "events"))
         .orderBy("grp")),
 
+    // AR(1) of the dense daily counts: exact-integer OLS of x_{t+1} on
+    // x_t — the mean-reversion/momentum screen beside q152's drift
+    "q172_ar1" -> ((spark, dir) =>
+      Sessions.ar1Daily(Tables.load(spark, dir, "events"))
+        .orderBy("grp")),
+
     // windowed ingest dedup, batch face: earliest event per (user, type)
     // survives each 10-min bucket; min-struct partial agg, so the
     // exchange carries groups, never events
@@ -792,7 +798,44 @@ object TemporalQueries {
         |         AS cumhaz_ppm
         |FROM hz ORDER BY week""".stripMargin,
 
-    // Same dense daily axis as q152/q160; the Fano numerator is >= 0 by
+    // Same dense daily axis; lead pairs at axis grain; the rational's
+    // one division is abs-then-floor (the q152 negatives pattern)
+    "q172_ar1" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |         (epoch_us(ts) // 1000000) // 86400 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |axis AS (SELECT g.grp, unnest(generate_series(b.lo, b.hi)) AS day
+        |         FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN b),
+        |dense AS (SELECT a.grp, a.day, coalesce(d.c, 0) AS x
+        |          FROM axis a LEFT JOIN daily d
+        |            ON a.grp = d.grp AND a.day = d.day),
+        |pairs AS (SELECT grp, x,
+        |            lead(x) OVER (PARTITION BY grp ORDER BY day) AS y
+        |          FROM dense),
+        |agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_pairs,
+        |          CAST(sum(x) AS BIGINT) AS sx,
+        |          CAST(sum(y) AS BIGINT) AS sy,
+        |          CAST(sum(x * y) AS BIGINT) AS sxy,
+        |          CAST(sum(x * x) AS BIGINT) AS sxx
+        |        FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT grp, n_pairs,
+        |       n_pairs * sxy - sx * sy AS num,
+        |       n_pairs * sxx - sx * sx AS den,
+        |       CAST(CASE WHEN n_pairs * sxy - sx * sy > 0 THEN 1
+        |                 WHEN n_pairs * sxy - sx * sy < 0 THEN -1
+        |                 ELSE 0 END AS BIGINT) AS ar1_sign,
+        |       CASE WHEN n_pairs * sxx - sx * sx > 0
+        |            THEN (abs(n_pairs * sxy - sx * sy) * 1000000)
+        |                 // (n_pairs * sxx - sx * sx)
+        |       END AS ar1_abs_micro
+        |FROM agg ORDER BY grp""".stripMargin,
+
+    // Same dense daily axis; the Fano numerator is >= 0 by
     // Cauchy–Schwarz, so // (trunc) and div (floor) agree.
     "q166_burstiness" ->
       """WITH daily AS (

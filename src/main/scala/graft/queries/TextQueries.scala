@@ -150,6 +150,18 @@ object TextQueries {
       TextAnalysis.zipfProfile(Tables.load(spark, dir, "documents"))
         .orderBy("source")),
 
+    // per-source character-class shares (letter/digit/space/other ppm)
+    // — the cheapest extraction-pipeline drift fingerprint
+    "q173_char_classes" -> ((spark, dir) =>
+      TextAnalysis.charClassProfile(Tables.load(spark, dir, "documents"))
+        .orderBy("source")),
+
+    // two-sample KS distance of each source's doc-length CDF vs the
+    // corpus', at 64-char buckets — the mixture re-weighting screen
+    "q174_ks_drift" -> ((spark, dir) =>
+      TextAnalysis.lengthKsDrift(Tables.load(spark, dir, "documents"))
+        .orderBy("source")),
+
     "q94_lm_familiarity" -> ((spark, dir) =>
       TextAnalysis.lmFamiliarity(Tables.load(spark, dir, "documents"),
           vocabTopK = 1000L)
@@ -656,6 +668,74 @@ object TextQueries {
          |       ((total_tokens - top100) * 1000000) // total_tokens
          |         AS tail_ppm
          |FROM agg ORDER BY source""".stripMargin,
+
+    // class counts are length-minus-stripped-length; DuckDB's
+    // regexp_replace needs the explicit 'g' flag (Spark's is global)
+    "q173_char_classes" ->
+      """WITH per AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS n,
+        |         CAST(length(text)
+        |              - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |              AS BIGINT) AS alpha,
+        |         CAST(length(text)
+        |              - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |              AS BIGINT) AS digit,
+        |         CAST(length(text)
+        |              - length(regexp_replace(text, '\s', '', 'g'))
+        |              AS BIGINT) AS space
+        |  FROM documents),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(n) AS BIGINT) AS n_chars,
+        |          CAST(sum(alpha) AS BIGINT) AS a,
+        |          CAST(sum(digit) AS BIGINT) AS d,
+        |          CAST(sum(space) AS BIGINT) AS s
+        |        FROM per GROUP BY 1)
+        |SELECT source, n_docs, n_chars,
+        |       CASE WHEN n_chars > 0 THEN (a * 1000000) // n_chars END
+        |         AS alpha_ppm,
+        |       CASE WHEN n_chars > 0 THEN (d * 1000000) // n_chars END
+        |         AS digit_ppm,
+        |       CASE WHEN n_chars > 0 THEN (s * 1000000) // n_chars END
+        |         AS space_ppm,
+        |       CASE WHEN n_chars > 0
+        |            THEN ((n_chars - a - d - s) * 1000000) // n_chars END
+        |         AS other_ppm
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // CDFs are integer cumulative counts over the bucket axis, each
+    // scaled to ppm with ONE floor before the subtraction
+    "q174_ks_drift" ->
+      """WITH b AS (SELECT source, n_chars // 64 AS bucket,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |corpus AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS call FROM b
+        |           GROUP BY 1),
+        |cc AS (SELECT bucket,
+        |         CAST(sum(call) OVER (ORDER BY bucket) AS BIGINT) AS cuma
+        |       FROM corpus),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM b
+        |       GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS na FROM b),
+        |axis AS (SELECT s.source, k.bucket
+        |         FROM (SELECT DISTINCT source FROM b) s
+        |         CROSS JOIN (SELECT bucket FROM corpus) k),
+        |cums AS (SELECT a.source, a.bucket,
+        |           CAST(sum(coalesce(b.c, 0)) OVER (PARTITION BY a.source
+        |             ORDER BY a.bucket) AS BIGINT) AS cums
+        |         FROM axis a LEFT JOIN b
+        |           ON a.source = b.source AND a.bucket = b.bucket),
+        |gaps AS (SELECT c.source, c.bucket, ns.ns,
+        |           abs((c.cums * 1000000) // ns.ns
+        |               - (cc.cuma * 1000000) // nt.na) AS gap
+        |         FROM cums c JOIN cc ON c.bucket = cc.bucket
+        |                     JOIN ns ON c.source = ns.source
+        |                     CROSS JOIN nt)
+        |SELECT source, ns AS n_docs, gap AS d_ppm, bucket AS ks_bucket
+        |FROM (SELECT source, ns, gap, bucket,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY gap DESC, bucket) AS rn
+        |      FROM gaps)
+        |WHERE rn = 1 ORDER BY source""".stripMargin,
 
     "q94_lm_familiarity" ->
       s"""WITH $WsSql,

@@ -876,6 +876,20 @@ class DedupSpec extends AnyFunSuite {
       s"planted label error must surface: own=$own5 other=$oth5")
   }
 
+  test("knnLabelAgreement: flipped member drags BOTH labels' agreement down") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.0f, 1.0f), 0) // label error: its NN is vec 3 (label 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelAgreement(emb).orderBy("label").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // label 0: 1,2 agree, 5's NN is 3 -> 2/3; label 1: 3's NN is the
+    // flipped 5 (cos 1.0 beats 4's 0.9938) -> 1/2
+    assert(r.toSeq == Seq((0, 3L, 2L, 666666L), (1, 2L, 1L, 500000L)))
+  }
+
   test("scrubRunsFixpoint: already-clean corpus is a zero-round fixpoint") {
     val seq = Seq((0L, "entirely distinct first document text"),
       (1L, "another unrelated second document body"))

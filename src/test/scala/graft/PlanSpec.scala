@@ -254,7 +254,12 @@ class PlanSpec extends AnyFunSuite {
         // q167's one cross join is the broadcast 1-row grand total;
         // q168/q169 are equi-joins + per-type windows / user-grain aggs
         "q167_contingency_lift", "q168_abc_classes",
-        "q169_event_diversity")) {
+        "q169_event_diversity",
+        // q172 rides the q152 dense axis; q173 is one scan + source
+        // fold; q174's cross join is sources × bounded bucket axis
+        // (broadcast). (q171 is the labeled ground-truth 1-NN pair
+        // scan — excluded like q26/q30/q32.)
+        "q172_ar1", "q173_char_classes", "q174_ks_drift")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

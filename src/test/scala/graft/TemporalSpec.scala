@@ -293,6 +293,21 @@ class TemporalSpec extends AnyFunSuite {
       r(0).getLong(4)) == (3L, 3L, 1000L, 666666L))
   }
 
+  test("ar1Daily: hand-checked lag-1 regression over the dense axis") {
+    import spark.implicits._
+    // daily counts 2, 0, 1 -> pairs (2,0),(0,1): num = 2*0 - 2*1 = -2,
+    // den = 2*4 - 4 = 4 -> sign -1, |slope| = 500000 micro
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "a", 0.0),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "a", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Sessions.ar1Daily(df).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4), r(0).getLong(5)) == (2L, -2L, 4L, -1L, 500000L))
+  }
+
   test("cusumDrift: hand-checked excursions and first-reach days") {
     import spark.implicits._
     // daily cents 100, 400, 100 -> target 200, cusum -100, +100, 0

@@ -71,6 +71,34 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("charClassProfile: hand-checked class split; classes partition the bytes") {
+    import spark.implicits._
+    val df = Seq((1L, "s1", "ab 12!")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.charClassProfile(df).collect()
+    assert(r.length == 1)
+    // 6 chars: 2 alpha, 2 digit, 1 space, 1 other
+    assert((r(0).getLong(2), r(0).getLong(3), r(0).getLong(4),
+      r(0).getLong(5), r(0).getLong(6)) ==
+      (6L, 333333L, 333333L, 166666L, 166666L))
+    // corpus law: the four ppm shares cover the mass up to floor slack
+    TextAnalysis.charClassProfile(docs).collect().foreach { row =>
+      val s = row.getLong(3) + row.getLong(4) + row.getLong(5) + row.getLong(6)
+      assert(s <= 1000000L && s >= 1000000L - 4, s"shares must partition: $s")
+    }
+  }
+
+  test("lengthKsDrift: single source is distance 0; corpus D bounded in [0, 1e6]") {
+    import spark.implicits._
+    val one = Seq((1L, "s1", "abc", 3L), (2L, "s1", "abcdef" * 20, 120L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val r = TextAnalysis.lengthKsDrift(one).collect()
+    assert(r.length == 1 && r(0).getLong(2) == 0L,
+      "a source IS the corpus: KS distance must be 0")
+    TextAnalysis.lengthKsDrift(docs).collect().foreach { row =>
+      assert(row.getLong(2) >= 0L && row.getLong(2) <= 1000000L)
+    }
+  }
+
   test("qualityScores invariants: 0 <= quality <= 1, distinct <= words <= chars") {
     val q = TextAnalysis.qualityScores(docs)
     val bad = q.filter(
