@@ -95,7 +95,21 @@ object ScaleBench {
     // one scan + a dow-grain join
     "q158_cohort_ltv", "q159_dow_profile", "q160_cusum",
     // q161's row-grain pass is one per-user lead window
-    "q161_interevent")
+    "q161_interevent",
+    // round-8 third batch: q163/q164 are vocab-grain aggs (the exchange
+    // carries per-source vocab, never occurrences), q165 is one
+    // per-user rank window then week grain, q166 rides the q152 dense
+    // axis, q169 is a (user, type) map-side count + user fold, q170 is
+    // one corpus scan of O(n·labels) dot products against broadcast
+    // centroids. (q167/q168 ride the UNSCALED TPC-H tables — excluded.)
+    "q163_lexical_richness", "q164_zipf_profile",
+    "q165_repurchase_hazard", "q166_burstiness",
+    "q169_event_diversity", "q170_label_coherence",
+    // q172 rides the q152 dense axis, q173 is one linear scan, q174
+    // runs at source × bucket grain past one map-side collapse.
+    // (q171 is the labeled ground-truth 1-NN pair scan — excluded
+    // like q26/q30/q32.)
+    "q172_ar1", "q173_char_classes", "q174_ks_drift")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
