@@ -109,7 +109,12 @@ object ScaleBench {
     // runs at source × bucket grain past one map-side collapse.
     // (q171 is the labeled ground-truth 1-NN pair scan — excluded
     // like q26/q30/q32.)
-    "q172_ar1", "q173_char_classes", "q174_ks_drift")
+    "q172_ar1", "q173_char_classes", "q174_ks_drift",
+    // q175's intersection join fans out ≤ sources² per word, q176 is
+    // one per-user window then type³ grain, q177 composes the q130 +
+    // q42 chains (both individually scale-measured)
+    "q175_source_overlap", "q176_event_trigrams",
+    "q177_quality_dup_profile")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

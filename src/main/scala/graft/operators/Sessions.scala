@@ -672,6 +672,43 @@ object Sessions {
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
   }
 
+  /** Sequential-pattern support: every within-session consecutive
+    * event-type TRIGRAM with its occurrence count and distinct-user
+    * support — one order past [[transitionCounts]]' bigrams, the
+    * shortest pattern that distinguishes "browse → buy" from
+    * "browse → buy → refund". Both gaps must close within
+    * `gapSeconds` (a trigram spanning a session boundary is absence,
+    * not behavior — the q151 posture); support counts USERS, not
+    * occurrences, so one looping bot cannot mint a popular pattern;
+    * patterns under `minUsers` are cut (the classic min-support).
+    *
+    * Shape: one per-user (ts, event_id) window carries both leads,
+    * then everything at type³ grain — bounded by the vocabulary cubed,
+    * never event count; the distinct-user support is a (trigram, user)
+    * two-level aggregate, map-side combinable.
+    */
+  def eventTrigrams(events: DataFrame, gapSeconds: Long = 1800L,
+      minUsers: Long = 5L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .withColumn("d1",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .withColumn("d2",
+        lead(unix_micros(col("ts")), 2).over(w)
+          - lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("t3").isNotNull
+        && col("d1") <= gapUs && col("d2") <= gapUs)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_users") >= minUsers)
+  }
+
   /** Row-normalization tail shared by the batch and streamed faces (so
     * the two cannot drift): from-state totals and exact-ppm
     * probabilities over a (from_type, to_type, n) counts frame.

@@ -750,6 +750,41 @@ object TextAnalysis {
         col("gap").as("d_ppm"), col("bucket").as("ks_bucket"))
   }
 
+  /** Pairwise source-vocabulary Jaccard overlap: for every unordered
+    * source pair, |V₁ ∩ V₂| / |V₁ ∪ V₂| over distinct word types, in
+    * exact ppm — the corpus-composition screen that surfaces
+    * syndication/mirroring at VOCABULARY grain before the per-document
+    * dedup tiers pay for pair enumeration (two sources sharing 95% of
+    * their types are one source twice; one sharing almost nothing is a
+    * different language or domain, a mixture-weighting fact).
+    *
+    * Shape: one token explode to the DISTINCT (source, word) frame;
+    * the intersection is a word-grain self-equi-join whose fan-out per
+    * word is (sources carrying it)² ≤ sources² — bounded by the
+    * dimension, never the corpus; the complete pair grid (zero-overlap
+    * pairs included) comes from a broadcast sources × sources cross of
+    * the bounded size frame.
+    */
+  def sourceVocabOverlap(docs: DataFrame): DataFrame = {
+    val ty = docs
+      .select(col("source"), explode(expr(WordsExpr)).as("word")).distinct()
+    val sizes = ty.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ty.as("a").join(ty.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    sizes.select(col("source").as("s1"), col("n").as("n1"))
+      .crossJoin(broadcast( // sources × sources — bounded dimension grid
+        sizes.select(col("source").as("s2"), col("n").as("n2"))))
+      .filter(col("s1") < col("s2"))
+      .join(inter, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .withColumn("un", col("n1") + col("n2") - col("inter"))
+      .withColumn("jaccard_ppm",
+        when(col("un") > 0, expr("(inter * 1000000) div un")))
+  }
+
   /** Rank-frequency (Zipf) profile per source: what share of a source's
     * token mass its top-1 / top-10 / top-100 word types carry, and the
     * tail mass beyond rank 100, in exact ppm. Natural prose sits near

@@ -115,6 +115,16 @@ object TemporalQueries {
       Sessions.ar1Daily(Tables.load(spark, dir, "events"))
         .orderBy("grp")),
 
+    // consecutive event-type trigrams with distinct-user support >= 3 —
+    // the sequential-pattern tier one order past q151. Gap = 1 day (the
+    // corpus' median inter-event gap is ~7 h, so 30-min session trigrams
+    // barely exist; day-bounded consecutive behavior is the pattern
+    // grain here, and the sf0.001 run exercises the min-support cut)
+    "q176_event_trigrams" -> ((spark, dir) =>
+      Sessions.eventTrigrams(Tables.load(spark, dir, "events"),
+          gapSeconds = 86400L, minUsers = 3L)
+        .orderBy(col("n_users").desc, col("t1"), col("t2"), col("t3"))),
+
     // windowed ingest dedup, batch face: earliest event per (user, type)
     // survives each 10-min bucket; min-struct partial agg, so the
     // exchange carries groups, never events
@@ -797,6 +807,27 @@ object TemporalQueries {
         |       CAST(sum(hazard_ppm) OVER (ORDER BY week) AS BIGINT)
         |         AS cumhaz_ppm
         |FROM hz ORDER BY week""".stripMargin,
+
+    // Both gaps close within the session threshold (the q151 posture);
+    // support counts distinct USERS so loops can't mint patterns
+    "q176_event_trigrams" ->
+      """WITH g AS (SELECT user_id, event_type AS t1,
+        |             lead(event_type, 1) OVER w AS t2,
+        |             lead(event_type, 2) OVER w AS t3,
+        |             lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS d1,
+        |             lead(epoch_us(ts), 2) OVER w
+        |               - lead(epoch_us(ts), 1) OVER w AS d2
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id
+        |                        ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM g
+        |WHERE t3 IS NOT NULL
+        |  AND d1 <= 86400000000 AND d2 <= 86400000000
+        |GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT user_id) >= 3
+        |ORDER BY n_users DESC, t1, t2, t3""".stripMargin,
 
     // Same dense daily axis; lead pairs at axis grain; the rational's
     // one division is abs-then-floor (the q152 negatives pattern)

@@ -29,6 +29,32 @@ object TextQueries {
   private val WsSql =
     """ws AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents)"""
 
+  /** q130's decile CTEs (scaled-quality histogram → ceil-rank decile
+    * thresholds `th` + scored docs `s`) — ONE definition shared with
+    * q177's cross-tier audit so the decile assignment cannot drift.
+    */
+  private[queries] lazy val DecileSql: String =
+    s"""wsq AS (SELECT doc_id,
+       |          list_filter(string_split_regex(trim(text), '\\s+'),
+       |                      x -> x != '') AS w
+       |        FROM documents),
+       |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+       |      FROM wsq),
+       |q AS (SELECT doc_id, ${qualitySql("n_words", "n_distinct")} AS quality
+       |      FROM m),
+       |s AS (SELECT doc_id, CAST(round(quality * 10000) AS BIGINT) AS qs
+       |      FROM q WHERE quality IS NOT NULL),
+       |h AS (SELECT qs, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY qs),
+       |cw AS (SELECT qs, CAST(sum(c) OVER (ORDER BY qs) AS BIGINT) AS cum,
+       |              (SELECT CAST(sum(c) AS BIGINT) FROM h) AS n
+       |       FROM h),
+       |ps AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p),
+       |th AS (SELECT ps.p,
+       |         min(CASE WHEN cw.cum >= (cw.n * ps.p + 99) // 100
+       |             THEN cw.qs END) AS t
+       |       FROM cw CROSS JOIN ps GROUP BY ps.p)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q37_lang_id" -> ((spark, dir) =>
       TextAnalysis.languageId(Tables.load(spark, dir, "documents"), k = 200)
@@ -155,6 +181,30 @@ object TextQueries {
     "q173_char_classes" -> ((spark, dir) =>
       TextAnalysis.charClassProfile(Tables.load(spark, dir, "documents"))
         .orderBy("source")),
+
+    // pairwise source-vocabulary Jaccard — the syndication screen at
+    // vocab grain, complete pair grid over the bounded source dimension
+    "q175_source_overlap" -> ((spark, dir) =>
+      TextAnalysis.sourceVocabOverlap(Tables.load(spark, dir, "documents"))
+        .orderBy("s1", "s2")),
+
+    // quality-decile × near-dup-verdict audit: is low-quality text
+    // also the duplicated text? joins the q130 decile machinery with
+    // q42's drop verdicts — per decile, the docs the near-dup tier
+    // would drop and the exact-ppm drop rate
+    "q177_quality_dup_profile" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val drops = Dedup.nearDupEdges(docs)
+        .select(col("j").as("doc_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      TextAnalysis.qualityDeciles(docs)
+        .join(drops, Seq("doc_id"), "left")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+        .withColumn("drop_ppm", expr("(n_dropped * 1000000) div n_docs"))
+        .orderBy("decile")
+    }),
 
     // two-sample KS distance of each source's doc-length CDF vs the
     // corpus', at 64-char buckets — the mixture re-weighting screen
@@ -332,32 +382,35 @@ object TextQueries {
     // window + ceil-rank thresholds (the q107 arithmetic), assignment
     // by threshold count — all integer once scaled
     "q130_quality_deciles" ->
-      s"""WITH wsq AS (SELECT doc_id,
-         |               list_filter(string_split_regex(trim(text), '\\s+'),
-         |                           x -> x != '') AS w
-         |             FROM documents),
-         |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-         |             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
-         |      FROM wsq),
-         |q AS (SELECT doc_id, ${qualitySql("n_words", "n_distinct")} AS quality
-         |      FROM m),
-         |s AS (SELECT doc_id, CAST(round(quality * 10000) AS BIGINT) AS qs
-         |      FROM q WHERE quality IS NOT NULL),
-         |h AS (SELECT qs, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY qs),
-         |cw AS (SELECT qs, CAST(sum(c) OVER (ORDER BY qs) AS BIGINT) AS cum,
-         |              (SELECT CAST(sum(c) AS BIGINT) FROM h) AS n
-         |       FROM h),
-         |ps AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p),
-         |th AS (SELECT ps.p,
-         |         min(CASE WHEN cw.cum >= (cw.n * ps.p + 99) // 100
-         |             THEN cw.qs END) AS t
-         |       FROM cw CROSS JOIN ps GROUP BY ps.p)
+      s"""WITH $DecileSql
          |SELECT s.doc_id, s.qs,
          |       CAST(1 + sum(CASE WHEN th.t < s.qs THEN 1 ELSE 0 END)
          |         AS BIGINT) AS decile
          |FROM s CROSS JOIN th
          |GROUP BY s.doc_id, s.qs
          |ORDER BY s.doc_id""".stripMargin,
+
+    // q130's decile machinery + q42's drop verdicts, one shared
+    // definition each (DecileSql / NearDupPairsSql) so this audit can
+    // never drift from the tiers it cross-tabulates
+    "q177_quality_dup_profile" ->
+      s"""WITH ${DedupQueries.ShinglesSql},
+         |${DedupQueries.NearDupPairsSql},
+         |drops AS (SELECT DISTINCT j AS doc_id FROM pairs),
+         |$DecileSql,
+         |dec AS (SELECT s.doc_id,
+         |          CAST(1 + sum(CASE WHEN th.t < s.qs THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS decile
+         |        FROM s CROSS JOIN th
+         |        GROUP BY s.doc_id, s.qs)
+         |SELECT dec.decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN drops.doc_id IS NOT NULL
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       (CAST(sum(CASE WHEN drops.doc_id IS NOT NULL
+         |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |         // count(*) AS drop_ppm
+         |FROM dec LEFT JOIN drops USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q39_token_count" ->
       s"""WITH $WsSql,
@@ -616,6 +669,31 @@ object TextQueries {
          |CROSS JOIN t
          |GROUP BY sz.vocab_size, t.total_tokens
          |ORDER BY vocab_size""".stripMargin,
+
+    "q175_source_overlap" ->
+      s"""WITH $WsSql,
+         |tok AS (SELECT source, unnest(w) AS word
+         |        FROM ws JOIN documents d USING (doc_id)),
+         |ty AS (SELECT DISTINCT source, word FROM tok),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ty
+         |       GROUP BY 1),
+         |it AS (SELECT a.source AS s1, b.source AS s2,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |       FROM ty a JOIN ty b
+         |         ON a.word = b.word AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |grid AS (SELECT a.source AS s1, a.n AS n1, b.source AS s2,
+         |           b.n AS n2
+         |         FROM sz a CROSS JOIN sz b WHERE a.source < b.source)
+         |SELECT g.s1, g.s2, g.n1, g.n2,
+         |       coalesce(it.inter, 0) AS inter,
+         |       g.n1 + g.n2 - coalesce(it.inter, 0) AS un,
+         |       CASE WHEN g.n1 + g.n2 - coalesce(it.inter, 0) > 0
+         |            THEN (coalesce(it.inter, 0) * 1000000)
+         |                 // (g.n1 + g.n2 - coalesce(it.inter, 0)) END
+         |         AS jaccard_ppm
+         |FROM grid g LEFT JOIN it ON g.s1 = it.s1 AND g.s2 = it.s2
+         |ORDER BY g.s1, g.s2""".stripMargin,
 
     "q163_lexical_richness" ->
       s"""WITH $WsSql,

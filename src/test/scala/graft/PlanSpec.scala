@@ -259,7 +259,12 @@ class PlanSpec extends AnyFunSuite {
         // fold; q174's cross join is sources × bounded bucket axis
         // (broadcast). (q171 is the labeled ground-truth 1-NN pair
         // scan — excluded like q26/q30/q32.)
-        "q172_ar1", "q173_char_classes", "q174_ks_drift")) {
+        "q172_ar1", "q173_char_classes", "q174_ks_drift",
+        // q176 is one per-user window then type³-grain aggs. (q175's
+        // complete pair grid is a broadcast cross of the BOUNDED source
+        // dimension — a sanctioned BNLJ like q51; q177 composes the
+        // q130/q42 chains, each plan-audited at its own tier.)
+        "q176_event_trigrams")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

@@ -86,6 +86,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q177 cross-tier audit conserves: decile docs sum to scored corpus, drops bounded") {
+    val rows = SparkEntry.queries("q177_quality_dup_profile")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "can't drop more docs than exist")
+      assert(r.getLong(3) <= 1000000L)
+    }
+    val scored = graft.operators.TextAnalysis.qualityDeciles(
+      graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")).count()
+    assert(rows.map(_.getLong(1)).sum == scored,
+      "deciles must partition the scored corpus")
+  }
+
   test("q155 HHI laws: bounded by 1e6, at least the top share's own square, floor of 1e6/n") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q155_market_concentration")(spark, TestSpark.Sf0001)

@@ -293,6 +293,31 @@ class TemporalSpec extends AnyFunSuite {
       r(0).getLong(4)) == (3L, 3L, 1000L, 666666L))
   }
 
+  test("eventTrigrams: gap cuts the pattern, support counts users not loops") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: a->b->c inside the gap, twice (loop) — still ONE user
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "b", 0.0),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "c", 0.0),
+      (4L, ts("2024-01-01 10:15:00"), 1L, "a", 0.0),
+      (5L, ts("2024-01-01 10:20:00"), 1L, "b", 0.0),
+      (6L, ts("2024-01-01 10:25:00"), 1L, "c", 0.0),
+      // u2: a->b then a GAP before c — the trigram must NOT count
+      (7L, ts("2024-01-02 10:00:00"), 2L, "a", 0.0),
+      (8L, ts("2024-01-02 10:05:00"), 2L, "b", 0.0),
+      (9L, ts("2024-01-02 11:00:00"), 2L, "c", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Sessions.eventTrigrams(df, gapSeconds = 1800L, minUsers = 1L)
+      .orderBy("t1", "t2", "t3").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getLong(4))).toSeq
+    // u1 contributes abc (x2 occurrences, 1 user), bca, cab, ab-gap
+    // boundary pairs don't mint trigrams; u2's a,b,[gap]c contributes none
+    assert(r == Seq(("a", "b", "c", 2L, 1L), ("b", "c", "a", 1L, 1L),
+      ("c", "a", "b", 1L, 1L)))
+  }
+
   test("ar1Daily: hand-checked lag-1 regression over the dense axis") {
     import spark.implicits._
     // daily counts 2, 0, 1 -> pairs (2,0),(0,1): num = 2*0 - 2*1 = -2,

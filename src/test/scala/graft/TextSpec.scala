@@ -99,6 +99,20 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceVocabOverlap: hand-checked Jaccard; zero-overlap pair still appears") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1", "a b c"), (2L, "s2", "b c d"), (3L, "s3", "x y")
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.sourceVocabOverlap(df).orderBy("s1", "s2").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(4), x.getLong(5),
+        x.getLong(6))).toSeq
+    // s1={a,b,c}, s2={b,c,d}: inter 2, union 4 -> 500000;
+    // s3={x,y} shares nothing — the complete grid keeps the pair
+    assert(r == Seq(("s1", "s2", 2L, 4L, 500000L),
+      ("s1", "s3", 0L, 5L, 0L), ("s2", "s3", 0L, 5L, 0L)))
+  }
+
   test("qualityScores invariants: 0 <= quality <= 1, distinct <= words <= chars") {
     val q = TextAnalysis.qualityScores(docs)
     val bad = q.filter(
