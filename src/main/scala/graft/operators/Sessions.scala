@@ -865,14 +865,28 @@ object Sessions {
     */
   def repurchaseHazard(events: DataFrame,
       eventType: String = "purchase"): DataFrame = {
-    val weekSec = 7L * 86400L
     val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("s"), col("event_id"))
     val purchases = events.filter(col("event_type") === eventType
         && col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), expr(sec).as("s"))
-    val horizon = purchases.agg(max(col("s")).as("tmax"))
+    hazardFromPurchases(purchases, purchases.agg(max(col("s")).as("tmax")))
+  }
+
+  /** The Nelson–Aalen tail behind [[repurchaseHazard]], from raw
+    * (user_id, event_id, s) candidate rows + a 1-row `tmax` horizon —
+    * exposed because any SUPERSET of each user's two earliest purchase
+    * rows yields the identical frame (the global two earliest are
+    * inside the union of per-batch two-earliest), which is what the
+    * streaming ingest tier persists per micro-batch
+    * ([[graft.streaming.Streams.ingestHazard]]) and folds on read: a
+    * pure order-independent mergeable, so streamed ≡ batch is a hash
+    * law, not an approximation.
+    */
+  def hazardFromPurchases(purchases: DataFrame,
+      horizon: DataFrame): DataFrame = {
+    val weekSec = 7L * 86400L
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("s"), col("event_id"))
     val perUser = purchases
       .withColumn("rn", row_number().over(byUser))
       .filter(col("rn") <= 2)

@@ -851,6 +851,103 @@ object Streams {
     }
   }
 
+  /** Streaming survival analysis — the NINTH `foreachBatch` ingest
+    * composition: the Nelson–Aalen repurchase hazard (batch face q165,
+    * [[graft.operators.Sessions.repurchaseHazard]]) over an event
+    * stream. Unlike the order-sensitive transitions tier, this state IS
+    * a pure mergeable: the study needs only each user's two EARLIEST
+    * purchases plus the corpus' last purchase second, and the global
+    * two-earliest always lie inside the union of per-batch two-earliest
+    * (each batch persists ≤ 2 slim (user_id, event_id, s) rows per user
+    * and a 1-row batch horizon), so the fold is associative,
+    * replay-safe, and order-independent — streamed ≡ batch is a hash
+    * law whatever the batching (the StreamingSpec differential). Same
+    * marker-last commit, replay-skip, and [[compactHazard]] cadence as
+    * the other tiers; compaction re-ranks accumulated candidates back
+    * to ≤ 2 rows per user, so state stays user-bounded however long the
+    * ingest runs.
+    */
+  def ingestHazard(events: DataFrame, stateDir: String,
+      checkpointDir: String, eventType: String = "purchase"): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestHazardBatch(batch.toDF(), stateDir, batchId, eventType)
+      }
+      .start()
+
+  /** One hazard ingest step (see [[ingestHazard]]); public for
+    * batch-mode replays and tests.
+    */
+  def ingestHazardBatch(batch: DataFrame, stateDir: String, batchId: Long,
+      eventType: String = "purchase"): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
+    val p = batch.filter(col("event_type") === eventType
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), expr(sec).as("s"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("s"), col("event_id"))
+    p.withColumn("rn", row_number().over(byUser)).filter(col("rn") <= 2)
+      .drop("rn")
+      .write.mode("overwrite").parquet(s"$stateDir/firsts/batch=$batchId")
+    p.agg(max(col("s")).as("tmax"))
+      .write.mode("overwrite").parquet(s"$stateDir/hz/batch=$batchId")
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** The Nelson–Aalen hazard frame over everything ingested (and any
+    * compacted base) — hash-identical to batch q165 over the union of
+    * the batches. None before the first commit.
+    */
+  def ingestHazardRead(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else {
+      def frames(f: String) =
+        (if (c >= 0) Seq(baseDir(stateDir, c) + s"/$f") else Nil) ++
+          ids.map(i => s"$stateDir/$f/batch=$i")
+      val firsts = spark.read.parquet(frames("firsts"): _*)
+      val horizon = spark.read.parquet(frames("hz"): _*)
+        .agg(max(col("tmax")).as("tmax"))
+      Some(graft.operators.Sessions.hazardFromPurchases(firsts, horizon))
+    }
+  }
+
+  /** Fold every committed hazard batch (and any prior base) into a
+    * fresh canonical base: candidates re-ranked back to ≤ 2 rows per
+    * user, horizons folded to one row — same commit/GC protocol as the
+    * other tiers; keeps BOTH read cost and state size flat as batch
+    * count grows.
+    */
+  def compactHazard(spark: SparkSession, stateDir: String,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
+    if (ids.isEmpty) None
+    else {
+      val c = ids.max
+      def frames(f: String) =
+        (if (c0 >= 0) Seq(baseDir(stateDir, c0) + s"/$f") else Nil) ++
+          ids.map(i => s"$stateDir/$f/batch=$i")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("s"), col("event_id"))
+      spark.read.parquet(frames("firsts"): _*)
+        .withColumn("rn", row_number().over(byUser)).filter(col("rn") <= 2)
+        .drop("rn")
+        .write.mode("overwrite").parquet(baseDir(stateDir, c) + "/firsts")
+      spark.read.parquet(frames("hz"): _*)
+        .agg(max(col("tmax")).as("tmax"))
+        .write.mode("overwrite").parquet(baseDir(stateDir, c) + "/hz")
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids, Seq("firsts", "hz"))
+      Some(c)
+    }
+  }
+
   private def fileSystem(
       spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir)

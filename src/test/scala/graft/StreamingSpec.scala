@@ -803,6 +803,74 @@ class StreamingSpec extends AnyFunSuite {
       "previous base must be GC'd after the new marker commits")
   }
 
+  test("foreachBatch ingest hazard: streamed Nelson-Aalen == batch, across restart + compact") {
+    import graft.operators.Sessions
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_haz_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val events = Tables.load(spark, TestSpark.Sf0001, "events")
+    val sch = events.schema
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("week").collect().toSeq
+    // unlike transitions, the hazard fold is ORDER-INDEPENDENT — so cut
+    // by user parity, which interleaves event time across batches and
+    // puts some users' first/second purchases in different batches
+    val cuts = Seq(0L, 1L, 2L)
+    cuts.zipWithIndex.foreach { case (m, i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      events.filter(pmod(col("user_id"), lit(3)) === m)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      // fresh query per drop resuming from the shared checkpoint —
+      // two full stop/restart cycles across the three micro-batches
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestHazard(stream, state, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // the union of per-batch two-earliest contains the global
+    // two-earliest: streamed == one-shot batch q165 over the corpus
+    val batch = Sessions.repurchaseHazard(events)
+    assert(rows(Streams.ingestHazardRead(spark, state).get) == rows(batch))
+
+    // compact re-ranks candidates to <= 2 rows per user + one horizon;
+    // hazard unchanged, covered dirs GC'd, replay markers survive
+    assert(Streams.compactHazard(spark, state) == Some(2L))
+    assert(rows(Streams.ingestHazardRead(spark, state).get) == rows(batch))
+    assert(!new java.io.File(s"$state/firsts/batch=0").exists)
+    assert(!new java.io.File(s"$state/hz/batch=0").exists)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+    assert(Streams.compactHazard(spark, state).isEmpty, "nothing new to fold")
+    // the compacted candidate state is user-bounded: <= 2 rows per user
+    val baseFirsts = spark.read.parquet(s"$state/base/compact=2/firsts")
+    val overCap = baseFirsts.groupBy("user_id").count().filter(col("count") > 2)
+    assert(overCap.count() == 0, "compaction must re-rank to two rows per user")
+
+    // replay of a committed id is a no-op on top of the base
+    Streams.ingestHazardBatch(events.limit(50), state, batchId = 1L)
+    assert(rows(Streams.ingestHazardRead(spark, state).get) == rows(batch))
+
+    // ingest continues on the base: a later-in-time delta (new users
+    // AND a moved horizon) folds to the batch hazard over the grown
+    // corpus — censoring weeks shift with the new horizon
+    val delta = events.filter(col("event_id") < 200L)
+      .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+      .withColumn("event_id", col("event_id") + 100000L)
+      .withColumn("user_id", col("user_id") + 100000L)
+    Streams.ingestHazardBatch(delta, state, batchId = 3L)
+    val grown = Sessions.repurchaseHazard(events.unionByName(delta))
+    assert(rows(Streams.ingestHazardRead(spark, state).get) == rows(grown))
+    assert(Streams.compactHazard(spark, state) == Some(3L))
+    assert(rows(Streams.ingestHazardRead(spark, state).get) == rows(grown))
+    assert(!new java.io.File(s"$state/base/compact=2").exists,
+      "previous base must be GC'd after the new marker commits")
+  }
+
   test("transition ingest fails loudly on out-of-order batches instead of mis-pairing") {
     val root = java.nio.file.Files.createTempDirectory("graft_trans_ooo_").toFile
     val state = new java.io.File(root, "state").getAbsolutePath
