@@ -114,7 +114,11 @@ object ScaleBench {
     // one per-user window then type³ grain, q177 composes the q130 +
     // q42 chains (both individually scale-measured)
     "q175_source_overlap", "q176_event_trigrams",
-    "q177_quality_dup_profile")
+    "q177_quality_dup_profile",
+    // q179 rides q44's session windows then depth-histogram grain,
+    // q180 is the sanctioned global vocab window. (q178 rides the
+    // UNSCALED orders table — excluded like q150/q155.)
+    "q179_session_depth", "q180_word_burstiness")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

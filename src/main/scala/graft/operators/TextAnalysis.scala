@@ -750,6 +750,31 @@ object TextAnalysis {
         col("gap").as("d_ppm"), col("bucket").as("ks_bucket"))
   }
 
+  /** Word burstiness (Church–Gale): for the top-`topK` corpus words by
+    * collection frequency, cf, df, and the mean occurrences per
+    * CONTAINING doc (`burst_milli = 1000·cf div df`). Function words
+    * spread evenly (burst ≈ cf/corpus-docs-with-any-text); topical and
+    * boilerplate words clump — high burst at high rank is the
+    * repeated-template signature that df-blind frequency lists miss,
+    * and the df/cf split is what stopword-vs-boilerplate triage needs.
+    *
+    * Shape: one token explode to a (word, doc) map-side-combined
+    * count, a vocab-grain fold, then the sanctioned global vocab rank
+    * window ([[vocabCoverage]]'s grain — bounded, never occurrences).
+    */
+  def wordBurstiness(docs: DataFrame, topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val rk = Window.orderBy(col("cf").desc, col("word"))
+    docs.select(col("doc_id"), explode(expr(WordsExpr)).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("k"))
+      .groupBy("word")
+      .agg(sum(col("k")).as("cf"), count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("word"), col("cf"), col("df"),
+        expr("(cf * 1000) div df").as("burst_milli"))
+  }
+
   /** Pairwise source-vocabulary Jaccard overlap: for every unordered
     * source pair, |V₁ ∩ V₂| / |V₁ ∪ V₂| over distinct word types, in
     * exact ppm — the corpus-composition screen that surfaces

@@ -294,6 +294,60 @@ object Analytics {
         .orderBy("p_type", "abc")
     }),
 
+    // RFM SEGMENTATION: recency / frequency / monetary terciles per
+    // customer, rolled to the 27-cell segment grid — the classic CRM
+    // cut, built scale-safe: each tercile threshold comes from the
+    // BOUNDED measure histogram (recency at day grain, frequency at
+    // order-count grain, monetary at whole-dollar grain — the q130
+    // ceil-rank pattern at 3 buckets), so no window ever runs over
+    // customer rows; scores are 1 + |{t : t < v}| against a broadcast
+    // 2-threshold array per measure. Score 3 = top tercile on every
+    // axis (most recent / most orders / most dollars — recency is
+    // days-since-last NEGATED so bigger stays better). Exact integer
+    // end to end; the one row-grain pass is the customer-grain agg.
+    "q178_rfm_segments" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daySec = 86400L
+      val sec = "((unix_micros(o_orderdate) - " +
+        "pmod(unix_micros(o_orderdate), 1000000)) div 1000000)"
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"),
+          expr(s"($sec - pmod($sec, $daySec)) div $daySec").as("day"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val horizon = orders.agg(max("day").as("hmax"))
+      val cust = orders.groupBy("o_custkey")
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+          expr("sum(cents) div 100").as("m"))
+        .crossJoin(broadcast(horizon)) // 1-row horizon — bounded
+        .select(col("o_custkey"), (col("last_day") - col("hmax")).as("r"),
+          col("f"), col("m"))
+      // ceil-rank tercile thresholds over each measure's bounded
+      // histogram, folded to ONE broadcast row of three 2-arrays
+      def thresholds(c: String) = {
+        val hist = cust.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+        hist
+          .withColumn("cum", sum(col("n")).over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(hist.agg(sum(col("n")).as("nn"))))
+          .agg(array(
+            min(when(col("cum") >= expr("(nn + 2) div 3"), col("v"))),
+            min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("v"))))
+            .as(s"t_$c"))
+      }
+      val th = thresholds("r").crossJoin(thresholds("f"))
+        .crossJoin(thresholds("m")) // 1-row × 1-row × 1-row — bounded
+      cust.crossJoin(broadcast(th))
+        .select(
+          (lit(1L) + expr("size(filter(t_r, t -> t < r))")).as("r_score"),
+          (lit(1L) + expr("size(filter(t_f, t -> t < f))")).as("f_score"),
+          (lit(1L) + expr("size(filter(t_m, t -> t < m))")).as("m_score"),
+          col("m"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m")).as("total_dollars"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
     // EVENT-TYPE DIVERSITY: per-user Gini–Simpson index over the event
     // mix in exact ppm — 10⁶·(n² − Σc²)/n², the probability two of the
     // user's events differ in type (0 = single-type bot signature,
@@ -513,6 +567,66 @@ object Analytics {
         |       CAST(sum(rev) AS BIGINT) AS class_cents,
         |       (CAST(sum(rev) AS BIGINT) * 1000000) // max(tot) AS share_ppm
         |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // three ceil-rank tercile CTE triples (hist/cum/thresholds), scores
+    // as 1 + (v > t1) + (v > t2) — mirrors the broadcast-array plan
+    "q178_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey,
+        |             ((epoch_us(o_orderdate) // 1000000)
+        |              - ((epoch_us(o_orderdate) // 1000000) % 86400))
+        |               // 86400 AS day,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |h AS (SELECT max(day) AS hmax FROM o),
+        |cust AS (SELECT o_custkey,
+        |           CAST(max(day) - (SELECT hmax FROM h) AS BIGINT) AS r,
+        |           CAST(count(*) AS BIGINT) AS f,
+        |           CAST(sum(cents) // 100 AS BIGINT) AS m
+        |         FROM o GROUP BY 1),
+        |hr AS (SELECT r AS v, CAST(count(*) AS BIGINT) AS n FROM cust
+        |       GROUP BY 1),
+        |cr AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |              (SELECT CAST(sum(n) AS BIGINT) FROM hr) AS nn
+        |       FROM hr),
+        |tr AS (SELECT min(CASE WHEN cum >= (nn + 2) // 3 THEN v END) AS t1,
+        |              min(CASE WHEN cum >= (2 * nn + 2) // 3 THEN v END)
+        |                AS t2
+        |       FROM cr),
+        |hf AS (SELECT f AS v, CAST(count(*) AS BIGINT) AS n FROM cust
+        |       GROUP BY 1),
+        |cf AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |              (SELECT CAST(sum(n) AS BIGINT) FROM hf) AS nn
+        |       FROM hf),
+        |tf AS (SELECT min(CASE WHEN cum >= (nn + 2) // 3 THEN v END) AS t1,
+        |              min(CASE WHEN cum >= (2 * nn + 2) // 3 THEN v END)
+        |                AS t2
+        |       FROM cf),
+        |hm AS (SELECT m AS v, CAST(count(*) AS BIGINT) AS n FROM cust
+        |       GROUP BY 1),
+        |cm AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |              (SELECT CAST(sum(n) AS BIGINT) FROM hm) AS nn
+        |       FROM hm),
+        |tm AS (SELECT min(CASE WHEN cum >= (nn + 2) // 3 THEN v END) AS t1,
+        |              min(CASE WHEN cum >= (2 * nn + 2) // 3 THEN v END)
+        |                AS t2
+        |       FROM cm),
+        |sc AS (SELECT
+        |         CAST(1 + CASE WHEN r > (SELECT t1 FROM tr) THEN 1 ELSE 0 END
+        |                + CASE WHEN r > (SELECT t2 FROM tr) THEN 1 ELSE 0 END
+        |              AS BIGINT) AS r_score,
+        |         CAST(1 + CASE WHEN f > (SELECT t1 FROM tf) THEN 1 ELSE 0 END
+        |                + CASE WHEN f > (SELECT t2 FROM tf) THEN 1 ELSE 0 END
+        |              AS BIGINT) AS f_score,
+        |         CAST(1 + CASE WHEN m > (SELECT t1 FROM tm) THEN 1 ELSE 0 END
+        |                + CASE WHEN m > (SELECT t2 FROM tm) THEN 1 ELSE 0 END
+        |              AS BIGINT) AS m_score,
+        |         m
+        |       FROM cust)
+        |SELECT r_score, f_score, m_score,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(m) AS BIGINT) AS total_dollars
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q169_event_diversity" ->
       """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c

@@ -115,6 +115,29 @@ object TemporalQueries {
       Sessions.ar1Daily(Tables.load(spark, dir, "events"))
         .orderBy("grp")),
 
+    // session-depth distribution: events-per-session percentiles via
+    // the q161 bounded-histogram machinery over q44's session relation
+    // — every window runs at depth-histogram grain, never session rows
+    "q179_session_depth" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Sessions
+        .sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
+        .groupBy(col("n_events").cast("long").as("depth"))
+        .agg(count(lit(1)).as("c"))
+      hist
+        .withColumn("cum", sum(col("c")).over(Window.orderBy("depth")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+        .agg(max(col("n")).as("n_sessions"),
+          min(when(col("cum") >= expr("(n * 50 + 99) div 100"),
+            col("depth"))).as("p50_depth"),
+          min(when(col("cum") >= expr("(n * 90 + 99) div 100"),
+            col("depth"))).as("p90_depth"),
+          min(when(col("cum") >= expr("(n * 99 + 99) div 100"),
+            col("depth"))).as("p99_depth"),
+          max(col("depth")).as("max_depth"))
+    }),
+
     // consecutive event-type trigrams with distinct-user support >= 3 —
     // the sequential-pattern tier one order past q151. Gap = 1 day (the
     // corpus' median inter-event gap is ~7 h, so 30-min session trigrams
@@ -807,6 +830,27 @@ object TemporalQueries {
         |       CAST(sum(hazard_ppm) OVER (ORDER BY week) AS BIGINT)
         |         AS cumhaz_ppm
         |FROM hz ORDER BY week""".stripMargin,
+
+    // q44's shared session relation + the q161 ceil-rank histogram
+    // percentiles at depth grain
+    "q179_session_depth" ->
+      s"""WITH $SessionCte,
+         |hd AS (SELECT CAST(n_events AS BIGINT) AS depth,
+         |         CAST(count(*) AS BIGINT) AS c
+         |       FROM sess GROUP BY 1),
+         |cw AS (SELECT depth, CAST(sum(c) OVER (ORDER BY depth) AS BIGINT)
+         |         AS cum,
+         |         (SELECT CAST(sum(c) AS BIGINT) FROM hd) AS n
+         |       FROM hd)
+         |SELECT max(n) AS n_sessions,
+         |       min(CASE WHEN cum >= (n * 50 + 99) // 100
+         |           THEN depth END) AS p50_depth,
+         |       min(CASE WHEN cum >= (n * 90 + 99) // 100
+         |           THEN depth END) AS p90_depth,
+         |       min(CASE WHEN cum >= (n * 99 + 99) // 100
+         |           THEN depth END) AS p99_depth,
+         |       max(depth) AS max_depth
+         |FROM cw""".stripMargin,
 
     // Both gaps close within the session threshold (the q151 posture);
     // support counts distinct USERS so loops can't mint patterns

@@ -188,6 +188,13 @@ object TextQueries {
       TextAnalysis.sourceVocabOverlap(Tables.load(spark, dir, "documents"))
         .orderBy("s1", "s2")),
 
+    // Church–Gale word burstiness of the top-100 corpus words: cf/df
+    // and occurrences-per-containing-doc — stopword vs boilerplate triage
+    "q180_word_burstiness" -> ((spark, dir) =>
+      TextAnalysis.wordBurstiness(Tables.load(spark, dir, "documents"),
+          topK = 100)
+        .orderBy("rank")),
+
     // quality-decile × near-dup-verdict audit: is low-quality text
     // also the duplicated text? joins the q130 decile machinery with
     // q42's drop verdicts — per decile, the docs the near-dup tier
@@ -669,6 +676,22 @@ object TextQueries {
          |CROSS JOIN t
          |GROUP BY sz.vocab_size, t.total_tokens
          |ORDER BY vocab_size""".stripMargin,
+
+    "q180_word_burstiness" ->
+      s"""WITH $WsSql,
+         |occ AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS k
+         |        FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+         |        GROUP BY 1, 2),
+         |st AS (SELECT word, CAST(sum(k) AS BIGINT) AS cf,
+         |         CAST(count(*) AS BIGINT) AS df
+         |       FROM occ GROUP BY 1),
+         |rk AS (SELECT word, cf, df,
+         |         CAST(row_number() OVER (ORDER BY cf DESC, word)
+         |              AS BIGINT) AS rank
+         |       FROM st)
+         |SELECT rank, word, cf, df, (cf * 1000) // df AS burst_milli
+         |FROM rk WHERE rank <= 100
+         |ORDER BY rank""".stripMargin,
 
     "q175_source_overlap" ->
       s"""WITH $WsSql,

@@ -264,7 +264,12 @@ class PlanSpec extends AnyFunSuite {
         // complete pair grid is a broadcast cross of the BOUNDED source
         // dimension — a sanctioned BNLJ like q51; q177 composes the
         // q130/q42 chains, each plan-audited at its own tier.)
-        "q176_event_trigrams")) {
+        "q176_event_trigrams",
+        // q178's cross joins are broadcast 1-row horizon/threshold
+        // frames; q179 windows at depth-histogram grain; q180 is the
+        // sanctioned global vocab window
+        "q178_rfm_segments", "q179_session_depth",
+        "q180_word_burstiness")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

@@ -100,6 +100,34 @@ class QueriesSpec extends AnyFunSuite {
       "deciles must partition the scored corpus")
   }
 
+  test("q178 RFM laws: segments partition the customer base, scores in [1,3]") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q178_rfm_segments")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2)).foreach(s =>
+        assert(s >= 1 && s <= 3, s"tercile score out of range: $s"))
+    }
+    val customers = graft.sources.Tables
+      .load(spark, TestSpark.Sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == customers,
+      "RFM cells must partition the ordering customers")
+  }
+
+  test("q179 session-depth laws: monotone percentiles, session count conserved") {
+    val r = SparkEntry.queries("q179_session_depth")(spark, TestSpark.Sf0001)
+      .head()
+    val (n, p50, p90, p99, mx) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(p50 <= p90 && p90 <= p99 && p99 <= mx)
+    val sessions = graft.operators.Sessions.sessionize(
+      graft.sources.Tables.load(spark, TestSpark.Sf0001, "events"), 1800L)
+      .count()
+    assert(n == sessions, "histogram must conserve the session count")
+  }
+
   test("q155 HHI laws: bounded by 1e6, at least the top share's own square, floor of 1e6/n") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q155_market_concentration")(spark, TestSpark.Sf0001)

@@ -113,6 +113,16 @@ class TextSpec extends AnyFunSuite {
       ("s1", "s3", 0L, 5L, 0L), ("s2", "s3", 0L, 5L, 0L)))
   }
 
+  test("wordBurstiness: hand-checked cf/df split and rank order") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.wordBurstiness(df, topK = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSeq
+    // a: cf 3 across 2 docs -> 1500 milli; b beats c on the word tie
+    assert(r == Seq((1L, "a", 3L, 2L, 1500L), (2L, "b", 1L, 1L, 1000L)))
+  }
+
   test("qualityScores invariants: 0 <= quality <= 1, distinct <= words <= chars") {
     val q = TextAnalysis.qualityScores(docs)
     val bad = q.filter(
