@@ -118,7 +118,10 @@ object ScaleBench {
     // q179 rides q44's session windows then depth-histogram grain,
     // q180 is the sanctioned global vocab window. (q178 rides the
     // UNSCALED orders table — excluded like q150/q155.)
-    "q179_session_depth", "q180_word_burstiness")
+    "q179_session_depth", "q180_word_burstiness",
+    // q181 is two user-grain aggs + histogram-grain windows, q182 is
+    // q37's linear classify pass rolled to source grain
+    "q181_whale_share", "q182_lang_purity")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

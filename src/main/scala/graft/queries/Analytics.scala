@@ -348,6 +348,43 @@ object Analytics {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // WHALE CONCENTRATION: what share of total event value the
+    // top-decile-by-value users carry — the revenue-risk one-liner
+    // beside q162's full Gini curve. The decile threshold comes from
+    // the BOUNDED whole-dollar histogram of per-user value (the q130
+    // ceil-rank pattern), ties at the threshold INCLUDED (documented:
+    // whale_users may exceed 10% exactly when the boundary is tied);
+    // shares stay in exact CENTS (the dollar floor sets only the
+    // threshold, never the money). One user-grain agg, histogram-grain
+    // windows, one broadcast threshold row.
+    "q181_whale_share" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.load(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        .withColumn("v", expr("cents div 100"))
+      val hist = users.groupBy("v").agg(count(lit(1)).as("n"))
+      val thr = hist
+        .withColumn("cum", sum(col("n")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(hist.agg(sum(col("n")).as("nn"))))
+        .agg(min(when(col("cum") >= expr("(nn * 90 + 99) div 100"),
+          col("v"))).as("t90"))
+      users.crossJoin(broadcast(thr)) // 1-row threshold — bounded
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("v") >= col("t90"), 1L).otherwise(0L))
+            .as("whale_users"),
+          sum(col("cents")).as("total_cents"),
+          sum(when(col("v") >= col("t90"), col("cents")).otherwise(0L))
+            .as("whale_cents"))
+        .select(col("n_users"), col("whale_users"), col("total_cents"),
+          col("whale_cents"),
+          expr("(whale_users * 1000000) div n_users").as("whale_user_ppm"),
+          expr("(whale_cents * 1000000) div total_cents")
+            .as("whale_share_ppm"))
+    }),
+
     // EVENT-TYPE DIVERSITY: per-user Gini–Simpson index over the event
     // mix in exact ppm — 10⁶·(n² − Σc²)/n², the probability two of the
     // user's events differ in type (0 = single-type bot signature,
@@ -627,6 +664,41 @@ object Analytics {
         |       CAST(sum(m) AS BIGINT) AS total_dollars
         |FROM sc GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // dollar-grain ceil-rank decile threshold, shares in exact cents;
+    // negative value sums floor consistently (cents stay the money)
+    "q181_whale_share" ->
+      """WITH u AS (SELECT user_id,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                  AS BIGINT) AS cents
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY 1),
+        |uv AS (SELECT user_id, cents,
+        |         CAST(cents - ((cents % 100) + 100) % 100 AS BIGINT) / 100
+        |           AS v0
+        |       FROM u),
+        |uw AS (SELECT user_id, cents, CAST(v0 AS BIGINT) AS v FROM uv),
+        |hd AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM uw GROUP BY 1),
+        |cw AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |              (SELECT CAST(sum(n) AS BIGINT) FROM hd) AS nn
+        |       FROM hd),
+        |t AS (SELECT min(CASE WHEN cum >= (nn * 90 + 99) // 100
+        |          THEN v END) AS t90
+        |      FROM cw)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(CASE WHEN v >= (SELECT t90 FROM t)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS whale_users,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       CAST(sum(CASE WHEN v >= (SELECT t90 FROM t)
+        |                THEN cents ELSE 0 END) AS BIGINT) AS whale_cents,
+        |       (CAST(sum(CASE WHEN v >= (SELECT t90 FROM t)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |         // count(*) AS whale_user_ppm,
+        |       (CAST(sum(CASE WHEN v >= (SELECT t90 FROM t)
+        |                 THEN cents ELSE 0 END) AS BIGINT) * 1000000)
+        |         // CAST(sum(cents) AS BIGINT) AS whale_share_ppm
+        |FROM uw""".stripMargin,
 
     "q169_event_diversity" ->
       """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c

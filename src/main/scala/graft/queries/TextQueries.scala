@@ -29,6 +29,29 @@ object TextQueries {
   private val WsSql =
     """ws AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents)"""
 
+  /** q37's language-ID CTEs (trigram profiles → per-doc argmax `pred`)
+    * — ONE definition shared with q182's source-purity rollup so the
+    * audit can't drift from the classifier it audits.
+    */
+  private[queries] lazy val LangPredSql: String =
+    """tri AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_transform(generate_series(1, len(text) - 2),
+      |                               i -> substr(text, i, 3))) AS g
+      |  FROM documents),
+      |cnt AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY lang, g),
+      |prof AS (SELECT lang AS plang, g FROM (
+      |           SELECT lang, g, row_number() OVER (PARTITION BY lang
+      |                    ORDER BY c DESC, g) AS rk FROM cnt) t
+      |         WHERE rk <= 200),
+      |doctri AS (SELECT DISTINCT doc_id, g FROM tri),
+      |scores AS (SELECT doc_id, plang, count(*) AS score
+      |           FROM doctri JOIN prof USING (g) GROUP BY doc_id, plang),
+      |pred AS (SELECT doc_id, plang, score FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                    ORDER BY score DESC, plang) AS rk FROM scores) t
+      |         WHERE rk = 1)""".stripMargin
+
   /** q130's decile CTEs (scaled-quality histogram → ceil-rank decile
     * thresholds `th` + scored docs `s`) — ONE definition shared with
     * q177's cross-tier audit so the decile assignment cannot drift.
@@ -195,6 +218,22 @@ object TextQueries {
           topK = 100)
         .orderBy("rank")),
 
+    // q37's classifier rolled to source grain: per-source label/pred
+    // agreement ppm — the "which source's language labels can I trust"
+    // audit (on THIS corpus labels carry no trigram signal, so purity
+    // sits near chance BY DESIGN — the audit's honest reading)
+    "q182_lang_purity" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      TextAnalysis.languageId(docs, k = 200)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+            .as("n_match"))
+        .withColumn("match_ppm", expr("(n_match * 1000000) div n_docs"))
+        .orderBy("source")
+    }),
+
     // quality-decile × near-dup-verdict audit: is low-quality text
     // also the duplicated text? joins the q130 decile machinery with
     // q42's drop verdicts — per decile, the docs the near-dup tier
@@ -337,28 +376,26 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q37_lang_id" ->
-      """WITH tri AS (
-        |  SELECT doc_id, lang,
-        |         unnest(list_transform(generate_series(1, len(text) - 2),
-        |                               i -> substr(text, i, 3))) AS g
-        |  FROM documents),
-        |cnt AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY lang, g),
-        |prof AS (SELECT lang AS plang, g FROM (
-        |           SELECT lang, g, row_number() OVER (PARTITION BY lang
-        |                    ORDER BY c DESC, g) AS rk FROM cnt) t
-        |         WHERE rk <= 200),
-        |doctri AS (SELECT DISTINCT doc_id, g FROM tri),
-        |scores AS (SELECT doc_id, plang, count(*) AS score
-        |           FROM doctri JOIN prof USING (g) GROUP BY doc_id, plang),
-        |pred AS (SELECT doc_id, plang, score FROM (
-        |           SELECT *, row_number() OVER (PARTITION BY doc_id
-        |                    ORDER BY score DESC, plang) AS rk FROM scores) t
-        |         WHERE rk = 1)
-        |SELECT d.doc_id, d.lang,
-        |       coalesce(p.plang, 'unknown') AS pred_lang,
-        |       coalesce(p.score, 0) AS score
-        |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $LangPredSql
+         |SELECT d.doc_id, d.lang,
+         |       coalesce(p.plang, 'unknown') AS pred_lang,
+         |       coalesce(p.score, 0) AS score
+         |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q37's prediction CTEs rolled to source grain — one shared
+    // definition (LangPredSql) so the purity audit can't drift from
+    // the classifier it audits
+    "q182_lang_purity" ->
+      s"""WITH $LangPredSql
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN coalesce(p.plang, 'unknown') = d.lang
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |       (CAST(sum(CASE WHEN coalesce(p.plang, 'unknown') = d.lang
+         |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |         // count(*) AS match_ppm
+         |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q38_quality" ->
       s"""WITH wsq AS (SELECT doc_id, len(text) AS n_chars0,

@@ -269,7 +269,10 @@ class PlanSpec extends AnyFunSuite {
         // frames; q179 windows at depth-histogram grain; q180 is the
         // sanctioned global vocab window
         "q178_rfm_segments", "q179_session_depth",
-        "q180_word_burstiness")) {
+        "q180_word_burstiness",
+        // q181's cross joins are broadcast 1-row histogram-threshold
+        // frames; q182 rides q37's bounded-profile equi-join
+        "q181_whale_share", "q182_lang_purity")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

@@ -128,6 +128,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(n == sessions, "histogram must conserve the session count")
   }
 
+  test("q181 whale laws: decile floor holds, whales carry at least their headcount share") {
+    val r = SparkEntry.queries("q181_whale_share")(spark, TestSpark.Sf0001)
+      .head()
+    val (n, w, shareUser, shareCents) =
+      (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))
+    assert(w >= n / 10, s"threshold decile must capture >= n/10 users: $w of $n")
+    assert(shareCents >= shareUser,
+      "the top-value users can't carry less than their headcount share")
+    assert(shareCents <= 1000000L && shareUser <= 1000000L)
+  }
+
+  test("q182 purity laws: matches bounded by docs, sources partition the corpus") {
+    val rows = SparkEntry.queries("q182_lang_purity")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val docs = graft.sources.Tables
+      .load(spark, TestSpark.Sf0001, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == docs)
+  }
+
   test("q155 HHI laws: bounded by 1e6, at least the top share's own square, floor of 1e6/n") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q155_market_concentration")(spark, TestSpark.Sf0001)
