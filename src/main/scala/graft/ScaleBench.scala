@@ -121,7 +121,10 @@ object ScaleBench {
     "q179_session_depth", "q180_word_burstiness",
     // q181 is two user-grain aggs + histogram-grain windows, q182 is
     // q37's linear classify pass rolled to source grain
-    "q181_whale_share", "q182_lang_purity")
+    "q181_whale_share", "q182_lang_purity",
+    // q183 is presence-grain windows; q184 rides the bounded near-dup
+    // edges + component-grain rollups
+    "q183_streaks", "q184_dup_cluster_sources")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

@@ -672,6 +672,35 @@ object Sessions {
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
   }
 
+  /** Longest-active-streak distribution: per user, the longest run of
+    * CONSECUTIVE active days (gaps-and-islands over distinct presence
+    * days — the engagement metric behind "7-day streak" product
+    * mechanics and habit-formation cohorts), rolled up to
+    * (streak_days → n_users). Exact integer throughout: island key =
+    * day − row_number (consecutive days share it), streak = island
+    * size, per-user longest = max.
+    *
+    * Shape: presence collapses to (user, day) grain map-side (the
+    * [[rollingActive]] posture), one per-user day window, then
+    * everything at (user, island) and user grain — never event rows;
+    * the output is bounded by the corpus span in days.
+    */
+  def activeStreaks(events: DataFrame): DataFrame = {
+    val daySec = 86400L
+    val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
+    val pres = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        expr(s"($sec - pmod($sec, $daySec)) div $daySec").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    pres
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max(col("len")).as("streak_days"))
+      .groupBy("streak_days").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Sequential-pattern support: every within-session consecutive
     * event-type TRIGRAM with its occurrence count and distinct-user
     * support — one order past [[transitionCounts]]' bigrams, the

@@ -115,6 +115,12 @@ object TemporalQueries {
       Sessions.ar1Daily(Tables.load(spark, dir, "events"))
         .orderBy("grp")),
 
+    // longest consecutive-active-day streak per user, rolled to
+    // (streak_days, n_users) — gaps-and-islands at presence grain
+    "q183_streaks" -> ((spark, dir) =>
+      Sessions.activeStreaks(Tables.load(spark, dir, "events"))
+        .orderBy("streak_days")),
+
     // session-depth distribution: events-per-session percentiles via
     // the q161 bounded-histogram machinery over q44's session relation
     // — every window runs at depth-histogram grain, never session rows
@@ -830,6 +836,23 @@ object TemporalQueries {
         |       CAST(sum(hazard_ppm) OVER (ORDER BY week) AS BIGINT)
         |         AS cumhaz_ppm
         |FROM hz ORDER BY week""".stripMargin,
+
+    // island key = day - row_number over each user's distinct days
+    "q183_streaks" ->
+      """WITH pres AS (SELECT DISTINCT user_id,
+        |                (epoch_us(ts) // 1000000) // 86400 AS day
+        |              FROM events
+        |              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |isl AS (SELECT user_id,
+        |          day - row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY day) AS island
+        |        FROM pres),
+        |runs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        |         FROM isl GROUP BY user_id, island),
+        |lg AS (SELECT user_id, max(len) AS streak_days FROM runs
+        |       GROUP BY 1)
+        |SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+        |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q44's shared session relation + the q161 ceil-rank histogram
     // percentiles at depth grain

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, TextAnalysis, TextIndex}
+import graft.operators.{Components, Dedup, Multimodal, TextAnalysis, TextIndex}
 import graft.sources.Tables
 
 /** Oracle-gated text-analysis + multimodal-metadata + dedup-pipeline
@@ -234,6 +234,24 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // near-dup cluster provenance: per (cluster_size, distinct
+    // sources) cell, how many clusters — n_sources = 1 means re-posts
+    // INSIDE a source (dedup locally), > 1 means cross-source
+    // syndication (the q104 finding at cluster grain); the table that
+    // says whether dedup can shard by source at 100 TB
+    "q184_dup_cluster_sources" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Components.connected(Dedup.nearDupEdges(docs))
+        .join(docs.select(col("doc_id").as("node"), col("source")),
+          Seq("node"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"),
+          countDistinct(col("source")).as("n_sources"))
+        .groupBy("cluster_size", "n_sources")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size", "n_sources")
+    }),
+
     // quality-decile × near-dup-verdict audit: is low-quality text
     // also the duplicated text? joins the q130 decile machinery with
     // q42's drop verdicts — per decile, the docs the near-dup tier
@@ -433,6 +451,20 @@ object TextQueries {
          |FROM s CROSS JOIN th
          |GROUP BY s.doc_id, s.qs
          |ORDER BY s.doc_id""".stripMargin,
+
+    // q47's closure + a source-distinct rollup — the same shared CTEs
+    "q184_dup_cluster_sources" ->
+      s"""WITH RECURSIVE ${DedupQueries.ShinglesSql},
+         |${DedupQueries.NearDupPairsSql},
+         |${DedupQueries.closureSql("pairs")},
+         |cs AS (SELECT c.component,
+         |         CAST(count(*) AS BIGINT) AS cluster_size,
+         |         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+         |       FROM comp c JOIN documents d ON c.node = d.doc_id
+         |       GROUP BY 1)
+         |SELECT cluster_size, n_sources,
+         |       CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q130's decile machinery + q42's drop verdicts, one shared
     // definition each (DecileSql / NearDupPairsSql) so this audit can

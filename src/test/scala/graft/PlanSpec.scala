@@ -272,7 +272,10 @@ class PlanSpec extends AnyFunSuite {
         "q180_word_burstiness",
         // q181's cross joins are broadcast 1-row histogram-threshold
         // frames; q182 rides q37's bounded-profile equi-join
-        "q181_whale_share", "q182_lang_purity")) {
+        "q181_whale_share", "q182_lang_purity",
+        // q183 is presence-grain windows; q184 rides the bounded
+        // near-dup edge relation + component-grain rollups
+        "q183_streaks", "q184_dup_cluster_sources")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&

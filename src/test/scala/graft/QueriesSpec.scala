@@ -149,6 +149,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == docs)
   }
 
+  test("q184 cluster-provenance laws: sources bounded by size, docs conserve vs q47") {
+    val rows = SparkEntry.queries("q184_dup_cluster_sources")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(0),
+        "distinct sources must sit in [1, cluster_size]")
+    }
+    val clustered = SparkEntry.queries("q47_dedup_components")(
+      spark, TestSpark.Sf0001).count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(2)).sum == clustered,
+      "size x count cells must conserve the clustered-doc population")
+  }
+
   test("q155 HHI laws: bounded by 1e6, at least the top share's own square, floor of 1e6/n") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q155_market_concentration")(spark, TestSpark.Sf0001)

@@ -318,6 +318,27 @@ class TemporalSpec extends AnyFunSuite {
       ("c", "a", "b", 1L, 1L)))
   }
 
+  test("activeStreaks: islands split at day gaps; multi-visit days count once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 17:00:00"), 1L, "a", 0.0), // same day: once
+      (3L, ts("2024-01-02 10:00:00"), 1L, "a", 0.0),
+      (4L, ts("2024-01-03 10:00:00"), 1L, "a", 0.0),
+      (5L, ts("2024-01-06 10:00:00"), 1L, "a", 0.0), // gap: new island
+      (6L, ts("2024-01-07 10:00:00"), 1L, "a", 0.0),
+      (7L, ts("2024-01-05 10:00:00"), 2L, "a", 0.0)  // one-day user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Sessions.activeStreaks(df).orderBy("streak_days").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // u1: runs of 3 and 2 -> longest 3; u2: longest 1
+    assert(r == Seq((1L, 1L), (3L, 1L)))
+    // corpus law: longest-streak histogram partitions the user base
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events")
+    assert(Sessions.activeStreaks(ev).agg(sum("n_users")).head.getLong(0)
+      == ev.select("user_id").distinct().count())
+  }
+
   test("ar1Daily: hand-checked lag-1 regression over the dense axis") {
     import spark.implicits._
     // daily counts 2, 0, 1 -> pairs (2,0),(0,1): num = 2*0 - 2*1 = -2,
