@@ -33,6 +33,98 @@ object Joins {
           maxDist = 3, maxBlock = 10000)
         .orderBy("name_a", "name_b")),
 
+    // TPC-H Q3 (shipping priority), adapted to this schema: top-10
+    // unshipped BUILDING-segment orders by exact-cents revenue at the
+    // 1998-03-15 cutoff. The optimizer showcase: both date filters
+    // push into the scans, the segment dim broadcasts, and the top-10
+    // is TakeOrderedAndProject — never a global sort (CI-gated).
+    "q185_tpch_q3" -> ((spark, dir) => {
+      val cutoff = lit("1998-03-15").cast("timestamp")
+      val cust = Tables.load(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_micros(o_orderdate) div 1000000").as("orderdate_s"),
+          col("o_orderpriority"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "orderdate_s", "o_orderpriority")
+        .agg(sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 (local supplier volume), adapted: per ASIA nation, the
+    // 1996 revenue where the supplier and the customer share the
+    // nation — the classic 6-way star join; region/nation broadcast,
+    // the big tables meet on their keys, the LOCAL constraint is one
+    // extra equi-condition (never a post-join filter of a wider join)
+    "q186_tpch_q5" -> ((spark, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val nat = Tables.load(spark, dir, "nation")
+        .join(broadcast(Tables.load(spark, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue_cents").desc, col("nation"))
+    }),
+
+    // TPC-H Q10 (returned-item reporting), adapted: top-20 customers
+    // by returned revenue in 1996-Q4 orders — the churn-risk report;
+    // exact cents, TakeOrderedAndProject top-k
+    "q187_tpch_q10" -> ((spark, dir) => {
+      val lo = lit("1996-10-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val cust = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      val nat = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          col("n_name").as("nation"))
+        .agg(sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "q04_join_inner" -> ((spark, dir) => {
       val orders = Tables.load(spark, dir, "orders")
       val customer = Tables.load(spark, dir, "customer")
@@ -203,6 +295,59 @@ object Joins {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q185_tpch_q3" ->
+      """SELECT l.l_orderkey AS o_orderkey,
+        |       epoch_us(o.o_orderdate) // 1000000 AS orderdate_s,
+        |       o.o_orderpriority,
+        |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |                           * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q186_tpch_q5" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |                           * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |               AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue_cents DESC, nation""".stripMargin,
+
+    "q187_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal,
+        |       n.n_name AS nation,
+        |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |                           * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_cents DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
     // same block key (last space-token), same whole-block cap, same
     // exact-integer levenshtein
     "q140_fuzzy_linkage" ->

@@ -275,7 +275,9 @@ class PlanSpec extends AnyFunSuite {
         "q181_whale_share", "q182_lang_purity",
         // q183 is presence-grain windows; q184 rides the bounded
         // near-dup edge relation + component-grain rollups
-        "q183_streaks", "q184_dup_cluster_sources")) {
+        "q183_streaks", "q184_dup_cluster_sources",
+        // the TPC-H classics are pure equi-star joins
+        "q185_tpch_q3", "q186_tpch_q5", "q187_tpch_q10")) {
       val plan = executedPlan(q(name))
       assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
         !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner") &&
@@ -290,6 +292,16 @@ class PlanSpec extends AnyFunSuite {
       s"layout audit must not join or window:\n${plan.take(2000)}")
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"bucket rollup should partial-aggregate map-side:\n${plan.take(2000)}")
+  }
+
+  test("TPC-H classics: top-k is TakeOrderedAndProject, date filters pushed to the scans") {
+    for (name <- Seq("q185_tpch_q3", "q187_tpch_q10")) {
+      val plan = executedPlan(q(name))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name's top-k must never globally sort:\n${plan.take(2000)}")
+      assert(plan.contains("PushedFilters: ["),
+        s"$name must push its filters into the parquet scans:\n${plan.take(2000)}")
+    }
   }
 
   test("q125 pagerank top-k is TakeOrderedAndProject; rounds stay equi-joined") {
