@@ -180,6 +180,25 @@ object IngestBench {
       Streams.ingestTransitionsRead(spark, trState).get)
     System.err.println(f"[ingestbench] transitions fold after compact: $trAfter%.3f s")
 
+    // ——— hazard tier (order-independent mergeable like the profile
+    // fold, but WITH a compact job: per-user candidate rows accumulate
+    // 2/user/batch until compaction re-ranks them back to 2/user) ———
+    val hzState = s"$root/hazard"
+    val hzPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestHazardBatch(
+        events.filter(pmod(col("user_id"), lit(nBatches)) === i), hzState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          Streams.ingestHazardRead(spark, hzState).get)
+        System.err.println(f"[ingestbench] hazard fold @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactHazard(spark, hzState).contains((nBatches - 1).toLong))
+    val hzAfter = probeMin(spark, () =>
+      Streams.ingestHazardRead(spark, hzState).get)
+    System.err.println(f"[ingestbench] hazard fold after compact: $hzAfter%.3f s")
+
     spark.stop()
     val line = s"""{"metric":"ingest_probe","unit":"sec","batches":$nBatches,"sf":"$sfDir","tiers":{""" +
       s""""neardup":${tierJson(ndPoints, ndAfter)},""" +
@@ -187,7 +206,8 @@ object IngestBench {
       s""""text":${tierJson(txPoints, txAfter)},""" +
       s""""bloom":${tierJson(blPoints, blAfter)},""" +
       s""""profile":${tierJson(prPoints, prAfter)},""" +
-      s""""transitions":${tierJson(trPoints, trAfter)}}}"""
+      s""""transitions":${tierJson(trPoints, trAfter)},""" +
+      s""""hazard":${tierJson(hzPoints, hzAfter)}}}"""
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, line + "\n")
