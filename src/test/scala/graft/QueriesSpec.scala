@@ -163,6 +163,26 @@ class QueriesSpec extends AnyFunSuite {
       "size x count cells must conserve the clustered-doc population")
   }
 
+  test("q188 datasheet agrees with the per-tier queries it fuses") {
+    val ds = SparkEntry.queries("q188_source_datasheet")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rich = SparkEntry.queries("q163_lexical_richness")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(ds.size == rich.length, "one datasheet row per source")
+    rich.foreach { r =>
+      val d = ds(r.getString(0))
+      assert(d.getLong(1) == r.getLong(1) && d.getLong(2) == r.getLong(2)
+        && d.getLong(3) == r.getLong(5) && d.getLong(4) == r.getLong(6),
+        s"datasheet richness drifted for ${r.getString(0)}")
+    }
+    val ks = SparkEntry.queries("q174_ks_drift")(spark, TestSpark.Sf0001)
+      .collect()
+    ks.foreach { r =>
+      assert(ds(r.getString(0)).getLong(8) == r.getLong(2),
+        s"datasheet KS drifted for ${r.getString(0)}")
+    }
+  }
+
   test("q155 HHI laws: bounded by 1e6, at least the top share's own square, floor of 1e6/n") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q155_market_concentration")(spark, TestSpark.Sf0001)
