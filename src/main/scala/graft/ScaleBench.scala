@@ -124,7 +124,11 @@ object ScaleBench {
     "q181_whale_share", "q182_lang_purity",
     // q183 is presence-grain windows; q184 rides the bounded near-dup
     // edges + component-grain rollups
-    "q183_streaks", "q184_dup_cluster_sources")
+    "q183_streaks", "q184_dup_cluster_sources",
+    // q188 fuses the per-source tiers (each individually measured);
+    // its cost is their sum. (q185-q187 ride the UNSCALED TPC-H
+    // tables — excluded like q150/q155/q178.)
+    "q188_source_datasheet")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
