@@ -125,6 +125,133 @@ object Joins {
         .limit(20)
     }),
 
+    // TPC-H Q4 (order-priority checking), adapted: this schema has no
+    // commit/receipt dates, so "late" = a line shipped > 90 days after
+    // the order date. Per-priority count of 1996-Q3 orders with at
+    // least one late line — an EXISTS, rendered as a left-semi join
+    // whose condition mixes the equi key with the lateness predicate
+    // (SMJ on the key; never a per-order subquery loop)
+    "q189_tpch_q4" -> ((spark, dir) => {
+      val lo = lit("1996-07-01").cast("timestamp")
+      val hi = lit("1996-10-01").cast("timestamp")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q12 (shipmode priority classes), adapted: no l_shipmode in
+    // this schema, so the category axis is l_returnflag; per flag, the
+    // 1997-shipped LATE lines (> 90 days after order date) split into
+    // critical-priority (1-URGENT/2-HIGH) vs other orders — Q12's
+    // conditional two-way count, one equi-join + one agg pass
+    "q190_tpch_q12" -> ((spark, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+      val ord = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(crit, 1L).otherwise(0L)).as("high_lines"),
+          sum(when(crit, 0L).otherwise(1L)).as("low_lines"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q14 (promo revenue share), adapted: p_type here is the
+    // bare class word, so promo = p_type = 'PROMO'. March-1997 promo
+    // vs total revenue in exact cents, share in integer ppm — the
+    // ratio never touches a float. (promo_cents·10⁶ must fit a
+    // BIGINT: at ~10¹⁵ cents/month switch the product to DECIMAL.)
+    "q191_tpch_q14" -> ((spark, dir) => {
+      val lo = lit("1997-03-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val part = Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_type"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("cents"))
+            .otherwise(0L)).as("promo_cents"),
+          sum(col("cents")).as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          expr("promo_cents * 1000000L div total_cents").as("promo_ppm"))
+    }),
+
+    // TPC-H Q18 (large-volume orders): top-100 orders whose line
+    // quantities sum past 300, with their customer — the whale-order
+    // report. Quantity sums in exact BIGINT (quantities are integral),
+    // order value in cents, top-k as TakeOrderedAndProject; the
+    // having-filter runs on the partial-agged order grain before any
+    // join, so only qualifying orders reach the customer join
+    "q192_tpch_q18" -> ((spark, dir) => {
+      val big = Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val ord = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_micros(o_orderdate) div 1000000").as("orderdate_s"),
+          expr("cast(round(o_totalprice * 100) as bigint)")
+            .as("totalprice_cents"))
+      val cust = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("orderdate_s"), col("totalprice_cents"), col("total_qty"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q22 (global sales opportunity), adapted: no phone country
+    // codes, so the grouping axis is the customer's nation; "dormant"
+    // = no order since 2000-01-01 (every sf0.01 customer has SOME
+    // order, so never-ordered would be vacuous). Above-average test in
+    // exact integers: acctbal·n_pos > Σpos avoids the division whose
+    // float rounding differs across engines. The threshold frame is a
+    // broadcast 1-row cross (sanctioned, like q181's), dormancy is a
+    // left-anti equi-join
+    "q193_tpch_q22" -> ((spark, dir) => {
+      val cutoff = lit("2000-01-01").cast("timestamp")
+      val cust = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("acctbal_cents"))
+      val thresh = cust.filter(col("acctbal_cents") > 0)
+        .agg(sum(col("acctbal_cents")).as("sum_pos_cents"),
+          count(lit(1)).as("n_pos"))
+      val recent = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= cutoff)
+        .select(col("o_custkey"))
+      val nat = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      cust.crossJoin(broadcast(thresh))
+        .filter(col("acctbal_cents") * col("n_pos") > col("sum_pos_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("acctbal_cents")).as("acctbal_cents_sum"))
+        .orderBy("nation")
+    }),
+
     "q04_join_inner" -> ((spark, dir) => {
       val orders = Tables.load(spark, dir, "orders")
       val customer = Tables.load(spark, dir, "customer")
@@ -347,6 +474,84 @@ object Joins {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue_cents DESC, c.c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q189_tpch_q4" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q190_tpch_q12" ->
+      """SELECT l.l_returnflag,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q191_tpch_q14" ->
+      """WITH rev AS (
+        |  SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |                       THEN CAST(round(l.l_extendedprice
+        |                              * (1 - l.l_discount) * 100) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS promo_cents,
+        |         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |                             * 100) AS BIGINT)) AS BIGINT)
+        |           AS total_cents
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-04-01')
+        |SELECT promo_cents, total_cents,
+        |       CAST(promo_cents * 1000000 // total_cents AS BIGINT)
+        |         AS promo_ppm
+        |FROM rev""".stripMargin,
+
+    "q192_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |       epoch_us(o.o_orderdate) // 1000000 AS orderdate_s,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |       b.total_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY totalprice_cents DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q193_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM customer),
+        |t AS (
+        |  SELECT CAST(sum(acctbal_cents) AS BIGINT) AS sum_pos_cents,
+        |         CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM cust WHERE acctbal_cents > 0)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_custs,
+        |       CAST(sum(c.acctbal_cents) AS BIGINT) AS acctbal_cents_sum
+        |FROM cust c CROSS JOIN t
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.acctbal_cents * t.n_pos > t.sum_pos_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // same block key (last space-token), same whole-block cap, same
     // exact-integer levenshtein

@@ -276,8 +276,12 @@ class PlanSpec extends AnyFunSuite {
         // q183 is presence-grain windows; q184 rides the bounded
         // near-dup edge relation + component-grain rollups
         "q183_streaks", "q184_dup_cluster_sources",
-        // the TPC-H classics are pure equi-star joins
+        // the TPC-H classics are pure equi-star joins (q189's EXISTS is
+        // a left-semi whose non-equi lateness conjunct rides the equi
+        // key; q193's 1-row threshold cross is a sanctioned broadcast
+        // like q181's, so it sits outside this gate)
         "q185_tpch_q3", "q186_tpch_q5", "q187_tpch_q10",
+        "q189_tpch_q4", "q190_tpch_q12", "q191_tpch_q14", "q192_tpch_q18",
         // q188 fuses tiers that are each gate-audited; its only cross
         // joins are the bounded broadcast frames those tiers carry
         "q188_source_datasheet")) {
@@ -298,7 +302,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("TPC-H classics: top-k is TakeOrderedAndProject, date filters pushed to the scans") {
-    for (name <- Seq("q185_tpch_q3", "q187_tpch_q10")) {
+    for (name <- Seq("q185_tpch_q3", "q187_tpch_q10", "q192_tpch_q18")) {
       val plan = executedPlan(q(name))
       assert(plan.contains("TakeOrderedAndProject"),
         s"$name's top-k must never globally sort:\n${plan.take(2000)}")
