@@ -252,6 +252,140 @@ object Joins {
         .orderBy("nation")
     }),
 
+    // TPC-H Q6 (forecasting revenue change): one-scan filter-and-sum —
+    // 1997 lines with discount in [0.05, 0.07] and quantity < 24, the
+    // would-have-been revenue = Σ extendedprice·discount in exact
+    // cents. Every predicate pushes into the parquet scan; the IEEE
+    // double literals parse identically in both engines so the band
+    // compare is portable
+    "q194_tpch_q6" -> ((spark, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * l_discount * 100) as bigint)"))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q7 (volume shipping), adapted to the synthetic nation
+    // names: revenue shipped between NATION_1 and NATION_2 in either
+    // direction, per (supplier nation, customer nation, ship year).
+    // The nation filter reduces supplier/customer BEFORE the fact
+    // joins (most-selective-first, like q05); year stays BIGINT
+    "q195_tpch_q7" -> ((spark, dir) => {
+      val natPair = Tables.load(spark, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.load(spark, dir, "supplier")
+        .join(broadcast(natPair), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.load(spark, dir, "customer")
+        .join(broadcast(natPair), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("cents")).as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 (national market share), adapted: per order year, the
+    // share of NATION_1-supplier revenue within all PROMO-part revenue
+    // sold to AMERICA-region customers — in exact integer ppm, the
+    // q191 promo-share pattern at year grain. The supplier-nation flag
+    // rides a broadcast bounded dim; nothing divides a float
+    "q196_tpch_q8" -> ((spark, dir) => {
+      val amNations = Tables.load(spark, dir, "nation")
+        .join(broadcast(Tables.load(spark, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables.load(spark, dir, "customer")
+        .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supN1 = Tables.load(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_1").select(col("n_nationkey"))
+      val sup = Tables.load(spark, dir, "supplier")
+        .join(broadcast(supN1), col("s_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select(col("s_suppkey"), lit(1L).as("is_n1"))
+      val promo = Tables.load(spark, dir, "part")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val ord = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      li.join(promo, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(sup, col("l_suppkey") === col("s_suppkey"), "left")
+        .groupBy("o_year")
+        .agg(sum(when(col("is_n1") === 1L, col("cents")).otherwise(0L))
+            .as("n1_cents"),
+          sum(col("cents")).as("total_cents"))
+        .select(col("o_year"), col("n1_cents"), col("total_cents"),
+          expr("n1_cents * 1000000L div total_cents").as("share_ppm"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q15 (top supplier): suppliers whose 1997-Q1 shipped
+    // revenue equals the quarter's maximum — revenue in exact cents
+    // makes the = max tie test portable (the classic's float view
+    // would not be); the max is a broadcast 1-row cross (sanctioned)
+    "q197_tpch_q15" -> ((spark, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val rev = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .as("revenue_cents"))
+      val top = rev.agg(max(col("revenue_cents")).as("max_cents"))
+      val sup = Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("revenue_cents") === col("max_cents"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): lines whose quantity
+    // sits under 20% of their part's average — the correlated-average
+    // kept exact by multiplying through (5·qty·n < Σqty, all BIGINT:
+    // quantities are integral), so no engine divides; part-grain
+    // partial agg + one equi-join back, avg_yearly in floor-div cents
+    "q198_tpch_q17" -> ((spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"), expr(
+          "cast(round(l_extendedprice * 100) as bigint)").as("price_cents"))
+      val pa = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_lines_pt"))
+      li.join(pa, col("l_partkey") === col("pk"))
+        .filter(col("qty") * 5L * col("n_lines_pt") < col("sum_qty"))
+        .agg(sum(col("price_cents")).as("total_cents"),
+          count(lit(1)).as("n_lines"))
+        .select(col("total_cents"), col("n_lines"),
+          expr("total_cents div 7").as("avg_yearly_cents"))
+    }),
+
     "q04_join_inner" -> ((spark, dir) => {
       val orders = Tables.load(spark, dir, "orders")
       val customer = Tables.load(spark, dir, "customer")
@@ -552,6 +686,93 @@ object Joins {
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q194_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q195_tpch_q7" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |                           * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+        |  AND nc.n_name IN ('NATION_1', 'NATION_2')
+        |  AND ns.n_name <> nc.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q196_tpch_q8" ->
+      """WITH yr AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(sum(CASE WHEN ns.n_name = 'NATION_1'
+        |                       THEN CAST(round(l.l_extendedprice
+        |                              * (1 - l.l_discount) * 100) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS n1_cents,
+        |         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |                             * 100) AS BIGINT)) AS BIGINT)
+        |           AS total_cents
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |  JOIN region r ON nc.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |  WHERE p.p_type = 'PROMO' AND r.r_name = 'AMERICA'
+        |  GROUP BY 1)
+        |SELECT o_year, n1_cents, total_cents,
+        |       CAST(n1_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+        |FROM yr
+        |ORDER BY o_year""".stripMargin,
+
+    "q197_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                             * 100) AS BIGINT)) AS BIGINT)
+        |           AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.revenue_cents
+        |FROM rev r
+        |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q198_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |pa AS (
+        |  SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |         CAST(count(*) AS BIGINT) AS n_lines_pt
+        |  FROM li GROUP BY 1),
+        |small AS (
+        |  SELECT li.price_cents
+        |  FROM li JOIN pa ON li.l_partkey = pa.pk
+        |  WHERE li.qty * 5 * pa.n_lines_pt < pa.sum_qty)
+        |SELECT CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(price_cents) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM small""".stripMargin,
 
     // same block key (last space-token), same whole-block cap, same
     // exact-integer levenshtein
