@@ -386,6 +386,79 @@ object Joins {
           expr("total_cents div 7").as("avg_yearly_cents"))
     }),
 
+    // TPC-H Q13 (customer order-count distribution): how many
+    // customers placed k orders, INCLUDING k = 0 — the left join whose
+    // unmatched side is the point (an inner join would silently drop
+    // the zero bucket); two agg passes, the second over the bounded
+    // count domain
+    "q199_tpch_q13" -> ((spark, dir) => {
+      val cust = Tables.load(spark, dir, "customer").select(col("c_custkey"))
+      val ord = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q19 (discounted revenue): the OR-of-ANDs predicate — three
+    // (brand, size band, quantity band) arms — over the li ⋈ part
+    // equi-join; the disjunction can't push below the join as a whole,
+    // but each side's common bounds do, and the join stays the one
+    // equi-shuffle
+    "q200_tpch_q19" -> ((spark, dir) => {
+      val part = Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      val arm1 = col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(1, 11)
+      val arm2 = col("p_brand") === "Brand#2" &&
+        col("p_size").between(10, 20) && col("l_quantity").between(10, 20)
+      val arm3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(20, 35) && col("l_quantity").between(20, 30)
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .agg(sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q9 (product-type profit), adapted: no partsupp, so cost =
+    // p_retailprice·quantity (the schema's only unit-cost column);
+    // profit per (supplier nation, order year) on PROMO parts (the
+    // classic's '%green%' name filter, rendered on this schema's
+    // bounded p_type) — profit stays a BIGINT cents difference, never
+    // a float subtraction
+    "q201_tpch_q9" -> ((spark, dir) => {
+      val promo = Tables.load(spark, dir, "part")
+        .filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"),
+          expr("cast(round(p_retailprice * 100) as bigint)").as("cost_cents"))
+      val sup = Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"), expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_cents"))
+      li.join(promo, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(col("rev_cents") - col("cost_cents") * col("qty"))
+          .as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     "q04_join_inner" -> ((spark, dir) => {
       val orders = Tables.load(spark, dir, "orders")
       val customer = Tables.load(spark, dir, "customer")
@@ -773,6 +846,48 @@ object Joins {
         |       CAST(count(*) AS BIGINT) AS n_lines,
         |       CAST(sum(price_cents) // 7 AS BIGINT) AS avg_yearly_cents
         |FROM small""".stripMargin,
+
+    "q199_tpch_q13" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per_cust
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q200_tpch_q19" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |                           * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 20
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q201_tpch_q9" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |                           * 100) AS BIGINT)
+        |                - CAST(round(p.p_retailprice * 100) AS BIGINT)
+        |                  * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+        |         AS profit_cents
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_type = 'PROMO'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
 
     // same block key (last space-token), same whole-block cap, same
     // exact-integer levenshtein

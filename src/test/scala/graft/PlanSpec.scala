@@ -284,6 +284,7 @@ class PlanSpec extends AnyFunSuite {
         "q189_tpch_q4", "q190_tpch_q12", "q191_tpch_q14", "q192_tpch_q18",
         // q197's 1-row max frame is a sanctioned broadcast cross
         "q194_tpch_q6", "q195_tpch_q7", "q196_tpch_q8", "q198_tpch_q17",
+        "q199_tpch_q13", "q200_tpch_q19", "q201_tpch_q9",
         // q188 fuses tiers that are each gate-audited; its only cross
         // joins are the bounded broadcast frames those tiers carry
         "q188_source_datasheet")) {
