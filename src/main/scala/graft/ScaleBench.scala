@@ -73,8 +73,12 @@ object ScaleBench {
     // the bounded near-dup edge relation, q148 rides q33's windowed LSH
     // candidates, q145 is one per-user lead window, q146 judges at axis
     // grain, q147's lookback is the (user, bin) equi-join.
-    // (q137/q140/q144 are carried by the UNSCALED TPC-H tables and
-    // would read as flat — excluded. q143 is excluded like q26/q30/q32:
+    // (q137/q140/q144 are carried by the TPC-H tables, which this
+    // default corpus-mode list leaves unscaled — they would read as
+    // flat here; their decade is measured separately against ScaleGen's
+    // FACTS mode (`ScaleGen ... facts` scales orders+lineitem) in
+    // bench/scaling_r8_facts.json, together with the TPC-H classics —
+    // all sub-linear. q143 is excluded like q26/q30/q32:
     // its INPUT is q30's labeled ground-truth exact all-pairs tier, so
     // it inherits that tier's quadratic — measured exp 1.3–1.6 in
     // bench/scaling_r8.json; q148 is the scale-path sibling.)

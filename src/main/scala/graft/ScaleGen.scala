@@ -137,10 +137,74 @@ object ScaleGen {
     }
   }
 
+  /** orders replica r: order keys offset; the customer/status/price/
+    * date/priority columns ride verbatim — the same customers place K×
+    * the orders, which is the bounded-dims growth model the engine's
+    * 100 TB posture assumes (dims broadcastable, facts grow).
+    */
+  private[graft] def scaleOrders(orders: DataFrame, replicas: Int, stride: Long): DataFrame = {
+    val reps = orders.sparkSession.range(0, replicas).select(col("id").as("r"))
+    orders.crossJoin(broadcast(reps))
+      .select(
+        (col("o_orderkey") + col("r") * lit(stride)).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** lineitem replica r: l_orderkey offset by the SAME stride as
+    * orders, so each replica's lines follow their replica's order and
+    * the order ⋈ lineitem join stays bijective per replica; part/
+    * supplier keys, quantities, prices, dates ride verbatim (per-order
+    * line shape — and so q192's Σqty-per-order distribution — is
+    * preserved exactly at every scale).
+    */
+  private[graft] def scaleLineitem(li: DataFrame, replicas: Int, orderStride: Long): DataFrame = {
+    val reps = li.sparkSession.range(0, replicas).select(col("id").as("r"))
+    li.crossJoin(broadcast(reps))
+      .select(
+        (col("l_orderkey") + col("r") * lit(orderStride)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+  }
+
+  /** Facts mode: scale the TPC-H fact tables (orders + lineitem) and
+    * symlink everything else — the decade measurement for the
+    * relational tier, whose queries the corpus-mode run reads as flat
+    * (its facts are symlinked there). Replica 0 is the source verbatim,
+    * so the scaled facts strictly contain the original.
+    */
+  def generateFacts(spark: SparkSession, srcDir: String, outDir: String, replicas: Int): Unit = {
+    import graft.sources.Tables
+    val out = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(out)
+
+    val ord = Tables.load(spark, srcDir, "orders")
+    val orderStride = stride(ord, "o_orderkey")
+    scaleOrders(ord, replicas, orderStride)
+      .repartition(math.max(2, replicas / 2))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val li = Tables.load(spark, srcDir, "lineitem")
+    scaleLineitem(li, replicas, orderStride)
+      .repartition(math.max(2, replicas))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    for (t <- Tables.names if !Set("orders", "lineitem").contains(t)) {
+      val link = out.resolve(s"$t.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(srcDir, s"$t.parquet"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcSfDir> <outDir> <replicas>")
+    require(args.length == 3 || (args.length == 4 && args(3) == "facts"),
+      "usage: ScaleGen <srcSfDir> <outDir> <replicas> [facts]")
     val spark = Graft.session(appName = "graft-scalegen")
-    generate(spark, args(0), args(1), args(2).toInt)
+    if (args.length == 4) generateFacts(spark, args(0), args(1), args(2).toInt)
+    else generate(spark, args(0), args(1), args(2).toInt)
     spark.stop()
   }
 }

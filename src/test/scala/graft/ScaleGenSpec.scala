@@ -104,4 +104,31 @@ class ScaleGenSpec extends AnyFunSuite {
       .exceptAll(hist(g)).count()
     assert(diff === 0L)
   }
+
+  test("facts mode: 3x orders/lineitem, replica 0 verbatim, per-order basket shape constant, no orphan lines") {
+    val d = java.nio.file.Files.createTempDirectory("graft-scalegen-facts")
+    ScaleGen.generateFacts(spark, TestSpark.Sf0001, d.toString, replicas = 3)
+    def fgen(t: String) = graft.sources.Tables.load(spark, d.toString, t)
+    val (so, sl) = (src("orders"), src("lineitem"))
+    val (go, gl) = (fgen("orders"), fgen("lineitem"))
+    assert(go.count() === 3 * so.count())
+    assert(gl.count() === 3 * sl.count())
+    assert(go.select("o_orderkey").distinct().count() === go.count())
+    // replica 0 = keys below the stride = the source rows verbatim
+    val stride = ScaleGen.stride(so, "o_orderkey")
+    assert(go.filter(col("o_orderkey") < stride).exceptAll(so).isEmpty)
+    assert(gl.filter(col("l_orderkey") < stride).exceptAll(sl).isEmpty)
+    // the orders ⋈ lineitem join stays total: no orphan lines
+    assert(gl.join(go, gl("l_orderkey") === go("o_orderkey"), "left_anti")
+      .isEmpty)
+    // lines-per-order histogram scales by exactly 3 (q192's Σqty
+    // distribution is a function of it)
+    def hist(df: org.apache.spark.sql.DataFrame, k: String) =
+      df.groupBy(col(k)).agg(count(lit(1)).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("orders"))
+    assert(hist(sl, "l_orderkey").withColumn("orders", col("orders") * 3)
+      .exceptAll(hist(gl, "l_orderkey")).isEmpty)
+    // dims ride as symlinks: the scaled dir is a complete sf layout
+    assert(fgen("customer").count() === src("customer").count())
+  }
 }
