@@ -63,6 +63,69 @@ class BenchSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("interleavedResults: pass-major order, median/min across passes") {
+    val order = scala.collection.mutable.ListBuffer[String]()
+    // runner cost keyed by (query, visit #): q2's pass-2 sample is hot
+    val visits = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val suite = Seq("q1" -> 1.0, "q2" -> 2.0, "q3" -> 3.0)
+    val (res, errs) = Bench.interleavedResults[Double](suite, passes = 3,
+      runner = { base =>
+        val name = suite.find(_._2 == base).get._1
+        order += name
+        visits(name) += 1
+        if (name == "q2" && visits(name) == 3) base * 50 else base // hot sample
+      })
+    assert(errs.isEmpty)
+    // pass-major: warm-up pass then 3 full passes, never q1,q1,q1
+    assert(order.toSeq == Seq.fill(4)(Seq("q1", "q2", "q3")).flatten)
+    // the one hot sample (q2, first timed pass = visit 3... visit 1 is
+    // warm-up; visits 2-4 are timed) is discarded by the median
+    assert(res.find(_._1 == "q2").get._2 == 2.0, s"median must shed one hot sample: $res")
+    assert(res.find(_._1 == "q2").get._3 == 2.0)
+    assert(res.map(_._1) == Seq("q1", "q2", "q3"), "results keep suite order")
+  }
+
+  test("interleavedResults: a window longer than one query's repeats stays contained") {
+    // the round-8 failure mode: a contention window spanning ~9
+    // consecutive invocations. Query-major repeats (3 per query) would
+    // lose ALL samples of 3 queries; interleaved passes lose at most
+    // one sample per query — every median must come out clean.
+    val n = 20
+    val suite = (0 until n).map(i => (f"q$i%02d", 1.0))
+    var invocation = 0
+    val (res, errs) = Bench.interleavedResults[Double](suite, passes = 3,
+      runner = { base =>
+        invocation += 1
+        // window covers invocations 25..33 (inside timed pass 1: 21..40)
+        if (invocation >= 25 && invocation <= 33) base * 10 else base
+      })
+    assert(errs.isEmpty)
+    assert(res.forall(_._2 == 1.0),
+      s"every median must survive a 9-invocation window: ${res.filter(_._2 != 1.0)}")
+  }
+
+  test("interleavedResults: a throw in any pass reports -1 + first error, others unaffected") {
+    val suite = Seq("ok" -> 0, "warmfail" -> 1, "passfail" -> 2)
+    val calls = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    var cleanups = 0
+    val (res, errs) = Bench.interleavedResults[Int](suite, passes = 3,
+      runner = { id =>
+        calls(id) += 1
+        if (id == 1) throw new RuntimeException("warm boom")
+        if (id == 2 && calls(id) == 3) throw new RuntimeException("pass boom")
+        1.0
+      },
+      onFailureCleanup = () => cleanups += 1)
+    assert(res.find(_._1 == "ok").get._2 == 1.0)
+    assert(res.find(_._1 == "warmfail").get == (("warmfail", -1.0, -1.0)))
+    assert(res.find(_._1 == "passfail").get == (("passfail", -1.0, -1.0)),
+      "a mid-pass failure must not report its partial samples as a result")
+    assert(calls(1) == 1, "a warm-up failure skips every timed pass")
+    assert(calls(2) == 3, "a mid-pass failure stops further passes")
+    assert(errs.toMap == Map("warmfail" -> "warm boom", "passfail" -> "pass boom"))
+    assert(cleanups == 2)
+  }
+
   test("compactLine: never exceeds the tail-capture budget, parses, accounts for every query") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // 300 queries with long names — far past what any window could hold
