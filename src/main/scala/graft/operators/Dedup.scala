@@ -1438,4 +1438,57 @@ object Dedup {
     base.withColumn("n_iters", lit(iters.toLong))
       .withColumn("converged", lit(converged))
   }
+
+  /** FIXED-round span scrub — exactly `rounds` cut-and-rescan rounds of
+    * [[scrubRunsFixpoint]]'s three span families (cross-doc, within-doc,
+    * hot-segment), applied unconditionally: a round that detects no span
+    * rewrites nothing and the next round runs anyway. The point of the
+    * variant is the GATE, not production use: because the round count is
+    * a constant of the query (not of the data), the whole output is
+    * expressible as one `rounds`-times-unrolled SQL statement, so this
+    * tier hash-gates end-to-end where the run-to-convergence face
+    * (q111) is rows-only by design. Agreement law: on any corpus whose
+    * fixpoint arrives within `rounds` iterations, the text_clean /
+    * n_dropped columns here equal [[scrubRunsFixpoint]]'s —
+    * property-tested in DedupSpec on the adversarial corpora.
+    *
+    * Output: (doc_id, n_tokens — ORIGINAL count, n_dropped — cumulative,
+    * text_clean). Scale shape per round is the fixpoint's (shared gram
+    * state, checkpointed rewrites, O(1)-in-rounds pinned storage);
+    * total cost is exactly `rounds` rounds — no is-empty probe.
+    */
+  def scrubRunsFixed(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
+      maxPostings: Long = 1000L, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def spansOf(cur: DataFrame): DataFrame = {
+      val ps = Ckpt.narrow(positionalShingles(cur, n))
+      val occ = Ckpt.narrow(ps.groupBy("gh").agg(count(lit(1)).as("_occ")))
+      val kept = ps.join(occ.filter(col("_occ") <= maxPostings).select("gh"), "gh")
+      val hot = ps.join(occ.filter(col("_occ") > maxPostings).select("gh"), "gh")
+      crossRunsOf(kept, n, minRun)
+        .select(col("j").as("doc_id"), col("start_j").as("s"),
+          (col("start_j") + col("run_tokens")).as("e"))
+        .unionByName(selfRunsOf(kept, n, minRun)
+          .select(col("doc_id"), col("start_j").as("s"),
+            (col("start_j") + col("run_tokens")).as("e")))
+        .unionByName(hotCutsOf(hot, n, minRun))
+    }
+    var cur = docs.select(col("doc_id"), col("text"))
+    var dropped: DataFrame = null
+    var orig: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val scrubbed = Ckpt.narrow(applyCutSpans(cur, spansOf(cur)))
+      if (orig == null)
+        orig = scrubbed.select(col("doc_id"), col("n_tokens"))
+      dropped =
+        if (dropped == null) scrubbed.select(col("doc_id"), col("n_dropped"))
+        else dropped.as("d")
+          .join(scrubbed.select(col("doc_id"), col("n_dropped").as("_nd")), "doc_id")
+          .select(col("doc_id"), (col("d.n_dropped") + col("_nd")).as("n_dropped"))
+      cur = scrubbed.select(col("doc_id"), col("text_clean").as("text"))
+    }
+    orig.join(dropped, "doc_id")
+      .join(cur.select(col("doc_id"), col("text").as("text_clean")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_dropped"), col("text_clean"))
+  }
 }

@@ -66,6 +66,99 @@ object DedupQueries {
       |                CAST(count(*) + 2 AS BIGINT) AS run_tokens
       |         FROM isl GROUP BY i, j, diag, island)""".stripMargin
 
+  /** One FULL scrub round over relation `in` (doc_id, text), emitting
+    * `${p}out` (doc_id, n_tokens, n_dropped, text_clean) — the SQL twin
+    * of one [[Dedup.scrubRunsFixed]] iteration: positional 3-grams with
+    * the occurrence-capped stop-gram guard, then all three span
+    * families over the SAME gram state (cross-doc diagonal runs cut on
+    * the later doc, within-doc runs cut at the later occurrence,
+    * hot-segment fingerprint groups cut everywhere but the minimal
+    * (doc_id, start)), interval-merged and rewritten exactly as q109.
+    * Parameterized by prefix so q111b unrolls two rounds in one
+    * statement; constants fixed at the canonical n=3 / minRun=15 /
+    * maxPostings=1000.
+    */
+  private[queries] def scrubRoundSql(in: String, p: String): String =
+    s"""${p}ws AS (SELECT doc_id,
+       |             list_filter(string_split_regex(trim(text), '\\s+'),
+       |                         x -> x <> '') AS w
+       |           FROM $in),
+       |${p}psh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |              CAST('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15) AS BIGINT) AS gh
+       |            FROM ${p}ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       |            WHERE len(w) >= 3),
+       |${p}occ AS (SELECT gh, count(*) AS oc FROM ${p}psh GROUP BY gh),
+       |${p}kg AS (SELECT s.doc_id, s.pos, s.gh
+       |           FROM ${p}psh s JOIN ${p}occ o USING (gh) WHERE o.oc <= 1000),
+       |${p}hg AS (SELECT s.doc_id, s.pos, s.gh
+       |           FROM ${p}psh s JOIN ${p}occ o USING (gh) WHERE o.oc > 1000),
+       |${p}m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj,
+       |                 a.pos - b.pos AS diag
+       |          FROM ${p}kg a JOIN ${p}kg b
+       |            ON a.gh = b.gh AND a.doc_id < b.doc_id),
+       |${p}isl AS (SELECT i, j, diag, pi, pj,
+       |                   pi - row_number() OVER (PARTITION BY i, j, diag ORDER BY pi) AS island
+       |            FROM ${p}m),
+       |${p}runs AS (SELECT j, min(pj) AS start_j,
+       |                    CAST(count(*) + 2 AS BIGINT) AS run_tokens
+       |             FROM ${p}isl GROUP BY i, j, diag, island),
+       |${p}sm AS (SELECT a.doc_id, a.pos AS pi, b.pos AS pj, a.pos - b.pos AS diag
+       |           FROM ${p}kg a JOIN ${p}kg b
+       |             ON a.gh = b.gh AND a.doc_id = b.doc_id AND a.pos < b.pos),
+       |${p}sisl AS (SELECT doc_id, diag, pi, pj,
+       |                    pi - row_number() OVER (PARTITION BY doc_id, diag ORDER BY pi) AS island
+       |             FROM ${p}sm),
+       |${p}sruns AS (SELECT doc_id, min(pj) AS start_j,
+       |                     CAST(count(*) + 2 AS BIGINT) AS run_tokens
+       |              FROM ${p}sisl GROUP BY doc_id, diag, island),
+       |${p}hseg AS (SELECT doc_id, min(pos) AS s,
+       |                    CAST(count(*) + 2 AS BIGINT) AS run_tokens,
+       |                    md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY pos)) AS fp
+       |             FROM (SELECT doc_id, pos, gh,
+       |                          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |                   FROM ${p}hg) t
+       |             GROUP BY doc_id, island
+       |             HAVING count(*) + 2 >= 15),
+       |${p}hcut AS (SELECT doc_id, s, s + run_tokens AS e
+       |             FROM (SELECT doc_id, s, run_tokens,
+       |                          row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rk,
+       |                          count(*) OVER (PARTITION BY fp) AS cnt
+       |                   FROM ${p}hseg) t
+       |             WHERE cnt > 1 AND rk > 1),
+       |${p}spans AS (SELECT j AS doc_id, start_j AS s, start_j + run_tokens AS e
+       |              FROM ${p}runs WHERE run_tokens >= 15
+       |              UNION ALL
+       |              SELECT doc_id, start_j AS s, start_j + run_tokens AS e
+       |              FROM ${p}sruns WHERE run_tokens >= 15
+       |              UNION ALL
+       |              SELECT doc_id, s, e FROM ${p}hcut),
+       |${p}mrg0 AS (SELECT doc_id, s, e,
+       |                    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |             FROM ${p}spans),
+       |${p}mrg1 AS (SELECT doc_id, s, e,
+       |                    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |                      OVER (PARTITION BY doc_id ORDER BY s, e
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl2
+       |             FROM ${p}mrg0),
+       |${p}mrg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+       |            FROM ${p}mrg1 GROUP BY doc_id, isl2),
+       |${p}toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+       |             FROM ${p}ws, UNNEST(generate_series(1, len(w))) AS t(i)),
+       |${p}drp AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM ${p}mrg),
+       |${p}keptt AS (SELECT t.doc_id, t.pos, t.word
+       |              FROM ${p}toks t LEFT JOIN ${p}drp d
+       |                ON t.doc_id = d.doc_id AND t.pos = d.pos
+       |              WHERE d.pos IS NULL),
+       |${p}agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+       |                   string_agg(word, ' ' ORDER BY pos) AS kept
+       |            FROM ${p}keptt GROUP BY doc_id),
+       |${p}nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM ${p}ws),
+       |${p}out AS (SELECT n.doc_id, n.n_tokens,
+       |                   n.n_tokens - coalesce(a.nk, 0) AS n_dropped,
+       |                   coalesce(a.kept, '') AS text_clean
+       |            FROM ${p}nt n LEFT JOIN ${p}agg a USING (doc_id))""".stripMargin
+
   /** Exact Jaccard over the hashed shingle sets. */
   private[queries] val JaccardSql: String =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -391,6 +484,17 @@ object DedupQueries {
     "q111_scrub_fixpoint" -> ((spark, dir) =>
       Dedup.scrubRunsFixpoint(Tables.load(spark, dir, "documents"),
           n = 3, minRun = 15L, maxPostings = 1000L)
+        .orderBy("doc_id")),
+
+    // q111's GATED twin: exactly 2 scrub rounds instead of run-to-
+    // convergence — the round count is a constant of the query, so the
+    // whole tier unrolls into one SQL statement and hash-gates
+    // end-to-end (the fixpoint face stays the production entry; the
+    // agreement law fixed ≡ fixpoint when convergence ≤ rounds is in
+    // DedupSpec)
+    "q111b_scrub_fixed2" -> ((spark, dir) =>
+      Dedup.scrubRunsFixed(Tables.load(spark, dir, "documents"),
+          n = 3, minRun = 15L, maxPostings = 1000L, rounds = 2)
         .orderBy("doc_id")),
 
     // syndication audit: canonical near-dup pairs whose endpoints come
@@ -815,6 +919,21 @@ object DedupQueries {
          |         AS novelty_ppm
          |FROM documents d LEFT JOIN per p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // two full scrub rounds unrolled: round `a` over documents, round
+    // `b` over round a's rewritten text; cumulative drops summed, final
+    // text from round b. Each round is ONE shared scrubRoundSql chain —
+    // all three span families (cross-doc, self-diagonal, hot-segment)
+    // over one positional-gram state, exactly the engine's round.
+    "q111b_scrub_fixed2" ->
+      (s"WITH ${scrubRoundSql("documents", "a")},\n" +
+        "bin AS (SELECT doc_id, text_clean AS text FROM aout),\n" +
+        s"${scrubRoundSql("bin", "b")}\n" +
+        """SELECT a.doc_id, a.n_tokens,
+          |       a.n_dropped + b.n_dropped AS n_dropped,
+          |       b.text_clean
+          |FROM aout a JOIN bout b USING (doc_id)
+          |ORDER BY a.doc_id""".stripMargin),
 
     // the self-diagonal twin of q108: same positional-gram chain, the
     // pair join restricted to one doc matched against itself at

@@ -710,6 +710,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubRunsFixed ≡ scrubRunsFixpoint when convergence fits the round budget") {
+    // the q111b contract: with rounds >= the fixpoint's cutting-round
+    // count, the fixed-round unroll lands on the identical corpus —
+    // exercised on the flank-fusion corpus (needs 2 rounds), the
+    // hot-boilerplate corpus (guarded grams), and the real sf0.001 slice
+    val a = (1 to 4).map(k => s"a$k").mkString(" ")
+    val b = (1 to 4).map(k => s"b$k").mkString(" ")
+    val x = (1 to 8).map(k => s"x$k").mkString(" ")
+    val fusion = Seq((0L, s"$a $b"), (1L, x), (2L, s"$a $x $b"))
+      .toDF("doc_id", "text")
+    val boiler = (1 to 17).map(k => s"b$k").mkString(" ")
+    val hot = ((0 until 30).map(i => (i.toLong, s"$boiler tail$i words$i")) :+
+      (100L, s"unique prefix $boiler unique suffix")).toDF("doc_id", "text")
+    val corpus = Tables.load(spark, TestSpark.Sf0001, "documents")
+    for ((df, minRun, cap) <- Seq((fusion, 6L, 1000L), (hot, 15L, 5L),
+        (corpus, 15L, 1000L))) {
+      val fix = Dedup.scrubRunsFixpoint(df, n = 3, minRun = minRun,
+        maxPostings = cap)
+      val cutRounds = math.max(1L, fix.agg(max("n_iters")).head.getLong(0)).toInt
+      val expect = fix.select("doc_id", "n_tokens", "n_dropped", "text_clean")
+        .orderBy("doc_id").collect().toSeq
+      val got = Dedup.scrubRunsFixed(df, n = 3, minRun = minRun,
+          maxPostings = cap, rounds = cutRounds)
+        .orderBy("doc_id").collect().toSeq
+      assert(got == expect, s"fixed($cutRounds) must equal the fixpoint")
+      // an extra round past the fixpoint is a no-op (idempotence)
+      val extra = Dedup.scrubRunsFixed(df, n = 3, minRun = minRun,
+          maxPostings = cap, rounds = cutRounds + 1)
+        .orderBy("doc_id").collect().toSeq
+      assert(extra == expect, "a round past the fixpoint must cut nothing")
+    }
+  }
+
   test("selfRuns: within-doc repeats and tandem periodic collapse") {
     val r = (1 to 8).map(k => s"r$k").mkString(" ")
     val seq = Seq(
