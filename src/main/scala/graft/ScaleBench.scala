@@ -95,6 +95,10 @@ object ScaleBench {
     // q156's explode fan-out is windowDays × presence — linear;
     // q157 is one linear documents scan
     "q156_rolling_active", "q157_readability",
+    // round-9: q202's merged-interval rendering bounds interval rows by
+    // presence rows whatever windowDays — the 90-day window must scale
+    // exactly like the 7-day q156 (that independence is the point)
+    "q202_rolling_active_90",
     // q158/q160 run at time-axis grain past two map-side aggs, q159 is
     // one scan + a dow-grain join
     "q158_cohort_ltv", "q159_dow_profile", "q160_cusum",

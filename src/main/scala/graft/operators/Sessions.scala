@@ -531,6 +531,72 @@ object Sessions {
         when(col("wau") > 0, expr("dau * 1000000 div wau")))
   }
 
+  /** [[rollingActive]]'s LARGE-WINDOW scale path — output-identical
+    * (same columns, same exact counts; SessionsSpec pins the hash law
+    * merged ≡ exploded at several windows), but work does NOT carry the
+    * `windowDays` multiplier: the presence-explode rendering costs
+    * windowDays × |presence| rows, fine at 7 but 13× more at the 90-day
+    * DAU/MAU a dashboard actually wants. Here each presence day covers
+    * the interval [day, day + windowDays − 1] of report days; per user
+    * the coverage intervals are MERGED (running-max islands — the
+    * [[graft.operators.Dedup.applyCutSpans]] pattern; strictly
+    * overlapping only, adjacency needs no merge under a ±1 diff array),
+    * and each merged interval contributes one +1 at its start and one
+    * −1 past its end. The trailing-window distinct count is then the
+    * prefix sum of those deltas over the dense day axis.
+    *
+    * Work: one presence distinct, one per-user window over the user's
+    * own presence rows (user-partitioned — never a global sort), one
+    * day-grain aggregation, one prefix-sum window over the BOUNDED day
+    * axis (hundreds of rows for years of data — the q123/q130 posture).
+    * Interval rows never exceed presence rows, whatever `windowDays`;
+    * at 100 TB the window size stops being a cost knob entirely.
+    */
+  def rollingActiveMerged(events: DataFrame, windowDays: Int = 90,
+      keyCol: String = "user_id"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val pres = Ckpt.narrow(events
+      .filter(col(keyCol).isNotNull && col("ts").isNotNull)
+      .select(col(keyCol).as("u"),
+        expr("unix_micros(ts) div 1000000 div 86400").as("day"))
+      .distinct())
+    val bounds = pres.agg(min("day").as("lo"), max("day").as("hi"))
+    val dau = pres.groupBy("day").agg(count(lit(1)).as("dau"))
+    // coverage interval per presence day, clamped to the span end
+    val iv = pres.crossJoin(broadcast(bounds)) // 1-row bounds — bounded
+      .select(col("u"), col("day").as("s"),
+        least(col("day") + lit(windowDays - 1).cast("long"), col("hi")).as("e"))
+    // per-user interval merge: a row opens a new island iff it starts
+    // past the running max of earlier ends (adjacent intervals may stay
+    // split — their +1/−1 deltas cancel at the shared boundary)
+    val byU = Window.partitionBy("u").orderBy(col("s"), col("e"))
+    val merged = iv
+      .withColumn("pmax",
+        max(col("e")).over(byU.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("news",
+        (col("pmax").isNull || col("s") > col("pmax")).cast("bigint"))
+      .withColumn("isl",
+        sum(col("news")).over(byU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("u", "isl")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    // ±1 deltas at day grain; the −1 lands one past the interval end
+    // and is dropped when it falls off the axis (prefix sum never
+    // reaches it)
+    val deltas = merged.select(col("s").as("day"), lit(1L).as("d"))
+      .unionByName(merged.select((col("e") + 1L).as("day"), lit(-1L).as("d")))
+      .groupBy("day").agg(sum(col("d")).as("net"))
+    val axis = broadcast(bounds)
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+    axis.join(deltas, Seq("day"), "left")
+      .withColumn("wau", sum(coalesce(col("net"), lit(0L))).over(
+        Window.orderBy("day") // bounded day axis — q123/q130 posture
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .withColumn("stickiness_ppm",
+        when(col("wau") > 0, expr("dau * 1000000 div wau")))
+  }
+
   /** Weekly growth accounting: per week, the active-user count split
     * into NEW (first-ever week), RETAINED (also active the week
     * before), and RESURRECTED (active before, skipped ≥ 1 week), plus

@@ -79,6 +79,17 @@ object TemporalQueries {
           windowDays = 7)
         .orderBy("day")),
 
+    // 90-day rolling active (DAU/MAU-at-90): the merged-interval scale
+    // path — per-user coverage intervals + a ±1 diff array over the day
+    // axis, so work carries NO windowDays multiplier (the explode
+    // rendering q156 uses would pay 90 × presence rows here); gated
+    // against the naive coverage-explode oracle, and the merged ≡
+    // exploded hash law is pinned in TemporalSpec
+    "q202_rolling_active_90" -> ((spark, dir) =>
+      Sessions.rollingActiveMerged(Tables.load(spark, dir, "events"),
+          windowDays = 90)
+        .orderBy("day")),
+
     // cohort LTV triangle: first-week cohorts × dense week offsets,
     // exact cents, cumulative + per-user floor — q114's money twin
     "q158_cohort_ltv" -> ((spark, dir) =>
@@ -660,6 +671,30 @@ object TemporalQueries {
         |cov AS (SELECT DISTINCT p.u,
         |          unnest(generate_series(p.day,
         |            least(p.day + 6, (SELECT hi FROM b)))) AS day
+        |        FROM pres p),
+        |wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b)
+        |SELECT a.day, coalesce(d.dau, 0) AS dau, coalesce(w.wau, 0) AS wau,
+        |       CASE WHEN coalesce(w.wau, 0) > 0
+        |            THEN (coalesce(d.dau, 0) * 1000000) // w.wau END
+        |         AS stickiness_ppm
+        |FROM axis a LEFT JOIN dau d ON a.day = d.day
+        |            LEFT JOIN wau w ON a.day = w.day
+        |ORDER BY a.day""".stripMargin,
+
+    // the ORACLE is the naive rendering — every presence day fans out
+    // to the 90 report days it covers; the engine's merged-interval
+    // diff array must reproduce it bit-for-bit
+    "q202_rolling_active_90" ->
+      """WITH pres AS (SELECT DISTINCT user_id AS u,
+        |                (epoch_us(ts) // 1000000) // 86400 AS day
+        |              FROM events
+        |              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM pres),
+        |dau AS (SELECT day, count(*) AS dau FROM pres GROUP BY 1),
+        |cov AS (SELECT DISTINCT p.u,
+        |          unnest(generate_series(p.day,
+        |            least(p.day + 89, (SELECT hi FROM b)))) AS day
         |        FROM pres p),
         |wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1),
         |axis AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b)

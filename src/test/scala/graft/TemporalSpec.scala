@@ -402,6 +402,28 @@ class TemporalSpec extends AnyFunSuite {
     } finally r.unpersist()
   }
 
+  test("rollingActiveMerged ≡ rollingActive: hash law at windows 1/3/7/90, crafted + corpus") {
+    import spark.implicits._
+    // crafted: overlapping coverage (u1 days 0,1), adjacent-but-disjoint
+    // intervals (u2 days 0 and 3 at window 3: [0,2]+[3,5] touch), a gap
+    // wider than the window (u3 days 0 and 30), and a single-day user
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "a", 0.0),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "a", 0.0),
+      (4L, ts("2024-01-04 10:00:00"), 2L, "a", 0.0),
+      (5L, ts("2024-01-01 10:00:00"), 3L, "a", 0.0),
+      (6L, ts("2024-01-31 10:00:00"), 3L, "a", 0.0),
+      (7L, ts("2024-01-15 10:00:00"), 4L, "a", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val corpus = Tables.load(spark, TestSpark.Sf0001, "events")
+    for (src <- Seq(df, corpus); w <- Seq(1, 3, 7, 90)) {
+      val a = Sessions.rollingActive(src, windowDays = w).orderBy("day").collect().toSeq
+      val b = Sessions.rollingActiveMerged(src, windowDays = w).orderBy("day").collect().toSeq
+      assert(a == b, s"merged must equal exploded at windowDays=$w")
+    }
+  }
+
   test("growthAccounting: hand-checked new/retained/resurrected/churned, additivity") {
     import spark.implicits._
     val df = Seq(
