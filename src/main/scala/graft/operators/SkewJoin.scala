@@ -19,6 +19,122 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** One side's planner statistics: row count and the hottest key's
+    * row share in ppm — the two numbers the strategy decision reads.
+    */
+  final case class SideStats(rows: Long, maxSharePpm: Long)
+
+  /** The chosen strategy plus the evidence it was chosen on, so a
+    * pipeline can LOG why its join ran the way it did.
+    */
+  final case class JoinChoice(strategy: String, buckets: Int,
+      estJoinRows: Long, left: SideStats, right: SideStats)
+
+  /** Row-count threshold under which a side is broadcast (the default
+    * mirrors the ~10 MB/row-size envelope a 1000-executor cluster
+    * comfortably replicates; tune per deployment).
+    */
+  val BroadcastRows: Long = 1000000L
+
+  /** Hot-key share (ppm of the side's rows) above which a plain
+    * shuffle is presumed reducer-bound: 5% of one side on a single
+    * reduce key dominates a 32-way stage.
+    */
+  val HotSharePpm: Long = 50000L
+
+  private def sideStats(df: DataFrame, key: String): SideStats = {
+    val r = df.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+        coalesce(max(col("cnt")), lit(0L)).as("mx"))
+      .head()
+    val (n, mx) = (r.getLong(0), r.getLong(1))
+    SideStats(n, if (n > 0) mx * 1000000L / n else 0L)
+  }
+
+  /** Pick the join strategy for `left ⋈ right` on an equi-key BEFORE
+    * paying the join — the executable rendering of the planner-side
+    * audits (q126's CMS join-size estimate, q128's hot-key share):
+    *
+    *   1. a side at or under `broadcastRows` → `"broadcast"` (no
+    *      shuffle at all — hot keys are irrelevant when nothing
+    *      partitions by key);
+    *   2. else a side whose hottest key holds ≥ `hotSharePpm` of its
+    *      rows → `"salted"` (that key would serialize one reducer;
+    *      fan it over salt buckets sized to the observed share);
+    *   3. else → `"plain"` (balanced shuffle; AQE handles residual
+    *      runtime skew).
+    *
+    * Evidence cost: one map-side-combined per-key agg per side (the
+    * q128 scan — at 100 TB feed the PERSISTED audit instead of
+    * recomputing) and the d·w-cell CMS inner product for the output-
+    * size estimate, which never executes the join. All three
+    * aggregates are 1-row frames — the `.head()`s here are planner
+    * decisions, not data movement.
+    */
+  def choose(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      broadcastRows: Long = BroadcastRows,
+      hotSharePpm: Long = HotSharePpm,
+      d: Int = 4, w: Int = 4096): JoinChoice = {
+    val ls = sideStats(left, leftKey)
+    val rs = sideStats(right, rightKey)
+    val est = Sketches.cmsJoinSize(left, leftKey, right, rightKey, d, w)
+      .head().getLong(0)
+    val hottest = math.max(ls.maxSharePpm, rs.maxSharePpm)
+    val strategy =
+      if (math.min(ls.rows, rs.rows) <= broadcastRows) "broadcast"
+      else if (hottest >= hotSharePpm) "salted"
+      else "plain"
+    // salt fan-out ∝ the hot key's share of a 32-way stage, clamped to
+    // [4, 32] — replication cost on the other side stays bounded
+    val buckets =
+      if (strategy == "salted")
+        math.min(32L, math.max(4L, hottest * 32L / 1000000L + 1L)).toInt
+      else 0
+    JoinChoice(strategy, buckets, est, ls, rs)
+  }
+
+  /** Choose AND execute: inner equi-join `left ⋈ right` on `key` under
+    * [[choose]]'s strategy. Output columns are (key, left's others,
+    * right's others) whichever branch ran, so downstream code never
+    * sees the strategy. The salted branch salts whichever side carries
+    * the hot key (salting the cold side would still funnel the hot
+    * side's replicated rows through one reducer) and derives its
+    * spreader from that side's FULL row content — deterministic on
+    * replay; only rows identical in every column share a salt, which
+    * spreads any real table (a key whose rows are all byte-identical
+    * duplicates stays hot — dedup that table first).
+    */
+  def autoJoin(left: DataFrame, right: DataFrame, key: String,
+      broadcastRows: Long = BroadcastRows,
+      hotSharePpm: Long = HotSharePpm): (DataFrame, JoinChoice) = {
+    val overlap = (left.columns.toSet & right.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"non-key column names must not collide across sides: $overlap")
+    val choice = choose(left, key, right, key, broadcastRows, hotSharePpm)
+    val outCols = (Seq(key) ++ left.columns.filterNot(_ == key)
+      ++ right.columns.filterNot(_ == key)).map(col)
+    def rowDisambig(side: DataFrame): String =
+      side.columns.filterNot(_ == key).map(c => s"cast(`$c` as string)") match {
+        case cs if cs.isEmpty => "''"
+        // concat_ws skips NULLs (a bare concat would nullify the salt
+        // and silently drop the row from the (key, salt) equi-join)
+        case cs => cs.mkString("concat_ws('|', ", ", ", ")")
+      }
+    val joined = choice.strategy match {
+      case "broadcast" =>
+        if (choice.left.rows <= choice.right.rows)
+          broadcast(left).join(right, key) else left.join(broadcast(right), key)
+      case "salted" =>
+        if (choice.left.maxSharePpm >= choice.right.maxSharePpm)
+          salted(left, right, key, rowDisambig(left), choice.buckets)
+        else salted(right, left, key, rowDisambig(right), choice.buckets)
+      case _ => left.join(right, key)
+    }
+    (joined.select(outCols: _*), choice)
+  }
+
   /** Inner-join `skewed` with `other` on `key`, fanning each of the
     * skewed side's keys over `buckets` sub-partitions.
     * @param disambig a skewed-side column whose (key, disambig) pairs

@@ -626,6 +626,27 @@ object Joins {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy("c_mktsegment")
+    }),
+
+    // the PLANNER-DRIVEN rendering of q82: `SkewJoin.autoJoin` measures
+    // both sides (rows, hottest-key ppm — the q128 scan) plus the CMS
+    // join-size estimate (q126) and picks broadcast/salted/plain ITSELF;
+    // whichever branch runs, the output is contract-identical to the
+    // plain join, so the one oracle gates every strategy — the executable
+    // proof that the strategy decision is semantics-free. Thresholds sit
+    // where the sf-dir's own statistics drive the choice (customer is
+    // bounded → broadcast at test scale; at 100 TB the same call salts
+    // the hot user_ids instead — no code change)
+    "q204_auto_join" -> ((spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val cust = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val (joined, _) = graft.operators.SkewJoin.autoJoin(ev, cust, "user_id")
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_cents"))
+        .orderBy("c_mktsegment")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1005,6 +1026,17 @@ object Joins {
       """SELECT c.c_mktsegment,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
+
+    // the same plain join in exact cents — whichever strategy autoJoin
+    // picked from the data's statistics must land here bit-for-bit
+    "q204_auto_join" ->
+      """SELECT c.c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c.c_mktsegment
         |ORDER BY c.c_mktsegment""".stripMargin)

@@ -35,6 +35,59 @@ class PartitioningSpec extends AnyFunSuite {
     assert(salts == 8L, s"hot key only reached $salts of 8 salt buckets")
   }
 
+  test("SkewJoin.choose: broadcast / salted / plain on crafted bounded, skewed, disjoint inputs") {
+    import spark.implicits._
+    // thresholds scaled down so a unit-sized frame exercises each branch
+    val bRows = 50L
+    val hotPpm = 200000L // 20%
+
+    // bounded: right side under the broadcast threshold
+    val bigBalanced = (1 to 1000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "rid")
+    val smallDim = (1 to 20).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val c1 = SkewJoin.choose(bigBalanced, "k", smallDim, "k", bRows, hotPpm)
+    assert(c1.strategy == "broadcast", s"$c1")
+    assert(c1.right.rows == 20L && c1.buckets == 0)
+
+    // skewed: one key holds 60% of the big left side, both sides large
+    val skewed = ((1 to 600).map(_ => 42L) ++ (601 to 1000).map(_.toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "rid")
+    val other = (1 to 1000).map(i => (i.toLong % 600, i.toLong)).toDF("k", "rid2")
+    val c2 = SkewJoin.choose(skewed, "k", other, "k", bRows, hotPpm)
+    assert(c2.strategy == "salted", s"$c2")
+    assert(c2.left.maxSharePpm == 600000L, s"$c2")
+    assert(c2.buckets >= 4 && c2.buckets <= 32)
+
+    // balanced large sides → plain; disjoint keys → the estimate is
+    // pure collision noise, bounded by the CMS inner-product guarantee
+    // est ≤ truth + (e/w)·N₁·N₂ (here truth = 0, so ≤ e·10⁶/4096 ≈ 664
+    // — never exactly 0 at this density: 1000 keys per side in 4096
+    // cells collide deterministically)
+    val balR = (1 to 1000).map(i => (i.toLong % 400, i.toLong)).toDF("k", "rid2")
+    val c3 = SkewJoin.choose(bigBalanced, "k", balR, "k", bRows, hotPpm)
+    assert(c3.strategy == "plain" && c3.buckets == 0, s"$c3")
+    val disjointR = (1 to 1000).map(i => (i.toLong + 100000, i.toLong)).toDF("k", "rid2")
+    val c4 = SkewJoin.choose(bigBalanced, "k", disjointR, "k", bRows, hotPpm)
+    val collisionBound = (math.E * 1000L * 1000L / 4096L).toLong
+    assert(c4.strategy == "plain" && c4.estJoinRows <= collisionBound,
+      s"disjoint sides must estimate within the CMS collision bound $collisionBound: $c4")
+
+    // the estimate never undercounts the true join size (CMS law)
+    val truth = bigBalanced.join(balR, "k").count()
+    assert(c3.estJoinRows >= truth, s"est ${c3.estJoinRows} < true $truth")
+
+    // autoJoin executes each branch with identical results + columns
+    val plainCols = Seq("k", "rid", "rid2")
+    for ((l, r) <- Seq((bigBalanced, smallDim.withColumnRenamed("name", "rid2")),
+        (skewed, other), (bigBalanced, balR))) {
+      val expect = l.join(r, "k").select(plainCols.map(col): _*)
+        .orderBy("k", "rid", "rid2").collect().toSeq
+      val (got, choice) = SkewJoin.autoJoin(l, r, "k", bRows, hotPpm)
+      assert(got.columns.toSeq == plainCols, s"${choice.strategy}")
+      assert(got.orderBy("k", "rid", "rid2").collect().toSeq == expect,
+        s"autoJoin(${choice.strategy}) must equal the plain join")
+    }
+  }
+
   test("bucketed tables join without any exchange (co-located shuffle-free join)") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_b")
