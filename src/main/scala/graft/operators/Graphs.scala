@@ -142,4 +142,49 @@ object Graphs {
         round(col("common").cast("double")
           / (col("deg_i") + col("deg_j") - col("common")), 4).as("score"))
   }
+
+  /** Bounded-round synchronous label propagation (Raghavan et al. 2007,
+    * made deterministic): every node starts labeled with its own id;
+    * each round, every node adopts the label that is most frequent
+    * among its neighbors' CURRENT labels, ties broken by the smallest
+    * label. Exactly `rounds` rounds — the [[kCorePeel]]/[[PageRank]]
+    * bounded-round contract, so the oracle unrolls the same loop and
+    * the gate checks community assignments EXACTLY (run-to-convergence
+    * LPA is famously order- and tie-sensitive; pinning rounds + the
+    * min-label tie makes it a pure function of the edge relation).
+    *
+    * On the near-dup graph this is the community face of [[Components]]:
+    * components glue everything reachable, LPA splits a chained
+    * component at its thin bridges (a bridge node's neighbor majority
+    * lives on one side), which is the grouping a per-cluster keeper
+    * policy actually wants when two distinct families share one
+    * accidental edge.
+    *
+    * Scale shape: each round is one equi-join of the edge relation with
+    * the label frame (O(|E|) rows), a map-side-combinable (node, label)
+    * count, and an argmax folded into ONE `max(struct(cnt, -label))`
+    * aggregation — no per-node window, no sort; lineage cut per round
+    * ([[Ckpt]]). Label frames are node-grain, never edge-grain.
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("i"), col("j"))
+    val sym = Ckpt.narrow(
+      e.union(e.select(col("j").as("i"), col("i").as("j"))).toDF("u", "v"))
+    var lab = Ckpt.narrow(sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")))
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(lab.select(col("node").as("v"), col("lab")), "v")
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+      // argmax by (count desc, label asc) as one aggregation: the max
+      // struct orders by cnt first, then by -lab — largest negation =
+      // smallest label (labels are node ids, so -lab never overflows)
+      lab = Ckpt.narrow(votes
+        .groupBy(col("u"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("m"))
+        .select(col("u").as("node"), (-col("m.neg")).as("lab")))
+    }
+    lab.select(col("node"), col("lab").as("community"))
+  }
 }

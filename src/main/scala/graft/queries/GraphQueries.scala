@@ -86,6 +86,18 @@ object GraphQueries {
       graft.operators.Graphs.kCorePeel(
           Dedup.nearDupEdges(Tables.load(spark, dir, "documents")),
           k = 2L, rounds = 5)
+        .orderBy("node")),
+
+    // 5-round deterministic label propagation over the near-dup graph:
+    // the community face of q47's components — a chained component
+    // splits at its thin bridges, which is the grouping a per-cluster
+    // keeper policy wants when two families share one accidental edge.
+    // Bounded-round + min-label ties (the q125/q153 contract): the
+    // oracle unrolls the SAME five rounds, so assignments gate EXACTLY
+    "q205_label_prop" -> ((spark, dir) =>
+      graft.operators.Graphs.labelPropagate(
+          Dedup.nearDupEdges(Tables.load(spark, dir, "documents")),
+          rounds = 5)
         .orderBy("node")))
 
   /** The unrolled 5-round oracle: r0 = scale/n everywhere, each round
@@ -162,9 +174,36 @@ object GraphQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** The unrolled 5-round LPA oracle: l0 labels every node with its own
+    * id; each round picks the neighbor-label mode with ties to the
+    * smallest label (row_number over (count desc, label asc)) — the
+    * same loop count and tie rule the engine runs. MATERIALIZED for the
+    * same reason as [[KCoreSql]]: each round references its predecessor
+    * through the shingle-derived edge relation.
+    */
+  private val LabelPropSql: String = {
+    val rounds = (1 to 5).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT node, lab FROM (
+         |        SELECT s.u AS node, l.lab,
+         |               row_number() OVER (PARTITION BY s.u
+         |                 ORDER BY count(*) DESC, l.lab) AS rn
+         |        FROM s JOIN l${r - 1} l ON s.v = l.node
+         |        GROUP BY s.u, l.lab)
+         |        WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupQueries.ShinglesSql},
+       |${DedupQueries.NearDupPairsSql},
+       |s AS MATERIALIZED (SELECT i AS u, j AS v FROM pairs
+       |       UNION ALL SELECT j, i FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM s),
+       |$rounds
+       |SELECT node, lab AS community FROM l5 ORDER BY node""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q125_pagerank" -> PageRankSql,
     "q153_kcore" -> KCoreSql,
+    "q205_label_prop" -> LabelPropSql,
 
     // ground truth: a triangle a<b<c exists iff edges (a,b),(b,c),(a,c)
     // all exist in the canonical i<j relation — pure 3-way equi-join,

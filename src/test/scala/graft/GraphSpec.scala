@@ -127,4 +127,30 @@ class GraphSpec extends AnyFunSuite {
     val r5 = Graphs.kCorePeel(e, k = 2L, rounds = 5).collect()
     assert(r5.count(_.isNullAt(1)) == 0, "5 rounds fully peel a 7-path")
   }
+
+  test("labelPropagate: bridged triangles split at the bridge, hand-traced labels") {
+    import graft.operators.Graphs
+    // two triangles joined by one bridge edge 3-4: a component-level
+    // view glues all six nodes; LPA must keep the two communities apart
+    // (the bridge endpoint's neighbor majority lives on its own side)
+    val e = undirected(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      4L -> 5L, 4L -> 6L, 5L -> 6L, 3L -> 4L)
+    val got = Graphs.labelPropagate(e, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced synchronous rounds with min-label ties: {1,2,3} -> 1
+    // and {4,5,6} -> 3 is already stable after round 3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"$got")
+    // single edge: the endpoints swap labels every synchronous round
+    // (the classic LPA oscillation), so round parity decides the
+    // output — exactly-R semantics made concrete, which is why the
+    // contract pins rounds instead of running to a convergence that
+    // never comes
+    val swap = Graphs.labelPropagate(undirected(1L -> 2L), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(swap == Map(1L -> 2L, 2L -> 1L), s"$swap")
+    val swap2 = Graphs.labelPropagate(undirected(1L -> 2L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(swap2 == Map(1L -> 1L, 2L -> 2L), s"$swap2")
+  }
 }
