@@ -418,6 +418,81 @@ object Similarity {
         when(col("own6") > col("oth6"), 1L).otherwise(0L).as("separated"))
   }
 
+  /** Embedding-space drift between two corpus snapshots — the encoder/
+    * distribution-shift screen beside the token-level [[TextAnalysis
+    * .vocabDrift]] (q100): per label, the cosine between YESTERDAY's
+    * class centroid (vec_id < cut) and the DELTA's (vec_id ≥ cut), plus
+    * both slice counts and centroid norms. A re-trained encoder, a
+    * source-mix change, or an upstream featurization bug all show up as
+    * drift_cos falling off 1.0 for the affected classes before any
+    * downstream metric moves; a label present on only one side (class
+    * appeared/vanished) reports NULL cosine with the counts telling
+    * which.
+    *
+    * Same exact-integer centroid arithmetic as [[labelCoherence]]
+    * (micro-long component sums, divided back once at 6 dp) so the
+    * DuckDB oracle reproduces every value bit-for-bit.
+    *
+    * Scale shape: two map-side-combinable label-grain aggregations over
+    * one corpus scan each — no joins at vector grain, output bounded by
+    * |labels|.
+    */
+  def centroidDrift(emb: DataFrame, cut: Long): DataFrame = {
+    def cents(df: DataFrame) = finishCentroids(centroidPartial(df))
+    val old = cents(emb.filter(col("vec_id") < cut))
+      .select(col("label"), col("cnt").as("n_old"), col("ce").as("ceo"))
+    val neu = cents(emb.filter(col("vec_id") >= cut))
+      .select(col("label"), col("cnt").as("n_new"), col("ce").as("cen"))
+    old.join(neu, Seq("label"), "full_outer")
+      .withColumn("no", sqrt(array_dot(col("ceo"), col("ceo"))))
+      .withColumn("nn", sqrt(array_dot(col("cen"), col("cen"))))
+      .select(col("label"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(col("no"), 4).as("norm_old"),
+        round(col("nn"), 4).as("norm_new"),
+        when(col("no") > 0 && col("nn") > 0,
+          round(array_dot(col("ceo"), col("cen")) / (col("no") * col("nn")), 4))
+          .as("drift_cos"))
+  }
+
+  /** Per-label quantized centroid PARTIAL — `(label, s, cnt)` with `s`
+    * the element-wise micro-long component sum over the label's vectors
+    * (the [[labelCoherence]]/[[centroidDrift]] quantization). The
+    * partial is a pure mergeable: partials over disjoint slices fold by
+    * element-wise-summing `s` and summing `cnt` ([[mergeCentroidPartials]])
+    * with NO precision loss — integer sums are exact — so a streamed
+    * fold is bit-identical to the one-shot scan whatever the batching.
+    * State is labels × dim longs, never rows.
+    */
+  def centroidPartial(emb: DataFrame): DataFrame =
+    emb.filter(col("label").isNotNull)
+      .select(col("label"), expr(
+        s"transform(embedding, x -> cast(round(cast(x as double) * $KmQ.0d) as bigint))")
+        .as("qv"))
+      .groupBy("label")
+      .agg(graft.functions.Aggregators.vec_sum_long(col("qv")).as("s"),
+        count(lit(1)).as("cnt"))
+
+  /** Fold [[centroidPartial]] frames from disjoint slices — associative,
+    * commutative, replay-visible (a duplicated partial DOUBLES its
+    * label's sums, which is why the ingest tier commits each batch
+    * exactly once).
+    */
+  def mergeCentroidPartials(partials: DataFrame): DataFrame =
+    partials.groupBy("label")
+      .agg(graft.functions.Aggregators.vec_sum_long(col("s")).as("s"),
+        sum(col("cnt")).as("cnt"))
+
+  /** Finish a partial into the exact-integer mean centroid — ONE divide
+    * back at 6 dp, the single definition both the batch queries and the
+    * streaming read face share so the two can never drift.
+    */
+  def finishCentroids(partials: DataFrame): DataFrame =
+    partials.select(col("label"), col("cnt"), expr(
+      s"transform(s, x -> round(cast(x as double) / ($KmQ.0d * cnt), 6))")
+      .as("ce"))
+
   /** Leave-one-out 1-NN label agreement per label — the standard
     * embedding-quality metric (a good encoder puts same-label items
     * nearest each other; per-label agreement collapse localizes WHICH

@@ -218,6 +218,16 @@ object SimilarityQueries {
       Similarity.knnLabelAgreement(Tables.load(spark, dir, "embeddings"))
         .orderBy("label")),
 
+    // embedding-space snapshot drift: per label, yesterday-vs-delta
+    // centroid cosine (exact-integer centroid sums, the q170
+    // arithmetic) — the encoder/source-mix shift screen beside q100's
+    // token-level vocab drift; label-grain output, two scans, no
+    // vector-grain join
+    "q206_centroid_drift" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.centroidDrift(emb, vecCut(emb)).orderBy("label")
+    }),
+
     "q31_ann_neighbors" -> ((spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.cosineNeighbors(emb, emb.filter(col("vec_id") < 10), threshold = 0.3)
@@ -504,6 +514,49 @@ object SimilarityQueries {
          |         AS separated
          |FROM own o LEFT JOIN oth t ON o.vec_id = t.vec_id
          |ORDER BY o.vec_id""".stripMargin,
+
+    // per-label yesterday-vs-delta centroid cosine, the q170 centroid
+    // arithmetic on each slice (micro-long sums, divided back at 6 dp);
+    // the cut recomputed from the oracle's own max(vec_id); one-sided
+    // labels keep NULL cosine with the counts saying which side
+    "q206_centroid_drift" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings WHERE label IS NOT NULL),
+         |cut AS (SELECT CAST(floor(0.8 * max(vec_id)) AS BIGINT) AS c
+         |        FROM embeddings),
+         |qv AS (SELECT vec_id, label,
+         |         list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT))
+         |           AS qv
+         |       FROM v),
+         |aggo AS (SELECT label, t.k, sum(q.qv[t.k]) AS s, count(*) AS cnt
+         |         FROM qv q, UNNEST(generate_series(1, len(q.qv))) AS t(k)
+         |         WHERE q.vec_id < (SELECT c FROM cut)
+         |         GROUP BY label, t.k),
+         |cento AS (SELECT label, cnt,
+         |            list_transform(list(s ORDER BY k), x ->
+         |              round(CAST(x AS DOUBLE) / (1000000.0 * cnt), 6)) AS ce
+         |          FROM aggo GROUP BY label, cnt),
+         |aggn AS (SELECT label, t.k, sum(q.qv[t.k]) AS s, count(*) AS cnt
+         |         FROM qv q, UNNEST(generate_series(1, len(q.qv))) AS t(k)
+         |         WHERE q.vec_id >= (SELECT c FROM cut)
+         |         GROUP BY label, t.k),
+         |centn AS (SELECT label, cnt,
+         |            list_transform(list(s ORDER BY k), x ->
+         |              round(CAST(x AS DOUBLE) / (1000000.0 * cnt), 6)) AS ce
+         |          FROM aggn GROUP BY label, cnt)
+         |SELECT coalesce(o.label, n.label) AS label,
+         |       CAST(coalesce(o.cnt, 0) AS BIGINT) AS n_old,
+         |       CAST(coalesce(n.cnt, 0) AS BIGINT) AS n_new,
+         |       round(sqrt(list_sum(list_transform(o.ce, x -> x * x))), 4)
+         |         AS norm_old,
+         |       round(sqrt(list_sum(list_transform(n.ce, x -> x * x))), 4)
+         |         AS norm_new,
+         |       CASE WHEN sqrt(list_sum(list_transform(o.ce, x -> x * x))) > 0
+         |             AND sqrt(list_sum(list_transform(n.ce, x -> x * x))) > 0
+         |            THEN round(${cosSql("o.ce", "n.ce")}, 4) END AS drift_cos
+         |FROM cento o FULL OUTER JOIN centn n ON o.label = n.label
+         |ORDER BY label""".stripMargin,
 
     // 1-NN ranked on the 6 dp cosine with neighbor-id ties — the same
     // ordering contract as the engine's window

@@ -909,6 +909,33 @@ class DedupSpec extends AnyFunSuite {
       s"planted label error must surface: own=$own5 other=$oth5")
   }
 
+  test("centroidDrift: identical slices cos 1, rotated class cos 0, one-sided labels NULL") {
+    import spark.implicits._
+    // cut at 100: vec_id < 100 is yesterday, >= 100 the delta.
+    // label 0: identical centroid both sides -> drift_cos = 1.0
+    // label 1: x-axis yesterday, y-axis delta -> drift_cos = 0.0
+    // label 2: yesterday only; label 3: delta only -> NULL cosine
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (101L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (102L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.5f, 0.5f), 2), (103L, Array(0.5f, 0.5f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidDrift(emb, cut = 100L).orderBy("label")
+      .collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val byLabel = r.map(x => x.getInt(0) ->
+      ((x.getLong(1), x.getLong(2)),
+        if (x.isNullAt(5)) None else Some(x.getDouble(5)))).toMap
+    assert(byLabel(0) == (((2L, 1L), Some(1.0))), s"${byLabel(0)}")
+    assert(byLabel(1) == (((1L, 1L), Some(0.0))), s"${byLabel(1)}")
+    assert(byLabel(2) == (((1L, 0L), None)), "yesterday-only label: NULL cos")
+    assert(byLabel(3) == (((0L, 1L), None)), "delta-only label: NULL cos")
+    // norms: label 2's yesterday centroid is (0.5, 0.5) -> |c| = 0.7071
+    val l2 = r.find(_.getInt(0) == 2).get
+    assert(l2.getDouble(3) == 0.7071 && l2.isNullAt(4), s"$l2")
+  }
+
   test("knnLabelAgreement: flipped member drags BOTH labels' agreement down") {
     import spark.implicits._
     val emb = Seq(
