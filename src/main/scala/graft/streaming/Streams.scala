@@ -722,6 +722,78 @@ object Streams {
     }
   }
 
+  /** Streaming per-label embedding-centroid state — the TENTH
+    * `foreachBatch` ingest composition: each micro-batch of embedding
+    * rows writes its per-label quantized component-sum partial
+    * ([[graft.operators.Similarity.centroidPartial]] — a pure
+    * mergeable: integer sums fold with NO precision loss, so the
+    * streamed centroid is bit-identical to a one-shot scan whatever
+    * the batching). The read face finishes the folded sums through the
+    * SAME divide-back the batch queries use (q170/q206 arithmetic), so
+    * a production drift monitor can compare live-ingested centroids
+    * against a stored snapshot without ever rescanning the corpus.
+    * Marker-last commit + [[compactCentroids]] cadence, the shared
+    * protocol; state is labels × dim longs, never rows.
+    */
+  def ingestCentroids(emb: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestCentroidsBatch(batch.toDF(), stateDir, batchId)
+      }
+      .start()
+
+  /** One centroid ingest step (see [[ingestCentroids]]); public for
+    * batch-mode replays and tests.
+    */
+  def ingestCentroidsBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    graft.operators.Similarity.centroidPartial(batch)
+      .write.mode("overwrite").parquet(s"$stateDir/cent/batch=$batchId")
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** The finished per-label centroids over all COMMITTED batches (and
+    * any compacted base): (label, cnt, ce). None before the first
+    * commit.
+    */
+  def ingestCentroidsRead(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else {
+      val basePfx = if (c >= 0) Seq(baseDir(stateDir, c) + "/cent") else Nil
+      Some(graft.operators.Similarity.finishCentroids(
+        graft.operators.Similarity.mergeCentroidPartials(spark.read
+          .parquet(basePfx ++ ids.map(i => s"$stateDir/cent/batch=$i"): _*))))
+    }
+  }
+
+  /** Fold the committed centroid partials into one base (the shared
+    * compact/GC protocol) — merged SUMS are stored, not finished
+    * centroids, so later deltas keep folding losslessly.
+    */
+  def compactCentroids(spark: SparkSession, stateDir: String,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
+    if (ids.isEmpty) None
+    else {
+      val c = ids.max
+      val basePfx = if (c0 >= 0) Seq(baseDir(stateDir, c0) + "/cent") else Nil
+      graft.operators.Similarity.mergeCentroidPartials(spark.read
+          .parquet(basePfx ++ ids.map(i => s"$stateDir/cent/batch=$i"): _*))
+        .write.mode("overwrite").parquet(baseDir(stateDir, c) + "/cent")
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids, Seq("cent"))
+      Some(c)
+    }
+  }
+
   /** Streaming Markov transition matrix — the EIGHTH `foreachBatch`
     * ingest composition, and the first ORDER-SENSITIVE one: transition
     * counts are NOT a pure mergeable (the pair spanning two batches

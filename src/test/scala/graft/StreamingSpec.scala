@@ -742,6 +742,68 @@ class StreamingSpec extends AnyFunSuite {
       "previous base must be GC'd after the new marker commits")
   }
 
+  test("foreachBatch ingest centroids: streamed == one-shot batch, across restart + compact") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_cent_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val sch = emb.schema
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("label").collect().toSeq
+    def oneShot(df: org.apache.spark.sql.DataFrame) =
+      Similarity.finishCentroids(Similarity.centroidPartial(df))
+    val cuts = Seq((0L, 150L), (150L, 350L), (350L, Long.MaxValue))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      // fresh query per drop resuming from the shared checkpoint —
+      // two full stop/restart cycles across the three micro-batches
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestCentroids(stream, state, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // integer component sums fold losslessly: the streamed centroids
+    // must equal the one-shot scan BIT-FOR-BIT, whatever the batching
+    assert(rows(Streams.ingestCentroidsRead(spark, state).get)
+      == rows(oneShot(emb)))
+
+    // compact folds the three partials into one base of merged SUMS;
+    // read face unchanged, covered batch dirs GC'd, markers survive
+    assert(Streams.compactCentroids(spark, state) == Some(2L))
+    assert(rows(Streams.ingestCentroidsRead(spark, state).get)
+      == rows(oneShot(emb)))
+    assert(!new java.io.File(s"$state/cent/batch=0").exists)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+    assert(Streams.compactCentroids(spark, state).isEmpty, "nothing new to fold")
+
+    // replay of a committed batch id is a no-op on top of the base
+    // (a double-counted partial would DOUBLE its label's sums)
+    Streams.ingestCentroidsBatch(emb.limit(50), state, batchId = 1L)
+    assert(rows(Streams.ingestCentroidsRead(spark, state).get)
+      == rows(oneShot(emb)))
+
+    // ingest continues on top of the base; a second compaction matches
+    // the one-shot scan over the grown corpus
+    val delta = emb.filter(col("vec_id") < 100L)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    Streams.ingestCentroidsBatch(delta, state, batchId = 3L)
+    val grown = oneShot(emb.unionByName(delta))
+    assert(rows(Streams.ingestCentroidsRead(spark, state).get) == rows(grown))
+    assert(Streams.compactCentroids(spark, state) == Some(3L))
+    assert(rows(Streams.ingestCentroidsRead(spark, state).get) == rows(grown))
+    assert(!new java.io.File(s"$state/base/compact=2").exists,
+      "previous base must be GC'd after the new marker commits")
+  }
+
   test("foreachBatch ingest transitions: streamed matrix == batch, across restart + compact") {
     import graft.operators.Sessions
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_trans_").toFile
