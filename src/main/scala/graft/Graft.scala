@@ -42,6 +42,15 @@ object Graft {
       // well-typed, and DuckDB (which reads the same file as a naive
       // timestamp) agrees on every derived value.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // The generated-code cache defaults to 100 entries — smaller than
+      // this library's query surface, so any workload that interleaves
+      // more than ~100 distinct plans (the pass-major bench protocol, a
+      // multi-tenant driver, the full Verify sweep) recompiles every
+      // plan's codegen on every execution (~0.3-0.6 s per query,
+      // measured: bench/results.json r9 run 1 vs history). Static conf,
+      // so it must be set here at session build; sized to hold the
+      // whole suite's generated classes with headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
