@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, count, countDistinct, explode, lit, round, sum}
 import graft.operators.{Components, Dedup}
 import graft.sources.Tables
 
@@ -280,6 +280,35 @@ object DedupQueries {
       Dedup.minhashPairs(Tables.load(spark, dir, "documents"),
           n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.7)
         .orderBy("i", "j")),
+
+    // THRESHOLD SENSITIVITY curve — the tuning table an operator reads
+    // BEFORE committing the canonical 0.7: one LSH+verify pass scored
+    // down to Jaccard 0.5, then per grid threshold (50..90 in tenths)
+    // the surviving pair count and the distinct docs those pairs touch.
+    // Comparisons run on the basis-point integer round(round(j,4)·10⁴)
+    // so no engine compares raw doubles against a grid literal. One
+    // bounded pair frame × a 5-row broadcast grid — the curve costs one
+    // dedup pass however large the corpus
+    "q207_threshold_curve" -> ((spark, dir) => {
+      val pairs = Dedup.minhashPairs(Tables.load(spark, dir, "documents"),
+          n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+        .select(col("i"), col("j"),
+          round(col("jaccard") * 10000).cast("long").as("jb"))
+      val grid = spark.range(5, 10).select((col("id") * 1000L).as("t_bp"))
+      val np = broadcast(grid)
+        .join(pairs, col("jb") >= col("t_bp"))
+        .groupBy("t_bp").agg(count(lit(1)).as("n_pairs"))
+      val ends = pairs.select(
+        explode(array(col("i"), col("j"))).as("d"), col("jb"))
+      val nd = broadcast(grid)
+        .join(ends, col("jb") >= col("t_bp"))
+        .groupBy("t_bp").agg(countDistinct(col("d")).as("n_docs"))
+      grid.join(np, Seq("t_bp"), "left").join(nd, Seq("t_bp"), "left")
+        .select(col("t_bp"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("t_bp")
+    }),
 
     // SORTED-NEIGHBORHOOD near-dups (Hernández-Stolfo SNM): two
     // blocked sort passes (leading / reversed-trailing words), each
@@ -598,6 +627,30 @@ object DedupQueries {
          |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
          |WHERE jac.jaccard >= 0.7
          |ORDER BY jac.i, jac.j""".stripMargin,
+
+    // q27's chain opened down to 0.5 and rolled up per grid threshold:
+    // the unrounded-jaccard admission filter and the basis-point round
+    // mirror the engine exactly (round to 4 dp FIRST, then scale)
+    "q207_threshold_curve" ->
+      s"""WITH $ShinglesSql,
+         |$MinhashCandSql,
+         |$JaccardSql,
+         |vp AS (SELECT jac.i, jac.j,
+         |         CAST(round(round(jac.jaccard, 4) * 10000) AS BIGINT) AS jb
+         |       FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+         |       WHERE jac.jaccard >= 0.5),
+         |grid AS (SELECT CAST(unnest([5000, 6000, 7000, 8000, 9000]) AS BIGINT)
+         |           AS t_bp),
+         |np AS (SELECT g.t_bp, count(*) AS n_pairs
+         |       FROM grid g JOIN vp ON vp.jb >= g.t_bp GROUP BY 1),
+         |ends AS (SELECT i AS d, jb FROM vp UNION ALL SELECT j, jb FROM vp),
+         |nd AS (SELECT g.t_bp, count(DISTINCT d) AS n_docs
+         |       FROM grid g JOIN ends e ON e.jb >= g.t_bp GROUP BY 1)
+         |SELECT g.t_bp,
+         |       CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+         |FROM grid g LEFT JOIN np USING (t_bp) LEFT JOIN nd USING (t_bp)
+         |ORDER BY g.t_bp""".stripMargin,
 
     // q27's canonical edges with the endpoint sources joined on and
     // same-source pairs dropped
