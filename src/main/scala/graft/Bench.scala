@@ -123,6 +123,10 @@ object Bench {
       suite: Seq[(String, F)], passes: Int, runner: F => Double,
       onFailureCleanup: () => Unit = () => ())
       : (Seq[(String, Double, Double)], Seq[(String, String)]) = {
+    // the official value is s(size/2), the middle element — only a
+    // median for ODD pass counts (an even count would silently report
+    // the upper-middle sample, biased high)
+    require(passes >= 1 && passes % 2 == 1, s"passes must be odd, got $passes")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val failed = scala.collection.mutable.Set[String]()
     val samples = scala.collection.mutable.Map[String, List[Double]]()

@@ -52,6 +52,16 @@ object Graft {
       // whole suite's generated classes with headroom.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
+    // Static conf: if another SparkSession was built in this JVM first,
+    // getOrCreate silently ignores every .config above and the codegen
+    // posture is gone without a signal — the thrash regression the r9
+    // protocol fixed would reappear looking like host noise. Fail loud
+    // at the session seam instead of quiet in the bench record.
+    val cgc = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+    if (cgc != "10000")
+      System.err.println(s"[graft] WARNING: spark.sql.codegen.cache.maxEntries = $cgc, " +
+        "not the configured 10000 — a pre-existing session in this JVM dropped the " +
+        "static conf; >100-distinct-plan workloads will recompile codegen per execution")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

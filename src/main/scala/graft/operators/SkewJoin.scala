@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** One side's planner statistics: row count and the hottest key's
-    * row share in ppm — the two numbers the strategy decision reads.
+  /** One side's planner statistics: row count, the hottest key's row
+    * share in ppm, and the mean serialized row width in bytes — the
+    * numbers the strategy decision reads. Width is estimated as the
+    * mean `octet_length(to_json(struct(*)))` — an over-approximation
+    * (field names + quoting ride along), which is the safe direction
+    * for a broadcast budget.
     */
-  final case class SideStats(rows: Long, maxSharePpm: Long)
+  final case class SideStats(rows: Long, maxSharePpm: Long, avgRowBytes: Long)
 
   /** The chosen strategy plus the evidence it was chosen on, so a
     * pipeline can LOG why its join ran the way it did.
@@ -30,11 +34,20 @@ object SkewJoin {
   final case class JoinChoice(strategy: String, buckets: Int,
       estJoinRows: Long, left: SideStats, right: SideStats)
 
-  /** Row-count threshold under which a side is broadcast (the default
-    * mirrors the ~10 MB/row-size envelope a 1000-executor cluster
-    * comfortably replicates; tune per deployment).
+  /** Row-count threshold under which a side is ELIGIBLE for broadcast
+    * (tune per deployment). Row count alone is not sufficient — a
+    * million rows of document text is gigabytes, not megabytes — so the
+    * decision also requires rows × [[SideStats.avgRowBytes]] to fit
+    * [[BroadcastBytes]].
     */
   val BroadcastRows: Long = 1000000L
+
+  /** Estimated-bytes budget for a broadcast side: rows × mean row width
+    * must fit this or the side shuffles instead — the guard that keeps a
+    * row-count-eligible but WIDE side (long text/array columns) from
+    * OOMing the driver when the broadcast is forced by hint.
+    */
+  val BroadcastBytes: Long = 64L << 20
 
   /** Hot-key share (ppm of the side's rows) above which a plain
     * shuffle is presumed reducer-bound: 5% of one side on a single
@@ -44,21 +57,27 @@ object SkewJoin {
 
   private def sideStats(df: DataFrame, key: String): SideStats = {
     val r = df.filter(col(key).isNotNull)
-      .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(key)).agg(count(lit(1)).as("cnt"),
+        sum(octet_length(to_json(struct(df.columns.map(col): _*))))
+          .as("bytes"))
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
-        coalesce(max(col("cnt")), lit(0L)).as("mx"))
+        coalesce(max(col("cnt")), lit(0L)).as("mx"),
+        coalesce(sum(col("bytes")), lit(0L)).as("b"))
       .head()
-    val (n, mx) = (r.getLong(0), r.getLong(1))
-    SideStats(n, if (n > 0) mx * 1000000L / n else 0L)
+    val (n, mx, b) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    SideStats(n, if (n > 0) mx * 1000000L / n else 0L,
+      if (n > 0) (b + n - 1) / n else 0L)
   }
 
   /** Pick the join strategy for `left ⋈ right` on an equi-key BEFORE
     * paying the join — the executable rendering of the planner-side
     * audits (q126's CMS join-size estimate, q128's hot-key share):
     *
-    *   1. a side at or under `broadcastRows` → `"broadcast"` (no
-    *      shuffle at all — hot keys are irrelevant when nothing
-    *      partitions by key);
+    *   1. a side at or under `broadcastRows` whose estimated bytes
+    *      (rows × mean serialized width) fit `broadcastBytes` →
+    *      `"broadcast"` (no shuffle at all — hot keys are irrelevant
+    *      when nothing partitions by key; the bytes gate keeps a
+    *      row-count-small but WIDE side from OOMing the driver);
     *   2. else a side whose hottest key holds ≥ `hotSharePpm` of its
     *      rows → `"salted"` (that key would serialize one reducer;
     *      fan it over salt buckets sized to the observed share);
@@ -76,14 +95,21 @@ object SkewJoin {
       right: DataFrame, rightKey: String,
       broadcastRows: Long = BroadcastRows,
       hotSharePpm: Long = HotSharePpm,
-      d: Int = 4, w: Int = 4096): JoinChoice = {
+      d: Int = 4, w: Int = 4096,
+      broadcastBytes: Long = BroadcastBytes): JoinChoice = {
     val ls = sideStats(left, leftKey)
     val rs = sideStats(right, rightKey)
     val est = Sketches.cmsJoinSize(left, leftKey, right, rightKey, d, w)
       .head().getLong(0)
     val hottest = math.max(ls.maxSharePpm, rs.maxSharePpm)
+    // the candidate broadcast side is the row-count-smaller one (the
+    // side autoJoin would replicate); division instead of rows × width
+    // so the bytes check can't overflow on a huge mis-called side
+    val small = if (ls.rows <= rs.rows) ls else rs
     val strategy =
-      if (math.min(ls.rows, rs.rows) <= broadcastRows) "broadcast"
+      if (small.rows <= broadcastRows &&
+          small.avgRowBytes <= broadcastBytes / math.max(1L, small.rows))
+        "broadcast"
       else if (hottest >= hotSharePpm) "salted"
       else "plain"
     // salt fan-out ∝ the hot key's share of a 32-way stage, clamped to
@@ -108,11 +134,13 @@ object SkewJoin {
     */
   def autoJoin(left: DataFrame, right: DataFrame, key: String,
       broadcastRows: Long = BroadcastRows,
-      hotSharePpm: Long = HotSharePpm): (DataFrame, JoinChoice) = {
+      hotSharePpm: Long = HotSharePpm,
+      broadcastBytes: Long = BroadcastBytes): (DataFrame, JoinChoice) = {
     val overlap = (left.columns.toSet & right.columns.toSet) - key
     require(overlap.isEmpty,
       s"non-key column names must not collide across sides: $overlap")
-    val choice = choose(left, key, right, key, broadcastRows, hotSharePpm)
+    val choice = choose(left, key, right, key, broadcastRows, hotSharePpm,
+      broadcastBytes = broadcastBytes)
     val outCols = (Seq(key) ++ left.columns.filterNot(_ == key)
       ++ right.columns.filterNot(_ == key)).map(col)
     def rowDisambig(side: DataFrame): String =

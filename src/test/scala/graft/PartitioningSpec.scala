@@ -71,6 +71,16 @@ class PartitioningSpec extends AnyFunSuite {
     assert(c4.strategy == "plain" && c4.estJoinRows <= collisionBound,
       s"disjoint sides must estimate within the CMS collision bound $collisionBound: $c4")
 
+    // row-count-eligible but WIDE side: the bytes budget overrides —
+    // 20 rows of ~1 KB text under a 5 KB budget must not broadcast
+    // (the forced-broadcast OOM shape), and with neither side hot the
+    // decision falls through to plain
+    val wideDim = (1 to 20).map(i => (i.toLong, "x" * 1000)).toDF("k", "txt")
+    val c5 = SkewJoin.choose(bigBalanced, "k", wideDim, "k", bRows, hotPpm,
+      broadcastBytes = 5000L)
+    assert(c5.strategy == "plain", s"wide side must not broadcast: $c5")
+    assert(c5.right.avgRowBytes >= 1000L, s"width estimate too small: $c5")
+
     // the estimate never undercounts the true join size (CMS law)
     val truth = bigBalanced.join(balR, "k").count()
     assert(c3.estJoinRows >= truth, s"est ${c3.estJoinRows} < true $truth")
