@@ -695,23 +695,62 @@ object Similarity {
     */
   val LshBucketWindow: Int = 32
 
+  /** Target mean bucket occupancy per sign-LSH table. Sign-LSH's bucket
+    * space is FIXED at 2^bits per table, so under sustained corpus
+    * growth mean occupancy grows linearly and the per-bucket
+    * rank/verify constants creep super-linear with no failure signal
+    * (measured: q54/q148 last-decade exponents 1.33/1.16 on the
+    * 30×→100× decade at fixed bits = 8, bench/scaling_r9.json). The
+    * cure is the IVF precedent ([[derivedStride]]'s ⌈√n⌉): derive the
+    * bucket-space size from the corpus count so occupancy stays ≲ this
+    * constant at any n. 64 keeps the [[LshBucketWindow]] (32) covering
+    * half a typical bucket — candidates stay window-bounded AND the
+    * within-bucket sort stays O(occupancy · log occupancy) per bucket.
+    */
+  val LshTargetOccupancy: Long = 64L
+
+  /** Corpus-derived sign-LSH bits: the smallest b ≥ `floor` with
+    * 2^b × [[LshTargetOccupancy]] ≥ n — pure integer arithmetic (no
+    * float log2 whose rounding could disagree across engines at exact
+    * powers of two), mirrored verbatim in the oracle CTE
+    * ([[graft.queries.SimilarityQueries]] `lshCandSql`), which
+    * recomputes it from its own count(*). The caller's `bits` becomes a
+    * FLOOR: small corpora keep their tuned config, a grown corpus gets
+    * more buckets automatically. Capped at 30 so 2^bits stays an Int
+    * and the bucket id fits a long with any table count.
+    *
+    * Recall note: at cos ≈ 1 (the near-dup regime) per-plane agreement
+    * is ≈ 1, so added planes barely cost recall; at weaker thresholds
+    * per-table recall decays by the extra agreement factors — a
+    * deployment holding recall at a weak threshold under growth should
+    * raise `tables` alongside (recall ≈ 1 − (1 − p^bits)^tables).
+    */
+  private[graft] def derivedBits(n: Long, floor: Int): Int =
+    (floor to 30).find(b => (1L << b) * LshTargetOccupancy >= n).getOrElse(30)
+
   /** LSH-accelerated near-dup pairs: same-(table, bucket) candidates
     * within the [[LshBucketWindow]] id-sorted window (`window = 0` ⇒
     * unbounded same-bucket pairs, for ground-truth comparison only),
     * exact cosine verification ≥ threshold. Verification cost tracks the
     * candidate set (same contract as [[Dedup.jaccardOfCandidates]]).
+    *
+    * `bits` is a FLOOR: the effective bucket-space size is
+    * [[derivedBits]] of the corpus count (one count() job, the
+    * [[ivfIndex]] stride precedent), so sustained corpus growth widens
+    * the bucket space instead of silently saturating it.
     */
   def lshCosinePairs(
       emb: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 4, dim: Int = 64,
       window: Int = LshBucketWindow): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val dBits = derivedBits(emb.count(), bits)
     // the bucketing projection (tables × bits × dim multiplies per
     // vector) feeds BOTH sides of the candidate join; checkpoint the
     // narrow (vec_id, t, bucket[, rn]) result so it runs once
     val cand =
       if (window <= 0) {
-        val buckets = Ckpt.narrow(signLshBuckets(emb, tables, bits, dim))
+        val buckets = Ckpt.narrow(signLshBuckets(emb, tables, dBits, dim))
         buckets.as("a")
           .join(buckets.as("b"),
             col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
@@ -719,7 +758,7 @@ object Similarity {
           .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
           .distinct()
       } else {
-        val rn = Ckpt.narrow(signLshBuckets(emb, tables, bits, dim)
+        val rn = Ckpt.narrow(signLshBuckets(emb, tables, dBits, dim)
           .withColumn("rn", row_number().over(
             Window.partitionBy("t", "bucket").orderBy(
               expr(Dedup.h60("concat('lshw_', t, '_', vec_id)")),
@@ -757,7 +796,9 @@ object Similarity {
     * (`Dedup.nearDupEdges` → components → verdict): same bucketed
     * candidate generation, same O(|E|)-per-round clustering, nothing
     * quadratic — the semantic-dedup pass a training pipeline runs after
-    * lexical dedup has collapsed the near-identical text.
+    * lexical dedup has collapsed the near-identical text. `bits` is the
+    * [[lshCosinePairs]] floor — the effective bucket space derives from
+    * the corpus count.
     */
   def semanticDedup(
       emb: DataFrame, threshold: Double,

@@ -35,23 +35,33 @@ object SimilarityQueries {
       |      FROM embeddings)""".stripMargin
 
   /** Sign-LSH bucketing + same-bucket candidates, reproduced bit-for-bit
-    * for the given (tables, bits) at dim=64: hyperplane (t, p, d) =
+    * for the given (tables, bits-floor) at dim=64: hyperplane (t, p, d) =
     * md5-derived 60-bit int centered into [-1, 1] (the same h60
     * derivation as the minhash oracle), projections summed in list
     * order, bucket = packed sign bits, candidates = same-(t, bucket)
-    * pairs. Shared by q33/q54 (16 tables × 8 bits) and q59 (16 × 12) so
+    * pairs. The effective bit count derives from the oracle's OWN
+    * count(*) over `v` by the exact integer rule of
+    * `Similarity.derivedBits` (smallest b ≥ floor with 2^b × occupancy
+    * target ≥ n — the q45 pattern, where the IVF stride is recomputed
+    * from the oracle's count), so the check stays honest at any SF.
+    * Shared by q33/q54 (16 tables × floor 8) and q59 (16 × floor 12) so
     * the bucketing definition cannot drift between them. `p` prefixes
     * the CTE names for composition into oracles whose namespace is
     * already taken (q66 embeds this next to the q48 curation chain).
     */
   private[queries] def lshCandSql(tables: Int, bits: Int, p: String = ""): String =
-    s"""${p}planes AS (
+    s"""${p}nb AS (
+      |  SELECT b FROM (SELECT unnest(generate_series($bits, 30)) AS b)
+      |  WHERE (1::BIGINT << b) * ${Similarity.LshTargetOccupancy}
+      |        >= (SELECT count(*) FROM v)
+      |  ORDER BY b LIMIT 1),
+      |${p}planes AS (
       |  SELECT t.t, p.p,
       |         list_transform(generate_series(1, 64), k ->
       |           (CAST('0x' || substr(md5(t.t || '_' || p.p || '_' || (k - 1)), 1, 15) AS BIGINT)
       |            % 2001 - 1000) / 1000.0) AS pr
       |  FROM (SELECT unnest(generate_series(0, ${tables - 1})) AS t) t,
-      |       (SELECT unnest(generate_series(0, ${bits - 1})) AS p) p),
+      |       (SELECT unnest(generate_series(0, (SELECT b FROM ${p}nb) - 1)) AS p) p),
       |${p}proj AS (
       |  SELECT vec_id, t, p,
       |         list_sum(list_transform(generate_series(1, 64), k -> e[k] * pr[k])) AS proj
