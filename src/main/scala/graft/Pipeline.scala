@@ -23,15 +23,26 @@ import graft.sources.Tables
   *
   * Restart protocol (the streaming tier's commit-marker pattern,
   * [[graft.streaming.Streams]]): a stage's output write completes
-  * FIRST, then its `_done/<stage>` marker is written LAST. On start,
-  * stages with a marker are skipped wholesale; a crash mid-write left
-  * no marker, so the interrupted stage (and only it) reruns — its
-  * `overwrite` write replaces any partial output. PipelineSpec pins
-  * both laws: the final manifest hash-matches the q66 gated query, and
-  * a mid-chain restart re-executes exactly the unfinished stages.
-  * Correctness of reuse is structural: every stage is a pure function
-  * of the input tables (driver-generated, immutable per sf dir), so a
-  * committed artifact can never disagree with a recompute.
+  * FIRST, then its `_done/<stage>` marker is written LAST. Marker I/O
+  * goes through the Hadoop `FileSystem` OF `outDir` (not
+  * `java.nio.file`), so markers land BESIDE the artifacts on whatever
+  * store holds them — on an hdfs://-s3a:// outDir a java.nio marker
+  * would have landed on the driver's local disk (or thrown), and a
+  * restart on a new driver host would re-run every committed stage.
+  * Each marker records its provenance (`sfDir` + the stage's params):
+  * a marker whose content doesn't match the CURRENT invocation is
+  * treated as absent and the stage reruns — reusing one outDir with a
+  * different input dir can't silently serve stale artifacts. On start,
+  * stages with a matching marker are skipped wholesale; a crash
+  * mid-write left no marker, so the interrupted stage (and only it)
+  * reruns — its `overwrite` write replaces any partial output.
+  * PipelineSpec pins the laws: the final manifest hash-matches the q66
+  * gated query, a mid-chain restart re-executes exactly the unfinished
+  * stages, markers land beside the artifacts under a `file:`-qualified
+  * outDir, and an sfDir switch reruns the chain. Correctness of reuse
+  * is structural: every stage is a pure function of the input tables
+  * (driver-generated, immutable per sf dir), so a committed artifact
+  * with matching provenance can never disagree with a recompute.
   *
   * 100 TB posture: each stage is one Spark job whose shape is already
   * graded (the gated queries it reuses); the chain adds NO new
@@ -46,21 +57,31 @@ object Pipeline {
   val StageNames: Seq[String] =
     Seq("curation", "semantic", "split", "tokens", "manifest")
 
-  private def markerPath(outDir: String, stage: String) =
-    java.nio.file.Paths.get(outDir, "_done", stage)
-
-  /** Run every stage whose `_done` marker is absent, in dependency
-    * order; returns the names of stages EXECUTED by this invocation
-    * (empty = everything was already committed).
+  /** Run every stage whose `_done` marker is absent or carries foreign
+    * provenance, in dependency order; returns the names of stages
+    * EXECUTED by this invocation (empty = everything was already
+    * committed for this exact (sfDir, params) configuration).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    // the FileSystem OF outDir (the Streams._committed pattern), so the
+    // same code runs against HDFS/object stores, not just local disk
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val executed = scala.collection.mutable.ListBuffer[String]()
-    def stage(name: String)(build: => DataFrame): Unit = {
-      val marker = markerPath(outDir, name)
-      if (!java.nio.file.Files.exists(marker)) {
+    def stage(name: String, params: String = "")(build: => DataFrame): Unit = {
+      val marker = new Path(s"$outDir/_done/$name")
+      val expect = s"sfDir=$sfDir\nparams=$params\n"
+      val committed = fs.exists(marker) && {
+        val in = fs.open(marker)
+        val got = try new String(in.readAllBytes(), utf8) finally in.close()
+        got == expect // foreign provenance = not committed for THIS run
+      }
+      if (!committed) {
         build.write.mode("overwrite").parquet(s"$outDir/$name")
-        java.nio.file.Files.createDirectories(marker.getParent)
-        java.nio.file.Files.writeString(marker, "done\n") // marker LAST
+        val out = fs.create(marker, true) // marker LAST; parents auto-made
+        try out.write(expect.getBytes(utf8)) finally out.close()
         executed += name
       }
     }
@@ -69,7 +90,7 @@ object Pipeline {
     stage("curation") {
       Curation.curate(Tables.load(spark, sfDir, "documents"))
     }
-    stage("semantic") {
+    stage("semantic", "threshold=0.9,tables=16,bits=12,dim=64") {
       Similarity.semanticDedup(Tables.load(spark, sfDir, "embeddings"),
           threshold = 0.9, tables = 16, bits = 12, dim = 64)
         .select(col("vec_id").as("doc_id"), col("kept").as("sem_kept"))

@@ -44,4 +44,29 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("markers land beside the artifacts under a file:-qualified outDir; foreign provenance reruns") {
+    // a Hadoop-qualified URI — java.nio.file.Paths.get would have thrown
+    // on it, and on hdfs://-s3a:// the old marker I/O landed on the
+    // driver's local disk; the fix resolves the FileSystem FROM outDir
+    val raw = java.nio.file.Files.createTempDirectory("graft_pipeline_fs")
+    val dir = "file:" + raw.toString
+    try {
+      assert(Pipeline.run(spark, TestSpark.Sf0001, dir) == Pipeline.StageNames)
+      for (s <- Pipeline.StageNames)
+        assert(java.nio.file.Files.exists(raw.resolve("_done").resolve(s)),
+          s"marker for '$s' must live beside the artifacts")
+      assert(Pipeline.run(spark, TestSpark.Sf0001, dir).isEmpty,
+        "matching provenance resumes over every stage")
+      // same outDir, DIFFERENT input dir: every marker's recorded sfDir
+      // mismatches, so nothing stale is served — the full chain reruns
+      assert(Pipeline.run(spark, "/root/testdata/sf0.01", dir)
+        == Pipeline.StageNames,
+        "an sfDir switch must invalidate every committed stage")
+      assert(Pipeline.run(spark, "/root/testdata/sf0.01", dir).isEmpty,
+        "the rerun re-commits under the new provenance")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(raw.toFile)
+    }
+  }
 }
