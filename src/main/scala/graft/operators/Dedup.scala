@@ -1299,10 +1299,21 @@ object Dedup {
     * (doc_id, start), every other occurrence becomes a cut span. Linear
     * cost end to end: no pair join, one agg on the fingerprint (the
     * million-doc boilerplate group is an agg group, not a bucket
-    * self-join). Coverage caveat: a doc containing only PART of the
-    * block yields a different stretch fingerprint and is not cut — the
-    * identical-block shape (the overwhelmingly common one for
-    * boilerplate) is what this closes.
+    * self-join). Partial inclusion is closed by a second, containment
+    * rule: a distinct stretch whose gram sequence is a PROPER contiguous
+    * subsequence of another distinct stretch's is a fragment of that
+    * block — every occurrence is cut (the containing block's keeper
+    * carries the canonical copy). Without it, > maxPostings docs each
+    * carrying a DIFFERENT fragment of one block would keep the block's
+    * grams hot forever and the fixpoint would stall with live residue
+    * (DedupSpec pins exactly that corpus). Containment is detected at
+    * DISTINCT-block grain, anchored on the fragment's first gram hash
+    * (an equi-join — every true containment matches there), so nothing
+    * touches occurrence grain and nothing is blocks². Remaining caveat:
+    * two OVERLAPPING fragments of a block that never materializes whole
+    * (no island contains either) still share their overlap — that shape
+    * needs the cold-gram diagonal, which the next fixpoint round gets
+    * once cuts thin the postings below the cap.
     */
   private[graft] def hotSegmentCuts(docs: DataFrame, n: Int = 3,
       minRun: Long = 15L, maxPostings: Long = 1000L): DataFrame = {
@@ -1323,17 +1334,42 @@ object Dedup {
       .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("s"),
         (count(lit(1)) + lit(n - 1).cast("long")).as("run_tokens"),
-        expr("md5(array_join(transform(array_sort(collect_list(" +
-          "struct(pos, gh))), x -> cast(x.gh as string)), ','))").as("fp"))
+        expr("transform(array_sort(collect_list(struct(pos, gh))), " +
+          "x -> x.gh)").as("ghs"))
       .filter(col("run_tokens") >= minRun)
+      .withColumn("fp", expr(
+        "md5(array_join(transform(ghs, g -> cast(g as string)), ','))"))
+    // rule (a) — identical blocks: keeper = minimal (doc_id, s) per
+    // fingerprint, every other occurrence cut
     val keepers = segs.groupBy("fp")
       .agg(count(lit(1)).as("_cnt"),
         min(struct(col("doc_id"), col("s"))).as("_keep"))
       .filter(col("_cnt") > 1)
       .select(col("fp"), col("_keep.doc_id").as("kd"), col("_keep.s").as("ks"))
-    segs.join(keepers, "fp")
+    val dupCuts = segs.join(keepers, "fp")
       .filter(!(col("doc_id") === col("kd") && col("s") === col("ks")))
       .select(col("doc_id"), col("s"), (col("s") + col("run_tokens")).as("e"))
+    // rule (b) — fragments: a DISTINCT block properly contained in
+    // another distinct block is cut at EVERY occurrence (keeper
+    // included — the containing block's keeper is the canonical copy).
+    // Anchor the candidate join on the fragment's first gram: every
+    // true containment matches there, so the equi-join is complete and
+    // candidate volume is (fragment, anchor-hit) pairs, never blocks².
+    val blocks = segs.select(col("fp"), col("ghs")).dropDuplicates("fp")
+    val postings = blocks
+      .select(col("fp").as("_dfp"), col("ghs").as("_dghs"),
+        posexplode(col("ghs")))
+      .select(col("_dfp"), col("_dghs"), (col("pos") + 1).as("_off"),
+        col("col").as("_g"))
+    val fragFps = blocks
+      .select(col("fp"), col("ghs"), element_at(col("ghs"), 1).as("_g"))
+      .join(postings, "_g")
+      .filter(size(col("_dghs")) > size(col("ghs")) &&
+        expr("slice(_dghs, _off, size(ghs)) = ghs"))
+      .select("fp").distinct()
+    val fragCuts = segs.join(fragFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("s"), (col("s") + col("run_tokens")).as("e"))
+    dupCuts.unionByName(fragCuts).distinct()
   }
 
   /** Fixpoint span scrub — iterates cut-and-rescan until NO duplicated
@@ -1348,10 +1384,13 @@ object Dedup {
     * >= 1 token from a finite corpus, so rounds are bounded by total
     * token count — `maxIters` is a cost ceiling, not a correctness
     * crutch, and hitting it is surfaced in the `converged` column
-    * rather than silently returned. Residual caveat inherited from the
-    * guard: partially-included boilerplate (a doc carrying a fragment
-    * of a hot block) can survive; everything detectable by the guarded
-    * scan plus the hot-segment fingerprint is gone at the fixpoint.
+    * rather than silently returned. Partially-included boilerplate (a
+    * doc carrying a fragment of a hot block) is cut by the hot pass's
+    * containment rule when the block materializes whole somewhere, and
+    * by the cold diagonal in a later round otherwise (cuts thin the
+    * postings below the cap); the narrow residual left is overlapping
+    * fragments of a never-whole block whose grams a cap-evading
+    * adversary keeps hot across every round.
     *
     * Scale shape: the driver loop holds only an iteration counter and
     * an is-empty probe per round; each round's frame is

@@ -73,7 +73,9 @@ object DedupQueries {
     * families over the SAME gram state (cross-doc diagonal runs cut on
     * the later doc, within-doc runs cut at the later occurrence,
     * hot-segment fingerprint groups cut everywhere but the minimal
-    * (doc_id, start)), interval-merged and rewritten exactly as q109.
+    * (doc_id, start) PLUS fragment blocks — distinct stretches properly
+    * contained in a longer distinct stretch — cut at every occurrence),
+    * interval-merged and rewritten exactly as q109.
     * Parameterized by prefix so q111b unrolls two rounds in one
     * statement; constants fixed at the canonical n=3 / minRun=15 /
     * maxPostings=1000.
@@ -113,18 +115,24 @@ object DedupQueries {
        |              FROM ${p}sisl GROUP BY doc_id, diag, island),
        |${p}hseg AS (SELECT doc_id, min(pos) AS s,
        |                    CAST(count(*) + 2 AS BIGINT) AS run_tokens,
-       |                    md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY pos)) AS fp
+       |                    md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY pos)) AS fp,
+       |                    list(gh ORDER BY pos) AS ghs
        |             FROM (SELECT doc_id, pos, gh,
        |                          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
        |                   FROM ${p}hg) t
        |             GROUP BY doc_id, island
        |             HAVING count(*) + 2 >= 15),
+       |${p}hblk AS (SELECT DISTINCT fp, ghs FROM ${p}hseg),
+       |${p}hfrag AS (SELECT DISTINCT f.fp
+       |              FROM ${p}hblk f JOIN ${p}hblk d ON len(d.ghs) > len(f.ghs)
+       |              WHERE EXISTS (SELECT 1
+       |                            FROM unnest(generate_series(1, len(d.ghs) - len(f.ghs) + 1)) AS t(o)
+       |                            WHERE d.ghs[o:o+len(f.ghs)-1] = f.ghs)),
        |${p}hcut AS (SELECT doc_id, s, s + run_tokens AS e
-       |             FROM (SELECT doc_id, s, run_tokens,
-       |                          row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rk,
-       |                          count(*) OVER (PARTITION BY fp) AS cnt
+       |             FROM (SELECT doc_id, s, run_tokens, fp,
+       |                          row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rk
        |                   FROM ${p}hseg) t
-       |             WHERE cnt > 1 AND rk > 1),
+       |             WHERE rk > 1 OR fp IN (SELECT fp FROM ${p}hfrag)),
        |${p}spans AS (SELECT j AS doc_id, start_j AS s, start_j + run_tokens AS e
        |              FROM ${p}runs WHERE run_tokens >= 15
        |              UNION ALL

@@ -787,6 +787,43 @@ class DedupSpec extends AnyFunSuite {
       "uncapped rescan proves the guard blind spot is remediated")
   }
 
+  test("partially-included hot blocks: fragment containment cuts what the fingerprint grouping missed") {
+    // the r9 residual: MORE THAN maxPostings docs each carry a DIFFERENT
+    // contiguous fragment of one hot block. Fingerprint grouping sees
+    // count-1 fps (no cut), and the fragments keep the block's grams hot
+    // in EVERY round, so the cold diagonal never gets to see them — the
+    // old fixpoint stalled converged=true with live duplicated runs.
+    val words = (1 to 25).map(k => s"b$k")
+    val boiler = words.mkString(" ")
+    // 30 full copies + 10 distinct fragments (length 16..20 at offsets
+    // 0..4), each with unique flanks so no two fragments share an fp
+    val seq = (0 until 30).map(i => (i.toLong, s"$boiler tail$i words$i")) ++
+      (0 until 10).map { i =>
+        val frag = words.slice(i % 5, (i % 5) + 16 + (i % 5)).mkString(" ")
+        (200L + i, s"u${i}a u${i}b $frag u${i}c u${i}d")
+      }
+    val df = seq.toDF("doc_id", "text")
+    // the direct pass now cuts every fragment occurrence too
+    val cuts = Dedup.hotSegmentCuts(df, n = 3, minRun = 15L, maxPostings = 5L)
+      .collect().map(_.getLong(0)).toSet
+    assert((200L until 210L).forall(cuts.contains),
+      s"every fragment host must be cut, got $cuts")
+    assert(!cuts.contains(0L), "the containing block's keeper survives")
+    val fix = Dedup.scrubRunsFixpoint(df, n = 3, minRun = 15L, maxPostings = 5L)
+    val rows = fix.collect().map(r =>
+      r.getLong(0) -> ((r.getString(3), r.getBoolean(5)))).toMap
+    assert(rows.values.forall(_._2), "fixpoint must converge")
+    assert(rows(0L)._1.startsWith(boiler), "keeper doc intact")
+    (0 until 10).foreach { i =>
+      assert(rows(200L + i)._1 == s"u${i}a u${i}b u${i}c u${i}d",
+        s"fragment host ${200 + i} keeps only its flanks: '${rows(200L + i)._1}'")
+    }
+    // the done-criterion: an UNCAPPED rescan of the scrubbed corpus
+    // finds no duplicated run >= minRun anywhere
+    assert(residualRuns(rows.toSeq.map { case (k, (t, _)) => (k, t) }, 15L).isEmpty,
+      "uncapped rescan must find no residual run")
+  }
+
   test("prefixJaccardPairs == exact all-pairs Jaccard (completeness theorem)") {
     // the prefix scheme must return EXACTLY the qualifying pairs — not
     // almost all of them (this is what separates it from the LSH tiers)
