@@ -529,6 +529,36 @@ object Similarity {
       .withColumn("agree_ppm", expr("(n_agree * 1000000) div n_vecs"))
   }
 
+  /** [[knnLabelAgreement]] over a deterministic hash sample of the
+    * corpus — the EXECUTABLE sampling posture of the ground-truth
+    * calibration tiers (q26/q30/q32/q92/q171 are O(n²) by contract and
+    * "run on samples at corpus scale"; this is that sample, shipped).
+    * Membership = salted 60-bit md5 of vec_id mod 10⁶ < `ppm` (the q56
+    * split-bucket contract): a vector's membership never changes as
+    * OTHER vectors come and go, across engines and partitionings, so
+    * the calibration metric is comparable across snapshots of a growing
+    * corpus. The exact leave-one-out 1-NN then runs WITHIN the sample —
+    * cost (n·ppm/10⁶)² pairs, so a fixed-ppm probe of a 100 TB corpus
+    * is sized by the sample, not the corpus, and `ppm` is the knob that
+    * keeps it constant-cost under growth (halve it per 2× corpus).
+    * Statistical contract: per-label agreement over a uniform sample
+    * estimates the full metric (the sampled 1-NN is the nearest IN the
+    * sample — a valid, slightly noisier probe of the same encoder
+    * quality); the agreement law vs the full run is spec-pinned at
+    * gated scale.
+    */
+  def knnLabelAgreementSampled(emb: DataFrame, ppm: Long,
+      salt: String = "knn_sample"): DataFrame = {
+    require(ppm >= 1 && ppm <= 1000000L, s"ppm must be in [1, 1000000], got $ppm")
+    require(salt.nonEmpty && salt.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'),
+      s"salt must be non-empty [A-Za-z0-9_], got '$salt'")
+    knnLabelAgreement(emb.filter(
+      expr(Dedup.h60(s"concat('${salt}_', cast(vec_id as string))"))
+        % 1000000L < ppm))
+  }
+
   /** Default IVF centroid stride: ⌈√n⌉ ⇒ ~√n centroids of ~√n vectors. */
   private[graft] def derivedStride(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt

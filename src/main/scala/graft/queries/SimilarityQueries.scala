@@ -233,6 +233,16 @@ object SimilarityQueries {
     // arithmetic) — the encoder/source-mix shift screen beside q100's
     // token-level vocab drift; label-grain output, two scans, no
     // vector-grain join
+    // the SAMPLED rendering of q171 — the posture the ground-truth
+    // quadratic actually runs in at corpus scale: a deterministic
+    // hash-bucket sample (q56 contract, membership stable under corpus
+    // growth) at 500000 ppm, exact leave-one-out 1-NN within it; the
+    // agreement law vs the full q171 is spec-pinned in DedupSpec
+    "q208_knn_agreement_sampled" -> ((spark, dir) =>
+      Similarity.knnLabelAgreementSampled(
+          Tables.load(spark, dir, "embeddings"), ppm = 500000L)
+        .orderBy("label")),
+
     "q206_centroid_drift" -> ((spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.centroidDrift(emb, vecCut(emb)).orderBy("label")
@@ -574,6 +584,33 @@ object SimilarityQueries {
       s"""WITH v AS (SELECT vec_id, label,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings WHERE label IS NOT NULL),
+         |sc AS (SELECT a.vec_id, a.label, b.vec_id AS nid,
+         |         b.label AS nlabel,
+         |         round(${cosSql("a.e", "b.e")}, 6) AS c6
+         |       FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         |nn AS (SELECT vec_id, label, nlabel
+         |       FROM (SELECT vec_id, label, nlabel,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY c6 DESC NULLS LAST, nid) AS rn
+         |             FROM sc)
+         |       WHERE rn = 1)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CASE WHEN label = nlabel THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_agree,
+         |       (CAST(sum(CASE WHEN label = nlabel THEN 1 ELSE 0 END)
+         |             AS BIGINT) * 1000000) // count(*) AS agree_ppm
+         |FROM nn GROUP BY label ORDER BY label""".stripMargin,
+
+    // q171's statement over the hash-bucket sample: the salted md5 mod
+    // 10^6 membership is the engine's exact filter, so the oracle
+    // reproduces the sample bit-for-bit before the identical 1-NN tail
+    "q208_knn_agreement_sampled" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings
+         |           WHERE label IS NOT NULL
+         |             AND CAST('0x' || substr(md5('knn_sample_' || CAST(vec_id AS VARCHAR)), 1, 15)
+         |                      AS BIGINT) % 1000000 < 500000),
          |sc AS (SELECT a.vec_id, a.label, b.vec_id AS nid,
          |         b.label AS nlabel,
          |         round(${cosSql("a.e", "b.e")}, 6) AS c6
