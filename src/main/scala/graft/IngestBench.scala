@@ -38,6 +38,12 @@ import org.apache.spark.sql.functions._
   *   - profile: [[graft.streaming.Streams.ingestProfileRead]]'s fold —
   *     no compact job exists for this tier (partials are O(columns)
   *     rows), so the flat read-cost curve IS the claim under test.
+  *   - valuehist: [[graft.streaming.Streams.ingestRobustOutliers]] —
+  *     the streamed q138 audit over the folded histogram state.
+  *   - centroids: [[graft.streaming.Streams.ingestCentroidsRead]] —
+  *     the finished per-label centroids over the folded integer sums.
+  *   - transitions / hazard: each tier's read-face fold (the r8/r9
+  *     order-sensitive and re-ranked compositions).
   *
   * Protocol per probe point: 1 warm-up + 2 timed [[Bench.timeOnce]]
   * runs, min recorded (same noop-sink + cache-release discipline as the
@@ -156,10 +162,47 @@ object IngestBench {
     }
     val prAfter = prPoints.last._2 // no compact: "after" = the final fold
 
+    // ——— value-histogram tier (pure-mergeable partials at (grp, cents)
+    // grain; the compact job folds N batch dirs into one base) ———
+    val events = Tables.load(spark, sfDir, "events")
+    val vhState = s"$root/valuehist"
+    val vhPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestValueHistBatch(
+        events.filter(pmod(col("event_id"), lit(nBatches)) === i),
+        vhState, i, groupCol = "event_type", valueCol = "value")
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          Streams.ingestRobustOutliers(spark, vhState).get)
+        System.err.println(f"[ingestbench] valuehist fold @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactValueHist(spark, vhState).contains((nBatches - 1).toLong))
+    val vhAfter = probeMin(spark, () =>
+      Streams.ingestRobustOutliers(spark, vhState).get)
+    System.err.println(f"[ingestbench] valuehist fold after compact: $vhAfter%.3f s")
+
+    // ——— centroids tier (exact-integer mergeable at label grain; the
+    // compact job stores merged SUMS so later deltas keep folding) ———
+    val ctState = s"$root/centroids"
+    val ctPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestCentroidsBatch(
+        emb.filter(pmod(col("vec_id"), lit(nBatches)) === i), ctState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          Streams.ingestCentroidsRead(spark, ctState).get)
+        System.err.println(f"[ingestbench] centroids fold @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactCentroids(spark, ctState).contains((nBatches - 1).toLong))
+    val ctAfter = probeMin(spark, () =>
+      Streams.ingestCentroidsRead(spark, ctState).get)
+    System.err.println(f"[ingestbench] centroids fold after compact: $ctAfter%.3f s")
+
     // ——— transitions tier (order-sensitive: CONTIGUOUS event-id
     // ranges, not pmod shards — id order is event-time order in this
     // corpus, and the tier's contract is per-user monotone batches) ———
-    val events = Tables.load(spark, sfDir, "events")
     val nEv = events.count()
     val trState = s"$root/transitions"
     val trPoints = (0 until nBatches).flatMap { i =>
@@ -206,6 +249,8 @@ object IngestBench {
       s""""text":${tierJson(txPoints, txAfter)},""" +
       s""""bloom":${tierJson(blPoints, blAfter)},""" +
       s""""profile":${tierJson(prPoints, prAfter)},""" +
+      s""""valuehist":${tierJson(vhPoints, vhAfter)},""" +
+      s""""centroids":${tierJson(ctPoints, ctAfter)},""" +
       s""""transitions":${tierJson(trPoints, trAfter)},""" +
       s""""hazard":${tierJson(hzPoints, hzAfter)}}}"""
     val out = java.nio.file.Paths.get(outPath)

@@ -47,6 +47,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  // ---- SkewJoin at scale ----------------------------------------------
+
+  test("autoJoin flips broadcast -> salted as the profile side outgrows the budget (the SkewScaleBench shape)") {
+    val ev = SkewScaleBench.skewedEvents(spark, TestSpark.Sf0001)
+    val users = SkewScaleBench.userProfiles(ev)
+    // the 1x regime: profile side fits the row budget -> broadcast
+    val small = operators.SkewJoin.choose(ev, "user_id", users, "user_id",
+      broadcastRows = 1000L)
+    assert(small.strategy == "broadcast", s"$small")
+    // the grown regime (threshold scaled down in place of the corpus):
+    // profile side past the budget + the injected 60% celebrity key ->
+    // salted, with fan-out sized to the observed share
+    val grown = operators.SkewJoin.choose(ev, "user_id", users, "user_id",
+      broadcastRows = 10L)
+    assert(grown.strategy == "salted", s"$grown")
+    assert(grown.left.maxSharePpm >= 500000L,
+      s"injected celebrity key must dominate: $grown")
+    assert(grown.buckets >= 4 && grown.buckets <= 32)
+    // and the salted execution is result-identical to the plain join
+    val plain = ev.join(users, "user_id")
+      .agg(count(lit(1)), sum("u_events")).collect().toSeq
+    val salted = operators.SkewJoin.salted(ev, users, "user_id",
+        disambig = "cast(event_id as string)", buckets = grown.buckets)
+      .agg(count(lit(1)), sum("u_events")).collect().toSeq
+    assert(salted == plain, "salted branch must lose/duplicate nothing")
+  }
+
   // ---- Components ----------------------------------------------------
 
   test("components: chain longer than the checkpoint stride converges to one label") {
