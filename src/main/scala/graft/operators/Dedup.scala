@@ -245,7 +245,7 @@ object Dedup {
           .cast("long").as("novelty_ppm"))
   }
 
-  private[operators] def jaccardOfCandidates(
+  private[graft] def jaccardOfCandidates(
       sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val candDocs = cand.select(col("i").as("doc_id"))
       .union(cand.select(col("j").as("doc_id"))).distinct()

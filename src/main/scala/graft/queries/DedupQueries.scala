@@ -175,29 +175,36 @@ object DedupQueries {
       |jac AS (SELECT i, j, ix.c * 1.0 / (s1.n + s2.n - ix.c) AS jaccard
       |        FROM inter ix JOIN sz s1 ON ix.i = s1.doc_id JOIN sz s2 ON ix.j = s2.doc_id)""".stripMargin
 
-  /** MinHash-LSH candidate pairs: 16 arithmetic permutations of the
-    * shingle hash mod P = 2^31−1 (multipliers/offsets md5-derived, same
-    * constants as `Dedup.minhashA/B`), 4-row bands keyed by md5 of the
-    * ordered minima, same-bucket pairs. The `fbands` QUALIFY mirrors the
-    * engine's canonical skew guard (`Dedup.NearDupMaxBucket` — buckets
-    * above the cap are dropped before the self-join), so the oracle gates
-    * the capped path the engine actually runs, not an uncapped shadow.
+  /** MinHash-LSH candidate pairs: `nSeeds` arithmetic permutations of
+    * the shingle hash mod P = 2^31−1 (multipliers/offsets md5-derived,
+    * same constants as `Dedup.minhashA/B`), `rowsPerBand`-row bands over
+    * the FIRST ≤16 permutations (the house candidate scheme — the band
+    * pool is the largest rowsPerBand multiple ≤ 16, as the engine's
+    * `bandPool`), keyed by md5 of the ordered minima, same-bucket pairs.
+    * The `fbands` QUALIFY mirrors the engine's canonical skew guard
+    * (`Dedup.NearDupMaxBucket` — buckets above the cap are dropped
+    * before the self-join), so the oracle gates the capped path the
+    * engine actually runs, not an uncapped shadow. `p` prefixes every
+    * CTE name (NOT `sh`, which is shared) so q210 can band the same
+    * signatures three ways in one statement.
     */
-  private[queries] def minhashCandSql(nSeeds: Int = 16): String =
-    s"""seeds AS (SELECT s,
+  private[queries] def minhashCandSql(nSeeds: Int = 16, rowsPerBand: Int = 4,
+      p: String = ""): String =
+    s"""${p}seeds AS (SELECT s,
        |                 CAST('0x' || substr(md5('mh_a_' || s), 1, 15) AS BIGINT) % 2147483646 + 1 AS pa,
        |                 CAST('0x' || substr(md5('mh_b_' || s), 1, 15) AS BIGINT) % 2147483647 AS pb
        |          FROM (SELECT unnest(generate_series(0, ${nSeeds - 1})) AS s)),
-       |sig AS (SELECT doc_id, s, min((pa * (gh % 2147483647) + pb) % 2147483647) AS minh
-       |        FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
-       |bands AS (SELECT doc_id, s // 4 AS b,
+       |${p}sig AS (SELECT doc_id, s, min((pa * (gh % 2147483647) + pb) % 2147483647) AS minh
+       |        FROM sh CROSS JOIN ${p}seeds GROUP BY doc_id, s),
+       |${p}bands AS (SELECT doc_id, s // $rowsPerBand AS b,
        |                 md5(string_agg(minh::VARCHAR, ',' ORDER BY s)) AS band_key
-       |          FROM sig WHERE s < 16 GROUP BY doc_id, s // 4),
-       |fbands AS (SELECT doc_id, b, band_key FROM bands
+       |          FROM ${p}sig WHERE s < ${16 / rowsPerBand * rowsPerBand}
+       |          GROUP BY doc_id, s // $rowsPerBand),
+       |${p}fbands AS (SELECT doc_id, b, band_key FROM ${p}bands
        |           QUALIFY count(*) OVER (PARTITION BY b, band_key)
        |                   <= ${Dedup.NearDupMaxBucket}),
-       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-       |         FROM fbands a JOIN fbands b
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM ${p}fbands a JOIN ${p}fbands b
        |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
 
   private[queries] val MinhashCandSql: String = minhashCandSql(16)
@@ -316,6 +323,69 @@ object DedupQueries {
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"))
         .orderBy("t_bp")
+    }),
+
+    // posting-list histogram — the stop-gram cap's planner evidence:
+    // per integer-log2 bucket of 3-gram occurrence counts, how many
+    // distinct grams and how much posting MASS sit there, plus the
+    // above-cap (maxPostings = 1000) share. This is the number that
+    // justifies (or re-tunes) the dedup tiers' occurrence guard on a
+    // NEW corpus before any pair join runs: the over-cap mass is
+    // exactly what sharedRuns is blind to and hotSegmentCuts covers.
+    // Bucketing is length(bin(occ)) - 1 — pure integer floor(log2),
+    // immune to the exact-power-of-two float-log2 rounding trap
+    "q209_posting_histogram" -> ((spark, dir) =>
+      Dedup.positionalShingles(Tables.load(spark, dir, "documents"), 3)
+        .groupBy("gh").agg(count(lit(1)).as("occ"))
+        .groupBy(expr("cast(length(bin(occ)) - 1 as bigint)").as("bucket"))
+        .agg(count(lit(1)).as("n_grams"), sum("occ").as("n_postings"),
+          sum(when(col("occ") > 1000L, 1L).otherwise(0L)).as("n_hot_grams"),
+          sum(when(col("occ") > 1000L, col("occ")).otherwise(0L))
+            .as("hot_postings"))
+        .orderBy("bucket")),
+
+    // LSH band-shape sensitivity curve — the q207 companion on the
+    // OTHER dedup knob: for rowsPerBand in {2, 4, 8} over the same 16
+    // minhash permutations (bands = 16/r), the candidate volume, the
+    // verified >= 0.7 pair count, and the resulting precision — the
+    // measured evidence for choosing band shape (more rows/band =
+    // fewer, more precise candidates) instead of folklore. One shared
+    // shingle scan; each config is one band aggregation + the shared
+    // verify tail, all skew-capped exactly as q27
+    "q210_band_curve" -> ((spark, dir) => {
+      val sh = graft.operators.Ckpt.narrow(
+        Dedup.shingles(Tables.load(spark, dir, "documents"), 3))
+      Seq(2, 4, 8).map { r =>
+        val cand = Dedup.minhashCandidates(sh, numHashes = 16, rowsPerBand = r)
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(Dedup.jaccardOfCandidates(sh, cand, 0.7)
+            .agg(count(lit(1)).as("n_verified")))
+          .select(lit(r.toLong).as("rows_per_band"),
+            lit(16L / r).as("bands"), col("n_candidates"), col("n_verified"),
+            when(col("n_candidates") > 0,
+              expr("n_verified * 1000000 div n_candidates"))
+              .as("precision_ppm"))
+      }.reduce(_.unionByName(_)).orderBy("rows_per_band")
+    }),
+
+    // minRun sensitivity curve — the third dedup-knob curve beside
+    // q207 (jaccard threshold) and q210 (band shape): ONE guarded
+    // sharedRuns pass at the finest grain (maximal runs are maximal
+    // whatever the threshold, so runs >= t is a FILTER of runs >= 10,
+    // never a re-scan) rolled up per candidate minRun: how many shared
+    // runs, how much run-token mass (pre-merge, so an upper bound on
+    // cut tokens), and how many docs would take a cut — the evidence
+    // for picking the scrub threshold on a new corpus
+    "q211_minrun_curve" -> ((spark, dir) => {
+      val runs = Dedup.sharedRuns(Tables.load(spark, dir, "documents"),
+        n = 3, minRun = 10L, maxPostings = 1000L)
+      val grid = spark.sql("SELECT explode(array(10L, 15L, 20L, 30L)) AS min_run")
+      broadcast(grid).join(runs, col("run_tokens") >= col("min_run"), "left")
+        .groupBy("min_run")
+        .agg(count(col("run_tokens")).as("n_runs"),
+          coalesce(sum(col("run_tokens")), lit(0L)).as("affected_tokens"),
+          countDistinct(col("j")).as("n_cut_docs"))
+        .orderBy("min_run")
     }),
 
     // SORTED-NEIGHBORHOOD near-dups (Hernández-Stolfo SNM): two
@@ -659,6 +729,69 @@ object DedupQueries {
          |       CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
          |FROM grid g LEFT JOIN np USING (t_bp) LEFT JOIN nd USING (t_bp)
          |ORDER BY g.t_bp""".stripMargin,
+
+    // occurrence counts over the POSITIONAL gram stream (duplicates
+    // kept — the sharedRuns guard's own grain), integer-log2 bucketed
+    // via the binary-string length (no float log2 at powers of two)
+    "q209_posting_histogram" ->
+      s"""WITH $ShinglesSql,
+         |pocc AS (SELECT gh, count(*) AS occ FROM (
+         |    SELECT CAST('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15)
+         |           AS BIGINT) AS gh
+         |    FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+         |    WHERE len(w) >= 3) GROUP BY gh)
+         |SELECT CAST(length(bin(occ)) - 1 AS BIGINT) AS bucket,
+         |       count(*) AS n_grams, CAST(sum(occ) AS BIGINT) AS n_postings,
+         |       CAST(sum(CASE WHEN occ > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_hot_grams,
+         |       CAST(sum(CASE WHEN occ > 1000 THEN occ ELSE 0 END) AS BIGINT)
+         |         AS hot_postings
+         |FROM pocc GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // one shared signature family banded three ways (prefixed CTEs),
+    // the shared verify tail counted per config — band shape is the
+    // only variable, exactly as the engine's bandPool scheme
+    "q210_band_curve" ->
+      s"""WITH $ShinglesSql,
+         |${minhashCandSql(16, 2, "r2")},
+         |${minhashCandSql(16, 4, "r4")},
+         |${minhashCandSql(16, 8, "r8")},
+         |$JaccardSql,
+         |curve AS (
+         |  SELECT CAST(2 AS BIGINT) AS rows_per_band, CAST(8 AS BIGINT) AS bands,
+         |         (SELECT count(*) FROM r2cand) AS n_candidates,
+         |         (SELECT count(*) FROM r2cand JOIN jac USING (i, j)
+         |          WHERE jaccard >= 0.7) AS n_verified
+         |  UNION ALL
+         |  SELECT CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+         |         (SELECT count(*) FROM r4cand),
+         |         (SELECT count(*) FROM r4cand JOIN jac USING (i, j)
+         |          WHERE jaccard >= 0.7)
+         |  UNION ALL
+         |  SELECT CAST(8 AS BIGINT), CAST(2 AS BIGINT),
+         |         (SELECT count(*) FROM r8cand),
+         |         (SELECT count(*) FROM r8cand JOIN jac USING (i, j)
+         |          WHERE jaccard >= 0.7))
+         |SELECT rows_per_band, bands, n_candidates, n_verified,
+         |       CASE WHEN n_candidates > 0
+         |            THEN n_verified * 1000000 // n_candidates END AS precision_ppm
+         |FROM curve ORDER BY rows_per_band""".stripMargin,
+
+    // the un-thresholded maximal-run relation rolled up per grid
+    // threshold; LEFT JOIN keeps zero-count thresholds visible
+    "q211_minrun_curve" ->
+      s"""WITH $SharedRunsSql,
+         |grid AS (SELECT CAST(unnest([10, 15, 20, 30]) AS BIGINT) AS min_run),
+         |agg AS (SELECT g.min_run, count(*) AS n_runs,
+         |               CAST(sum(r.run_tokens) AS BIGINT) AS affected_tokens,
+         |               CAST(count(DISTINCT r.j) AS BIGINT) AS n_cut_docs
+         |        FROM grid g JOIN runs r ON r.run_tokens >= g.min_run
+         |        GROUP BY 1)
+         |SELECT g.min_run, CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_runs,
+         |       CAST(coalesce(a.affected_tokens, 0) AS BIGINT) AS affected_tokens,
+         |       CAST(coalesce(a.n_cut_docs, 0) AS BIGINT) AS n_cut_docs
+         |FROM grid g LEFT JOIN agg a USING (min_run)
+         |ORDER BY min_run""".stripMargin,
 
     // q27's canonical edges with the endpoint sources joined on and
     // same-source pairs dropped
