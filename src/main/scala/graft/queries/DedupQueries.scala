@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, count, countDistinct, explode, lit, round, sum}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, count, countDistinct, explode, expr, lit, round, sum, when}
 import graft.operators.{Components, Dedup}
 import graft.sources.Tables
 
