@@ -121,6 +121,34 @@ object CurationQueries {
       spark.read.parquet(s"$d/manifest").orderBy("doc_id")
     }),
 
+    // the per-(source, split) training-token budget read OFF the stored
+    // pipeline manifest (q203's artifact, shared per-JVM build) — the
+    // rollup a training run consults to size its mixture: docs and
+    // whitespace-token mass in total and post-chain (include = kept by
+    // curation AND semantic dedup), with the included share in ppm.
+    // Gated against the q66 composition oracle wrapped in the rollup,
+    // so stored ≡ recomputed holds at BUDGET grain too
+    "q213_manifest_budget" -> ((spark, dir) => {
+      val d = cachedIndexDir(pipeCache, dir, "graft_pipeline_") { out =>
+        graft.Pipeline.run(spark, dir, out); ()
+      }
+      spark.read.parquet(s"$d/manifest")
+        .join(Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("include")).as("n_included"),
+          sum(col("ws_tokens")).as("tokens_total"),
+          sum(when(col("include") === 1, col("ws_tokens")).otherwise(0L))
+            .as("tokens_included"))
+        .select(col("source"), col("split"), col("n_docs"), col("n_included"),
+          col("tokens_total"), col("tokens_included"),
+          when(col("tokens_total") > 0,
+            expr("tokens_included * 1000000 div tokens_total"))
+            .as("included_ppm"))
+        .orderBy("source", "split")
+    }),
+
     "q66_training_manifest" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val emb = Tables.load(spark, dir, "embeddings")
@@ -174,6 +202,22 @@ object CurationQueries {
     // the stored pipeline manifest answers to the same oracle — the
     // stored ≡ recomputed law at chain grain
     "q203_pipeline_manifest" -> ManifestSql,
+    // the manifest statement wrapped as a subquery under the budget
+    // rollup — stored ≡ recomputed at budget grain
+    "q213_manifest_budget" ->
+      s"""SELECT d.source, m.split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(m.include) AS BIGINT) AS n_included,
+         |       CAST(sum(m.ws_tokens) AS BIGINT) AS tokens_total,
+         |       CAST(sum(CASE WHEN m.include = 1 THEN m.ws_tokens ELSE 0 END)
+         |            AS BIGINT) AS tokens_included,
+         |       CASE WHEN sum(m.ws_tokens) > 0
+         |            THEN CAST(sum(CASE WHEN m.include = 1 THEN m.ws_tokens
+         |                               ELSE 0 END) * 1000000
+         |                      // sum(m.ws_tokens) AS BIGINT) END AS included_ppm
+         |FROM ($ManifestSql) m JOIN documents d ON m.doc_id = d.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     "q139_pareto_frontier" -> ParetoFrontierSql)
 
   /** q91: the canonical edge chain + closure over the RAW corpus (no

@@ -105,6 +105,25 @@ object TextQueries {
           round(avg("ws_tokens"), 4).as("avg_ws_tokens"))
         .orderBy("source")),
 
+    // tokenizer-fertility audit per language: sub-word (BPE-ish regex)
+    // tokens per whitespace word, in ppm — the per-language number a
+    // tokenizer choice is graded on (high fertility = a language the
+    // vocab splits into fragments, paying context length for nothing).
+    // Integer ppm division so no engine compares float ratios
+    "q212_fertility" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      TextAnalysis.tokenCounts(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("ws_tokens"),
+          sum("re_tokens").as("re_tokens"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("re_tokens"),
+          when(col("ws_tokens") > 0,
+            expr("re_tokens * 1000000 div ws_tokens")).as("fertility_ppm"))
+        .orderBy("lang")
+    }),
+
     "q40_doc_fingerprint" -> ((spark, dir) =>
       TextAnalysis.fingerprints(Tables.load(spark, dir, "documents"), n = 5)
         .orderBy("doc_id")),
@@ -647,6 +666,24 @@ object TextQueries {
          |FROM t
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // q39's token pair rolled to language grain with the integer ppm
+    // ratio — the same WsSql/regex definitions so the two cannot drift
+    "q212_fertility" ->
+      s"""WITH $WsSql,
+         |t AS (SELECT ws.doc_id, d.lang,
+         |             CAST(len(list_filter(w, x -> x != '')) AS BIGINT) AS ws_tokens,
+         |             CAST(len(regexp_extract_all(d.text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+         |      FROM ws JOIN documents d ON ws.doc_id = d.doc_id),
+         |a AS (SELECT lang, count(*) AS n_docs,
+         |             CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+         |             CAST(sum(re_tokens) AS BIGINT) AS re_tokens
+         |      FROM t GROUP BY lang)
+         |SELECT lang, n_docs, ws_tokens, re_tokens,
+         |       CASE WHEN ws_tokens > 0
+         |            THEN re_tokens * 1000000 // ws_tokens END AS fertility_ppm
+         |FROM a
+         |ORDER BY lang""".stripMargin,
 
     "q40_doc_fingerprint" ->
       s"""WITH $WsSql,
