@@ -162,6 +162,24 @@ object IngestBench {
     }
     val prAfter = prPoints.last._2 // no compact: "after" = the final fold
 
+    // ——— budget tier (per-(source, split) integer doc/token partials;
+    // the live face of the stored-manifest budget) ———
+    val bgState = s"$root/budget"
+    val bgPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestBudgetBatch(
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), bgState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          Streams.ingestBudgetRead(spark, bgState).get)
+        System.err.println(f"[ingestbench] budget fold @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactBudget(spark, bgState).contains((nBatches - 1).toLong))
+    val bgAfter = probeMin(spark, () =>
+      Streams.ingestBudgetRead(spark, bgState).get)
+    System.err.println(f"[ingestbench] budget fold after compact: $bgAfter%.3f s")
+
     // ——— value-histogram tier (pure-mergeable partials at (grp, cents)
     // grain; the compact job folds N batch dirs into one base) ———
     val events = Tables.load(spark, sfDir, "events")
@@ -249,6 +267,7 @@ object IngestBench {
       s""""text":${tierJson(txPoints, txAfter)},""" +
       s""""bloom":${tierJson(blPoints, blAfter)},""" +
       s""""profile":${tierJson(prPoints, prAfter)},""" +
+      s""""budget":${tierJson(bgPoints, bgAfter)},""" +
       s""""valuehist":${tierJson(vhPoints, vhAfter)},""" +
       s""""centroids":${tierJson(ctPoints, ctAfter)},""" +
       s""""transitions":${tierJson(trPoints, trAfter)},""" +

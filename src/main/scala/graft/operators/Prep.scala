@@ -66,6 +66,30 @@ object Prep {
       .withColumn("split", splitOf(col("bucket"), valPct, testPct))
   }
 
+  /** Per-(source, split) token-budget PARTIAL over a document slice:
+    * (source, split, n_docs, ws_tokens). Split assignment is the [[split]]
+    * hash bucket and the token count is the q39 whitespace counter —
+    * both PER-DOC deterministic functions of the row alone — so
+    * partials over disjoint slices fold by summing the two counters
+    * with no approximation: a streamed fold is bit-identical to a
+    * one-shot rollup of the union whatever the batching (the
+    * [[graft.streaming.Streams.ingestBudget]] contract). State is
+    * sources × splits rows, never documents.
+    */
+  def budgetPartial(docs: DataFrame): DataFrame =
+    split(docs).select(col("doc_id"), col("split"))
+      .join(TextAnalysis.tokenCounts(docs)
+        .select(col("doc_id"), col("source"), col("ws_tokens")), "doc_id")
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("ws_tokens"))
+
+  /** Fold [[budgetPartial]] frames from disjoint slices — associative,
+    * commutative, exact (integer sums).
+    */
+  def mergeBudgetPartials(partials: DataFrame): DataFrame =
+    partials.groupBy("source", "split")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("ws_tokens")).as("ws_tokens"))
+
   /** Epoch up-sampling — the half of mixture weighting [[mix]] cannot
     * express: rates ABOVE 1.0 (a rare, high-quality source seen 2.5×
     * per training pass, a boilerplate-heavy crawl seen 0.3×). Each

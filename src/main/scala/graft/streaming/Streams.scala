@@ -794,6 +794,79 @@ object Streams {
     }
   }
 
+  /** Streaming training-token budget — the ELEVENTH `foreachBatch`
+    * ingest composition: each micro-batch of documents writes its
+    * per-(source, split) doc/token partial
+    * ([[graft.operators.Prep.budgetPartial]] — split assignment is the
+    * q56 hash bucket and the count is the q39 whitespace counter, both
+    * PER-DOC deterministic, so the partial is a pure integer mergeable
+    * and the folded budget is bit-identical to a one-shot rollup of
+    * every ingested doc whatever the batching — the StreamingSpec
+    * differential). The LIVE face of q213's stored-manifest budget: a
+    * mixture monitor watches per-(source, split) token mass fill as
+    * batches land instead of waiting for the pipeline rebuild. (The
+    * curation/semantic include flags are corpus-GLOBAL — a doc's
+    * near-dup status can flip as later docs arrive — so the streamed
+    * budget is the pre-chain mass; the stored manifest stays the
+    * post-chain authority.) Marker-last commit + [[compactBudget]]
+    * cadence; state is sources × splits rows per batch.
+    */
+  def ingestBudget(docs: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestBudgetBatch(batch.toDF(), stateDir, batchId)
+      }
+      .start()
+
+  /** One budget ingest step (see [[ingestBudget]]); public for
+    * batch-mode replays and tests.
+    */
+  def ingestBudgetBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    graft.operators.Prep.budgetPartial(batch)
+      .write.mode("overwrite").parquet(s"$stateDir/budget/batch=$batchId")
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** The folded (source, split, n_docs, ws_tokens) budget over all
+    * COMMITTED batches (and any compacted base). None before the first
+    * commit.
+    */
+  def ingestBudgetRead(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else {
+      val basePfx = if (c >= 0) Seq(baseDir(stateDir, c) + "/budget") else Nil
+      Some(graft.operators.Prep.mergeBudgetPartials(spark.read
+        .parquet(basePfx ++ ids.map(i => s"$stateDir/budget/batch=$i"): _*)))
+    }
+  }
+
+  /** Fold the committed budget partials into one base (the shared
+    * compact/GC protocol) — merged integer sums, so later deltas keep
+    * folding losslessly.
+    */
+  def compactBudget(spark: SparkSession, stateDir: String,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
+    if (ids.isEmpty) None
+    else {
+      val c = ids.max
+      ingestBudgetRead(spark, stateDir).get
+        .write.mode("overwrite").parquet(baseDir(stateDir, c) + "/budget")
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids, Seq("budget"))
+      Some(c)
+    }
+  }
+
   /** Streaming Markov transition matrix — the EIGHTH `foreachBatch`
     * ingest composition, and the first ORDER-SENSITIVE one: transition
     * counts are NOT a pure mergeable (the pair spanning two batches

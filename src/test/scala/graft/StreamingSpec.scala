@@ -742,6 +742,67 @@ class StreamingSpec extends AnyFunSuite {
       "previous base must be GC'd after the new marker commits")
   }
 
+  test("foreachBatch ingest budget: streamed fold == one-shot rollup, across restart + compact + replay") {
+    import graft.operators.Prep
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_budget_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val sch = docs.schema
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source", "split").collect().toSeq
+    val cuts = Seq((0L, 150L), (150L, 350L), (350L, Long.MaxValue))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"ingest_$i.parquet").toPath)
+      }
+      // fresh query per drop resuming from the shared checkpoint —
+      // two full stop/restart cycles across the three micro-batches
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+      val q = Streams.ingestBudget(stream, state, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // per-doc deterministic split + integer token sums fold losslessly:
+    // the streamed budget equals the one-shot rollup bit-for-bit
+    assert(rows(Streams.ingestBudgetRead(spark, state).get)
+      == rows(Prep.budgetPartial(docs)))
+
+    // compact folds the partials into one base; read face unchanged,
+    // covered batch dirs GC'd, commit markers survive
+    assert(Streams.compactBudget(spark, state) == Some(2L))
+    assert(rows(Streams.ingestBudgetRead(spark, state).get)
+      == rows(Prep.budgetPartial(docs)))
+    assert(!new java.io.File(s"$state/budget/batch=0").exists)
+    assert(new java.io.File(s"$state/_committed/0").exists)
+    assert(Streams.compactBudget(spark, state).isEmpty, "nothing new to fold")
+
+    // replay of a committed batch id is a no-op on top of the base
+    // (a double-counted partial would double its source's token mass)
+    Streams.ingestBudgetBatch(docs.limit(50), state, batchId = 1L)
+    assert(rows(Streams.ingestBudgetRead(spark, state).get)
+      == rows(Prep.budgetPartial(docs)))
+
+    // second generation: a genuinely new batch on top of the base, then
+    // a second compaction — both equal the one-shot over the union
+    val delta = docs.filter(col("doc_id") < 100L)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Streams.ingestBudgetBatch(delta, state, batchId = 3L)
+    val grown = Prep.budgetPartial(docs.unionByName(delta))
+    assert(rows(Streams.ingestBudgetRead(spark, state).get) == rows(grown))
+    assert(Streams.compactBudget(spark, state) == Some(3L))
+    assert(rows(Streams.ingestBudgetRead(spark, state).get) == rows(grown))
+    assert(!new java.io.File(s"$state/base/compact=2").exists,
+      "previous base must be GC'd after the new marker commits")
+    org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
   test("foreachBatch ingest centroids: streamed == one-shot batch, across restart + compact") {
     import graft.operators.Similarity
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_cent_").toFile
