@@ -136,7 +136,12 @@ object ScaleBench {
     // q188 fuses the per-source tiers (each individually measured);
     // its cost is their sum. (q185-q187 ride the UNSCALED TPC-H
     // tables — excluded like q150/q155/q178.)
-    "q188_source_datasheet")
+    "q188_source_datasheet",
+    // round-10: q209 is one occurrence agg + a ≤60-bucket rollup,
+    // q212 is the q39 linear scan rolled to lang grain. (q210/q211
+    // ride the already-measured q27/q108 machinery; q213 rides the
+    // stored pipeline artifact, whose build cost is q203's.)
+    "q209_posting_histogram", "q212_fertility")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
