@@ -418,6 +418,29 @@ class DedupSpec extends AnyFunSuite {
     assert(Similarity.derivedStride(1000000L) == 1000)
   }
 
+  test("sign-LSH derived bits: floor semantics, monotone, occupancy invariant") {
+    import Similarity.{derivedBits, LshTargetOccupancy}
+    // floor binds at every gated scale (n <= 2000 for both configs)
+    assert(derivedBits(500L, 8) == 8 && derivedBits(2000L, 8) == 8)
+    assert(derivedBits(2000L, 12) == 12)
+    // the ScaleGen corpora: 60k vectors -> 10 bits, 200k -> 12
+    assert(derivedBits(60000L, 8) == 10)
+    assert(derivedBits(200000L, 8) == 12)
+    // exact powers of the occupancy boundary: pure integer arithmetic,
+    // no float-log2 edge (2^8 * 64 = 16384 exactly)
+    assert(derivedBits(16384L, 8) == 8 && derivedBits(16385L, 8) == 9)
+    // the invariant the whole posture rests on: occupancy <= target
+    // at the derived bits, for any corpus up to the 2^30 cap
+    for (n <- Seq(1L, 1000L, 123457L, 10000000L, 1000000000L)) {
+      val b = derivedBits(n, 8)
+      assert(b <= 30)
+      assert(b == 30 || (1L << b) * LshTargetOccupancy >= n,
+        s"occupancy invariant violated at n=$n, b=$b")
+      assert(b == 8 || (1L << (b - 1)) * LshTargetOccupancy < n,
+        s"bits not minimal at n=$n, b=$b")
+    }
+  }
+
   test("brute-force topk rank-1 equals scala-side argmax") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
