@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, greatest, least, lit, sum, when}
 import graft.operators.Prep
 import graft.sources.Tables
 
@@ -10,6 +10,58 @@ import graft.sources.Tables
   * [[graft.operators.Prep]] for the scale contracts).
   */
 object PrepQueries {
+
+  /** q214: the context-length waste curve over the whitespace token
+    * counts — one doc scan crossed with a 4-row length grid. Two
+    * packing regimes side by side per candidate seq_len:
+    *   - pad-per-doc (one doc per sequence, pad to L, overflow
+    *     truncated): kept/truncated token mass and the padded-slot
+    *     share of all slots — the regime that isolates documents but
+    *     pays padding on short docs and loses tails of long ones;
+    *   - concat-per-source (the q57 packing contract): only each
+    *     source's LAST partial sequence pads, so waste is
+    *     (L − total mod L) mod L per source over ceil-rounded slots.
+    * The table a context-length decision reads: at which L does
+    * pad-per-doc waste cross the truncation loss, and how close to
+    * zero the q57 regime stays. All integer arithmetic (ceil via
+    * (a + L − 1) / L), ppm by integer division.
+    */
+  private def paddingCurve(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tok = graft.operators.TextAnalysis
+      .tokenCounts(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("ws_tokens"))
+    val grid = spark.sql(
+      "SELECT explode(array(128L, 256L, 512L, 1024L)) AS seq_len")
+    val perDoc = tok.crossJoin(broadcast(grid))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("ws_tokens"), col("seq_len"))).as("kept_tokens"),
+        sum(when(col("ws_tokens") > col("seq_len"), 1L).otherwise(0L))
+          .as("truncated_docs"),
+        sum(greatest(col("ws_tokens") - col("seq_len"), lit(0L)))
+          .as("truncated_tokens"),
+        sum(col("seq_len") - least(col("ws_tokens"), col("seq_len")))
+          .as("pad_slots"))
+    val perSource = tok.groupBy("source")
+      .agg(sum(col("ws_tokens")).as("src_tokens"))
+      .crossJoin(broadcast(grid))
+      .groupBy("seq_len")
+      .agg(sum(expr("(seq_len - src_tokens % seq_len) % seq_len"))
+          .as("concat_pad_slots"),
+        sum(expr("((src_tokens + seq_len - 1) div seq_len) * seq_len"))
+          .as("concat_slots"))
+    perDoc.join(perSource, "seq_len")
+      .select(col("seq_len"), col("n_docs"), col("kept_tokens"),
+        col("truncated_docs"), col("truncated_tokens"), col("pad_slots"),
+        when(col("n_docs") > 0,
+          expr("pad_slots * 1000000 div (n_docs * seq_len)")).as("pad_ppm"),
+        col("concat_pad_slots"),
+        when(col("concat_slots") > 0,
+          expr("concat_pad_slots * 1000000 div concat_slots"))
+          .as("concat_pad_ppm"))
+      .orderBy("seq_len")
+  }
 
   /** The q56 split derivation as a reusable (doc_id, split) CTE —
     * shared by the q66 and q69 oracles so the salt/percentage constants
@@ -26,6 +78,8 @@ object PrepQueries {
       |              FROM documents))""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "q214_padding_curve" -> ((spark, dir) => paddingCurve(spark, dir)),
+
     "q56_split_assign" -> ((spark, dir) =>
       Prep.split(Tables.load(spark, dir, "documents"), valPct = 10, testPct = 10)
         .orderBy("doc_id")),
@@ -118,6 +172,42 @@ object PrepQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // same whitespace counter, same integer ceil/mod arithmetic, ppm by
+    // integer division — the two regimes' waste per grid length
+    "q214_padding_curve" ->
+      """WITH tok AS (SELECT d.doc_id, d.source,
+        |               CAST(len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |                                    x -> x <> '')) AS BIGINT) AS ws_tokens
+        |             FROM documents d),
+        |grid AS (SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT) AS seq_len),
+        |pd AS (SELECT g.seq_len, count(*) AS n_docs,
+        |              CAST(sum(LEAST(t.ws_tokens, g.seq_len)) AS BIGINT) AS kept_tokens,
+        |              CAST(sum(CASE WHEN t.ws_tokens > g.seq_len THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS truncated_docs,
+        |              CAST(sum(GREATEST(t.ws_tokens - g.seq_len, 0)) AS BIGINT)
+        |                AS truncated_tokens,
+        |              CAST(sum(g.seq_len - LEAST(t.ws_tokens, g.seq_len)) AS BIGINT)
+        |                AS pad_slots
+        |       FROM tok t CROSS JOIN grid g GROUP BY 1),
+        |srct AS (SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS src_tokens
+        |         FROM tok GROUP BY 1),
+        |ps AS (SELECT g.seq_len,
+        |              CAST(sum((g.seq_len - s.src_tokens % g.seq_len) % g.seq_len)
+        |                   AS BIGINT) AS concat_pad_slots,
+        |              CAST(sum(((s.src_tokens + g.seq_len - 1) // g.seq_len) * g.seq_len)
+        |                   AS BIGINT) AS concat_slots
+        |       FROM srct s CROSS JOIN grid g GROUP BY 1)
+        |SELECT pd.seq_len, pd.n_docs, pd.kept_tokens, pd.truncated_docs,
+        |       pd.truncated_tokens, pd.pad_slots,
+        |       CASE WHEN pd.n_docs > 0
+        |            THEN pd.pad_slots * 1000000 // (pd.n_docs * pd.seq_len)
+        |       END AS pad_ppm,
+        |       ps.concat_pad_slots,
+        |       CASE WHEN ps.concat_slots > 0
+        |            THEN ps.concat_pad_slots * 1000000 // ps.concat_slots
+        |       END AS concat_pad_ppm
+        |FROM pd JOIN ps USING (seq_len)
+        |ORDER BY seq_len""".stripMargin,
     // same salted 60-bit hash, same integer floor division, same
     // (priority, doc_id) bottom-100
     "q129_weighted_sample" ->
