@@ -141,7 +141,7 @@ object ScaleBench {
     // q212 is the q39 linear scan rolled to lang grain. (q210/q211
     // ride the already-measured q27/q108 machinery; q213 rides the
     // stored pipeline artifact, whose build cost is q203's.)
-    "q209_posting_histogram", "q212_fertility")
+    "q209_posting_histogram", "q212_fertility", "q214_padding_curve")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
