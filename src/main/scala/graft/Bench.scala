@@ -164,7 +164,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Graft.session(appName = "graft-bench")
+    val spark = Graft.session(appName = "graft-bench", failOnConfMismatch = true)
 
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       timeOnce(spark, sfDir, fn)

@@ -15,10 +15,36 @@ import org.apache.spark.sql.SparkSession
 object Graft {
   val DefaultCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+  /** The codegen-cache posture every graft session asks for; static
+    * conf, so it only takes effect on the FIRST session built in a JVM.
+    */
+  val CodegenCacheEntries: String = "10000"
+
+  /** Verify the static codegen-cache conf actually landed. `getOrCreate`
+    * silently ignores static confs when another session was built first
+    * in this JVM — the posture is gone without a signal, and the r9
+    * codegen-thrash regression reappears looking like host noise (26
+    * false >2× readings in that incident). Harnesses whose OUTPUT is a
+    * measurement or a correctness record (Bench, Verify, ScaleBench,
+    * IngestBench, SkewScaleBench) pass `failHard = true` and die here
+    * rather than emit poisoned records; interactive CLIs keep the
+    * warning.
+    */
+  private[graft] def checkStaticConf(actual: String, failHard: Boolean): Unit =
+    if (actual != CodegenCacheEntries) {
+      val msg = s"spark.sql.codegen.cache.maxEntries = $actual, not the " +
+        s"configured $CodegenCacheEntries — a pre-existing session in this JVM dropped " +
+        "the static conf; >100-distinct-plan workloads will recompile " +
+        "codegen on every execution"
+      if (failHard) throw new IllegalStateException(s"[graft] $msg")
+      System.err.println(s"[graft] WARNING: $msg")
+    }
+
   def session(
       master: String = s"local[$DefaultCpus]",
       shufflePartitions: Int = DefaultCpus,
-      appName: String = "graft"): SparkSession = {
+      appName: String = "graft",
+      failOnConfMismatch: Boolean = false): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(master)
@@ -50,18 +76,12 @@ object Graft {
       // measured: bench/results.json r9 run 1 vs history). Static conf,
       // so it must be set here at session build; sized to hold the
       // whole suite's generated classes with headroom.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.codegen.cache.maxEntries", CodegenCacheEntries)
       .getOrCreate()
-    // Static conf: if another SparkSession was built in this JVM first,
-    // getOrCreate silently ignores every .config above and the codegen
-    // posture is gone without a signal — the thrash regression the r9
-    // protocol fixed would reappear looking like host noise. Fail loud
-    // at the session seam instead of quiet in the bench record.
-    val cgc = spark.conf.get("spark.sql.codegen.cache.maxEntries")
-    if (cgc != "10000")
-      System.err.println(s"[graft] WARNING: spark.sql.codegen.cache.maxEntries = $cgc, " +
-        "not the configured 10000 — a pre-existing session in this JVM dropped the " +
-        "static conf; >100-distinct-plan workloads will recompile codegen per execution")
+    // Static conf: fail loud (or at least warn) at the session seam
+    // instead of quiet in the bench record — see [[checkStaticConf]].
+    checkStaticConf(spark.conf.get("spark.sql.codegen.cache.maxEntries"),
+      failHard = failOnConfMismatch)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

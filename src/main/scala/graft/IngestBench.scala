@@ -63,7 +63,7 @@ object IngestBench {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: IngestBench <outPath> <sfDir> <numBatches>")
     val (outPath, sfDir, nBatches) = (args(0), args(1), args(2).toInt)
-    val spark = Graft.session(appName = "graft-ingestbench")
+    val spark = Graft.session(appName = "graft-ingestbench", failOnConfMismatch = true)
     import graft.operators.{Dedup, Similarity, TextIndex}
     import graft.sources.Tables
     import graft.streaming.Streams

@@ -138,10 +138,16 @@ object ScaleBench {
     // tables — excluded like q150/q155/q178.)
     "q188_source_datasheet",
     // round-10: q209 is one occurrence agg + a ≤60-bucket rollup,
-    // q212 is the q39 linear scan rolled to lang grain. (q210/q211
-    // ride the already-measured q27/q108 machinery; q213 rides the
-    // stored pipeline artifact, whose build cost is q203's.)
-    "q209_posting_histogram", "q212_fertility", "q214_padding_curve")
+    // q212 is the q39 linear scan rolled to lang grain
+    "q209_posting_histogram", "q212_fertility", "q214_padding_curve",
+    // round-11: the house standard is MEASURED, not inherited — q210/
+    // q211 ride the q27/q108 machinery but their curve grids multiply
+    // its work (3 band shapes / 4 minRun scans), q213 reads the stored
+    // pipeline artifact (build cost is q203's; the read path is its
+    // own), and q215's encode→decode is a linear per-partition codec
+    // pass whose cost is pixels, not pairs
+    "q210_band_curve", "q211_minrun_curve", "q213_manifest_budget",
+    "q215_image_decode")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
@@ -173,7 +179,7 @@ object ScaleBench {
     val missing = names.filterNot(qs.contains)
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
 
-    val spark = Graft.session(appName = "graft-scalebench")
+    val spark = Graft.session(appName = "graft-scalebench", failOnConfMismatch = true)
     // scale-major order: every query sees a given corpus while its
     // parquet footers are hot, and the per-JVM stored-index caches
     // (queries.cachedIndexDir) build once per dir as they would in a

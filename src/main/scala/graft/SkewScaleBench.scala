@@ -53,8 +53,9 @@ import graft.sources.Tables
   * features, KBs per row) sit far past the auto threshold, and the
   * shuffle regime is the one the salting decision exists for.
   *
-  * Usage: `SkewScaleBench <outPath> <dir>=<relScale> ...` — appends a
-  * `"skew_autojoin"` JSON record to outPath's content (one line).
+  * Usage: `SkewScaleBench <outPath> <dir>=<relScale> ...` — writes the
+  * `"skew_autojoin"` JSON record (one line) to outPath, OVERWRITING any
+  * previous content; keep per-round records in per-round files.
   */
 object SkewScaleBench {
 
@@ -93,7 +94,7 @@ object SkewScaleBench {
       (a.take(i), a.drop(i + 1).toDouble)
     }.sortBy(_._2)
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
-    val spark = Graft.session(appName = "graft-skewscalebench")
+    val spark = Graft.session(appName = "graft-skewscalebench", failOnConfMismatch = true)
     // measure the shuffle regime (see scaladoc) — runtime conf, timed
     // branches only see shuffles/salting, not an auto-broadcast shortcut
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -15,7 +15,7 @@ object Verify {
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.mkString(", ")} — valid names: " +
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
-    val spark = Graft.session(appName = "graft-verify")
+    val spark = Graft.session(appName = "graft-verify", failOnConfMismatch = true)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -755,8 +755,15 @@ object Similarity {
     * deployment holding recall at a weak threshold under growth should
     * raise `tables` alongside (recall ≈ 1 − (1 − p^bits)^tables).
     */
-  private[graft] def derivedBits(n: Long, floor: Int): Int =
+  private[graft] def derivedBits(n: Long, floor: Int): Int = {
+    // a floor above the 30-bit cap would return 30 < floor from the
+    // empty range (silently SHRINKING the caller's bucket space); and
+    // the n > 2^30·occupancy fallback must stay in lockstep with the
+    // oracle CTE's UNION ALL 30 row — both caps are load-bearing
+    require(floor >= 0 && floor <= 30,
+      s"derivedBits: bits floor ($floor) must be in [0, 30]")
     (floor to 30).find(b => (1L << b) * LshTargetOccupancy >= n).getOrElse(30)
+  }
 
   /** LSH-accelerated near-dup pairs: same-(table, bucket) candidates
     * within the [[LshBucketWindow]] id-sorted window (`window = 0` ⇒

@@ -55,6 +55,16 @@ object SkewJoin {
     */
   val HotSharePpm: Long = 50000L
 
+  /** One side fits a broadcast when its rows are at or under the row
+    * threshold AND its estimated payload fits the bytes budget —
+    * division instead of rows × width so the check can't overflow on a
+    * huge mis-called side.
+    */
+  private def broadcastEligible(s: SideStats, broadcastRows: Long,
+      broadcastBytes: Long): Boolean =
+    s.rows <= broadcastRows &&
+      s.avgRowBytes <= broadcastBytes / math.max(1L, s.rows)
+
   private def sideStats(df: DataFrame, key: String): SideStats = {
     val r = df.filter(col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("cnt"),
@@ -73,11 +83,12 @@ object SkewJoin {
     * paying the join — the executable rendering of the planner-side
     * audits (q126's CMS join-size estimate, q128's hot-key share):
     *
-    *   1. a side at or under `broadcastRows` whose estimated bytes
+    *   1. EITHER side at or under `broadcastRows` whose estimated bytes
     *      (rows × mean serialized width) fit `broadcastBytes` →
     *      `"broadcast"` (no shuffle at all — hot keys are irrelevant
     *      when nothing partitions by key; the bytes gate keeps a
-    *      row-count-small but WIDE side from OOMing the driver);
+    *      row-count-small but WIDE side from OOMing the driver, and a
+    *      wide-but-small side never vetoes broadcasting the other);
     *   2. else a side whose hottest key holds ≥ `hotSharePpm` of its
     *      rows → `"salted"` (that key would serialize one reducer;
     *      fan it over salt buckets sized to the observed share);
@@ -102,13 +113,13 @@ object SkewJoin {
     val est = Sketches.cmsJoinSize(left, leftKey, right, rightKey, d, w)
       .head().getLong(0)
     val hottest = math.max(ls.maxSharePpm, rs.maxSharePpm)
-    // the candidate broadcast side is the row-count-smaller one (the
-    // side autoJoin would replicate); division instead of rows × width
-    // so the bytes check can't overflow on a huge mis-called side
-    val small = if (ls.rows <= rs.rows) ls else rs
+    // EITHER side qualifying is enough — a row-count-smaller but WIDE
+    // side failing its bytes gate must not veto broadcasting the other,
+    // narrow side (review finding: that fell through to salted/plain
+    // and paid a shuffle a valid broadcast would have skipped)
     val strategy =
-      if (small.rows <= broadcastRows &&
-          small.avgRowBytes <= broadcastBytes / math.max(1L, small.rows))
+      if (broadcastEligible(ls, broadcastRows, broadcastBytes) ||
+          broadcastEligible(rs, broadcastRows, broadcastBytes))
         "broadcast"
       else if (hottest >= hotSharePpm) "salted"
       else "plain"
@@ -152,8 +163,19 @@ object SkewJoin {
       }
     val joined = choice.strategy match {
       case "broadcast" =>
-        if (choice.left.rows <= choice.right.rows)
-          broadcast(left).join(right, key) else left.join(broadcast(right), key)
+        // broadcast the side that actually passed the eligibility gates
+        // (not merely the row-count-smaller one); when both qualify,
+        // prefer the smaller estimated payload — products are bounded
+        // by the budget for eligible sides, so no overflow here
+        val lOk = broadcastEligible(choice.left, broadcastRows, broadcastBytes)
+        val rOk = broadcastEligible(choice.right, broadcastRows, broadcastBytes)
+        val bcastLeft =
+          if (lOk && rOk)
+            choice.left.rows * choice.left.avgRowBytes <=
+              choice.right.rows * choice.right.avgRowBytes
+          else lOk
+        if (bcastLeft) broadcast(left).join(right, key)
+        else left.join(broadcast(right), key)
       case "salted" =>
         if (choice.left.maxSharePpm >= choice.right.maxSharePpm)
           salted(left, right, key, rowDisambig(left), choice.buckets)

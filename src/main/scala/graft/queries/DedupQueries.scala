@@ -189,7 +189,13 @@ object DedupQueries {
     * signatures three ways in one statement.
     */
   private[queries] def minhashCandSql(nSeeds: Int = 16, rowsPerBand: Int = 4,
-      p: String = ""): String =
+      p: String = ""): String = {
+    // the band pool is the FIRST 16 permutations (the engine's
+    // `bandPool = 16 / rowsPerBand * rowsPerBand`); with nSeeds < 16 the
+    // bands CTE would group incomplete bands built from missing
+    // permutations and silently diverge from `Dedup.bandsOfWide`
+    require(nSeeds >= 16,
+      s"minhashCandSql: the house band pool takes the first 16 of nSeeds ($nSeeds) permutations")
     s"""${p}seeds AS (SELECT s,
        |                 CAST('0x' || substr(md5('mh_a_' || s), 1, 15) AS BIGINT) % 2147483646 + 1 AS pa,
        |                 CAST('0x' || substr(md5('mh_b_' || s), 1, 15) AS BIGINT) % 2147483647 AS pb
@@ -206,6 +212,7 @@ object DedupQueries {
        |${p}cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM ${p}fbands a JOIN ${p}fbands b
        |           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   private[queries] val MinhashCandSql: String = minhashCandSql(16)
 

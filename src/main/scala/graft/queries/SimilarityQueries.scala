@@ -44,6 +44,9 @@ object SimilarityQueries {
     * `Similarity.derivedBits` (smallest b ≥ floor with 2^b × occupancy
     * target ≥ n — the q45 pattern, where the IVF stride is recomputed
     * from the oracle's count), so the check stays honest at any SF.
+    * The UNION ALL 30 row mirrors the engine's `.getOrElse(30)` cap:
+    * past n = 2^30 × occupancy both sides settle on 30 bits instead of
+    * the oracle silently yielding an empty plane set.
     * Shared by q33/q54 (16 tables × floor 8) and q59 (16 × floor 12) so
     * the bucketing definition cannot drift between them. `p` prefixes
     * the CTE names for composition into oracles whose namespace is
@@ -51,9 +54,11 @@ object SimilarityQueries {
     */
   private[queries] def lshCandSql(tables: Int, bits: Int, p: String = ""): String =
     s"""${p}nb AS (
-      |  SELECT b FROM (SELECT unnest(generate_series($bits, 30)) AS b)
-      |  WHERE (1::BIGINT << b) * ${Similarity.LshTargetOccupancy}
-      |        >= (SELECT count(*) FROM v)
+      |  SELECT b FROM (
+      |    SELECT b FROM (SELECT unnest(generate_series($bits, 30)) AS b)
+      |    WHERE (1::BIGINT << b) * ${Similarity.LshTargetOccupancy}
+      |          >= (SELECT count(*) FROM v)
+      |    UNION ALL SELECT 30 AS b)
       |  ORDER BY b LIMIT 1),
       |${p}planes AS (
       |  SELECT t.t, p.p,

@@ -9,6 +9,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
+  test("static-conf guard: measurement harnesses die on a dropped codegen posture") {
+    // a pre-existing default session in the JVM silently drops the
+    // static codegen-cache conf; in a Bench/Verify/ScaleBench context
+    // that must THROW (the r9 incident: 26 false >2x readings), while
+    // interactive CLIs keep the warning
+    val ex = intercept[IllegalStateException] {
+      Graft.checkStaticConf("100", failHard = true)
+    }
+    assert(ex.getMessage.contains("codegen.cache.maxEntries"))
+    Graft.checkStaticConf("100", failHard = false) // warns, never throws
+    Graft.checkStaticConf(Graft.CodegenCacheEntries, failHard = true)
+    // and the test JVM's real session must itself pass the hard check
+    // (i.e. the posture actually landed here)
+    Graft.checkStaticConf(
+      TestSpark.spark.conf.get("spark.sql.codegen.cache.maxEntries"),
+      failHard = true)
+  }
+
   test("historyMedians: first queries object only, sf-filtered, >= 3 samples") {
     val f = java.nio.file.Files.createTempFile("bh", ".jsonl")
     val lines = Seq(

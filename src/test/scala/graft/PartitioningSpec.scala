@@ -81,6 +81,21 @@ class PartitioningSpec extends AnyFunSuite {
     assert(c5.strategy == "plain", s"wide side must not broadcast: $c5")
     assert(c5.right.avgRowBytes >= 1000L, s"width estimate too small: $c5")
 
+    // the converse: the row-count-SMALLER side is wide (fails its bytes
+    // gate) but the OTHER side is narrow and under both gates — the
+    // valid broadcast must be found there, not vetoed by the wide side
+    val narrowL = (1 to 40).map(i => (i.toLong, i.toLong)).toDF("k", "rid")
+    val c6 = SkewJoin.choose(narrowL, "k", wideDim, "k", bRows, hotPpm,
+      broadcastBytes = 5000L)
+    assert(c6.strategy == "broadcast", s"narrow other side must broadcast: $c6")
+    val expect6 = narrowL.join(wideDim, "k").select("k", "rid", "txt")
+      .orderBy("k", "rid").collect().toSeq
+    val (got6, ch6) = SkewJoin.autoJoin(narrowL, wideDim, "k", bRows, hotPpm,
+      broadcastBytes = 5000L)
+    assert(ch6.strategy == "broadcast", s"$ch6")
+    assert(got6.orderBy("k", "rid").collect().toSeq == expect6,
+      "autoJoin(broadcast-other-side) must equal the plain join")
+
     // the estimate never undercounts the true join size (CMS law)
     val truth = bigBalanced.join(balR, "k").count()
     assert(c3.estJoinRows >= truth, s"est ${c3.estJoinRows} < true $truth")
