@@ -6,18 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: treat image/audio/video payloads as
   * opaque `binary` columns with typed metadata, processed per partition.
   *
-  * The decode step is STUBBED — this container has no image/audio codecs
-  * — but everything Spark-side is real and tested: the binary column
-  * schema, the typed `mapPartitions` batch shape (one iterator per
-  * partition, so a real codec amortizes model/library init across the
-  * partition's rows), and deterministic feature output. To productionize,
-  * replace the body of [[fakeDecode]] with the actual codec call; nothing
-  * else changes.
+  * The image decode step is REAL: [[decodeImage]] runs the JDK's own
+  * `javax.imageio` codec (PNG/JPEG/BMP/GIF, pure JVM — no container
+  * deps) inside the per-partition pipeline and emits integer-exact
+  * features (width, height, 16-bucket luminance histogram) read from
+  * the RASTER samples — never `getRGB`, whose gray→sRGB color-space
+  * conversion would silently remap every pixel value. Audio/video
+  * codecs aren't in the JDK; those payloads use the codec-agnostic
+  * byte-level features ([[extractFeatures]]) until a decoder library
+  * is available — the per-partition shape is identical either way.
   *
-  * Scale posture: features are computed in one narrow pass (no shuffle);
-  * metadata extraction ([[blobMeta]]) is pure codegen'd expressions.
-  * Payload bytes never leave the executor — only fixed-width features
-  * and metadata flow downstream.
+  * Scale posture: generation, decode and feature extraction are all
+  * narrow per-partition passes (no shuffle); metadata extraction
+  * ([[blobMeta]]) is pure codegen'd expressions. Payload bytes never
+  * leave the executor — only fixed-width features and metadata flow
+  * downstream.
   */
 object Multimodal {
 
@@ -27,13 +30,23 @@ object Multimodal {
     */
   case class Blob(doc_id: Long, bytes: Array[Byte])
 
-  /** Fixed-width features per payload: byte count + 16-bucket histogram
-    * of high nibbles (the deterministic stand-in for decoded features).
+  /** Codec-agnostic byte-level features per payload: byte count +
+    * 16-bucket histogram of high nibbles — the magic-blind profile that
+    * works on ANY payload (including formats the JVM can't decode).
     */
   case class BlobFeatures(doc_id: Long, n_bytes: Long, histogram: Seq[Long])
 
+  /** Decoded-image features, all integer-exact: pixel dimensions plus a
+    * 16-bucket luminance histogram (`lum >> 4` of the BT.601 integer
+    * luma `(299·r + 587·g + 114·b) / 1000`; single-band images use the
+    * band directly, which the same formula reduces to exactly).
+    */
+  case class ImageFeatures(doc_id: Long, width: Long, height: Long,
+      lum_hist: Seq[Long])
+
   implicit private val blobEnc: Encoder[Blob] = Encoders.product[Blob]
   implicit private val featEnc: Encoder[BlobFeatures] = Encoders.product[BlobFeatures]
+  implicit private val imgEnc: Encoder[ImageFeatures] = Encoders.product[ImageFeatures]
 
   /** Documents → payload rows (text bytes as the opaque blob). */
   def blobs(docs: DataFrame): Dataset[Blob] =
@@ -85,26 +98,126 @@ object Multimodal {
     raw.select(col("doc_id"), col("content").as("bytes")).as[Blob]
   }
 
-  /** STUB of the real decoder: deterministic byte-histogram "features".
-    * A production build swaps this body for the codec (JPEG decode +
-    * resize, PCM frame extraction, ...) — the signature (bytes in,
-    * fixed-width features out) is the contract the pipeline depends on.
+  /** Codec-agnostic byte-level profile: deterministic high-nibble
+    * histogram. This is NOT a decode — it's the payload profile that
+    * stays available when no decoder exists for the format (the audio/
+    * video case in this deployment); image payloads get the real
+    * [[decodeImage]].
     */
-  private[graft] def fakeDecode(b: Blob): BlobFeatures = {
+  private[graft] def byteProfile(b: Blob): BlobFeatures = {
     val hist = new Array[Long](16)
     b.bytes.foreach(x => hist((x & 0xFF) >> 4) += 1)
     BlobFeatures(b.doc_id, b.bytes.length.toLong, hist.toSeq)
   }
 
-  /** Per-partition feature extraction over payload rows. `mapPartitions`
-    * (not per-row map) is deliberate: a real decoder initializes its
-    * library once per partition here, then streams the rows through.
+  /** Per-partition byte-level profiling over payload rows.
+    * `mapPartitions` (not per-row map) is deliberate: the decode
+    * pipelines amortize per-library init across the partition's rows,
+    * and this profile keeps the identical shape.
     */
   def extractFeatures(payload: Dataset[Blob]): Dataset[BlobFeatures] =
-    payload.mapPartitions { it =>
-      // (real codec init would happen here, once per partition)
-      it.map(fakeDecode)
+    payload.mapPartitions(_.map(byteProfile))
+
+  /** REAL image decode: `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF —
+    * the JDK's in-process codecs) → integer-exact [[ImageFeatures]].
+    * Reads RASTER band samples, not `getRGB`: `getRGB` converts a
+    * gray raster through the linear-gray→sRGB color space (128 gray
+    * becomes ~186), which would break sample-exactness; raw samples
+    * round-trip losslessly through PNG. Fails LOUDLY on undecodable
+    * bytes — a silently skipped payload would corrupt downstream
+    * dedup/join cardinalities.
+    */
+  private[graft] def decodeImage(b: Blob): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.bytes))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"decodeImage: payload ${b.doc_id} (${b.bytes.length} bytes) is not " +
+          "a JDK-decodable image (PNG/JPEG/BMP/GIF)")
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val (w, h) = (img.getWidth, img.getHeight)
+    val hist = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // BT.601 integer luma over the first 3 bands; 1-band (gray)
+        // and 2-band (gray+alpha) rasters use band 0, which the same
+        // weights reduce to exactly (299+587+114 = 1000)
+        val lum =
+          if (bands >= 3)
+            (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1)
+              + 114 * raster.getSample(x, y, 2)) / 1000
+          else raster.getSample(x, y, 0)
+        hist(lum >> 4) += 1
+        x += 1
+      }
+      y += 1
     }
+    ImageFeatures(b.doc_id, w.toLong, h.toLong, hist.toSeq)
+  }
+
+  /** Per-partition image decode over payload rows — the real codec in
+    * the [[extractFeatures]] shape: library setup once per partition,
+    * then the rows stream through the decoder.
+    */
+  def extractImageFeatures(payload: Dataset[Blob]): Dataset[ImageFeatures] =
+    payload.mapPartitions { it =>
+      // per-partition codec init: ImageIO's disk cache buffers every
+      // decode through a temp file by default — in-memory streams only,
+      // set once here, then the partition's rows stream through
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(decodeImage)
+    }
+
+  /** Deterministic synthetic-image formula, shared VERBATIM by the PNG
+    * generator and the q215 oracle's closed form: a doc's image is
+    * `width × height` gray with pixel (x, y) = `(doc_id·31 + x·7 + y·3)
+    * mod 256`, where `width = 16 + doc_id mod 17` and `height = 16 +
+    * doc_id mod 13`. Because the content is known in closed form, a
+    * SQL oracle with no image codec can compute the EXPECTED decoded
+    * features analytically — which turns the engine's real
+    * encode→decode round trip into a hash-gatable query (q215).
+    */
+  private[graft] def synthDims(docId: Long): (Int, Int) =
+    (16 + (docId % 17).toInt, 16 + (docId % 13).toInt)
+
+  private[graft] def synthPixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 3) % 256).toInt
+
+  /** Encode one synthetic grayscale PNG for `docId` — the JDK PNG
+    * encoder over a TYPE_BYTE_GRAY raster; PNG is lossless at 8-bit
+    * gray, so [[decodeImage]] recovers every sample exactly.
+    */
+  private[graft] def encodeSynthPng(docId: Long): Array[Byte] = {
+    val (w, h) = synthDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, synthPixel(docId, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Documents → one deterministic PNG payload per doc (the synthetic
+    * media corpus). Narrow per-partition generation — only doc_id is
+    * read, payload bytes are born and consumed on the executor.
+    */
+  def pngCorpus(docs: DataFrame): Dataset[Blob] =
+    docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => Blob(id, encodeSynthPng(id)))
+      }
 
   /** STUB of the media resize step (bytes → smaller bytes): deterministic
     * decimation to at most `targetBytes` by uniform stride sampling —

@@ -132,6 +132,27 @@ object TextQueries {
       Multimodal.blobMeta(Tables.load(spark, dir, "documents"))
         .orderBy("doc_id")),
 
+    // REAL image decode, hash-gated end to end: one deterministic PNG
+    // per doc (the `Multimodal.synthPixel` closed form), encoded and
+    // then DECODED by the JDK's own ImageIO codec on the executors,
+    // with the decoded dimensions + 16-bucket luminance histogram
+    // compared against the oracle's ANALYTIC rendering of the same
+    // formula. DuckDB has no image codec but needs none — the expected
+    // features are exact integer arithmetic, so any decode drift
+    // (dimensions, sample values, a colorspace remap) hash-mismatches.
+    // Zero-count buckets are dropped to mirror the oracle's GROUP BY,
+    // which only yields buckets that occur.
+    "q215_image_decode" -> ((spark, dir) => {
+      val feats = Multimodal.extractImageFeatures(
+        Multimodal.pngCorpus(Tables.load(spark, dir, "documents")))
+      feats.select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("lum_hist")).as(Seq("bucket", "n_px")))
+        .filter(col("n_px") > 0)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("bucket").cast("long").as("bucket"), col("n_px"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     "q42_dedup_keep" -> ((spark, dir) =>
       Dedup.nearDupEdges(Tables.load(spark, dir, "documents"))
         .groupBy(col("j"))
@@ -712,6 +733,27 @@ object TextQueries {
         |       substr(hx, 33, 8) || ':' || substr(hx, 65, 8) AS frame_sample
         |FROM h
         |ORDER BY doc_id""".stripMargin,
+
+    // the analytic twin of the engine's encode→decode round trip: pixel
+    // (x, y) of doc d is ((d·31 + x·7 + y·3) mod 256) gray at width
+    // 16 + d mod 17, height 16 + d mod 13 (Multimodal.synthPixel /
+    // synthDims verbatim); luminance of a gray sample is the sample, so
+    // the bucket histogram is a pure GROUP BY over the formula
+    "q215_image_decode" ->
+      """WITH xs AS (SELECT unnest(generate_series(0, 31)) AS x),
+        |     ys AS (SELECT unnest(generate_series(0, 27)) AS y),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         16 + (d.doc_id % 17) AS width,
+        |         16 + (d.doc_id % 13) AS height,
+        |         ((d.doc_id * 31 + xs.x * 7 + ys.y * 3) % 256) // 16 AS bucket
+        |  FROM documents d, xs, ys
+        |  WHERE xs.x < 16 + (d.doc_id % 17)
+        |    AND ys.y < 16 + (d.doc_id % 13))
+        |SELECT doc_id, width, height, bucket, count(*) AS n_px
+        |FROM px
+        |GROUP BY doc_id, width, height, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     "q42_dedup_keep" ->
       s"""WITH ${DedupQueries.ShinglesSql},

@@ -118,4 +118,30 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("duplicate"))
   }
+
+  test("binaryFile → real PNG decode: file-sourced payloads decode to the analytic features") {
+    import graft.operators.Multimodal
+    // actual .png files on disk, ingested executor-side through the
+    // binaryFile source and decoded by the REAL ImageIO codec — the
+    // full production path for an image corpus, end to end
+    val dir = new java.io.File(tmp("png_payloads")); dir.mkdirs()
+    dir.listFiles().foreach(_.delete())
+    val ids = Seq(5L, 21L, 300L)
+    ids.foreach { id =>
+      java.nio.file.Files.write(new java.io.File(dir, s"$id.png").toPath,
+        Multimodal.encodeSynthPng(id))
+    }
+    val feats = Multimodal.extractImageFeatures(
+        Multimodal.blobsFromFiles(spark, dir.getAbsolutePath))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.keySet == ids.toSet)
+    ids.foreach { id =>
+      val (w, h) = Multimodal.synthDims(id)
+      assert(feats(id).width == w && feats(id).height == h, s"file $id.png dims")
+      val want = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w)
+        want(Multimodal.synthPixel(id, x, y) >> 4) += 1
+      assert(feats(id).lum_hist == want.toSeq, s"file $id.png histogram")
+    }
+  }
 }

@@ -273,6 +273,52 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeImage: PNG encode→decode round trip matches the analytic formula exactly") {
+    // the q215 gate's engine half, checked doc by doc against an
+    // INDEPENDENT Scala rendering of the closed form (the oracle's SQL
+    // is the third rendering) — integer-exact, no tolerance
+    for (id <- Seq(0L, 1L, 42L, 499L, 123456789L)) {
+      val f = Multimodal.decodeImage(
+        Multimodal.Blob(id, Multimodal.encodeSynthPng(id)))
+      val (w, h) = Multimodal.synthDims(id)
+      assert(f.width == w && f.height == h, s"doc $id dims: $f")
+      val want = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w)
+        want(Multimodal.synthPixel(id, x, y) >> 4) += 1
+      assert(f.lum_hist == want.toSeq, s"doc $id histogram")
+      assert(f.lum_hist.sum == w.toLong * h, s"doc $id pixel conservation")
+    }
+  }
+
+  test("decodeImage: RGB raster uses integer BT.601 luma; undecodable bytes fail loudly") {
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // raster band order is (R, G, B) regardless of the BGR byte layout
+    img.getRaster.setPixel(0, 0, Array(200, 100, 50)) // luma 124 → bucket 7
+    img.getRaster.setPixel(1, 0, Array(255, 255, 255)) // luma 255 → bucket 15
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val f = Multimodal.decodeImage(Multimodal.Blob(7L, out.toByteArray))
+    assert(f.width == 2 && f.height == 1)
+    assert(f.lum_hist(7) == 1L && f.lum_hist(15) == 1L && f.lum_hist.sum == 2L, s"$f")
+    // non-image payloads must throw, not silently skip — a dropped row
+    // would corrupt downstream join/dedup cardinalities
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Multimodal.Blob(9L, "not an image".getBytes("UTF-8")))
+    }
+    assert(ex.getMessage.contains("not a JDK-decodable image"))
+  }
+
+  test("extractImageFeatures: decode-then-feature is partitioning-independent") {
+    val sample = docs.limit(40)
+    def run(parts: Int): Seq[(Long, Long, Long, Seq[Long])] =
+      Multimodal.extractImageFeatures(
+          Multimodal.pngCorpus(sample).repartition(parts))
+        .collect().map(f => (f.doc_id, f.width, f.height, f.lum_hist))
+        .sortBy(_._1).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("blobMeta content_md5 matches md5 over the text column") {
     val m = Multimodal.blobMeta(docs)
       .join(docs.select(col("doc_id"), md5(col("text")).as("want")), "doc_id")
