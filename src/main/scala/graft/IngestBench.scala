@@ -50,7 +50,10 @@ import org.apache.spark.sql.functions._
   * official bench). Probe points: every batch count in the sampled set,
   * plus `after_compact`.
   *
-  * Usage: `IngestBench <outPath> <sfDir> <numBatches>`
+  * Usage: `IngestBench <outPath> <sfDir> <numBatches>`; set
+  * `SPARK_GRAFT_INGEST_TIERS` (comma-separated tier names) to probe a
+  * subset — the scale (30×) record targets the heaviest state tiers
+  * rather than paying the full 10-tier sweep at every corpus size.
   */
 object IngestBench {
 
@@ -84,7 +87,22 @@ object IngestBench {
         byBatches.map { case (b, t) => "\"" + b + "\":" + num(t) }.mkString("{", ",", "}") +
         ",\"after_compact\":" + num(after) + "}"
 
+    // optional tier subset (comma-separated SPARK_GRAFT_INGEST_TIERS):
+    // a 30x corpus makes the full 10-tier sweep hours long — at scale
+    // the record targets the heaviest state tiers, not all of them
+    val KnownTiers = Seq("neardup", "ivf", "text", "bloom", "profile",
+      "budget", "valuehist", "centroids", "transitions", "hazard")
+    val only = sys.env.get("SPARK_GRAFT_INGEST_TIERS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { t =>
+      val unknown = t -- KnownTiers.toSet
+      require(unknown.isEmpty, s"unknown ingest tiers: ${unknown.mkString(",")}")
+    }
+    def on(name: String): Boolean = only.forall(_.contains(name))
+    val tierParts = scala.collection.mutable.ListBuffer[String]()
+
     // ——— near-dup tier ———
+    if (on("neardup")) {
     val ndState = s"$root/neardup"
     val ndPoints = (0 until nBatches).flatMap { i =>
       Streams.ingestNearDupBatch(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), ndState, i)
@@ -99,8 +117,11 @@ object IngestBench {
     val ndAfter = probeMin(spark, () => Dedup.incrementalNearDupEdgesIndexed(
       Streams.ingestIndex(spark, ndState).get, probeDocs))
     System.err.println(f"[ingestbench] neardup probe after compact: $ndAfter%.3f s")
+    tierParts += s""""neardup":${tierJson(ndPoints, ndAfter)}"""
+    }
 
     // ——— ivf tier ———
+    if (on("ivf")) {
     val ivfState = s"$root/ivf"
     val ivfPoints = (0 until nBatches).flatMap { i =>
       Streams.ingestIvfBatch(emb.filter(pmod(col("vec_id"), lit(nBatches)) === i), ivfState, i)
@@ -115,8 +136,11 @@ object IngestBench {
     val ivfAfter = probeMin(spark, () =>
       Similarity.ivfSearch(Streams.ingestIvfIndex(spark, ivfState).get, probeQs, k = 10))
     System.err.println(f"[ingestbench] ivf probe after compact: $ivfAfter%.3f s")
+    tierParts += s""""ivf":${tierJson(ivfPoints, ivfAfter)}"""
+    }
 
     // ——— text-index tier ———
+    if (on("text")) {
     val txState = s"$root/text"
     val txPoints = (0 until nBatches).flatMap { i =>
       Streams.ingestTextIndexBatch(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), txState, i)
@@ -131,8 +155,11 @@ object IngestBench {
     val txAfter = probeMin(spark, () =>
       TextIndex.bm25(Streams.ingestTextIndexRead(spark, txState).get, probeTerms))
     System.err.println(f"[ingestbench] text probe after compact: $txAfter%.3f s")
+    tierParts += s""""text":${tierJson(txPoints, txAfter)}"""
+    }
 
     // ——— bloom tier ———
+    if (on("bloom")) {
     val blState = s"$root/bloom"
     val blPoints = (0 until nBatches).flatMap { i =>
       Streams.ingestBloomBatch(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), blState, i)
@@ -147,9 +174,12 @@ object IngestBench {
     val blAfter = probeMin(spark, () =>
       Streams.ingestBloomProbe(spark, blState, probeDocs).get)
     System.err.println(f"[ingestbench] bloom probe after compact: $blAfter%.3f s")
+    tierParts += s""""bloom":${tierJson(blPoints, blAfter)}"""
+    }
 
     // ——— profile tier (no compact job: partials are O(columns) rows;
     // the flat read cost IS the claim this measures) ———
+    if (on("profile")) {
     val prState = s"$root/profile"
     val prPoints = (0 until nBatches).flatMap { i =>
       Streams.ingestProfileBatch(docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), prState, i)
@@ -161,9 +191,12 @@ object IngestBench {
       } else None
     }
     val prAfter = prPoints.last._2 // no compact: "after" = the final fold
+    tierParts += s""""profile":${tierJson(prPoints, prAfter)}"""
+    }
 
     // ——— budget tier (per-(source, split) integer doc/token partials;
     // the live face of the stored-manifest budget) ———
+    if (on("budget")) {
     val bgState = s"$root/budget"
     val bgPoints = (0 until nBatches).flatMap { i =>
       Streams.ingestBudgetBatch(
@@ -179,10 +212,14 @@ object IngestBench {
     val bgAfter = probeMin(spark, () =>
       Streams.ingestBudgetRead(spark, bgState).get)
     System.err.println(f"[ingestbench] budget fold after compact: $bgAfter%.3f s")
+    tierParts += s""""budget":${tierJson(bgPoints, bgAfter)}"""
+    }
+
+    lazy val events = Tables.load(spark, sfDir, "events")
 
     // ——— value-histogram tier (pure-mergeable partials at (grp, cents)
     // grain; the compact job folds N batch dirs into one base) ———
-    val events = Tables.load(spark, sfDir, "events")
+    if (on("valuehist")) {
     val vhState = s"$root/valuehist"
     val vhPoints = (0 until nBatches).flatMap { i =>
       Streams.ingestValueHistBatch(
@@ -199,9 +236,12 @@ object IngestBench {
     val vhAfter = probeMin(spark, () =>
       Streams.ingestRobustOutliers(spark, vhState).get)
     System.err.println(f"[ingestbench] valuehist fold after compact: $vhAfter%.3f s")
+    tierParts += s""""valuehist":${tierJson(vhPoints, vhAfter)}"""
+    }
 
     // ——— centroids tier (exact-integer mergeable at label grain; the
     // compact job stores merged SUMS so later deltas keep folding) ———
+    if (on("centroids")) {
     val ctState = s"$root/centroids"
     val ctPoints = (0 until nBatches).flatMap { i =>
       Streams.ingestCentroidsBatch(
@@ -217,10 +257,13 @@ object IngestBench {
     val ctAfter = probeMin(spark, () =>
       Streams.ingestCentroidsRead(spark, ctState).get)
     System.err.println(f"[ingestbench] centroids fold after compact: $ctAfter%.3f s")
+    tierParts += s""""centroids":${tierJson(ctPoints, ctAfter)}"""
+    }
 
     // ——— transitions tier (order-sensitive: CONTIGUOUS event-id
     // ranges, not pmod shards — id order is event-time order in this
     // corpus, and the tier's contract is per-user monotone batches) ———
+    if (on("transitions")) {
     val nEv = events.count()
     val trState = s"$root/transitions"
     val trPoints = (0 until nBatches).flatMap { i =>
@@ -240,10 +283,13 @@ object IngestBench {
     val trAfter = probeMin(spark, () =>
       Streams.ingestTransitionsRead(spark, trState).get)
     System.err.println(f"[ingestbench] transitions fold after compact: $trAfter%.3f s")
+    tierParts += s""""transitions":${tierJson(trPoints, trAfter)}"""
+    }
 
     // ——— hazard tier (order-independent mergeable like the profile
     // fold, but WITH a compact job: per-user candidate rows accumulate
     // 2/user/batch until compaction re-ranks them back to 2/user) ———
+    if (on("hazard")) {
     val hzState = s"$root/hazard"
     val hzPoints = (0 until nBatches).flatMap { i =>
       Streams.ingestHazardBatch(
@@ -259,19 +305,12 @@ object IngestBench {
     val hzAfter = probeMin(spark, () =>
       Streams.ingestHazardRead(spark, hzState).get)
     System.err.println(f"[ingestbench] hazard fold after compact: $hzAfter%.3f s")
+    tierParts += s""""hazard":${tierJson(hzPoints, hzAfter)}"""
+    }
 
     spark.stop()
     val line = s"""{"metric":"ingest_probe","unit":"sec","batches":$nBatches,"sf":"$sfDir","tiers":{""" +
-      s""""neardup":${tierJson(ndPoints, ndAfter)},""" +
-      s""""ivf":${tierJson(ivfPoints, ivfAfter)},""" +
-      s""""text":${tierJson(txPoints, txAfter)},""" +
-      s""""bloom":${tierJson(blPoints, blAfter)},""" +
-      s""""profile":${tierJson(prPoints, prAfter)},""" +
-      s""""budget":${tierJson(bgPoints, bgAfter)},""" +
-      s""""valuehist":${tierJson(vhPoints, vhAfter)},""" +
-      s""""centroids":${tierJson(ctPoints, ctAfter)},""" +
-      s""""transitions":${tierJson(trPoints, trAfter)},""" +
-      s""""hazard":${tierJson(hzPoints, hzAfter)}}}"""
+      tierParts.mkString(",") + "}}"
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, line + "\n")
