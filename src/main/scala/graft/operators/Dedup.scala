@@ -1110,15 +1110,21 @@ object Dedup {
     * verbatim spans, and the floor keeps incidental 3-gram collisions
     * out of the report.
     *
-    * Scale shape: the only non-linear step is the gram equi-join, and it
-    * is bounded by the stop-gram guard — grams occurring more than
-    * `maxPostings` times in the corpus are dropped FIRST (boilerplate
-    * n-grams; occurrence count, not doc count, so a pathological
-    * "word word word ..." doc cannot fan out against itself either), so
-    * per-gram pair work is <= maxPostings². Dropping a hot gram can
-    * split a run crossing it into two islands — at most it shortens
-    * reported runs through boilerplate, never invents one; the guard is
-    * mirrored in the q108 oracle so the gate checks the guarded path.
+    * Scale shape: the only non-linear step is the equi-join, and it is
+    * doubly bounded. The stop-gram guard drops grams occurring more
+    * than `maxPostings` times FIRST (boilerplate n-grams; occurrence
+    * count, not doc count, so a pathological "word word word ..." doc
+    * cannot fan out against itself either). Then detection joins at
+    * MINRUN-TOKEN super-gram grain ([[crossRunsOf]]) — a join row needs
+    * minRun consecutive shared tokens, not n, so the match volume
+    * tracks ANSWER volume instead of Σ postings² over every
+    * coincidentally-shared trigram (measured at the 30× ScaleGen
+    * corpus: 344.7M raw-gram matches vs ~answer-sized super-gram
+    * matches — the raw join OOM'd a single-JVM 100× run that the
+    * super-gram join completes). Dropping a hot gram can split a run
+    * crossing it into two islands — at most it shortens reported runs
+    * through boilerplate, never invents one; the guard is mirrored in
+    * the q108 oracle so the gate checks the guarded path.
     * The islands window partitions by (i, j, diagonal) — per-partition
     * size is bounded by the shorter doc's length, the same grain the
     * tokenizer already pays. All join/window traffic is 32-byte
@@ -1138,15 +1144,46 @@ object Dedup {
     * gram frame (doc_id, pos, gh) — the core of [[sharedRuns]], shared
     * with [[scrubRunsFixpoint]] so one round computes the gram state
     * once for all three span families.
+    *
+    * Detection runs at MINRUN-TOKEN grain, not n-gram grain: j =
+    * minRun − n + 1 consecutive kept grams fold into one "super-gram"
+    * whose key is the literal gh SEQUENCE (an array — no new hash
+    * surface), and the diagonal join matches super-grams. A maximal
+    * n-gram island of length m ≥ j corresponds 1:1 to a maximal
+    * super-gram island of length m − j + 1 at the same start (an
+    * n'-gram match at p IS n-gram matches at p..p+j−1), so the output
+    * is IDENTICAL to joining raw grams — run_tokens = count + (n+j−1)
+    * − 1 = m + n − 1, starts unchanged — while a junk match now needs
+    * minRun consecutive shared tokens instead of n. Measured at the
+    * 30× ScaleGen corpus (minRun 10): raw-gram matches 344.7M rows,
+    * super-gram matches track answer volume — the difference between
+    * an OOM at 100× in one JVM and a linear pass. Runs SHORTER than
+    * minRun produce no super-gram match, exactly as the old filter
+    * discarded them; islands that do form always satisfy the filter.
+    * Super-grams inherit the stop-gram cap structurally: every
+    * occurrence of a super-gram is an occurrence of each constituent
+    * kept gram, so its posting list is ≤ the cap with no second cap
+    * (and no oracle change — the oracle computes the same result the
+    * straightforward way, which is the point of the hash gate).
     */
   private def crossRunsOf(kept: DataFrame, n: Int, minRun: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // (i, pi) and (j, pj) each carry one gram, so (i, j, diag, pi) is
-    // unique and the islands row_number is deterministic without a
+    val j = (minRun - n + 1).toInt // callers require minRun >= n, so j >= 1
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // j consecutive KEPT positions → one super-gram; a hole (dropped
+    // stop-gram) or doc end yields lead ≠ pos + j − 1 and no row, which
+    // is exactly where raw-gram islands break too
+    val sup = kept
+      .withColumn("ghs", collect_list(col("gh")).over(byDoc.rowsBetween(0, j - 1)))
+      .withColumn("endp", lead(col("pos"), j - 1).over(byDoc))
+      .filter(col("endp") === col("pos") + (j - 1))
+      .select(col("doc_id"), col("pos"), col("ghs"))
+    // (i, pi) and (j, pj) each carry one super-gram, so (i, j, diag, pi)
+    // is unique and the islands row_number is deterministic without a
     // tie-break column.
-    val matches = kept.as("a")
-      .join(kept.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+    val matches = sup.as("a")
+      .join(sup.as("b"),
+        col("a.ghs") === col("b.ghs") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.pos").as("pi"), col("b.pos").as("pj"))
       .withColumn("diag", col("pi") - col("pj"))
@@ -1155,7 +1192,7 @@ object Dedup {
       .withColumn("island", col("pi") - row_number().over(island))
       .groupBy("i", "j", "diag", "island")
       .agg(min(col("pi")).as("start_i"), min(col("pj")).as("start_j"),
-        (count(lit(1)) + lit(n - 1).cast("long")).as("run_tokens"))
+        (count(lit(1)) + lit(n + j - 2).cast("long")).as("run_tokens"))
       .filter(col("run_tokens") >= minRun)
       .select(col("i"), col("j"), col("start_i"), col("start_j"),
         col("run_tokens"))
@@ -1265,14 +1302,26 @@ object Dedup {
 
   /** Within-doc diagonal run assembly over an already-guarded gram
     * frame — [[selfRuns]]' core, shared with [[scrubRunsFixpoint]].
+    * Detection runs at minRun-token super-gram grain exactly as in
+    * [[crossRunsOf]] (same 1:1 island correspondence, same structural
+    * cap inheritance — see that scaladoc); a periodic tandem repeat
+    * matches its own shifted super-gram sequence, so the
+    * primitive-tail contract is unchanged.
     */
   private def selfRunsOf(kept: DataFrame, n: Int, minRun: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val j = (minRun - n + 1).toInt // callers require minRun >= n
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val sup = kept
+      .withColumn("ghs", collect_list(col("gh")).over(byDoc.rowsBetween(0, j - 1)))
+      .withColumn("endp", lead(col("pos"), j - 1).over(byDoc))
+      .filter(col("endp") === col("pos") + (j - 1))
+      .select(col("doc_id"), col("pos"), col("ghs"))
     // within a (doc, diag) partition pi determines pj (pj = pi - diag),
     // so pi is unique and the islands row_number is deterministic.
-    val matches = kept.as("a")
-      .join(kept.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") === col("b.doc_id") &&
+    val matches = sup.as("a")
+      .join(sup.as("b"),
+        col("a.ghs") === col("b.ghs") && col("a.doc_id") === col("b.doc_id") &&
           col("a.pos") < col("b.pos"))
       .select(col("a.doc_id").as("doc_id"),
         col("a.pos").as("pi"), col("b.pos").as("pj"))
@@ -1282,7 +1331,7 @@ object Dedup {
       .withColumn("island", col("pi") - row_number().over(island))
       .groupBy("doc_id", "diag", "island")
       .agg(min(col("pi")).as("start_i"), min(col("pj")).as("start_j"),
-        (count(lit(1)) + lit(n - 1).cast("long")).as("run_tokens"))
+        (count(lit(1)) + lit(n + j - 2).cast("long")).as("run_tokens"))
       .filter(col("run_tokens") >= minRun)
       .select(col("doc_id"), col("start_i"), col("start_j"), col("run_tokens"))
   }

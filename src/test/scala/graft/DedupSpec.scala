@@ -636,6 +636,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got.count(t => t._1 == 1L && t._2 == 4L) == 2)
   }
 
+  test("sharedRuns == brute force on dense random small-vocab corpora (super-gram grain)") {
+    import spark.implicits._
+    // a 6-word vocabulary makes every trigram collide corpus-wide and
+    // seeds accidental runs at every length — the adversarial regime
+    // for the minRun-token super-gram detection (window assembly across
+    // repeated grams, multiple diagonals per pair, runs at exactly the
+    // threshold, runs one short of it)
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 14L).map { id =>
+      val len = 20 + rnd.nextInt(25)
+      id -> Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (minRun <- Seq(3, 6, 15)) { // 3 = degenerate j=1 (raw-gram path)
+      val got = Dedup.sharedRuns(docs.toDF("doc_id", "text"),
+          n = 3, minRun = minRun.toLong, maxPostings = 1000000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val want = bruteRuns(docs, minRun)
+      assert(got == want,
+        s"minRun=$minRun missed: ${want -- got}, spurious: ${got -- want}")
+    }
+  }
+
+  test("sharedRuns: a hot-gram hole splits a run; each side reports iff >= minRun") {
+    import spark.implicits._
+    // the shared 29-token run L1..L16 H1 H2 H3 R1..R10 carries ONE hot
+    // trigram (H1 H2 H3, pasted into 30 pad docs → occ 32 > cap 20);
+    // dropping it splits the gram islands at pos 16: left island grams
+    // 0..15 (18 tokens, reported), right island grams 17..26 (12
+    // tokens < minRun, dead) — the super-gram frame must break at the
+    // hole exactly like raw grams
+    val left = (1 to 16).map(k => s"L$k").mkString(" ")
+    val right = (1 to 10).map(k => s"R$k").mkString(" ")
+    val df = ((0 until 30).map(i => (10L + i, s"pad$i H1 H2 H3 wad$i")) ++ Seq(
+      (1L, s"$left H1 H2 H3 $right"),
+      (2L, s"$left H1 H2 H3 $right"))).toDF("doc_id", "text")
+    val got = Dedup.sharedRuns(df, n = 3, minRun = 15L, maxPostings = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 2L, 0L, 0L, 18L)),
+      s"left side must survive as exactly 18 tokens at pos 0, right side must die: $got")
+  }
+
   test("sharedRuns: stop-gram guard drops boilerplate-only runs, real runs survive it") {
     import spark.implicits._
     val boiler = (1 to 17).map(k => s"b$k").mkString(" ")

@@ -24,6 +24,39 @@ object Scratch {
       println(f"SHAREDRUNS cap=$cap dir=$dir times=${times.map(t => f"$t%.2f").mkString(" ")}")
       spark.stop(); return
     }
+    if (name == "runs_probe") {
+      // size the sharedRuns pipeline stages at SPARK_GRAFT_SF_DIR:
+      // Scratch runs_probe <minRun>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val minRun = args.lift(1).map(_.toLong).getOrElse(10L)
+      val n = 3
+      val w = (minRun - n + 1).toInt
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+      val ps = graft.operators.Dedup.positionalShingles(docs, n)
+      val occ = ps.groupBy("gh").agg(count(lit(1)).as("_occ"))
+      val rare = occ.filter(col("_occ") <= 1000L).select("gh")
+      val kept = ps.join(rare, "gh").cache()
+      println(s"PROBE kept=${kept.count()}")
+      val t0 = System.nanoTime()
+      val m = kept.as("a").join(kept.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id")).count()
+      println(f"PROBE matches=$m t=${(System.nanoTime()-t0)/1e9}%.1f s")
+      val amin = Window.partitionBy("doc_id").orderBy("pos").rangeBetween(0, w - 1)
+      val anchors = kept.withColumn("am", min(struct(col("gh"), col("pos"))).over(amin))
+        .select(col("doc_id"), col("am.gh").as("gh"), col("am.pos").as("pos")).distinct().cache()
+      println(s"PROBE anchors(w=$w)=${anchors.count()}")
+      val t1 = System.nanoTime()
+      val am = anchors.as("a").join(anchors.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          (col("a.pos") - col("b.pos")).as("diag"))
+      val amc = am.count()
+      val cd = am.distinct().count()
+      val cp = am.select("i", "j").distinct().count()
+      println(f"PROBE anchor_matches=$amc cand_diag=$cd cand_pairs=$cp t=${(System.nanoTime()-t1)/1e9}%.1f s")
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, dir)
     if (args.contains("explain")) df.explain("formatted")
     if (args.contains("bnlj")) {
