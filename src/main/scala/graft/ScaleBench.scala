@@ -145,7 +145,12 @@ object ScaleBench {
     // its work (3 band shapes / 4 minRun scans), q213 reads the stored
     // pipeline artifact (build cost is q203's; the read path is its
     // own), and q215's encode→decode is a linear per-partition codec
-    // pass whose cost is pixels, not pairs
+    // pass whose cost is pixels, not pairs. Measured r11
+    // (bench/scaling_r11_newq.json): q108 0.43, q211 0.73, q213 0.16,
+    // q215 0.67, q27 0.65 (scaling_r11_q27.json) — q210's 1.93 is its
+    // r=2 arm's DECLARED collision term (candidates 656k → 7.18M on
+    // the last decade, the band-shape evidence the curve exists to
+    // report; see SURVEY Q210)
     "q210_band_curve", "q211_minrun_curve", "q213_manifest_budget",
     "q215_image_decode")
 

@@ -58,6 +58,7 @@ object Scratch {
       spark.stop(); return
     }
     val df = SparkEntry.queries(name)(spark, dir)
+    if (args.contains("show")) { df.show(50, truncate = false); spark.stop(); return }
     if (args.contains("explain")) df.explain("formatted")
     if (args.contains("bnlj")) {
       df.collect()
