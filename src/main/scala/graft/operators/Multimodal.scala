@@ -219,13 +219,70 @@ object Multimodal {
         it.map(id => Blob(id, encodeSynthPng(id)))
       }
 
-  /** STUB of the media resize step (bytes → smaller bytes): deterministic
-    * decimation to at most `targetBytes` by uniform stride sampling —
-    * the stand-in for "decode, scale, re-encode". Runs inside the same
-    * per-partition pipeline as [[extractFeatures]], so a real codec
-    * shares its per-partition init. Output payloads are bounded, which
-    * is the property downstream stages (shuffles, feature batches)
-    * depend on at 100 TB.
+  /** REAL image resize: decode ([[decodeImage]]'s codec), resample to
+    * at most `maxDim` on the longer side by NEAREST-NEIGHBOR in exact
+    * integer arithmetic (target W = max(1, w·maxDim / max(w,h)) with
+    * integer division, source pixel of (x, y) = (x·w / W, y·h / H) —
+    * no float filter whose rounding could differ across platforms, and
+    * therefore a formula a SQL oracle can replay, which is how q216
+    * hash-gates this end to end), re-encode PNG. Images already within
+    * `maxDim` pass through BYTE-IDENTICAL (no decode/re-encode churn).
+    * Gray (and gray+alpha, alpha dropped) resample to 8-bit gray; RGB+
+    * to RGB. Per-partition codec init as in [[extractImageFeatures]];
+    * output payloads are bounded by maxDim², which is the property
+    * downstream stages (shuffles, feature batches) depend on at 100 TB.
+    */
+  def resizeImages(payload: Dataset[Blob], maxDim: Int): Dataset[Blob] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    payload.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.bytes))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"resizeImages: payload ${b.doc_id} (${b.bytes.length} bytes) is not " +
+              "a JDK-decodable image (PNG/JPEG/BMP/GIF)")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val m = math.max(w, h)
+        if (m <= maxDim) b
+        else {
+          val tw = math.max(1, w * maxDim / m)
+          val th = math.max(1, h * maxDim / m)
+          val src = img.getRaster
+          val outType =
+            if (src.getNumBands >= 3) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+            else java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          val out = new java.awt.image.BufferedImage(tw, th, outType)
+          val dst = out.getRaster
+          val nb = math.min(src.getNumBands, dst.getNumBands)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              var c = 0
+              while (c < nb) {
+                dst.setSample(x, y, c, src.getSample(x * w / tw, y * h / th, c))
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Blob(b.doc_id, bos.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** Codec-agnostic payload bounding (bytes → smaller bytes):
+    * deterministic decimation to at most `targetBytes` by uniform
+    * stride sampling — the fallback for payload FORMATS the JVM can't
+    * decode (audio/video here); image payloads get the real
+    * [[resizeImages]]. Runs inside the same per-partition pipeline as
+    * [[extractFeatures]]. Output payloads are bounded, which is the
+    * property downstream stages depend on at 100 TB.
     */
   def resize(payload: Dataset[Blob], targetBytes: Int): Dataset[Blob] =
     payload.mapPartitions { it =>

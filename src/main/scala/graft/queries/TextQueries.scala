@@ -153,6 +153,25 @@ object TextQueries {
         .orderBy("doc_id", "bucket")
     }),
 
+    // REAL image resize, hash-gated like q215: the synthetic PNGs are
+    // decoded, nearest-neighbor resampled to maxDim 16 in exact integer
+    // arithmetic, re-encoded, decoded AGAIN, and the decoded feature
+    // table is compared against the oracle's analytic rendering of the
+    // resampling formula (source pixel of (x, y) = (x·w0 // W,
+    // y·h0 // H)) — so the full decode→scale→encode→decode loop is
+    // inside the gate
+    "q216_image_resize" -> ((spark, dir) => {
+      val resized = Multimodal.resizeImages(
+        Multimodal.pngCorpus(Tables.load(spark, dir, "documents")), maxDim = 16)
+      Multimodal.extractImageFeatures(resized)
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("lum_hist")).as(Seq("bucket", "n_px")))
+        .filter(col("n_px") > 0)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("bucket").cast("long").as("bucket"), col("n_px"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     "q42_dedup_keep" -> ((spark, dir) =>
       Dedup.nearDupEdges(Tables.load(spark, dir, "documents"))
         .groupBy(col("j"))
@@ -750,6 +769,35 @@ object TextQueries {
         |  FROM documents d, xs, ys
         |  WHERE xs.x < 16 + (d.doc_id % 17)
         |    AND ys.y < 16 + (d.doc_id % 13))
+        |SELECT doc_id, width, height, bucket, count(*) AS n_px
+        |FROM px
+        |GROUP BY doc_id, width, height, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    // the analytic twin of decode→resize→encode→decode: target dims
+    // W = greatest(1, w0·16 // max(w0,h0)) (pass-through when already
+    // within 16 — the CASE arms), source pixel of (x, y) =
+    // (x·w0 // W, y·h0 // H), then the q215 pixel formula at the
+    // source coordinates; all integer division, so the engine's
+    // nearest-neighbor resample must match bit for bit
+    "q216_image_resize" ->
+      """WITH xs AS (SELECT unnest(generate_series(0, 15)) AS x),
+        |     ys AS (SELECT unnest(generate_series(0, 15)) AS y),
+        |dims AS (
+        |  SELECT doc_id, 16 + (doc_id % 17) AS w0, 16 + (doc_id % 13) AS h0,
+        |         greatest(16 + (doc_id % 17), 16 + (doc_id % 13)) AS m
+        |  FROM documents),
+        |tdims AS (
+        |  SELECT doc_id, w0, h0,
+        |         CASE WHEN m <= 16 THEN w0 ELSE greatest(1, w0 * 16 // m) END AS w,
+        |         CASE WHEN m <= 16 THEN h0 ELSE greatest(1, h0 * 16 // m) END AS h
+        |  FROM dims),
+        |px AS (
+        |  SELECT d.doc_id, d.w AS width, d.h AS height,
+        |         ((d.doc_id * 31 + (xs.x * d.w0 // d.w) * 7
+        |           + (ys.y * d.h0 // d.h) * 3) % 256) // 16 AS bucket
+        |  FROM tdims d, xs, ys
+        |  WHERE xs.x < d.w AND ys.y < d.h)
         |SELECT doc_id, width, height, bucket, count(*) AS n_px
         |FROM px
         |GROUP BY doc_id, width, height, bucket

@@ -309,6 +309,40 @@ class TextSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a JDK-decodable image"))
   }
 
+  test("resizeImages: within-bound pass-through is byte-identical, resample matches the formula") {
+    import spark.implicits._
+    // doc 0 is 16x16 (within maxDim 16): bytes must pass through
+    // untouched; doc 42 is 30x22: nearest-neighbor resample at exact
+    // integer arithmetic, checked against an independent Scala
+    // rendering of the formula (the oracle SQL is the third rendering)
+    val blobs = Seq(0L, 42L).map(id =>
+      Multimodal.Blob(id, Multimodal.encodeSynthPng(id))).toDS()
+    val out = Multimodal.resizeImages(blobs, maxDim = 16)
+      .collect().map(b => b.doc_id -> b.bytes).toMap
+    assert(java.util.Arrays.equals(out(0L), Multimodal.encodeSynthPng(0L)),
+      "within-bound image must pass through byte-identical")
+    val f42 = Multimodal.decodeImage(Multimodal.Blob(42L, out(42L)))
+    val (w0, h0) = Multimodal.synthDims(42L) // (30, 22)
+    val m = math.max(w0, h0)
+    val (tw, th) = (w0 * 16 / m, h0 * 16 / m)
+    assert(f42.width == tw && f42.height == th, s"dims: $f42")
+    val want = new Array[Long](16)
+    for (y <- 0 until th; x <- 0 until tw)
+      want(Multimodal.synthPixel(42L, x * w0 / tw, y * h0 / th) >> 4) += 1
+    assert(f42.lum_hist == want.toSeq, "resampled histogram must match the formula")
+    // RGB payloads stay 3-band through the resample
+    val img = new java.awt.image.BufferedImage(40, 10,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.getRaster.setPixel(39, 9, Array(200, 100, 50))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rgb = Multimodal.resizeImages(
+      Seq(Multimodal.Blob(7L, bos.toByteArray)).toDS(), maxDim = 16)
+      .collect().head
+    val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rgb.bytes))
+    assert(rimg.getWidth == 16 && rimg.getHeight == 4 && rimg.getRaster.getNumBands == 3)
+  }
+
   test("extractImageFeatures: decode-then-feature is partitioning-independent") {
     val sample = docs.limit(40)
     def run(parts: Int): Seq[(Long, Long, Long, Seq[Long])] =
