@@ -152,7 +152,11 @@ object ScaleBench {
     // the last decade, the band-shape evidence the curve exists to
     // report; see SURVEY Q210)
     "q210_band_curve", "q211_minrun_curve", "q213_manifest_budget",
-    "q215_image_decode")
+    "q215_image_decode",
+    // q216 is q215's codec pass plus the bounded-output resample —
+    // linear in pixels by the same argument (measured r11:
+    // bench/scaling_r11_q216.json)
+    "q216_image_resize")
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
