@@ -309,7 +309,15 @@ object IngestBench {
     }
 
     spark.stop()
-    val line = s"""{"metric":"ingest_probe","unit":"sec","batches":$nBatches,"sf":"$sfDir","tiers":{""" +
+    // record WHICH tiers ran: a SPARK_GRAFT_INGEST_TIERS subset sweep
+    // must be distinguishable from a full 10-tier sweep downstream
+    val subsetField = only match {
+      case Some(t) =>
+        val sel = KnownTiers.filter(t.contains)
+        s""""subset":true,"tiers_run":[${sel.map("\"" + _ + "\"").mkString(",")}],"""
+      case None => s""""subset":false,"""
+    }
+    val line = s"""{"metric":"ingest_probe","unit":"sec","batches":$nBatches,"sf":"$sfDir",$subsetField"tiers":{""" +
       tierParts.mkString(",") + "}}"
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -140,19 +140,26 @@ object ScaleBench {
     // round-10: q209 is one occurrence agg + a ≤60-bucket rollup,
     // q212 is the q39 linear scan rolled to lang grain
     "q209_posting_histogram", "q212_fertility", "q214_padding_curve",
-    // round-11: the house standard is MEASURED, not inherited — q210/
-    // q211 ride the q27/q108 machinery but their curve grids multiply
-    // its work (3 band shapes / 4 minRun scans), q213 reads the stored
-    // pipeline artifact (build cost is q203's; the read path is its
-    // own), and q215's encode→decode is a linear per-partition codec
-    // pass whose cost is pixels, not pairs. Measured r11
-    // (bench/scaling_r11_newq.json): q108 0.43, q211 0.73, q213 0.16,
-    // q215 0.67, q27 0.65 (scaling_r11_q27.json) — q210's 1.93 is its
-    // r=2 arm's DECLARED collision term (candidates 656k → 7.18M on
-    // the last decade, the band-shape evidence the curve exists to
-    // report; see SURVEY Q210)
-    "q210_band_curve", "q211_minrun_curve", "q213_manifest_budget",
+    // round-11: the house standard is MEASURED, not inherited — q211
+    // rides the q108 machinery but its curve grid multiplies its work
+    // (4 minRun scans), q213 reads the stored pipeline artifact (build
+    // cost is q203's; the read path is its own), and q215's
+    // encode→decode is a linear per-partition codec pass whose cost is
+    // pixels, not pairs. Measured r11 (bench/scaling_r11_newq.json):
+    // q108 0.43, q211 0.73, q213 0.16, q215 0.67, q27 0.65
+    // (scaling_r11_q27.json).
+    "q211_minrun_curve", "q213_manifest_budget",
     "q215_image_decode",
+    // round-12: the band-shape curve's suite entry is the SAMPLED
+    // rendering (derived-ppm hash sample targeting 250 docs — constant
+    // work at any corpus scale, exponent ~0 by construction). The
+    // full-corpus q210 was the suite's one super-linear member (1.93,
+    // 144 s at 100× — its r=2 arm's declared collision term,
+    // bench/scaling_r11_newq.json); it remains gated at sf0.01 and
+    // runnable as a small-corpus diagnostic, but its 100× row is
+    // retired in favor of the rendering an operator should actually
+    // run on a 100 TB corpus (VERDICT r11 ask #1).
+    "q217_band_curve_sampled",
     // q216 is q215's codec pass plus the bounded-output resample —
     // linear in pixels by the same argument (measured r11:
     // bench/scaling_r11_q216.json)

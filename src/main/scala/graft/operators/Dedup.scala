@@ -539,6 +539,84 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH band-shape sensitivity curve: for rowsPerBand ∈ {2, 4, 8} over
+    * the same 16 minhash permutations (bands = 16/r), the candidate
+    * volume, the verified ≥ `threshold` pair count, and the resulting
+    * precision — the measured evidence for choosing band shape (more
+    * rows/band = fewer, more precise candidates) instead of folklore.
+    * One shared shingle scan; each config is one band aggregation + the
+    * shared verify tail, all skew-capped exactly as the production path.
+    * ONE definition serves both the full-corpus rendering (q210) and
+    * the hash-sampled rendering ([[bandCurveSampled]], q217) so the two
+    * can never drift.
+    *
+    * SCALE POSTURE: the r=2 arm is the curve's reason to exist — 8
+    * two-row bands collide near-quadratically on a large corpus
+    * (measured: 1.93 exponent, 144 s at the 100× decade,
+    * bench/scaling_r11_newq.json), scattered across small buckets the
+    * skew cap cannot bind. Running THIS rendering on a full production
+    * corpus is therefore a scale bug; tune the knob with
+    * [[bandCurveSampled]], which bounds the corpus the curve sees.
+    */
+  def bandCurve(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.7): DataFrame =
+    bandCurveOfShingles(Ckpt.narrow(shingles(docs, n)), threshold)
+
+  private def bandCurveOfShingles(sh: DataFrame, threshold: Double): DataFrame =
+    Seq(2, 4, 8).map { r =>
+      val cand = minhashCandidates(sh, numHashes = 16, rowsPerBand = r)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(jaccardOfCandidates(sh, cand, threshold)
+          .agg(count(lit(1)).as("n_verified")))
+        .select(lit(r.toLong).as("rows_per_band"),
+          lit(16L / r).as("bands"), col("n_candidates"), col("n_verified"),
+          when(col("n_candidates") > 0,
+            expr("n_verified * 1000000 div n_candidates"))
+            .as("precision_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("rows_per_band")
+
+  /** [[bandCurve]] over a deterministic hash sample of the corpus — the
+    * scale-safe rendering of the band-shape tuning curve (VERDICT r11
+    * ask #1). Membership = salted 60-bit md5 of doc_id mod 10⁶ <
+    * derived ppm (the q56/q208 split-bucket contract: a doc's
+    * membership never changes as OTHER docs come and go, across engines
+    * and partitionings), with ppm DERIVED from the corpus count so the
+    * sample targets `targetDocs` documents at ANY corpus size — pure
+    * integer arithmetic (min(10⁶, targetDocs·10⁶ / n), one count()
+    * job, the [[Similarity.derivedBits]] precedent) that an oracle
+    * recomputes from its own count(*). The r=2 collision arm then runs
+    * on a BOUNDED subcorpus: cost is sized by `targetDocs`, not the
+    * corpus, so a 100 TB tuning probe stays constant-cost where the
+    * full-corpus curve was the suite's one super-linear entry.
+    *
+    * Statistical contract: precision_ppm is a ratio metric over a
+    * uniform doc sample — a valid, slightly noisier probe of the same
+    * band-shape ordering (candidate/verified COUNTS scale ~ppm²; the
+    * curve is read for its precision ORDERING, which sampling
+    * preserves in expectation). Agreement law: on any corpus with ≤
+    * `targetDocs` documents the derived ppm is 10⁶, the sample is the
+    * whole corpus, and the output EQUALS [[bandCurve]]'s — spec-pinned
+    * (DedupSpec), and exercised by the q217 gate at sf0.01 where the
+    * 500-doc corpus samples to ~250 docs against an oracle that
+    * reproduces the sample bit-for-bit.
+    */
+  def bandCurveSampled(docs: DataFrame, targetDocs: Long = 250L,
+      n: Int = 3, threshold: Double = 0.7,
+      salt: String = "band_curve"): DataFrame = {
+    require(targetDocs >= 1, s"targetDocs must be >= 1, got $targetDocs")
+    require(salt.nonEmpty && salt.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'),
+      s"salt must be non-empty [A-Za-z0-9_], got '$salt'")
+    val nDocs = docs.count()
+    require(nDocs > 0, "bandCurveSampled: empty corpus")
+    val ppm = math.min(1000000L, targetDocs * 1000000L / nDocs)
+    val sampled = docs.filter(
+      expr(h60(s"concat('${salt}_', cast(doc_id as string))"))
+        % 1000000L < ppm)
+    bandCurveOfShingles(Ckpt.narrow(shingles(sampled, n)), threshold)
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     * same-bucket candidates → exact Jaccard verification ≥ `threshold`.
     *
@@ -1127,8 +1205,10 @@ object Dedup {
     * the q108 oracle so the gate checks the guarded path.
     * The islands window partitions by (i, j, diagonal) — per-partition
     * size is bounded by the shorter doc's length, the same grain the
-    * tokenizer already pays. All join/window traffic is 32-byte
-    * (ids, positions) rows; text never leaves the initial scan.
+    * tokenizer already pays. Join/window traffic is (id, position)
+    * rows plus the j-element gh ARRAY each super-gram row carries
+    * (j = minRun − n + 1 — the array IS the join key); text never
+    * leaves the initial scan.
     */
   def sharedRuns(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
       maxPostings: Long = 1000L): DataFrame = {
@@ -1458,6 +1538,10 @@ object Dedup {
   def scrubRunsFixpoint(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
       maxPostings: Long = 1000L, maxIters: Int = 8): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    // crossRunsOf/selfRunsOf build a rowsBetween(0, j-1) super-gram
+    // frame with j = minRun - n + 1; minRun < n would make the frame
+    // bound negative — fail loudly here like sharedRuns/selfRuns do
+    require(minRun >= n, s"minRun must be >= n = $n, got $minRun")
     val spark = docs.sparkSession
     // one gram state per round, shared by all three families: the
     // positional shingling and the occurrence count are the round's
@@ -1548,6 +1632,7 @@ object Dedup {
   def scrubRunsFixed(docs: DataFrame, n: Int = 3, minRun: Long = 15L,
       maxPostings: Long = 1000L, rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(minRun >= n, s"minRun must be >= n = $n, got $minRun")
     def spansOf(cur: DataFrame): DataFrame = {
       val ps = Ckpt.narrow(positionalShingles(cur, n))
       val occ = Ckpt.narrow(ps.groupBy("gh").agg(count(lit(1)).as("_occ")))

@@ -123,9 +123,13 @@ object Multimodal {
     * Reads RASTER band samples, not `getRGB`: `getRGB` converts a
     * gray raster through the linear-gray→sRGB color space (128 gray
     * becomes ~186), which would break sample-exactness; raw samples
-    * round-trip losslessly through PNG. Fails LOUDLY on undecodable
-    * bytes — a silently skipped payload would corrupt downstream
-    * dedup/join cardinalities.
+    * round-trip losslessly through PNG. Palette formats (GIF, palette
+    * BMP/PNG) carry palette INDICES in the raster — those map through
+    * the `IndexColorModel` to their true RGB before the luma, so a
+    * gray-palette GIF of the same pixels decodes to the same features
+    * as the gray PNG (spec-pinned per format in SourcesSpec). Fails
+    * LOUDLY on undecodable bytes — a silently skipped payload would
+    * corrupt downstream dedup/join cardinalities.
     */
   private[graft] def decodeImage(b: Blob): ImageFeatures = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.bytes))
@@ -136,6 +140,26 @@ object Multimodal {
     val raster = img.getRaster
     val bands = raster.getNumBands
     val (w, h) = (img.getWidth, img.getHeight)
+    val palette = img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel => Some(icm)
+      case _ => None
+    }
+    // the JDK codecs also hand back >8-bit rasters (16-bit PNG):
+    // samples then reach 65535 and would index past the 16-bucket
+    // histogram. Normalize each read band to 8-bit by the standard
+    // high-byte shift (16-bit 0xFFFF -> 0xFF) so deep images take the
+    // same documented path instead of an ArrayIndexOutOfBounds.
+    // (Palette indices are never shifted — they're names, not values.)
+    val sm = raster.getSampleModel
+    val readBands = math.min(bands, 3)
+    val shifts = Array.tabulate(readBands) { i =>
+      val d = sm.getSampleSize(i)
+      if (d > 16)
+        throw new IllegalArgumentException(
+          s"decodeImage: payload ${b.doc_id} has a $d-bit band $i — " +
+            "only <=16-bit integer samples are supported")
+      math.max(0, d - 8)
+    }
     val hist = new Array[Long](16)
     var y = 0
     while (y < h) {
@@ -144,11 +168,18 @@ object Multimodal {
         // BT.601 integer luma over the first 3 bands; 1-band (gray)
         // and 2-band (gray+alpha) rasters use band 0, which the same
         // weights reduce to exactly (299+587+114 = 1000)
-        val lum =
-          if (bands >= 3)
-            (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1)
-              + 114 * raster.getSample(x, y, 2)) / 1000
-          else raster.getSample(x, y, 0)
+        val lum = palette match {
+          case Some(icm) =>
+            val idx = raster.getSample(x, y, 0)
+            (299 * icm.getRed(idx) + 587 * icm.getGreen(idx)
+              + 114 * icm.getBlue(idx)) / 1000
+          case None =>
+            if (bands >= 3)
+              (299 * (raster.getSample(x, y, 0) >> shifts(0))
+                + 587 * (raster.getSample(x, y, 1) >> shifts(1))
+                + 114 * (raster.getSample(x, y, 2) >> shifts(2))) / 1000
+            else raster.getSample(x, y, 0) >> shifts(0)
+        }
         hist(lum >> 4) += 1
         x += 1
       }
@@ -189,7 +220,19 @@ object Multimodal {
     * encoder over a TYPE_BYTE_GRAY raster; PNG is lossless at 8-bit
     * gray, so [[decodeImage]] recovers every sample exactly.
     */
-  private[graft] def encodeSynthPng(docId: Long): Array[Byte] = {
+  private[graft] def encodeSynthPng(docId: Long): Array[Byte] =
+    encodeSynthImage(docId, "png")
+
+  /** The synthetic gray image in any LOSSLESS JDK-writable format —
+    * PNG, BMP, or GIF (8-bit gray fits a 256-entry GIF palette, so all
+    * three round-trip the samples exactly and share the q215/q221
+    * analytic oracle). JPEG is deliberately NOT offered here: lossy
+    * output would silently break the hash gate; its decode coverage is
+    * the tolerance smoke in TextSpec.
+    */
+  private[graft] def encodeSynthImage(docId: Long, fmt: String): Array[Byte] = {
+    require(Set("png", "bmp", "gif")(fmt),
+      s"encodeSynthImage: lossless formats only (png/bmp/gif), got '$fmt'")
     val (w, h) = synthDims(docId)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -204,7 +247,8 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    if (!javax.imageio.ImageIO.write(img, fmt, out))
+      throw new IllegalStateException(s"no JDK writer for $fmt")
     out.toByteArray
   }
 
@@ -217,6 +261,21 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => Blob(id, encodeSynthPng(id)))
+      }
+
+  /** [[pngCorpus]] with the container format VARYING by doc —
+    * doc_id mod 3 picks PNG / BMP / GIF (all lossless for 8-bit gray,
+    * so the decoded features stay the q215 closed form regardless of
+    * container). This is the q221 corpus: a real image pipeline never
+    * sees one container, and the GIF third routes through the palette
+    * (IndexColorModel) decode path on every gated run.
+    */
+  def mixedCorpus(docs: DataFrame): Dataset[Blob] =
+    docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val fmts = Array("png", "bmp", "gif")
+        it.map(id => Blob(id, encodeSynthImage(id, fmts((id % 3).toInt))))
       }
 
   /** REAL image resize: decode ([[decodeImage]]'s codec), resample to
@@ -249,20 +308,51 @@ object Multimodal {
           val tw = math.max(1, w * maxDim / m)
           val th = math.max(1, h * maxDim / m)
           val src = img.getRaster
+          // palette sources (GIF, palette BMP/PNG) carry palette
+          // INDICES in their one raster band — resolve through the
+          // IndexColorModel to true RGB; copying indices into a gray
+          // raster would scramble the image (same trap as decodeImage)
+          val palette = img.getColorModel match {
+            case icm: java.awt.image.IndexColorModel => Some(icm)
+            case _ => None
+          }
           val outType =
-            if (src.getNumBands >= 3) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+            if (palette.isDefined || src.getNumBands >= 3)
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR
             else java.awt.image.BufferedImage.TYPE_BYTE_GRAY
           val out = new java.awt.image.BufferedImage(tw, th, outType)
           val dst = out.getRaster
           val nb = math.min(src.getNumBands, dst.getNumBands)
+          // >8-bit source bands (16-bit PNG) must be high-byte-shifted
+          // into the 8-bit output raster — setSample would otherwise
+          // keep the LOW bits and silently scramble the image
+          val sm = src.getSampleModel
+          val shifts = Array.tabulate(nb) { i =>
+            val d = sm.getSampleSize(i)
+            if (d > 16)
+              throw new IllegalArgumentException(
+                s"resizeImages: payload ${b.doc_id} has a $d-bit band $i — " +
+                  "only <=16-bit integer samples are supported")
+            math.max(0, d - 8)
+          }
           var y = 0
           while (y < th) {
             var x = 0
             while (x < tw) {
-              var c = 0
-              while (c < nb) {
-                dst.setSample(x, y, c, src.getSample(x * w / tw, y * h / th, c))
-                c += 1
+              palette match {
+                case Some(icm) =>
+                  val idx = src.getSample(x * w / tw, y * h / th, 0)
+                  // TYPE_3BYTE_BGR raster band order is R, G, B
+                  dst.setSample(x, y, 0, icm.getRed(idx))
+                  dst.setSample(x, y, 1, icm.getGreen(idx))
+                  dst.setSample(x, y, 2, icm.getBlue(idx))
+                case None =>
+                  var c = 0
+                  while (c < nb) {
+                    dst.setSample(x, y, c,
+                      src.getSample(x * w / tw, y * h / th, c) >> shifts(c))
+                    c += 1
+                  }
               }
               x += 1
             }

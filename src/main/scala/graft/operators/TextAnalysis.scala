@@ -573,7 +573,7 @@ object TextAnalysis {
     val fa = freq(oldDocs, "c_old")
     val fb = freq(newDocs, "c_new")
     val totals = fa.agg(coalesce(sum("c_old"), lit(0L)).as("t_old"))
-      .crossJoin(fb.agg(coalesce(sum("c_new"), lit(0L)).as("t_new")))
+      .crossJoin(broadcast(fb.agg(coalesce(sum("c_new"), lit(0L)).as("t_new"))))
     fa.join(fb, Seq("word"), "full_outer")
       .crossJoin(broadcast(totals))
       .select(col("word"),

@@ -149,6 +149,34 @@ object CurationQueries {
         .orderBy("source", "split")
     }),
 
+    // the STORED-ARTIFACT rendering of q105 (VERDICT r11 ask #4): the
+    // funnel rollup READS the pipeline job's persisted curation
+    // verdicts (the same artifact q203's manifest composes from)
+    // instead of re-running the whole quality → exact → near-dup chain
+    // inline — at 100 TB the dashboard query runs off yesterday's
+    // job output. Gated against q105's from-scratch oracle: the hash
+    // match is the stored ≡ recomputed law at funnel grain.
+    "q218_curation_funnel_stored" -> ((spark, dir) => {
+      val d = cachedIndexDir(pipeCache, dir, "graft_pipeline_") { out =>
+        graft.Pipeline.run(spark, dir, out); ()
+      }
+      spark.read.parquet(s"$d/curation")
+        .select("doc_id", "verdict")
+        .join(Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("verdict") === "low_quality", 1L).otherwise(0L))
+            .as("n_low_quality"),
+          sum(when(col("verdict") === "exact_dup", 1L).otherwise(0L))
+            .as("n_exact_dup"),
+          sum(when(col("verdict") === "near_dup", 1L).otherwise(0L))
+            .as("n_near_dup"))
+        .withColumn("kept_ppm", expr("(n_kept * 1000000L) div n_docs"))
+        .orderBy("source")
+    }),
+
     "q66_training_manifest" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val emb = Tables.load(spark, dir, "embeddings")
@@ -175,25 +203,10 @@ object CurationQueries {
     "q48_corpus_curation" -> FullCurationSql,
 
     // q48's verdict chain rolled up per source with exact-ppm kept rates
-    "q105_curation_funnel" ->
-      (s"WITH RECURSIVE\n$CurationChainCtes,\n" +
-        s"m AS (\n$VerdictSelect)\n" +
-        """SELECT dd.source,
-          |       CAST(count(*) AS BIGINT) AS n_docs,
-          |       CAST(sum(CASE WHEN m.verdict = 'kept' THEN 1 ELSE 0 END)
-          |            AS BIGINT) AS n_kept,
-          |       CAST(sum(CASE WHEN m.verdict = 'low_quality' THEN 1 ELSE 0 END)
-          |            AS BIGINT) AS n_low_quality,
-          |       CAST(sum(CASE WHEN m.verdict = 'exact_dup' THEN 1 ELSE 0 END)
-          |            AS BIGINT) AS n_exact_dup,
-          |       CAST(sum(CASE WHEN m.verdict = 'near_dup' THEN 1 ELSE 0 END)
-          |            AS BIGINT) AS n_near_dup,
-          |       (CAST(sum(CASE WHEN m.verdict = 'kept' THEN 1 ELSE 0 END)
-          |             AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
-          |         AS kept_ppm
-          |FROM m JOIN documents dd ON m.doc_id = dd.doc_id
-          |GROUP BY dd.source
-          |ORDER BY dd.source""".stripMargin),
+    "q105_curation_funnel" -> FunnelSql,
+    // the stored-artifact funnel answers to the same from-scratch
+    // oracle — stored ≡ recomputed, driver-enforced
+    "q218_curation_funnel_stored" -> FunnelSql,
     "q64_incremental_curation" -> FullCurationSql,
     "q71_incremental_curation_indexed" -> FullCurationSql,
     "q74_dataset_diff" -> DatasetDiffSql,
@@ -341,6 +354,30 @@ object CurationQueries {
 
   private lazy val FullCurationSql: String =
     s"WITH RECURSIVE\n$CurationChainCtes\n$VerdictSelect\nORDER BY d.doc_id"
+
+  /** q105/q218: the verdict chain rolled up per source with exact-ppm
+    * kept rates — ONE oracle rendering for the inline composition and
+    * the stored-artifact read so the two gates cannot drift.
+    */
+  private lazy val FunnelSql: String =
+    s"WITH RECURSIVE\n$CurationChainCtes,\n" +
+      s"m AS (\n$VerdictSelect)\n" +
+      """SELECT dd.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN m.verdict = 'kept' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN m.verdict = 'low_quality' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_low_quality,
+        |       CAST(sum(CASE WHEN m.verdict = 'exact_dup' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_exact_dup,
+        |       CAST(sum(CASE WHEN m.verdict = 'near_dup' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_near_dup,
+        |       (CAST(sum(CASE WHEN m.verdict = 'kept' THEN 1 ELSE 0 END)
+        |             AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |         AS kept_ppm
+        |FROM m JOIN documents dd ON m.doc_id = dd.doc_id
+        |GROUP BY dd.source
+        |ORDER BY dd.source""".stripMargin
 
   /** q66: the curation chain + the strict semantic chain (prefixed `s`,
     * q59's 16×12 config at cos ≥ 0.9) + the q56 split buckets + token

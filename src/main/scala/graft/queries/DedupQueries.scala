@@ -188,7 +188,7 @@ object DedupQueries {
     * CTE name (NOT `sh`, which is shared) so q210 can band the same
     * signatures three ways in one statement.
     */
-  private[queries] def minhashCandSql(nSeeds: Int = 16, rowsPerBand: Int = 4,
+  private[graft] def minhashCandSql(nSeeds: Int = 16, rowsPerBand: Int = 4,
       p: String = ""): String = {
     // the band pool is the FIRST 16 permutations (the engine's
     // `bandPool = 16 / rowsPerBand * rowsPerBand`); with nSeeds < 16 the
@@ -352,28 +352,19 @@ object DedupQueries {
         .orderBy("bucket")),
 
     // LSH band-shape sensitivity curve — the q207 companion on the
-    // OTHER dedup knob: for rowsPerBand in {2, 4, 8} over the same 16
-    // minhash permutations (bands = 16/r), the candidate volume, the
-    // verified >= 0.7 pair count, and the resulting precision — the
-    // measured evidence for choosing band shape (more rows/band =
-    // fewer, more precise candidates) instead of folklore. One shared
-    // shingle scan; each config is one band aggregation + the shared
-    // verify tail, all skew-capped exactly as q27
-    "q210_band_curve" -> ((spark, dir) => {
-      val sh = graft.operators.Ckpt.narrow(
-        Dedup.shingles(Tables.load(spark, dir, "documents"), 3))
-      Seq(2, 4, 8).map { r =>
-        val cand = Dedup.minhashCandidates(sh, numHashes = 16, rowsPerBand = r)
-        cand.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(Dedup.jaccardOfCandidates(sh, cand, 0.7)
-            .agg(count(lit(1)).as("n_verified")))
-          .select(lit(r.toLong).as("rows_per_band"),
-            lit(16L / r).as("bands"), col("n_candidates"), col("n_verified"),
-            when(col("n_candidates") > 0,
-              expr("n_verified * 1000000 div n_candidates"))
-              .as("precision_ppm"))
-      }.reduce(_.unionByName(_)).orderBy("rows_per_band")
-    }),
+    // OTHER dedup knob (see Dedup.bandCurve for the shape and the
+    // scale caveat on its r=2 arm: full-corpus rendering is a
+    // DIAGNOSTIC; production tuning runs the sampled q217)
+    "q210_band_curve" -> ((spark, dir) =>
+      Dedup.bandCurve(Tables.load(spark, dir, "documents"))),
+
+    // the scale-safe band-shape curve: same statement over the
+    // deterministic hash-bucket sample targeting 250 docs (derived ppm
+    // = min(10^6, 250*10^6 / count) — at sf0.01's 500 docs the oracle
+    // and engine both sample ~half; at a 100x corpus the curve sees
+    // ~250 docs and the r=2 collision arm stays constant-cost)
+    "q217_band_curve_sampled" -> ((spark, dir) =>
+      Dedup.bandCurveSampled(Tables.load(spark, dir, "documents"))),
 
     // minRun sensitivity curve — the third dedup-knob curve beside
     // q207 (jaccard threshold) and q210 (band shape): ONE guarded
@@ -652,7 +643,44 @@ object DedupQueries {
           (coalesce(col("kept"), lit(1L)) === 0).cast("bigint").as("sem_dup"))
         .groupBy("lex_dup", "sem_dup").agg(count(lit(1)).as("n_docs"))
         .orderBy("lex_dup", "sem_dup")
+    }),
+
+    // the STORED-ARTIFACT rendering of q86 (VERDICT r11 ask #4): the
+    // agreement table READS yesterday's persisted near-dup edge list
+    // and semantic keeper assignment instead of re-running both chains
+    // inline — the contingency report is a cheap join over two narrow
+    // artifacts, which is how it runs at 100 TB. Gated against q86's
+    // from-scratch oracle: stored ≡ recomputed, driver-enforced.
+    "q219_dedup_agreement_stored" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, count, lit}
+      val docs = Tables.load(spark, dir, "documents")
+      val lex = Components
+        .connected(spark.read.parquet(s"${corpusEdgesDir(spark, dir)}/edges"))
+        .withColumnRenamed("node", "doc_id")
+      val sem = spark.read.parquet(s"${semAssignDir(spark, dir)}/semantic04")
+      docs.select("doc_id")
+        .join(lex, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(
+          (coalesce(col("component"), col("doc_id")) =!= col("doc_id"))
+            .cast("bigint").as("lex_dup"),
+          (coalesce(col("kept"), lit(1L)) === 0).cast("bigint").as("sem_dup"))
+        .groupBy("lex_dup", "sem_dup").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lex_dup", "sem_dup")
     }))
+
+  /** "Yesterday's semantic job" for q219: persist the q86-config
+    * SemDeDup keeper assignment once per sf-dir per JVM.
+    */
+  private val semCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def semAssignDir(spark: SparkSession, dir: String): String =
+    cachedIndexDir(semCache, dir, "graft_sem04_") { d =>
+      graft.operators.Similarity
+        .semanticDedup(Tables.load(spark, dir, "embeddings"),
+          threshold = 0.4, tables = 16, bits = 8, dim = 64)
+        .select(col("vec_id").as("doc_id"), col("kept"))
+        .write.mode("overwrite").parquet(s"$d/semantic04")
+    }
 
   /** "Yesterday's job" for q70: write the below-the-cut corpus' near-dup
     * index to a temp dir, once per sf-dir per JVM.
@@ -760,6 +788,42 @@ object DedupQueries {
     // only variable, exactly as the engine's bandPool scheme
     "q210_band_curve" ->
       s"""WITH $ShinglesSql,
+         |${minhashCandSql(16, 2, "r2")},
+         |${minhashCandSql(16, 4, "r4")},
+         |${minhashCandSql(16, 8, "r8")},
+         |$JaccardSql,
+         |curve AS (
+         |  SELECT CAST(2 AS BIGINT) AS rows_per_band, CAST(8 AS BIGINT) AS bands,
+         |         (SELECT count(*) FROM r2cand) AS n_candidates,
+         |         (SELECT count(*) FROM r2cand JOIN jac USING (i, j)
+         |          WHERE jaccard >= 0.7) AS n_verified
+         |  UNION ALL
+         |  SELECT CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+         |         (SELECT count(*) FROM r4cand),
+         |         (SELECT count(*) FROM r4cand JOIN jac USING (i, j)
+         |          WHERE jaccard >= 0.7)
+         |  UNION ALL
+         |  SELECT CAST(8 AS BIGINT), CAST(2 AS BIGINT),
+         |         (SELECT count(*) FROM r8cand),
+         |         (SELECT count(*) FROM r8cand JOIN jac USING (i, j)
+         |          WHERE jaccard >= 0.7))
+         |SELECT rows_per_band, bands, n_candidates, n_verified,
+         |       CASE WHEN n_candidates > 0
+         |            THEN n_verified * 1000000 // n_candidates END AS precision_ppm
+         |FROM curve ORDER BY rows_per_band""".stripMargin,
+
+    // q210's statement over the hash-bucket sample: the salted md5 mod
+    // 10^6 membership with ppm DERIVED from count(*) (min(10^6,
+    // 250*10^6 // n) — integer floor both sides) is the engine's exact
+    // filter, so the oracle reproduces the sample bit-for-bit before
+    // the identical banded curve
+    "q217_band_curve_sampled" ->
+      s"""WITH sdocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE CAST('0x' || substr(md5('band_curve_' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |             AS BIGINT) % 1000000
+         |        < least(1000000, 250 * 1000000 // (SELECT count(*) FROM documents))),
+         |${shinglesSql("sdocs")},
          |${minhashCandSql(16, 2, "r2")},
          |${minhashCandSql(16, 4, "r4")},
          |${minhashCandSql(16, 8, "r8")},
@@ -1159,7 +1223,15 @@ object DedupQueries {
 
     // both family chains verbatim (q47's lexical closure, q54's weak
     // semantic chain prefixed `s`), joined into the contingency table
-    "q86_dedup_agreement" ->
+    "q86_dedup_agreement" -> DedupAgreementSql,
+    // the stored-artifact agreement answers to the same from-scratch
+    // oracle — stored ≡ recomputed, driver-enforced
+    "q219_dedup_agreement_stored" -> DedupAgreementSql)
+
+  /** q86/q219: both dedup families from scratch, contingency-rolled —
+    * one oracle rendering for the inline and stored gates.
+    */
+  private lazy val DedupAgreementSql: String =
       s"""WITH RECURSIVE $ShinglesSql,
          |$NearDupPairsSql,
          |${closureSql("pairs")},
@@ -1186,5 +1258,5 @@ object DedupQueries {
          |       count(*) AS n_docs
          |FROM verdicts
          |GROUP BY lex_dup, sem_dup
-         |ORDER BY lex_dup, sem_dup""".stripMargin)
+         |ORDER BY lex_dup, sem_dup""".stripMargin
 }

@@ -153,6 +153,22 @@ object TextQueries {
         .orderBy("doc_id", "bucket")
     }),
 
+    // q215 over the MIXED-container corpus (doc_id mod 3 → PNG / BMP /
+    // GIF — all lossless for 8-bit gray): the same analytic oracle
+    // gates all three JDK codecs, including the GIF palette
+    // (IndexColorModel) path, in one query — a real image pipeline
+    // never sees a single container format
+    "q221_image_decode_mixed" -> ((spark, dir) => {
+      val feats = Multimodal.extractImageFeatures(
+        Multimodal.mixedCorpus(Tables.load(spark, dir, "documents")))
+      feats.select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("lum_hist")).as(Seq("bucket", "n_px")))
+        .filter(col("n_px") > 0)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("bucket").cast("long").as("bucket"), col("n_px"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // REAL image resize, hash-gated like q215: the synthetic PNGs are
     // decoded, nearest-neighbor resampled to maxDim 16 in exact integer
     // arithmetic, re-encoded, decoded AGAIN, and the decoded feature
@@ -317,6 +333,49 @@ object TextQueries {
           .as("n_match"))
       val dsrc = docs.select(col("doc_id"), col("source"))
         .join(Dedup.nearDupEdges(docs)
+          .select(col("j").as("doc_id")).distinct(), Seq("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n_dropped"))
+      rich
+        .join(zipf, Seq("source"), "left")
+        .join(cls, Seq("source"), "left")
+        .join(ks, Seq("source"), "left")
+        .join(pur, Seq("source"), "left")
+        .join(dsrc, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("ttr_ppm"), col("hapax_ppm"), col("top10_ppm"),
+          col("alpha_ppm"), col("other_ppm"), col("ks_ppm"),
+          expr("(coalesce(n_match, 0) * 1000000) div n_docs")
+            .as("lang_match_ppm"),
+          expr("(coalesce(n_dropped, 0) * 1000000) div n_docs")
+            .as("dup_drop_ppm"))
+        .orderBy("source")
+    }),
+
+    // the STORED-ARTIFACT rendering of q188 (VERDICT r11 ask #4): the
+    // datasheet's one non-linear input — the near-dup edge relation —
+    // is READ from yesterday's persisted dedup job instead of
+    // re-running the shingle → MinHash → verify chain inline; the
+    // per-source linear tiers recompute as before (one scan each). At
+    // 100 TB the mixture owner's report consumes the dedup job's
+    // output, it doesn't re-run the job. Gated against q188's
+    // from-scratch oracle: stored ≡ recomputed, driver-enforced.
+    "q220_source_datasheet_stored" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val rich = TextAnalysis.lexicalRichness(docs)
+        .select("source", "n_docs", "n_tokens", "ttr_ppm", "hapax_ppm")
+      val zipf = TextAnalysis.zipfProfile(docs)
+        .select(col("source"), col("top10_ppm"))
+      val cls = TextAnalysis.charClassProfile(docs)
+        .select(col("source"), col("alpha_ppm"), col("other_ppm"))
+      val ks = TextAnalysis.lengthKsDrift(docs)
+        .select(col("source"), col("d_ppm").as("ks_ppm"))
+      val pur = TextAnalysis.languageId(docs, k = 200)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+          .as("n_match"))
+      val dsrc = docs.select(col("doc_id"), col("source"))
+        .join(spark.read.parquet(s"${corpusEdgesDir(spark, dir)}/edges")
           .select(col("j").as("doc_id")).distinct(), Seq("doc_id"))
         .groupBy("source").agg(count(lit(1)).as("n_dropped"))
       rich
@@ -557,104 +616,11 @@ object TextQueries {
     // ShinglesSql's `ws` doubles as the token list, NearDupPairsSql
     // yields the drop set, LangPredSql the predictions; the per-source
     // arithmetic repeats q163/q164/q173/q174/q182 verbatim
-    "q188_source_datasheet" ->
-      s"""WITH ${DedupQueries.ShinglesSql},
-         |${DedupQueries.NearDupPairsSql},
-         |$LangPredSql,
-         |dtok AS (SELECT source, unnest(w) AS word
-         |         FROM ws JOIN documents d USING (doc_id)),
-         |dty AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
-         |        FROM dtok GROUP BY 1, 2),
-         |rich AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |           CAST(count(*) AS BIGINT) AS n_types,
-         |           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |             AS hapax
-         |         FROM dty GROUP BY 1),
-         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-         |       FROM documents GROUP BY 1),
-         |zrk AS (SELECT source, c,
-         |          CAST(row_number() OVER (PARTITION BY source
-         |            ORDER BY c DESC, word) AS BIGINT) AS rank
-         |        FROM dty),
-         |zp AS (SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
-         |         CAST(sum(CASE WHEN rank <= 10 THEN c ELSE 0 END)
-         |              AS BIGINT) AS top10
-         |       FROM zrk GROUP BY 1),
-         |kcls AS (SELECT source, CAST(length(text) AS BIGINT) AS n,
-         |           CAST(length(text) - length(regexp_replace(text,
-         |                '[a-zA-Z]', '', 'g')) AS BIGINT) AS al,
-         |           CAST(length(text) - length(regexp_replace(text,
-         |                '[0-9]', '', 'g')) AS BIGINT) AS dg,
-         |           CAST(length(text) - length(regexp_replace(text,
-         |                '\\s', '', 'g')) AS BIGINT) AS sp
-         |         FROM documents),
-         |cagg AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
-         |           CAST(sum(al) AS BIGINT) AS a,
-         |           CAST(sum(dg) AS BIGINT) AS dgt,
-         |           CAST(sum(sp) AS BIGINT) AS s
-         |         FROM kcls GROUP BY 1),
-         |kb AS (SELECT source, n_chars // 64 AS bucket,
-         |         CAST(count(*) AS BIGINT) AS c
-         |       FROM documents GROUP BY 1, 2),
-         |kcorp AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS call
-         |          FROM kb GROUP BY 1),
-         |kcc AS (SELECT bucket,
-         |          CAST(sum(call) OVER (ORDER BY bucket) AS BIGINT) AS cuma
-         |        FROM kcorp),
-         |kns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM kb
-         |        GROUP BY 1),
-         |knt AS (SELECT CAST(sum(c) AS BIGINT) AS na FROM kb),
-         |kax AS (SELECT s.source, k.bucket
-         |        FROM (SELECT DISTINCT source FROM kb) s
-         |        CROSS JOIN (SELECT bucket FROM kcorp) k),
-         |kcum AS (SELECT a.source, a.bucket,
-         |           CAST(sum(coalesce(kb.c, 0)) OVER (PARTITION BY a.source
-         |             ORDER BY a.bucket) AS BIGINT) AS cums
-         |         FROM kax a LEFT JOIN kb
-         |           ON a.source = kb.source AND a.bucket = kb.bucket),
-         |kgap AS (SELECT c.source,
-         |           abs((c.cums * 1000000) // kns.ns
-         |               - (kcc.cuma * 1000000) // knt.na) AS gap
-         |         FROM kcum c JOIN kcc ON c.bucket = kcc.bucket
-         |                     JOIN kns ON c.source = kns.source
-         |                     CROSS JOIN knt),
-         |kks AS (SELECT source, max(gap) AS ks_ppm FROM kgap GROUP BY 1),
-         |pur AS (SELECT d.source,
-         |          CAST(sum(CASE WHEN coalesce(p.plang, 'unknown') = d.lang
-         |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-         |        FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
-         |        GROUP BY 1),
-         |drops AS (SELECT DISTINCT j AS doc_id FROM pairs),
-         |dsrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_dropped
-         |         FROM documents d JOIN drops ON d.doc_id = drops.doc_id
-         |         GROUP BY 1)
-         |SELECT nd.source, nd.n_docs,
-         |       coalesce(rich.n_tokens, 0) AS n_tokens,
-         |       CASE WHEN coalesce(rich.n_tokens, 0) > 0
-         |            THEN (rich.n_types * 1000000) // rich.n_tokens END
-         |         AS ttr_ppm,
-         |       CASE WHEN coalesce(rich.n_types, 0) > 0
-         |            THEN (rich.hapax * 1000000) // rich.n_types END
-         |         AS hapax_ppm,
-         |       (zp.top10 * 1000000) // zp.total_tokens AS top10_ppm,
-         |       CASE WHEN cagg.n_chars > 0
-         |            THEN (cagg.a * 1000000) // cagg.n_chars END
-         |         AS alpha_ppm,
-         |       CASE WHEN cagg.n_chars > 0
-         |            THEN ((cagg.n_chars - cagg.a - cagg.dgt - cagg.s)
-         |                  * 1000000) // cagg.n_chars END AS other_ppm,
-         |       kks.ks_ppm,
-         |       (coalesce(pur.n_match, 0) * 1000000) // nd.n_docs
-         |         AS lang_match_ppm,
-         |       (coalesce(dsrc.n_dropped, 0) * 1000000) // nd.n_docs
-         |         AS dup_drop_ppm
-         |FROM nd LEFT JOIN rich ON nd.source = rich.source
-         |        LEFT JOIN zp ON nd.source = zp.source
-         |        LEFT JOIN cagg ON nd.source = cagg.source
-         |        LEFT JOIN kks ON nd.source = kks.source
-         |        LEFT JOIN pur ON nd.source = pur.source
-         |        LEFT JOIN dsrc ON nd.source = dsrc.source
-         |ORDER BY nd.source""".stripMargin,
+    "q188_source_datasheet" -> SourceDatasheetSql,
+    // the stored-edges datasheet answers to the same from-scratch
+    // oracle — stored ≡ recomputed, driver-enforced
+    "q220_source_datasheet_stored" -> SourceDatasheetSql,
+
 
     // q47's closure + a source-distinct rollup — the same shared CTEs
     "q184_dup_cluster_sources" ->
@@ -753,26 +719,10 @@ object TextQueries {
         |FROM h
         |ORDER BY doc_id""".stripMargin,
 
-    // the analytic twin of the engine's encode→decode round trip: pixel
-    // (x, y) of doc d is ((d·31 + x·7 + y·3) mod 256) gray at width
-    // 16 + d mod 17, height 16 + d mod 13 (Multimodal.synthPixel /
-    // synthDims verbatim); luminance of a gray sample is the sample, so
-    // the bucket histogram is a pure GROUP BY over the formula
-    "q215_image_decode" ->
-      """WITH xs AS (SELECT unnest(generate_series(0, 31)) AS x),
-        |     ys AS (SELECT unnest(generate_series(0, 27)) AS y),
-        |px AS (
-        |  SELECT d.doc_id,
-        |         16 + (d.doc_id % 17) AS width,
-        |         16 + (d.doc_id % 13) AS height,
-        |         ((d.doc_id * 31 + xs.x * 7 + ys.y * 3) % 256) // 16 AS bucket
-        |  FROM documents d, xs, ys
-        |  WHERE xs.x < 16 + (d.doc_id % 17)
-        |    AND ys.y < 16 + (d.doc_id % 13))
-        |SELECT doc_id, width, height, bucket, count(*) AS n_px
-        |FROM px
-        |GROUP BY doc_id, width, height, bucket
-        |ORDER BY doc_id, bucket""".stripMargin,
+    "q215_image_decode" -> ImageDecodeSql,
+    // lossless containers decode to identical features — the mixed
+    // PNG/BMP/GIF corpus answers to the same analytic oracle
+    "q221_image_decode_mixed" -> ImageDecodeSql,
 
     // the analytic twin of decode→resize→encode→decode: target dims
     // W = greatest(1, w0·16 // max(w0,h0)) (pass-through when already
@@ -1345,4 +1295,131 @@ object TextQueries {
        |         AS rank,
        |       doc_id, score_ppm, n_hit_terms, n_tokens
        |FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q215/q221: the analytic twin of the engine's encode→decode round
+    * trip — pixel (x, y) of doc d is ((d·31 + x·7 + y·3) mod 256) gray
+    * at width 16 + d mod 17, height 16 + d mod 13
+    * (Multimodal.synthPixel / synthDims verbatim); luminance of a gray
+    * sample is the sample, so the bucket histogram is a pure GROUP BY
+    * over the formula. Container-blind: every lossless codec must
+    * reproduce these features exactly.
+    */
+  private lazy val ImageDecodeSql: String =
+    """WITH xs AS (SELECT unnest(generate_series(0, 31)) AS x),
+      |     ys AS (SELECT unnest(generate_series(0, 27)) AS y),
+      |px AS (
+      |  SELECT d.doc_id,
+      |         16 + (d.doc_id % 17) AS width,
+      |         16 + (d.doc_id % 13) AS height,
+      |         ((d.doc_id * 31 + xs.x * 7 + ys.y * 3) % 256) // 16 AS bucket
+      |  FROM documents d, xs, ys
+      |  WHERE xs.x < 16 + (d.doc_id % 17)
+      |    AND ys.y < 16 + (d.doc_id % 13))
+      |SELECT doc_id, width, height, bucket, count(*) AS n_px
+      |FROM px
+      |GROUP BY doc_id, width, height, bucket
+      |ORDER BY doc_id, bucket""".stripMargin
+
+  /** q188/q220: the fused per-source datasheet from scratch —
+    * one oracle rendering for the inline and stored-edges gates.
+    */
+  private lazy val SourceDatasheetSql: String =
+    s"""WITH ${DedupQueries.ShinglesSql},
+         |${DedupQueries.NearDupPairsSql},
+         |$LangPredSql,
+         |dtok AS (SELECT source, unnest(w) AS word
+         |         FROM ws JOIN documents d USING (doc_id)),
+         |dty AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+         |        FROM dtok GROUP BY 1, 2),
+         |rich AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |           CAST(count(*) AS BIGINT) AS n_types,
+         |           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS hapax
+         |         FROM dty GROUP BY 1),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY 1),
+         |zrk AS (SELECT source, c,
+         |          CAST(row_number() OVER (PARTITION BY source
+         |            ORDER BY c DESC, word) AS BIGINT) AS rank
+         |        FROM dty),
+         |zp AS (SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
+         |         CAST(sum(CASE WHEN rank <= 10 THEN c ELSE 0 END)
+         |              AS BIGINT) AS top10
+         |       FROM zrk GROUP BY 1),
+         |kcls AS (SELECT source, CAST(length(text) AS BIGINT) AS n,
+         |           CAST(length(text) - length(regexp_replace(text,
+         |                '[a-zA-Z]', '', 'g')) AS BIGINT) AS al,
+         |           CAST(length(text) - length(regexp_replace(text,
+         |                '[0-9]', '', 'g')) AS BIGINT) AS dg,
+         |           CAST(length(text) - length(regexp_replace(text,
+         |                '\\s', '', 'g')) AS BIGINT) AS sp
+         |         FROM documents),
+         |cagg AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
+         |           CAST(sum(al) AS BIGINT) AS a,
+         |           CAST(sum(dg) AS BIGINT) AS dgt,
+         |           CAST(sum(sp) AS BIGINT) AS s
+         |         FROM kcls GROUP BY 1),
+         |kb AS (SELECT source, n_chars // 64 AS bucket,
+         |         CAST(count(*) AS BIGINT) AS c
+         |       FROM documents GROUP BY 1, 2),
+         |kcorp AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS call
+         |          FROM kb GROUP BY 1),
+         |kcc AS (SELECT bucket,
+         |          CAST(sum(call) OVER (ORDER BY bucket) AS BIGINT) AS cuma
+         |        FROM kcorp),
+         |kns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM kb
+         |        GROUP BY 1),
+         |knt AS (SELECT CAST(sum(c) AS BIGINT) AS na FROM kb),
+         |kax AS (SELECT s.source, k.bucket
+         |        FROM (SELECT DISTINCT source FROM kb) s
+         |        CROSS JOIN (SELECT bucket FROM kcorp) k),
+         |kcum AS (SELECT a.source, a.bucket,
+         |           CAST(sum(coalesce(kb.c, 0)) OVER (PARTITION BY a.source
+         |             ORDER BY a.bucket) AS BIGINT) AS cums
+         |         FROM kax a LEFT JOIN kb
+         |           ON a.source = kb.source AND a.bucket = kb.bucket),
+         |kgap AS (SELECT c.source,
+         |           abs((c.cums * 1000000) // kns.ns
+         |               - (kcc.cuma * 1000000) // knt.na) AS gap
+         |         FROM kcum c JOIN kcc ON c.bucket = kcc.bucket
+         |                     JOIN kns ON c.source = kns.source
+         |                     CROSS JOIN knt),
+         |kks AS (SELECT source, max(gap) AS ks_ppm FROM kgap GROUP BY 1),
+         |pur AS (SELECT d.source,
+         |          CAST(sum(CASE WHEN coalesce(p.plang, 'unknown') = d.lang
+         |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |        FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+         |        GROUP BY 1),
+         |drops AS (SELECT DISTINCT j AS doc_id FROM pairs),
+         |dsrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_dropped
+         |         FROM documents d JOIN drops ON d.doc_id = drops.doc_id
+         |         GROUP BY 1)
+         |SELECT nd.source, nd.n_docs,
+         |       coalesce(rich.n_tokens, 0) AS n_tokens,
+         |       CASE WHEN coalesce(rich.n_tokens, 0) > 0
+         |            THEN (rich.n_types * 1000000) // rich.n_tokens END
+         |         AS ttr_ppm,
+         |       CASE WHEN coalesce(rich.n_types, 0) > 0
+         |            THEN (rich.hapax * 1000000) // rich.n_types END
+         |         AS hapax_ppm,
+         |       (zp.top10 * 1000000) // zp.total_tokens AS top10_ppm,
+         |       CASE WHEN cagg.n_chars > 0
+         |            THEN (cagg.a * 1000000) // cagg.n_chars END
+         |         AS alpha_ppm,
+         |       CASE WHEN cagg.n_chars > 0
+         |            THEN ((cagg.n_chars - cagg.a - cagg.dgt - cagg.s)
+         |                  * 1000000) // cagg.n_chars END AS other_ppm,
+         |       kks.ks_ppm,
+         |       (coalesce(pur.n_match, 0) * 1000000) // nd.n_docs
+         |         AS lang_match_ppm,
+         |       (coalesce(dsrc.n_dropped, 0) * 1000000) // nd.n_docs
+         |         AS dup_drop_ppm
+         |FROM nd LEFT JOIN rich ON nd.source = rich.source
+         |        LEFT JOIN zp ON nd.source = zp.source
+         |        LEFT JOIN cagg ON nd.source = cagg.source
+         |        LEFT JOIN kks ON nd.source = kks.source
+         |        LEFT JOIN pur ON nd.source = pur.source
+         |        LEFT JOIN dsrc ON nd.source = dsrc.source
+         |ORDER BY nd.source""".stripMargin
+
 }

@@ -27,6 +27,25 @@ package object queries {
     if (r.isNullAt(0)) 0L else math.floor(0.8 * r.getLong(0)).toLong
   }
 
+  /** Per-JVM stored near-dup EDGE artifact over the full corpus —
+    * "yesterday's dedup job" whose parquet the stored-backed report
+    * variants (q219/q220) READ instead of re-running the whole
+    * shingle → MinHash → verify chain inline. At 100 TB the edge
+    * relation is exactly the artifact a dedup job persists for every
+    * downstream report; the variants' hash gates against the
+    * from-scratch oracles are the stored ≡ recomputed law (the q203 /
+    * q71 protocol).
+    */
+  private val edgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def corpusEdgesDir(
+      spark: SparkSession, dir: String): String =
+    cachedIndexDir(edgesCache, dir, "graft_edges_") { d =>
+      graft.operators.Dedup
+        .nearDupEdges(graft.sources.Tables.load(spark, dir, "documents"))
+        .write.mode("overwrite").parquet(s"$d/edges")
+    }
+
   /** "Yesterday's job" stand-in for the stored-index queries: run
     * `build` into a temp dir ONCE per sf-dir per JVM — the shared
     * cache protocol behind every qNN-indexed query's stored artifact.

@@ -1102,4 +1102,61 @@ class DedupSpec extends AnyFunSuite {
       assert(r._4 == seq.toMap.apply(r._1), "text unchanged verbatim")
     }
   }
+
+  test("scrub/run entry points reject minRun < n loudly (invalid super-gram frame)") {
+    // crossRunsOf/selfRunsOf build a rowsBetween(0, j-1) frame with
+    // j = minRun - n + 1; minRun < n would make the bound negative at
+    // runtime — every entry point must fail at the door instead
+    val df = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    for (f <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        d => Dedup.sharedRuns(d, n = 3, minRun = 2L),
+        d => Dedup.selfRuns(d, n = 3, minRun = 2L),
+        d => Dedup.scrubRunsFixpoint(d, n = 3, minRun = 2L),
+        d => Dedup.scrubRunsFixed(d, n = 3, minRun = 2L))) {
+      val ex = intercept[IllegalArgumentException](f(df))
+      assert(ex.getMessage.contains("minRun"), ex.getMessage)
+    }
+  }
+
+  test("oracle minhashCandSql rejects nSeeds < 16 (band pool takes the first 16)") {
+    // the house band pool is the first 16 permutations; an oracle built
+    // from fewer would band incomplete signatures and silently diverge
+    // from Dedup.bandsOfWide — the require is the loud alternative
+    val ex = intercept[IllegalArgumentException](
+      graft.queries.DedupQueries.minhashCandSql(nSeeds = 8))
+    assert(ex.getMessage.contains("band pool"), ex.getMessage)
+    assert(graft.queries.DedupQueries.minhashCandSql(nSeeds = 60)
+      .contains("generate_series(0, 59)"), "larger seed pools remain valid")
+  }
+
+  test("bandCurveSampled == bandCurve when the corpus fits the target (derived ppm = 10^6)") {
+    // the q217/q210 agreement law: at <= targetDocs documents the
+    // derived ppm saturates, the sample is the whole corpus, and the
+    // sampled curve is the full curve row for row
+    val full = Dedup.bandCurve(docs).collect().map(_.toSeq).toSeq
+    val sampled = Dedup.bandCurveSampled(docs, targetDocs = 1000000L)
+      .collect().map(_.toSeq).toSeq
+    assert(full.size == 3 && sampled == full)
+  }
+
+  test("bandCurveSampled: derived-ppm sample is deterministic, bounded, and partitioning-blind") {
+    val n = docs.count()
+    val target = math.max(1L, n / 2)
+    val a = Dedup.bandCurveSampled(docs, targetDocs = target)
+      .collect().map(_.toSeq).toSeq
+    val b = Dedup.bandCurveSampled(docs.repartition(7), targetDocs = target)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "hash-bucket membership must not depend on partitioning")
+    // a strict sample does strictly less candidate work than the full
+    // curve on this corpus (the scale property the suite entry rests on)
+    val fullCand = Dedup.bandCurve(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    a.foreach { row =>
+      val (r, cand) = (row(0).asInstanceOf[Long], row(2).asInstanceOf[Long])
+      assert(cand <= fullCand(r), s"sampled candidates exceed full at r=$r")
+    }
+    assert(intercept[IllegalArgumentException](
+      Dedup.bandCurveSampled(docs, targetDocs = 0L))
+      .getMessage.contains("targetDocs"))
+  }
 }

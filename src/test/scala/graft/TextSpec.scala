@@ -343,6 +343,133 @@ class TextSpec extends AnyFunSuite {
     assert(rimg.getWidth == 16 && rimg.getHeight == 4 && rimg.getRaster.getNumBands == 3)
   }
 
+  /** The synthetic gray image in any JDK-writable format. */
+  private def encodeSynth(id: Long, fmt: String): Array[Byte] = {
+    val (w, h) = Multimodal.synthDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, Multimodal.synthPixel(id, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK $fmt writer")
+    bos.toByteArray
+  }
+
+  private def analyticHist(id: Long): Seq[Long] = {
+    val (w, h) = Multimodal.synthDims(id)
+    val want = new Array[Long](16)
+    for (y <- 0 until h; x <- 0 until w)
+      want(Multimodal.synthPixel(id, x, y) >> 4) += 1
+    want.toSeq
+  }
+
+  test("decodeImage: BMP and GIF round trips are lossless — same analytic features as PNG") {
+    // both formats are lossless for 8-bit gray (BMP stores samples,
+    // GIF a ≤256-entry palette), so the q215 analytic oracle applies
+    // unchanged; GIF additionally exercises the IndexColorModel path
+    // (raster samples are palette INDICES, resolved before the luma)
+    for (fmt <- Seq("bmp", "gif"); id <- Seq(0L, 42L, 499L)) {
+      val f = Multimodal.decodeImage(Multimodal.Blob(id, encodeSynth(id, fmt)))
+      val (w, h) = Multimodal.synthDims(id)
+      assert(f.width == w && f.height == h, s"$fmt $id dims: $f")
+      assert(f.lum_hist == analyticHist(id), s"$fmt $id histogram")
+    }
+  }
+
+  test("decodeImage: JPEG smoke — exact dims, pixel conservation, near-constant recovery") {
+    // JPEG is lossy, so no hash law — the smoke pins what IS exact
+    // (dims, one histogram entry per pixel) plus a tolerance property:
+    // a constant-gray image is DC-only and must decode into the true
+    // bucket or its neighbors
+    val (w, h, v) = (40, 24, 100)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, v)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no JDK jpg writer")
+    val f = Multimodal.decodeImage(Multimodal.Blob(11L, bos.toByteArray))
+    assert(f.width == w && f.height == h, s"jpeg dims: $f")
+    assert(f.lum_hist.sum == w.toLong * h, "jpeg pixel conservation")
+    val bucket = v >> 4
+    val near = (math.max(0, bucket - 1) to math.min(15, bucket + 1))
+      .map(f.lum_hist(_)).sum
+    assert(near == w.toLong * h,
+      s"constant-gray jpeg strayed past the adjacent buckets: ${f.lum_hist}")
+  }
+
+  test("decodeImage/resizeImages: 16-bit PNG normalizes to the high byte instead of crashing") {
+    import spark.implicits._
+    // sample = v·257 has high byte exactly v, so the >>8 normalization
+    // must reproduce the 8-bit analytic features bit for bit
+    val id = 42L
+    val (w, h) = Multimodal.synthDims(id)
+    val img16 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img16.getRaster.setSample(x, y, 0, Multimodal.synthPixel(id, x, y) * 257)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img16, "png", bos), "no 16-bit png writer")
+    val f = Multimodal.decodeImage(Multimodal.Blob(id, bos.toByteArray))
+    assert(f.width == w && f.height == h)
+    assert(f.lum_hist == analyticHist(id),
+      "16-bit samples must decode to their high byte")
+    // the resample path takes the same shift: output is 8-bit gray PNG
+    // whose samples are the high bytes of the nearest-neighbor sources
+    val out = Multimodal.resizeImages(
+      Seq(Multimodal.Blob(id, bos.toByteArray)).toDS(), maxDim = 16)
+      .collect().head
+    val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.bytes))
+    val m = math.max(w, h)
+    val (tw, th) = (w * 16 / m, h * 16 / m)
+    assert(rimg.getWidth == tw && rimg.getHeight == th)
+    assert(rimg.getRaster.getNumBands == 1)
+    for (y <- 0 until th; x <- 0 until tw)
+      assert(rimg.getRaster.getSample(x, y, 0)
+        == Multimodal.synthPixel(id, x * w / tw, y * h / th),
+        s"16-bit resample sample ($x,$y)")
+  }
+
+  test("mixedCorpus: container really varies by doc (magic bytes), features stay the closed form") {
+    val blobs = Multimodal.mixedCorpus(docs.limit(30))
+      .collect().map(b => b.doc_id -> b.bytes).toMap
+    def magic(bytes: Array[Byte]): String =
+      if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') "png"
+      else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+      else if (bytes(0) == 'G' && bytes(1) == 'I') "gif"
+      else "?"
+    blobs.foreach { case (id, bytes) =>
+      val want = Seq("png", "bmp", "gif")((id % 3).toInt)
+      assert(magic(bytes) == want, s"doc $id container")
+      val f = Multimodal.decodeImage(Multimodal.Blob(id, bytes))
+      assert(f.lum_hist == analyticHist(id), s"doc $id features via $want")
+    }
+    assert(blobs.keys.map(_ % 3).toSet.size == 3, "all three containers exercised")
+  }
+
+  test("resizeImages: GIF palette source resolves through the palette, not raw indices") {
+    import spark.implicits._
+    // a 40×10 gray GIF past maxDim: the output must carry the TRUE
+    // gray (palette-resolved, r=g=b), never the palette index
+    val (w, h) = (40, 10)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 6 + y * 5) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "no JDK gif writer")
+    val out = Multimodal.resizeImages(
+      Seq(Multimodal.Blob(5L, bos.toByteArray)).toDS(), maxDim = 16)
+      .collect().head
+    val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.bytes))
+    assert(rimg.getWidth == 16 && rimg.getHeight == 4)
+    val rr = rimg.getRaster
+    for (y <- 0 until 4; x <- 0 until 16) {
+      val want = ((x * w / 16) * 6 + (y * h / 4) * 5) % 256
+      for (c <- 0 until rr.getNumBands)
+        assert(rr.getSample(x, y, c) == want, s"palette resample ($x,$y) band $c")
+    }
+  }
+
   test("extractImageFeatures: decode-then-feature is partitioning-independent") {
     val sample = docs.limit(40)
     def run(parts: Int): Seq[(Long, Long, Long, Seq[Long])] =
