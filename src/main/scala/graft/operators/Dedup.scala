@@ -245,14 +245,24 @@ object Dedup {
           .cast("long").as("novelty_ppm"))
   }
 
+  /** Exact-Jaccard verification of candidate pairs over a shingle
+    * frame. `ckptPruned` picks the checkpoint economics: FALSE (the
+    * batch default) when `sh` is already checkpointed blocks — the
+    * three consumers then re-run only a cheap semi-join (A/B at sf0.1:
+    * q27 1.9s → 2.1s, q48 4.0s → 4.7s with one); TRUE when `sh` is a
+    * LAZY corpus-sized parquet union (the incremental/probe paths) —
+    * the candidate-pruned frame is delta-proportional, so one
+    * materialization replaces three full corpus scans (measured at the
+    * 100× ingest probe: the eager full-union checkpoint this replaces
+    * cost 25s/probe; see `bench/ingest_probe_r12_100x.json`).
+    */
   private[graft] def jaccardOfCandidates(
-      sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+      sh: DataFrame, cand: DataFrame, threshold: Double,
+      ckptPruned: Boolean = false): DataFrame = {
     val candDocs = cand.select(col("i").as("doc_id"))
       .union(cand.select(col("j").as("doc_id"))).distinct()
-    // no checkpoint on shc: its three consumers each re-run only a cheap
-    // semi-join over the caller's already-checkpointed shingle blocks
-    // (A/B at sf0.1: q27 1.9s → 2.1s, q48 4.0s → 4.7s with one)
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val shc0 = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val shc = if (ckptPruned) Ckpt.narrow(shc0) else shc0
     val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shc.as("sa"), col("i") === col("sa.doc_id"))
@@ -691,12 +701,14 @@ object Dedup {
     */
   private def incrementalEdgesOf(
       shAll: DataFrame, bandsAll: DataFrame, deltaIds: DataFrame,
-      threshold: Double, maxBucketSize: Int): DataFrame =
-    deltaEdgesOf(shAll, capBuckets(bandsAll, maxBucketSize), deltaIds, threshold)
+      threshold: Double, maxBucketSize: Int,
+      ckptPruned: Boolean = false): DataFrame =
+    deltaEdgesOf(shAll, capBuckets(bandsAll, maxBucketSize), deltaIds,
+      threshold, ckptPruned)
 
   private def deltaEdgesOf(
       shAll: DataFrame, cappedBands: DataFrame, deltaIds: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, ckptPruned: Boolean = false): DataFrame = {
     val bands = cappedBands
     val bandsD = bands.join(deltaIds, Seq("doc_id"), "left_semi")
     val cand = bands.as("a")
@@ -706,7 +718,7 @@ object Dedup {
       .select(least(col("a.doc_id"), col("d.doc_id")).as("i"),
         greatest(col("a.doc_id"), col("d.doc_id")).as("j"))
       .distinct()
-    jaccardOfCandidates(shAll, cand, threshold)
+    jaccardOfCandidates(shAll, cand, threshold, ckptPruned)
   }
 
   /** The COMPLETE edge set of `nearDupEdges(corpus ∪ delta)` (as (i, j)
@@ -750,12 +762,14 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
     val (shAll, bandsAll) = indexedUnionFrames(index, delta)
     unionEdgesOf(shAll, bandsAll,
-      delta.select("doc_id"), corpusEdges, threshold, maxBucketSize)
+      delta.select("doc_id"), corpusEdges, threshold, maxBucketSize,
+      ckptPruned = true)
   }
 
   private def unionEdgesOf(
       shAll: DataFrame, bandsAll: DataFrame, deltaIds: DataFrame,
-      corpusEdges: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+      corpusEdges: DataFrame, threshold: Double, maxBucketSize: Int,
+      ckptPruned: Boolean = false): DataFrame = {
     val bands = capBuckets(bandsAll, maxBucketSize)
     // stored pairs that still share a surviving bucket (class doc above)
     val revalidated = corpusEdges.select(col("i"), col("j"))
@@ -766,7 +780,8 @@ object Dedup {
       .select(col("i"), col("j"))
       .distinct()
     revalidated.union(
-      deltaEdgesOf(shAll, bands, deltaIds, threshold).select(col("i"), col("j")))
+      deltaEdgesOf(shAll, bands, deltaIds, threshold, ckptPruned)
+        .select(col("i"), col("j")))
   }
 
   /** A persisted near-dup index: the hashed-shingle and band frames the
@@ -852,21 +867,30 @@ object Dedup {
       index: DedupIndex, delta: DataFrame, threshold: Double = 0.7,
       maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
     val (shAll, bandsAll) = indexedUnionFrames(index, delta)
+    // shAll is a LAZY parquet union here — verify on the pruned ckpt
     incrementalEdgesOf(shAll, bandsAll,
-      delta.select("doc_id"), threshold, maxBucketSize)
+      delta.select("doc_id"), threshold, maxBucketSize, ckptPruned = true)
   }
 
-  /** Checkpointed (index ∪ delta) shingle and band frames. The cut
-    * matters even though the index side is already materialized parquet:
-    * the candidate join and verification read these frames ~4× each, and
-    * `jaccardOfCandidates`' no-checkpoint-on-shc economics assume block
-    * reads, not repeated corpus parquet scans (A/B at sf0.1: q70
-    * 4.4s → ~1.4s from this cut alone).
+  /** (index ∪ delta) shingle and band frames for the incremental
+    * paths. Only the DELTA side is checkpointed: the index side is
+    * already materialized parquet, and eagerly checkpointing the full
+    * union made every probe pay a corpus-sized copy — linear in the
+    * CORPUS where the whole point of the index is delta-proportional
+    * work (measured at the 100× ingest probe: ~25 s/probe against a
+    * 500k-doc index, `bench/ingest_probe_r12_100x.json`, vs 3.5 s at
+    * 30× — the flat-probe claim failed at the decade). The shingle
+    * union stays LAZY; verification prunes it to candidate docs and
+    * checkpoints THAT (`jaccardOfCandidates(ckptPruned = true)`), so
+    * the only corpus-proportional work left is single narrow parquet
+    * scans. The band union is checkpointed as before — it is two
+    * orders of magnitude narrower (bands/doc rows, no gh sets) and
+    * feeds the skew-cap agg plus both candidate-join sides.
     */
   private def indexedUnionFrames(
       index: DedupIndex, delta: DataFrame): (DataFrame, DataFrame) = {
     val shD = Ckpt.narrow(shingles(delta, index.n))
-    (Ckpt.narrow(index.shingles.union(shD)),
+    (index.shingles.union(shD),
       Ckpt.narrow(index.bands.union(
         lshBands(shD, index.numHashes, index.rowsPerBand))))
   }
