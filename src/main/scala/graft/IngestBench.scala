@@ -91,7 +91,8 @@ object IngestBench {
     // a 30x corpus makes the full 10-tier sweep hours long — at scale
     // the record targets the heaviest state tiers, not all of them
     val KnownTiers = Seq("neardup", "ivf", "text", "bloom", "profile",
-      "budget", "valuehist", "centroids", "transitions", "hazard")
+      "budget", "valuehist", "centroids", "transitions", "hazard",
+      "imgfeat")
     val only = sys.env.get("SPARK_GRAFT_INGEST_TIERS")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { t =>
@@ -306,6 +307,31 @@ object IngestBench {
       Streams.ingestHazardRead(spark, hzState).get)
     System.err.println(f"[ingestbench] hazard fold after compact: $hzAfter%.3f s")
     tierParts += s""""hazard":${tierJson(hzPoints, hzAfter)}"""
+    }
+
+    // ——— image-features tier (decode-once multimodal ingest: each
+    // batch pays the codec pass for ITS payloads only; the probe is
+    // the accumulated feature-table fold, which compaction keeps at
+    // one file group) ———
+    if (on("imgfeat")) {
+    val imState = s"$root/imgfeat"
+    val imPoints = (0 until nBatches).flatMap { i =>
+      Streams.ingestImageFeaturesBatch(
+        graft.operators.Multimodal.pngCorpus(
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)).toDF(),
+        imState, i)
+      if (probed(i)) {
+        val t = probeMin(spark, () =>
+          Streams.ingestImageFeaturesRead(spark, imState).get)
+        System.err.println(f"[ingestbench] imgfeat fold @ ${i + 1} batches: $t%.3f s")
+        Some((i + 1, t))
+      } else None
+    }
+    require(Streams.compactImageFeatures(spark, imState).contains((nBatches - 1).toLong))
+    val imAfter = probeMin(spark, () =>
+      Streams.ingestImageFeaturesRead(spark, imState).get)
+    System.err.println(f"[ingestbench] imgfeat fold after compact: $imAfter%.3f s")
+    tierParts += s""""imgfeat":${tierJson(imPoints, imAfter)}"""
     }
 
     spark.stop()

@@ -1093,6 +1093,79 @@ object Streams {
     }
   }
 
+  /** Streaming ingest of IMAGE FEATURES — the TWELFTH `foreachBatch`
+    * composition, joining the multimodal tier to the ingest protocol:
+    * as payload blobs arrive, ONLY the new batch pays the codec pass
+    * ([[graft.operators.Multimodal.extractImageFeatures]] — the q215
+    * per-partition `javax.imageio` decode), and its integer-exact
+    * feature rows land under `features/batch=N` with the same
+    * marker-last exactly-once contract as the other eleven tiers.
+    * Feature rows are pure per-doc derivations of append-only doc_ids,
+    * so batch frames are disjoint and the fold over committed batches
+    * is row-identical to a batch decode over everything ingested — the
+    * StreamingSpec differential, checked across replays and
+    * compaction. At 100 TB this is THE shape for an image corpus: a
+    * crawl never re-decodes yesterday's payloads, and downstream
+    * consumers (dedup on the histogram fingerprint, resize manifests)
+    * read the feature artifact, never the bytes.
+    */
+  def ingestImageFeatures(blobs: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    blobs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestImageFeaturesBatch(batch.toDF(), stateDir, batchId)
+      }
+      .start()
+
+  /** One image-feature ingest step (see [[ingestImageFeatures]]);
+    * public for batch-mode replays and tests. `batch` carries the
+    * [[graft.operators.Multimodal.Blob]] schema (doc_id, bytes).
+    */
+  def ingestImageFeaturesBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (committedBatches(spark, stateDir).contains(batchId)) return // replayed
+    graft.operators.Multimodal
+      .extractImageFeatures(batch.as[graft.operators.Multimodal.Blob](
+        Encoders.product[graft.operators.Multimodal.Blob]))
+      .write.mode("overwrite").parquet(s"$stateDir/features/batch=$batchId")
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** The accumulated feature table over all COMMITTED batches (None
+    * before the first commit): (doc_id, width, height, lum_hist).
+    */
+  def ingestImageFeaturesRead(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val c = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c)
+    if (c < 0 && ids.isEmpty) None
+    else Some(spark.read.parquet(
+      (if (c >= 0) Seq(baseDir(stateDir, c) + "/features") else Nil) ++
+        ids.map(i => s"$stateDir/features/batch=$i"): _*))
+  }
+
+  /** Fold committed image-feature batches (and any prior base) into one
+    * canonical base — same commit/GC protocol as [[compactNearDup]];
+    * keeps a feature probe reading one file group instead of one per
+    * batch forever. The fold is a plain disjoint union: no re-decode.
+    */
+  def compactImageFeatures(spark: SparkSession, stateDir: String,
+      gc: Boolean = true): Option[Long] = {
+    val c0 = compactedUpTo(spark, stateDir)
+    val ids = deltaBatches(spark, stateDir, c0)
+    if (ids.isEmpty) None
+    else {
+      val c = ids.max
+      ingestImageFeaturesRead(spark, stateDir).get
+        .write.mode("overwrite").parquet(baseDir(stateDir, c) + "/features")
+      markCompacted(spark, stateDir, c)
+      if (gc) gcCovered(spark, stateDir, c0, ids, Seq("features"))
+      Some(c)
+    }
+  }
+
   private def fileSystem(
       spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir)

@@ -1236,4 +1236,40 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     assert(viaState == viaAgg)
   }
+
+  test("foreachBatch ingest image features: streamed decode == batch decode, replay-safe, compaction-stable") {
+    import graft.operators.Multimodal
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_img_").toFile
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") < 60)
+    val blobs = Multimodal.pngCorpus(docs).toDF()
+    def slice(i: Int) = blobs.filter(pmod(col("doc_id"), lit(3)) === i)
+    (0 until 3).foreach(i =>
+      Streams.ingestImageFeaturesBatch(slice(i), state, i.toLong))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3))).toSeq
+    val want = canon(
+      Multimodal.extractImageFeatures(Multimodal.pngCorpus(docs)).toDF())
+    assert(canon(Streams.ingestImageFeaturesRead(spark, state).get) == want,
+      "streamed per-batch decode must equal the batch decode")
+    // a replayed committed batch is a durable no-op (exactly-once)
+    Streams.ingestImageFeaturesBatch(slice(1), state, 1L)
+    assert(canon(Streams.ingestImageFeaturesRead(spark, state).get) == want)
+    // compaction folds WITHOUT re-decoding, preserves rows, GCs batches
+    assert(Streams.compactImageFeatures(spark, state) == Some(2L))
+    assert(canon(Streams.ingestImageFeaturesRead(spark, state).get) == want)
+    assert(!new java.io.File(s"$state/features/batch=0").exists,
+      "covered batch dirs must be GC'd after the compaction marker")
+    // post-compaction delta appends beside the base
+    val extra = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") >= 60 && col("doc_id") < 80)
+    Streams.ingestImageFeaturesBatch(
+      Multimodal.pngCorpus(extra).toDF(), state, 3L)
+    val wantPlus = canon(Multimodal.extractImageFeatures(
+      Multimodal.pngCorpus(docs.unionByName(extra))).toDF())
+    assert(canon(Streams.ingestImageFeaturesRead(spark, state).get) == wantPlus)
+  }
 }
