@@ -613,7 +613,10 @@ object Dedup {
   def bandCurveSampled(docs: DataFrame, targetDocs: Long = 250L,
       n: Int = 3, threshold: Double = 0.7,
       salt: String = "band_curve"): DataFrame = {
-    require(targetDocs >= 1, s"targetDocs must be >= 1, got $targetDocs")
+    // upper bound keeps targetDocs * 10^6 inside Long (9.2e18 / 1e6);
+    // any real tuning target is orders of magnitude below it
+    require(targetDocs >= 1 && targetDocs <= 1000000000000L,
+      s"targetDocs must be in [1, 10^12], got $targetDocs")
     require(salt.nonEmpty && salt.forall(c =>
         (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'),

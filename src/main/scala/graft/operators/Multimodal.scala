@@ -233,6 +233,10 @@ object Multimodal {
   private[graft] def encodeSynthImage(docId: Long, fmt: String): Array[Byte] = {
     require(Set("png", "bmp", "gif")(fmt),
       s"encodeSynthImage: lossless formats only (png/bmp/gif), got '$fmt'")
+    // the closed-form pixel/dims formula (and its SQL oracle) is
+    // defined on non-negative ids; a negative id would yield negative
+    // dims here and a different % sign in SQL — fail at the door
+    require(docId >= 0, s"encodeSynthImage: doc_id must be >= 0, got $docId")
     val (w, h) = synthDims(docId)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -275,7 +279,10 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val fmts = Array("png", "bmp", "gif")
-        it.map(id => Blob(id, encodeSynthImage(id, fmts((id % 3).toInt))))
+        // floorMod: a (contract-violating) negative id must hit the
+        // encode require, not an ArrayIndexOutOfBounds at fmts(-1)
+        it.map(id =>
+          Blob(id, encodeSynthImage(id, fmts(java.lang.Math.floorMod(id, 3L).toInt))))
       }
 
   /** REAL image resize: decode ([[decodeImage]]'s codec), resample to
