@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * deps) inside the per-partition pipeline and emits integer-exact
   * features (width, height, 16-bucket luminance histogram) read from
   * the RASTER samples — never `getRGB`, whose gray→sRGB color-space
-  * conversion would silently remap every pixel value. Audio/video
-  * codecs aren't in the JDK; those payloads use the codec-agnostic
-  * byte-level features ([[extractFeatures]]) until a decoder library
-  * is available — the per-partition shape is identical either way.
+  * conversion would silently remap every pixel value. The audio decode
+  * step is REAL too: [[decodeAudio]] runs the JDK's own
+  * `javax.sound.sampled` codec (WAV/AIFF/AU PCM) and emits
+  * integer-exact features (rate, frame count, 16-bucket amplitude
+  * histogram). Video codecs (and compressed audio) aren't in the JDK;
+  * those payloads use the codec-agnostic byte-level features
+  * ([[extractFeatures]]) until a decoder library is available — the
+  * per-partition shape is identical either way.
   *
   * Scale posture: generation, decode and feature extraction are all
   * narrow per-partition passes (no shuffle); metadata extraction
@@ -44,9 +48,19 @@ object Multimodal {
   case class ImageFeatures(doc_id: Long, width: Long, height: Long,
       lum_hist: Seq[Long])
 
+  /** Integer-exact features of a REAL audio decode: sample rate and
+    * frame count from the container header, and a 16-bucket amplitude
+    * histogram over channel-0 samples (`(s + 32768) >> 12` of the
+    * signed 16-bit sample — pure integer arithmetic an oracle can
+    * replay).
+    */
+  case class AudioFeatures(doc_id: Long, sample_rate: Long,
+      n_samples: Long, amp_hist: Seq[Long])
+
   implicit private val blobEnc: Encoder[Blob] = Encoders.product[Blob]
   implicit private val featEnc: Encoder[BlobFeatures] = Encoders.product[BlobFeatures]
   implicit private val imgEnc: Encoder[ImageFeatures] = Encoders.product[ImageFeatures]
+  implicit private val audEnc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
 
   /** Documents → payload rows (text bytes as the opaque blob). */
   def blobs(docs: DataFrame): Dataset[Blob] =
@@ -100,9 +114,9 @@ object Multimodal {
 
   /** Codec-agnostic byte-level profile: deterministic high-nibble
     * histogram. This is NOT a decode — it's the payload profile that
-    * stays available when no decoder exists for the format (the audio/
-    * video case in this deployment); image payloads get the real
-    * [[decodeImage]].
+    * stays available when no decoder exists for the format (video and
+    * compressed audio in this deployment); image payloads get the real
+    * [[decodeImage]], PCM audio the real [[decodeAudio]].
     */
   private[graft] def byteProfile(b: Blob): BlobFeatures = {
     val hist = new Array[Long](16)
@@ -284,6 +298,103 @@ object Multimodal {
         it.map(id =>
           Blob(id, encodeSynthImage(id, fmts(java.lang.Math.floorMod(id, 3L).toInt))))
       }
+
+  /** Deterministic synthetic-audio formula, shared VERBATIM by the WAV
+    * generator and the q222 oracle's closed form: doc d is a mono
+    * 16-bit PCM clip of `256 + d mod 241` frames at 8 kHz whose frame
+    * i carries the signed sample `((d·31 + i·4099) mod 65536) − 32768`
+    * (4099 is odd, so the samples sweep the full 16-bit range and every
+    * amplitude bucket sees traffic).
+    * Known content in closed form turns the engine's REAL
+    * `javax.sound.sampled` encode→decode round trip into a
+    * hash-gatable query, exactly the q215 trick for images.
+    */
+  private[graft] def synthAudioLen(docId: Long): Int =
+    256 + (docId % 241).toInt
+
+  private[graft] def synthAudioSample(docId: Long, i: Int): Int =
+    ((docId * 31 + i * 4099) % 65536).toInt - 32768
+
+  /** One deterministic WAV payload — encoded by the JDK's own
+    * `javax.sound.sampled.AudioSystem` WAVE writer (a REAL audio
+    * codec path, not a hand-rolled header), PCM so the round trip is
+    * lossless and the q222 analytic oracle applies exactly.
+    */
+  private[graft] def encodeSynthWav(docId: Long): Array[Byte] = {
+    require(docId >= 0, s"encodeSynthWav: doc_id must be >= 0, got $docId")
+    val n = synthAudioLen(docId)
+    val pcm = new Array[Byte](n * 2) // 16-bit mono, little-endian
+    var i = 0
+    while (i < n) {
+      val s = synthAudioSample(docId, i)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true /* signed */, false /* little-endian */)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Documents → one deterministic WAV payload per doc (the synthetic
+    * audio corpus — the q222 input, same shape as [[pngCorpus]]).
+    */
+  def wavCorpus(docs: DataFrame): Dataset[Blob] =
+    docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions(_.map(id => Blob(id, encodeSynthWav(id))))
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (the JDK's
+    * in-process WAV/AIFF/AU PCM codecs) → integer-exact
+    * [[AudioFeatures]]. Supports signed 16-bit PCM, either endianness,
+    * any channel count (channel 0 is profiled); anything else —
+    * compressed containers, float PCM, other depths — fails LOUDLY,
+    * the decodeImage contract (a silently skipped payload would
+    * corrupt downstream cardinalities). Formats with no JVM codec at
+    * all (video here) keep the codec-agnostic [[byteProfile]].
+    */
+  private[graft] def decodeAudio(b: Blob): AudioFeatures = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b.bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"decodeAudio: payload ${b.doc_id} (${b.bytes.length} bytes) is not " +
+              "a JDK-decodable audio container (WAV/AIFF/AU)", e)
+      }
+    val f = ais.getFormat
+    if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        || f.getSampleSizeInBits != 16)
+      throw new IllegalArgumentException(
+        s"decodeAudio: payload ${b.doc_id} is ${f.getEncoding}/" +
+          s"${f.getSampleSizeInBits}-bit — only signed 16-bit PCM is supported")
+    val bytes = ais.readAllBytes()
+    val frameSize = f.getFrameSize // channels * 2 bytes
+    val n = bytes.length / frameSize
+    val big = f.isBigEndian
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val off = i * frameSize // channel 0 leads the frame
+      val s =
+        if (big) (bytes(off) << 8) | (bytes(off + 1) & 0xFF)
+        else (bytes(off + 1) << 8) | (bytes(off) & 0xFF)
+      hist((s + 32768) >> 12) += 1
+      i += 1
+    }
+    AudioFeatures(b.doc_id, math.round(f.getSampleRate.toDouble), n.toLong, hist.toSeq)
+  }
+
+  /** Per-partition audio decode over payload rows — the
+    * [[extractImageFeatures]] shape on the audio tier.
+    */
+  def extractAudioFeatures(payload: Dataset[Blob]): Dataset[AudioFeatures] =
+    payload.mapPartitions(_.map(decodeAudio))
 
   /** REAL image resize: decode ([[decodeImage]]'s codec), resample to
     * at most `maxDim` on the longer side by NEAREST-NEIGHBOR in exact

@@ -169,6 +169,26 @@ object TextQueries {
         .orderBy("doc_id", "bucket")
     }),
 
+    // REAL audio decode, hash-gated end to end (the q215 trick on the
+    // audio tier): one deterministic 16-bit PCM mono WAV per doc
+    // (closed-form samples, Multimodal.synthAudioSample), encoded AND
+    // decoded by the JDK's own javax.sound.sampled codec on the
+    // executors, with the decoded rate/frame-count/amplitude histogram
+    // compared against the oracle's ANALYTIC rendering of the formula —
+    // any decode drift (header misread, endianness, sample scaling)
+    // hash-mismatches. Zero-count buckets dropped to mirror the
+    // oracle's GROUP BY.
+    "q222_audio_decode" -> ((spark, dir) => {
+      val feats = Multimodal.extractAudioFeatures(
+        Multimodal.wavCorpus(Tables.load(spark, dir, "documents")))
+      feats.select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          posexplode(col("amp_hist")).as(Seq("bucket", "n")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("bucket").cast("long").as("bucket"), col("n"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // REAL image resize, hash-gated like q215: the synthetic PNGs are
     // decoded, nearest-neighbor resampled to maxDim 16 in exact integer
     // arithmetic, re-encoded, decoded AGAIN, and the decoded feature
@@ -738,6 +758,25 @@ object TextQueries {
     // lossless containers decode to identical features — the mixed
     // PNG/BMP/GIF corpus answers to the same analytic oracle
     "q221_image_decode_mixed" -> ImageDecodeSql,
+
+    // the analytic twin of the engine's WAV encode→decode round trip:
+    // frame i of doc d is the signed sample ((d·31 + i·4099) mod 65536) −
+    // 32768 over 256 + d mod 241 frames at 8 kHz (synthAudioSample /
+    // synthAudioLen verbatim); the amplitude bucket (s + 32768) >> 12
+    // is then ((d·31 + i·4099) mod 65536) // 4096 — pure integer GROUP BY
+    "q222_audio_decode" ->
+      """WITH idx AS (SELECT unnest(generate_series(0, 495)) AS i),
+        |s AS (
+        |  SELECT d.doc_id,
+        |         256 + (d.doc_id % 241) AS n_samples,
+        |         ((d.doc_id * 31 + idx.i * 4099) % 65536) // 4096 AS bucket
+        |  FROM documents d, idx
+        |  WHERE idx.i < 256 + (d.doc_id % 241))
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, n_samples,
+        |       bucket, count(*) AS n
+        |FROM s
+        |GROUP BY doc_id, n_samples, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     // the analytic twin of decode→resize→encode→decode: target dims
     // W = greatest(1, w0·16 // max(w0,h0)) (pass-through when already

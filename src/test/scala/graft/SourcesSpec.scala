@@ -119,6 +119,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("duplicate"))
   }
 
+  test("binaryFile → real WAV decode: file-sourced payloads decode to the analytic features") {
+    import graft.operators.Multimodal
+    // actual .wav files on disk, ingested executor-side through the
+    // binaryFile source and decoded by the REAL javax.sound codec —
+    // the full production path for an audio corpus, end to end
+    val dir = new java.io.File(tmp("wav_payloads")); dir.mkdirs()
+    dir.listFiles().foreach(_.delete())
+    val ids = Seq(7L, 33L, 480L)
+    ids.foreach { id =>
+      java.nio.file.Files.write(new java.io.File(dir, s"$id.wav").toPath,
+        Multimodal.encodeSynthWav(id))
+    }
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.blobsFromFiles(spark, dir.getAbsolutePath))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.keySet == ids.toSet)
+    ids.foreach { id =>
+      val n = Multimodal.synthAudioLen(id)
+      assert(feats(id).sample_rate == 8000L && feats(id).n_samples == n,
+        s"file $id.wav header")
+      val want = new Array[Long](16)
+      for (i <- 0 until n)
+        want((Multimodal.synthAudioSample(id, i) + 32768) >> 12) += 1
+      assert(feats(id).amp_hist == want.toSeq, s"file $id.wav histogram")
+    }
+  }
+
   test("binaryFile → real PNG decode: file-sourced payloads decode to the analytic features") {
     import graft.operators.Multimodal
     // actual .png files on disk, ingested executor-side through the

@@ -446,6 +446,70 @@ class TextSpec extends AnyFunSuite {
     assert(blobs.keys.map(_ % 3).toSet.size == 3, "all three containers exercised")
   }
 
+  test("decodeAudio: WAV encode→decode round trip matches the analytic formula exactly") {
+    // the q222 gate's engine half, doc by doc against an INDEPENDENT
+    // Scala rendering of the closed form (the oracle SQL is the third)
+    for (id <- Seq(0L, 1L, 42L, 499L, 123456789L)) {
+      val f = Multimodal.decodeAudio(
+        Multimodal.Blob(id, Multimodal.encodeSynthWav(id)))
+      val n = Multimodal.synthAudioLen(id)
+      assert(f.sample_rate == 8000L && f.n_samples == n, s"doc $id header: $f")
+      val want = new Array[Long](16)
+      for (i <- 0 until n)
+        want((Multimodal.synthAudioSample(id, i) + 32768) >> 12) += 1
+      assert(f.amp_hist == want.toSeq, s"doc $id amplitude histogram")
+      assert(f.amp_hist.sum == n.toLong, s"doc $id frame conservation")
+    }
+  }
+
+  test("decodeAudio: big-endian and stereo frames profile channel 0; non-audio and non-PCM fail loudly") {
+    import javax.sound.sampled._
+    // stereo big-endian 16-bit PCM: 3 frames, channel 0 = (1000, -2000,
+    // 30000), channel 1 = junk the profile must ignore
+    val ch0 = Seq(1000, -2000, 30000)
+    val bytes = new Array[Byte](12)
+    ch0.zipWithIndex.foreach { case (s, i) =>
+      bytes(4 * i) = ((s >> 8) & 0xFF).toByte     // ch0 hi (big-endian)
+      bytes(4 * i + 1) = (s & 0xFF).toByte        // ch0 lo
+      bytes(4 * i + 2) = 0x7F; bytes(4 * i + 3) = 0x33 // ch1 junk
+    }
+    val fmt = new AudioFormat(16000f, 16, 2, true, true)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, 3L),
+      AudioFileFormat.Type.WAVE, bos)
+    val f = Multimodal.decodeAudio(Multimodal.Blob(5L, bos.toByteArray))
+    assert(f.sample_rate == 16000L && f.n_samples == 3L)
+    val want = new Array[Long](16)
+    ch0.foreach(s => want((s + 32768) >> 12) += 1)
+    assert(f.amp_hist == want.toSeq, s"channel-0 histogram: $f")
+    // non-audio bytes fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodeAudio(Multimodal.Blob(9L, "not audio".getBytes("UTF-8")))
+    }
+    assert(ex.getMessage.contains("not a JDK-decodable audio"))
+    // PCM depths other than 16-bit fail loudly, never mis-scale
+    val pcm8 = new AudioFormat(8000f, 8, 1, true, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3)), pcm8, 3L),
+      AudioFileFormat.Type.WAVE, bos8)
+    val ex8 = intercept[IllegalArgumentException] {
+      Multimodal.decodeAudio(Multimodal.Blob(10L, bos8.toByteArray))
+    }
+    assert(ex8.getMessage.contains("16-bit PCM"))
+  }
+
+  test("extractAudioFeatures: decode-then-feature is partitioning-independent") {
+    val sample = docs.limit(40)
+    def run(parts: Int): Seq[(Long, Long, Long, Seq[Long])] =
+      Multimodal.extractAudioFeatures(
+          Multimodal.wavCorpus(sample).repartition(parts))
+        .collect().map(f => (f.doc_id, f.sample_rate, f.n_samples, f.amp_hist))
+        .sortBy(_._1).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("resizeImages: GIF palette source resolves through the palette, not raw indices") {
     import spark.implicits._
     // a 40×10 gray GIF past maxDim: the output must carry the TRUE
