@@ -38,6 +38,16 @@ import java.util.Locale
   * happens WHOLESALE (≥ max(3, 25%) of comparable queries), the run as a
   * whole is marked "outliers.flag": true — a contaminated record labels
   * itself at capture time instead of reading as a regression.
+  *
+  * Contamination guard (VERDICT r12 ask #1): labeling wasn't enough —
+  * r12's official record was a self-flagged contention capture that
+  * still got enshrined. Now, when the would-be record reads dirty (any
+  * query > 3× its history median, or total median > 1.25× this run's
+  * own total min), the suite runs extra pass PAIRS (median stays odd)
+  * and re-judges, up to SPARK_GRAFT_BENCH_RETRY_PAIRS (default 2) —
+  * transient host noise is outvoted by the clean majority; a real
+  * regression reproduces in every retry and the record reports
+  * "guard":{"clean":false} with its retries spent.
   */
 object Bench {
 
@@ -123,10 +133,37 @@ object Bench {
       suite: Seq[(String, F)], passes: Int, runner: F => Double,
       onFailureCleanup: () => Unit = () => ())
       : (Seq[(String, Double, Double)], Seq[(String, String)]) = {
+    val (r, e, _) = guardedInterleavedResults(
+      suite, passes, maxExtraPairs = 0, runner,
+      contaminated = _ => false, onFailureCleanup)
+    (r, e)
+  }
+
+  /** [[interleavedResults]] plus the capture-time contamination guard
+    * (VERDICT r12 ask #1): after the base passes, if `contaminated`
+    * judges the would-be record dirty (the caller's predicate — n_high
+    * against history, or medians hot against this run's own mins), run
+    * additional pass PAIRS (pairs keep the sample count odd, so the
+    * official value stays a true median) and re-judge, up to
+    * `maxExtraPairs`. A window that inflated one sample per query is
+    * outvoted by the growing clean majority; a REAL regression
+    * reproduces in every extra pass and the record stays dirty —
+    * retries exhaust and the run reports itself contaminated instead
+    * of enshrining a polluted pass as official (the r12 failure: a
+    * same-day contention window became the round's 403 s record).
+    * Returns (results, errors, extraPairsUsed).
+    */
+  private[graft] def guardedInterleavedResults[F](
+      suite: Seq[(String, F)], passes: Int, maxExtraPairs: Int,
+      runner: F => Double,
+      contaminated: Seq[(String, Double, Double)] => Boolean,
+      onFailureCleanup: () => Unit = () => ())
+      : (Seq[(String, Double, Double)], Seq[(String, String)], Int) = {
     // the official value is s(size/2), the middle element — only a
     // median for ODD pass counts (an even count would silently report
     // the upper-middle sample, biased high)
     require(passes >= 1 && passes % 2 == 1, s"passes must be odd, got $passes")
+    require(maxExtraPairs >= 0, s"maxExtraPairs must be >= 0, got $maxExtraPairs")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val failed = scala.collection.mutable.Set[String]()
     val samples = scala.collection.mutable.Map[String, List[Double]]()
@@ -148,18 +185,25 @@ object Bench {
     // than a pass can contaminate at most one of the samples — the
     // median discards it (round 8's query-major repeats lost all 3 at
     // once to one window)
-    for (_ <- 1 to passes; (name, fn) <- suite if !failed(name))
-      runOne(name, fn)(t => samples(name) = samples(name) :+ t)
+    def runPass(): Unit =
+      for ((name, fn) <- suite if !failed(name))
+        runOne(name, fn)(t => samples(name) = samples(name) :+ t)
+    for (_ <- 1 to passes) runPass()
     // (name, official median across passes, min across passes): the
     // median is the record; the min is the noise floor — a hot sample
     // shows median ≫ min, so a reader (and the judge) can spot residual
     // noise per query without waiting for the next round's history
-    val results = suite.map { case (name, _) =>
+    def results: Seq[(String, Double, Double)] = suite.map { case (name, _) =>
       val s = samples(name).sorted
       if (failed(name) || s.isEmpty) (name, -1.0, -1.0)
       else (name, s(s.size / 2), s.head)
     }
-    (results, errors.toSeq)
+    var extra = 0
+    while (extra < maxExtraPairs && contaminated(results)) {
+      extra += 1
+      runPass(); runPass()
+    }
+    (results, errors.toSeq, extra)
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,15 +213,35 @@ object Bench {
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       timeOnce(spark, sfDir, fn)
 
-    val (results, errors) = interleavedResults(
+    // history medians load BEFORE measuring: the contamination guard
+    // judges each candidate record against them at capture time
+    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
+    val histMed = historyMedians(hist, sfDir)
+    // the record is contaminated when ANY query reads > 3× its own
+    // cross-round history median, or the suite's medians run > 25% hot
+    // against this run's own mins (the r12 signature: median 35% above
+    // min, four queries 3–5× their 15-round bands)
+    def isContaminated(rs: Seq[(String, Double, Double)]): Boolean = {
+      val tot = rs.collect { case (_, v, _) if v >= 0 => v }.sum
+      val totMin = rs.collect { case (_, _, m) if m >= 0 => m }.sum
+      val nHigh = rs.count { case (n, v, _) =>
+        v > 0 && histMed.get(n).exists(h => v > 3.0 * h) }
+      nHigh > 0 || (totMin > 0 && tot > 1.25 * totMin)
+    }
+    val maxExtraPairs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_PAIRS", "2").toInt
+    val (results, errors, extraPairs) = guardedInterleavedResults(
       SparkEntry.queries.toSeq.sortBy(_._1), passes = 3,
+      maxExtraPairs = maxExtraPairs,
       runner = once,
+      contaminated = isContaminated,
       onFailureCleanup = () => {
         // a failing query may already have persisted frames — clear
         // here too or they'd contaminate the next query's runs
         spark.catalog.clearCache()
         graft.operators.Ckpt.releaseGraftStorage(spark)
       })
+    val guardClean = !isContaminated(results)
 
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     // noise-robust companions to the official medians: the min of this
@@ -190,8 +254,6 @@ object Bench {
     val totalMin = results.collect { case (_, _, m) if m >= 0 => m }.sum
 
     // label host noise at capture time: compare against this sf's history
-    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
-    val histMed = historyMedians(hist, sfDir)
     val ratios = results.collect {
       case (name, v, _) if v > 0 && histMed.contains(name) => name -> v / histMed(name)
     }
@@ -208,7 +270,12 @@ object Bench {
         jstr(name) + ":" + num(histMed(name))
     }.mkString("{", ",", "}")
 
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"queries":$qs,"queries_min":$qsMin,"hist_medians":$histJson,"errors":$errs,"outliers":$outliers,"sf":${jstr(sfDir)}}"""
+    // the guard block records what the capture-time contamination check
+    // did: how many extra pass pairs ran and whether the final record
+    // judged clean — a dirty record that exhausted its retries labels
+    // itself instead of reading as a regression
+    val guard = s"""{"extra_pairs":$extraPairs,"max_extra_pairs":$maxExtraPairs,"clean":$guardClean}"""
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"queries":$qs,"queries_min":$qsMin,"hist_medians":$histJson,"errors":$errs,"outliers":$outliers,"guard":$guard,"sf":${jstr(sfDir)}}"""
     // BASELINE.md protocol: the self-contained official record lives in
     // bench/results.json — a durable file a log-tail capture can't
     // truncate (round 5's stdout-only record lost its head to exactly
@@ -238,7 +305,7 @@ object Bench {
     // durable full record lives in bench/results.json (and the history
     // file); stdout ends with the length-budgeted compact line.
     println(compactLine(results, errors, wholesale, ratios.size,
-      high.size, total, totalMin, sfDir))
+      high.size, total, totalMin, sfDir, extraPairs, guardClean))
   }
 
   /** The tail-capture-safe record: totals, error/outlier summaries, and
@@ -254,13 +321,14 @@ object Bench {
   private[graft] def compactLine(
       results: Seq[(String, Double, Double)], errors: Seq[(String, String)],
       wholesale: Boolean, nCompared: Int, nHigh: Int,
-      total: Double, totalMin: Double, sfDir: String): String = {
+      total: Double, totalMin: Double, sfDir: String,
+      extraPairs: Int = 0, guardClean: Boolean = true): String = {
     val slowFirst = results.filter(_._2 >= 0).sortBy(-_._2)
     val errsCompact =
       if (errors.isEmpty) "{}"
       else errors.take(3).map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
         .mkString("{", ",", if (errors.size > 3) s""","_more":${errors.size - 3}}""" else "}")
-    val fixedTail = s""""errors":$errsCompact,"outliers":{"flag":$wholesale,"compared":$nCompared,"n_high":$nHigh},"full_record":"bench/results.json","sf":${jstr(sfDir)}}"""
+    val fixedTail = s""""errors":$errsCompact,"outliers":{"flag":$wholesale,"compared":$nCompared,"n_high":$nHigh},"guard":{"extra_pairs":$extraPairs,"clean":$guardClean},"full_record":"bench/results.json","sf":${jstr(sfDir)}}"""
     val head = s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"n_queries":${results.size},"""
     val entries = slowFirst.map { case (k, v, _) => jstr(k) + ":" + num(v) }
     // greedy slowest-first pack: how many entries fit alongside the fixed

@@ -163,7 +163,54 @@ object ScaleBench {
     // q216 is q215's codec pass plus the bounded-output resample —
     // linear in pixels by the same argument (measured r11:
     // bench/scaling_r11_q216.json)
-    "q216_image_resize")
+    "q216_image_resize",
+    // round-13: the stored read-path tier — q203 is q66's stored
+    // rendering (a manifest scan), q218/q220 read job artifacts at
+    // rollup grain, q219 reads the PERSISTED component map (the r12
+    // `weak`: its read re-ran the iterative closure, exp_last 0.59;
+    // stored, the read must be flat), q222/q224 are linear-in-frames
+    // codec passes like q215/q216
+    "q203_pipeline_manifest", "q218_curation_funnel_stored",
+    "q219_dedup_agreement_stored", "q220_source_datasheet_stored",
+    "q222_audio_decode", "q224_audio_decode_mixed")
+
+  /** Per-query max-exponent ceilings (VERDICT r12 ask #5): the tiers
+    * whose scaling is DECLARED non-linear (or bounded by construction)
+    * used to be blanket-excluded from the suite, which made a
+    * regression in their non-declared work invisible. Instead, each
+    * carries the slope its declaration permits, and a measured
+    * `exp_fit` above the ceiling FAILS the run (exit 1 after the
+    * record is written) — the declared term stays allowed, everything
+    * on top of it trips the watchdog. Ceilings include ~0.25 of slope
+    * headroom for timer noise at the 0.3 s fit floor.
+    *
+    *  - q210: the r=2 band arm's collision term is near-quadratic by
+    *    declaration (measured 1.93 at 100×) — ceiling 2.1; run it at
+    *    small decades (1×/10×) where its cost is a diagnostic, not a
+    *    suite tax.
+    *  - q211: the q108 machinery under a 4-point minRun grid —
+    *    measured 0.73 (r11); ceiling 1.3.
+    *  - q215/q216/q222/q224: per-payload codec passes, linear in
+    *    pixels/frames — ceiling 1.25.
+    *  - q217: constant-size sample by construction — ceiling 0.5.
+    *  - stored read paths (q203/q213/q218/q219/q220): scans/rollups of
+    *    job artifacts — sub-linear in corpus; ceiling 1.0 (q219's r12
+    *    read-time closure measured 0.59 and is exactly what this gate
+    *    exists to catch).
+    */
+  val SlopeCeilings: Map[String, Double] = Map(
+    "q210_band_curve" -> 2.1,
+    "q211_minrun_curve" -> 1.3,
+    "q215_image_decode" -> 1.25,
+    "q216_image_resize" -> 1.25,
+    "q222_audio_decode" -> 1.25,
+    "q224_audio_decode_mixed" -> 1.25,
+    "q217_band_curve_sampled" -> 0.5,
+    "q203_pipeline_manifest" -> 1.0,
+    "q213_manifest_budget" -> 1.0,
+    "q218_curation_funnel_stored" -> 1.0,
+    "q219_dedup_agreement_stored" -> 1.0,
+    "q220_source_datasheet_stored" -> 1.0)
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {
@@ -212,18 +259,32 @@ object ScaleBench {
     spark.stop()
 
     def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
-    val perQuery = names.map { name =>
+    val fitted: Seq[(String, Option[Double], Option[Double], String)] = names.map { name =>
       val pts = times.filter(_._1 == name).map(t => (t._2, t._4)).sortBy(_._1)
       val fitPts = pts.filter(_._2 >= 0.3)
-      val exp = slope(fitPts)
-      val expLast = slope(fitPts.takeRight(2))
       val tsJson = pts.map { case (s, t) => "\"" + s + "\":" + num(t) }.mkString("{", ",", "}")
+      (name, slope(fitPts), slope(fitPts.takeRight(2)), tsJson)
+    }
+    val perQuery = fitted.map { case (name, exp, expLast, tsJson) =>
       "\"" + name + "\":{\"times\":" + tsJson +
         exp.map(e => ",\"exp_fit\":" + num(e)).getOrElse("") +
-        expLast.map(e => ",\"exp_last\":" + num(e)).getOrElse("") + "}"
+        expLast.map(e => ",\"exp_last\":" + num(e)).getOrElse("") +
+        SlopeCeilings.get(name).map(c => ",\"ceiling\":" + num(c)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
+    // the slope gate: every fitted exponent checks against its declared
+    // ceiling (SlopeCeilings; absent = no declared non-linearity to
+    // allow, no gate). Violations are recorded in the JSON AND fail the
+    // run after the record is durably written — a watchdog that only
+    // logged would be read as green.
+    val violations = fitted.collect {
+      case (name, Some(e), _, _)
+          if SlopeCeilings.get(name).exists(e > _) =>
+        name -> e
+    }
+    val violJson = violations
+      .map { case (n, e) => "\"" + n + "\":" + num(e) }.mkString("{", ",", "}")
     val scalesJson = dirs.map { case (d, s) => "\"" + s + "\":\"" + d + "\"" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scaling","unit":"sec","runs":$runs,"scales":$scalesJson,"queries":$perQuery}"""
+    val line = s"""{"metric":"scaling","unit":"sec","runs":$runs,"scales":$scalesJson,"ceiling_violations":$violJson,"queries":$perQuery}"""
 
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -237,5 +298,11 @@ object ScaleBench {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[scalebench] history append failed: $e") }
     println(line)
+    if (violations.nonEmpty) {
+      System.err.println("[scalebench] SLOPE CEILING VIOLATIONS: " +
+        violations.map { case (n, e) =>
+          f"$n exp_fit $e%.3f > ${SlopeCeilings(n)}%.2f" }.mkString("; "))
+      sys.exit(1)
+    }
   }
 }

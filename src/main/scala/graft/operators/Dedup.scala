@@ -585,6 +585,14 @@ object Dedup {
             .as("precision_ppm"))
     }.reduce(_.unionByName(_)).orderBy("rows_per_band")
 
+  /** [[bandCurveSampled]]'s default sample target and membership salt —
+    * ONE definition interpolated into both the engine default and the
+    * q217 oracle SQL (DedupQueries), so a default change can never
+    * surface as an opaque hash-gate mismatch (r12 review finding).
+    */
+  val BandCurveTargetDocs: Long = 250L
+  val BandCurveSalt: String = "band_curve"
+
   /** [[bandCurve]] over a deterministic hash sample of the corpus — the
     * scale-safe rendering of the band-shape tuning curve (VERDICT r11
     * ask #1). Membership = salted 60-bit md5 of doc_id mod 10⁶ <
@@ -610,9 +618,9 @@ object Dedup {
     * 500-doc corpus samples to ~250 docs against an oracle that
     * reproduces the sample bit-for-bit.
     */
-  def bandCurveSampled(docs: DataFrame, targetDocs: Long = 250L,
+  def bandCurveSampled(docs: DataFrame, targetDocs: Long = BandCurveTargetDocs,
       n: Int = 3, threshold: Double = 0.7,
-      salt: String = "band_curve"): DataFrame = {
+      salt: String = BandCurveSalt): DataFrame = {
     // upper bound keeps targetDocs * 10^6 inside Long (9.2e18 / 1e6);
     // any real tuning target is orders of magnitude below it
     require(targetDocs >= 1 && targetDocs <= 1000000000000L,

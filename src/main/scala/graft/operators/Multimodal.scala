@@ -132,6 +132,42 @@ object Multimodal {
   def extractFeatures(payload: Dataset[Blob]): Dataset[BlobFeatures] =
     payload.mapPartitions(_.map(byteProfile))
 
+  /** Per-band 8-bit normalization plan for raster samples: sample `s`
+    * of a `d`-bit band maps to `((s >> shift) * num) / den` — the
+    * high-byte shift for d ∈ (8, 16] (16-bit 0xFFFF → 0xFF), identity
+    * at 8, and a full-range integer upscale `s·255/(2^d − 1)` below 8
+    * (a non-palette 4-bit gray 0xF must read as white 255, not
+    * near-black 15 — the r12 review finding; d = 1 maps {0, 1} to
+    * {0, 255} by the same formula). Deeper than 16 bits fails loudly
+    * — float/32-bit rasters have no lossless integer story here.
+    * Palette indices never pass through this plan: they're names, not
+    * values, and resolve through the `IndexColorModel` instead.
+    */
+  private[graft] final case class BandNorm(
+      shift: Array[Int], num: Array[Int], den: Array[Int]) {
+    @inline def apply(band: Int, s: Int): Int =
+      ((s >> shift(band)) * num(band)) / den(band)
+  }
+
+  private[graft] def bandNorm(sm: java.awt.image.SampleModel,
+      nBands: Int, ctx: String, docId: Long): BandNorm = {
+    val shift = new Array[Int](nBands)
+    val num = new Array[Int](nBands)
+    val den = new Array[Int](nBands)
+    var i = 0
+    while (i < nBands) {
+      val d = sm.getSampleSize(i)
+      if (d > 16)
+        throw new IllegalArgumentException(
+          s"$ctx: payload $docId has a $d-bit band $i — " +
+            "only <=16-bit integer samples are supported")
+      if (d >= 8) { shift(i) = d - 8; num(i) = 1; den(i) = 1 }
+      else { shift(i) = 0; num(i) = 255; den(i) = (1 << d) - 1 }
+      i += 1
+    }
+    BandNorm(shift, num, den)
+  }
+
   /** REAL image decode: `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF —
     * the JDK's in-process codecs) → integer-exact [[ImageFeatures]].
     * Reads RASTER band samples, not `getRGB`: `getRGB` converts a
@@ -158,22 +194,14 @@ object Multimodal {
       case icm: java.awt.image.IndexColorModel => Some(icm)
       case _ => None
     }
-    // the JDK codecs also hand back >8-bit rasters (16-bit PNG):
-    // samples then reach 65535 and would index past the 16-bucket
-    // histogram. Normalize each read band to 8-bit by the standard
-    // high-byte shift (16-bit 0xFFFF -> 0xFF) so deep images take the
-    // same documented path instead of an ArrayIndexOutOfBounds.
-    // (Palette indices are never shifted — they're names, not values.)
-    val sm = raster.getSampleModel
-    val readBands = math.min(bands, 3)
-    val shifts = Array.tabulate(readBands) { i =>
-      val d = sm.getSampleSize(i)
-      if (d > 16)
-        throw new IllegalArgumentException(
-          s"decodeImage: payload ${b.doc_id} has a $d-bit band $i — " +
-            "only <=16-bit integer samples are supported")
-      math.max(0, d - 8)
-    }
+    // the JDK codecs also hand back non-8-bit rasters (16-bit PNG,
+    // sub-8-bit gray): normalize each read band to the 8-bit range via
+    // the shared [[bandNorm]] plan — high-byte shift above 8 bits,
+    // full-range upscale below — so deep and shallow images take the
+    // same documented path instead of an ArrayIndexOutOfBounds (deep)
+    // or an all-dark histogram (shallow).
+    val nrm = bandNorm(raster.getSampleModel, math.min(bands, 3),
+      "decodeImage", b.doc_id)
     val hist = new Array[Long](16)
     var y = 0
     while (y < h) {
@@ -189,10 +217,10 @@ object Multimodal {
               + 114 * icm.getBlue(idx)) / 1000
           case None =>
             if (bands >= 3)
-              (299 * (raster.getSample(x, y, 0) >> shifts(0))
-                + 587 * (raster.getSample(x, y, 1) >> shifts(1))
-                + 114 * (raster.getSample(x, y, 2) >> shifts(2))) / 1000
-            else raster.getSample(x, y, 0) >> shifts(0)
+              (299 * nrm(0, raster.getSample(x, y, 0))
+                + 587 * nrm(1, raster.getSample(x, y, 1))
+                + 114 * nrm(2, raster.getSample(x, y, 2))) / 1000
+            else nrm(0, raster.getSample(x, y, 0))
         }
         hist(lum >> 4) += 1
         x += 1
@@ -315,31 +343,50 @@ object Multimodal {
   private[graft] def synthAudioSample(docId: Long, i: Int): Int =
     ((docId * 31 + i * 4099) % 65536).toInt - 32768
 
-  /** One deterministic WAV payload — encoded by the JDK's own
-    * `javax.sound.sampled.AudioSystem` WAVE writer (a REAL audio
-    * codec path, not a hand-rolled header), PCM so the round trip is
-    * lossless and the q222 analytic oracle applies exactly.
+  /** The synthetic clip in any LOSSLESS JDK-writable PCM container —
+    * WAV, AIFF, or AU. All three carry the identical signed 16-bit
+    * PCM samples, so they share the q222 analytic oracle; only the
+    * container (and its mandated byte order — WAV is little-endian,
+    * AIFF/AU big-endian, matched here so the JDK writer streams the
+    * frames verbatim) differs. Encoded by the JDK's own
+    * `javax.sound.sampled.AudioSystem` writers (REAL codec paths, not
+    * hand-rolled headers). Compressed containers are deliberately NOT
+    * offered: a lossy round trip would silently break the hash gate.
     */
-  private[graft] def encodeSynthWav(docId: Long): Array[Byte] = {
-    require(docId >= 0, s"encodeSynthWav: doc_id must be >= 0, got $docId")
+  private[graft] def encodeSynthAudio(docId: Long, fmt: String): Array[Byte] = {
+    require(Set("wav", "aiff", "au")(fmt),
+      s"encodeSynthAudio: lossless PCM containers only (wav/aiff/au), got '$fmt'")
+    require(docId >= 0, s"encodeSynthAudio: doc_id must be >= 0, got $docId")
+    val big = fmt != "wav" // AIFF and AU are big-endian by spec
     val n = synthAudioLen(docId)
-    val pcm = new Array[Byte](n * 2) // 16-bit mono, little-endian
+    val pcm = new Array[Byte](n * 2) // 16-bit mono
     var i = 0
     while (i < n) {
       val s = synthAudioSample(docId, i)
-      pcm(2 * i) = (s & 0xFF).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      val (lo, hi) = if (big) (2 * i + 1, 2 * i) else (2 * i, 2 * i + 1)
+      pcm(lo) = (s & 0xFF).toByte
+      pcm(hi) = ((s >> 8) & 0xFF).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      8000f, 16, 1, true /* signed */, false /* little-endian */)
+    val afmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true /* signed */, big)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      new java.io.ByteArrayInputStream(pcm), afmt, n.toLong)
+    val tpe = fmt match {
+      case "wav" => javax.sound.sampled.AudioFileFormat.Type.WAVE
+      case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+      case _ => javax.sound.sampled.AudioFileFormat.Type.AU
+    }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
     bos.toByteArray
   }
+
+  /** One deterministic WAV payload — [[encodeSynthAudio]] in the WAVE
+    * container (the q222 corpus).
+    */
+  private[graft] def encodeSynthWav(docId: Long): Array[Byte] =
+    encodeSynthAudio(docId, "wav")
 
   /** Documents → one deterministic WAV payload per doc (the synthetic
     * audio corpus — the q222 input, same shape as [[pngCorpus]]).
@@ -347,6 +394,23 @@ object Multimodal {
   def wavCorpus(docs: DataFrame): Dataset[Blob] =
     docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
       .mapPartitions(_.map(id => Blob(id, encodeSynthWav(id))))
+
+  /** [[wavCorpus]] with the container VARYING by doc — doc_id mod 3
+    * picks WAV / AIFF / AU (all lossless 16-bit PCM, so the decoded
+    * features stay the q222 closed form regardless of container).
+    * This is the q224 corpus — the audio mirror of [[mixedCorpus]]
+    * (q221): a real pipeline never sees one container, and the AIFF/AU
+    * thirds route the big-endian frame path through every gated run.
+    */
+  def mixedAudioCorpus(docs: DataFrame): Dataset[Blob] =
+    docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        val fmts = Array("wav", "aiff", "au")
+        // floorMod: a (contract-violating) negative id must hit the
+        // encode require, not an ArrayIndexOutOfBounds at fmts(-1)
+        it.map(id => Blob(id,
+          encodeSynthAudio(id, fmts(java.lang.Math.floorMod(id, 3L).toInt))))
+      }
 
   /** REAL audio decode: `javax.sound.sampled.AudioSystem` (the JDK's
     * in-process WAV/AIFF/AU PCM codecs) → integer-exact
@@ -441,18 +505,11 @@ object Multimodal {
           val out = new java.awt.image.BufferedImage(tw, th, outType)
           val dst = out.getRaster
           val nb = math.min(src.getNumBands, dst.getNumBands)
-          // >8-bit source bands (16-bit PNG) must be high-byte-shifted
-          // into the 8-bit output raster — setSample would otherwise
-          // keep the LOW bits and silently scramble the image
-          val sm = src.getSampleModel
-          val shifts = Array.tabulate(nb) { i =>
-            val d = sm.getSampleSize(i)
-            if (d > 16)
-              throw new IllegalArgumentException(
-                s"resizeImages: payload ${b.doc_id} has a $d-bit band $i — " +
-                  "only <=16-bit integer samples are supported")
-            math.max(0, d - 8)
-          }
+          // non-8-bit source bands must be normalized into the 8-bit
+          // output raster via the shared [[bandNorm]] plan — setSample
+          // with raw deep samples would keep the LOW bits, and raw
+          // shallow samples would land near black
+          val nrm = bandNorm(src.getSampleModel, nb, "resizeImages", b.doc_id)
           var y = 0
           while (y < th) {
             var x = 0
@@ -468,7 +525,7 @@ object Multimodal {
                   var c = 0
                   while (c < nb) {
                     dst.setSample(x, y, c,
-                      src.getSample(x * w / tw, y * h / th, c) >> shifts(c))
+                      nrm(c, src.getSample(x * w / tw, y * h / th, c)))
                     c += 1
                   }
               }

@@ -108,12 +108,16 @@ object CurationQueries {
       Curation.qualityKeeper(Tables.load(spark, dir, "documents"))
         .orderBy("doc_id")),
 
-    // the PIPELINE-JOB rendering of q66: `graft.Pipeline` materializes
-    // the whole curation → semantic → split → tokens → manifest chain
-    // to parquet (once per sf-dir per JVM, the stored-artifact cache
+    // the STORED-ARTIFACT rendering of q66 (the q218/q219/q220
+    // pattern, predating them): `graft.Pipeline` materializes the
+    // whole curation → semantic → split → tokens → manifest chain to
+    // parquet (once per sf-dir per JVM, the stored-artifact cache
     // protocol), and the query READS the stored manifest — gated
     // against the SAME oracle as q66, so the hash match is the
-    // job-output ≡ direct-composition law, driver-enforced
+    // job-output ≡ direct-composition law, driver-enforced. At 100 TB
+    // the training run reads THIS, never the 8-second inline q66
+    // composition; its read-path scale decade is measured in
+    // bench/scaling_r13_stored.json (flat — a manifest scan)
     "q203_pipeline_manifest" -> ((spark, dir) => {
       val d = cachedIndexDir(pipeCache, dir, "graft_pipeline_") { out =>
         graft.Pipeline.run(spark, dir, out); ()

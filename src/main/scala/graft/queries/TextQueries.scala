@@ -189,6 +189,21 @@ object TextQueries {
         .orderBy("doc_id", "bucket")
     }),
 
+    // q222 over the MIXED-container corpus (doc_id mod 3 → WAV / AIFF /
+    // AU — all lossless 16-bit PCM): the same analytic oracle gates all
+    // three JDK audio codecs, including the big-endian AIFF/AU frame
+    // path, in one query — the audio mirror of q221 (VERDICT r12 ask #4)
+    "q224_audio_decode_mixed" -> ((spark, dir) => {
+      val feats = Multimodal.extractAudioFeatures(
+        Multimodal.mixedAudioCorpus(Tables.load(spark, dir, "documents")))
+      feats.select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          posexplode(col("amp_hist")).as(Seq("bucket", "n")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("bucket").cast("long").as("bucket"), col("n"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // REAL image resize, hash-gated like q215: the synthetic PNGs are
     // decoded, nearest-neighbor resampled to maxDim 16 in exact integer
     // arithmetic, re-encoded, decoded AGAIN, and the decoded feature
@@ -759,24 +774,10 @@ object TextQueries {
     // PNG/BMP/GIF corpus answers to the same analytic oracle
     "q221_image_decode_mixed" -> ImageDecodeSql,
 
-    // the analytic twin of the engine's WAV encode→decode round trip:
-    // frame i of doc d is the signed sample ((d·31 + i·4099) mod 65536) −
-    // 32768 over 256 + d mod 241 frames at 8 kHz (synthAudioSample /
-    // synthAudioLen verbatim); the amplitude bucket (s + 32768) >> 12
-    // is then ((d·31 + i·4099) mod 65536) // 4096 — pure integer GROUP BY
-    "q222_audio_decode" ->
-      """WITH idx AS (SELECT unnest(generate_series(0, 495)) AS i),
-        |s AS (
-        |  SELECT d.doc_id,
-        |         256 + (d.doc_id % 241) AS n_samples,
-        |         ((d.doc_id * 31 + idx.i * 4099) % 65536) // 4096 AS bucket
-        |  FROM documents d, idx
-        |  WHERE idx.i < 256 + (d.doc_id % 241))
-        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, n_samples,
-        |       bucket, count(*) AS n
-        |FROM s
-        |GROUP BY doc_id, n_samples, bucket
-        |ORDER BY doc_id, bucket""".stripMargin,
+    "q222_audio_decode" -> AudioDecodeSql,
+    // lossless PCM containers decode to identical features — the mixed
+    // WAV/AIFF/AU corpus answers to the same analytic oracle
+    "q224_audio_decode_mixed" -> AudioDecodeSql,
 
     // the analytic twin of decode→resize→encode→decode: target dims
     // W = greatest(1, w0·16 // max(w0,h0)) (pass-through when already
@@ -1372,6 +1373,29 @@ object TextQueries {
       |SELECT doc_id, width, height, bucket, count(*) AS n_px
       |FROM px
       |GROUP BY doc_id, width, height, bucket
+      |ORDER BY doc_id, bucket""".stripMargin
+
+  /** q222/q224: the analytic twin of the engine's PCM encode→decode
+    * round trip — frame i of doc d is the signed sample
+    * ((d·31 + i·4099) mod 65536) − 32768 over 256 + d mod 241 frames at
+    * 8 kHz (Multimodal.synthAudioSample / synthAudioLen verbatim); the
+    * amplitude bucket (s + 32768) >> 12 is then
+    * ((d·31 + i·4099) mod 65536) // 4096 — pure integer GROUP BY.
+    * Container-blind: every lossless PCM codec (WAV, AIFF, AU) must
+    * reproduce these features exactly.
+    */
+  private lazy val AudioDecodeSql: String =
+    """WITH idx AS (SELECT unnest(generate_series(0, 495)) AS i),
+      |s AS (
+      |  SELECT d.doc_id,
+      |         256 + (d.doc_id % 241) AS n_samples,
+      |         ((d.doc_id * 31 + idx.i * 4099) % 65536) // 4096 AS bucket
+      |  FROM documents d, idx
+      |  WHERE idx.i < 256 + (d.doc_id % 241))
+      |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, n_samples,
+      |       bucket, count(*) AS n
+      |FROM s
+      |GROUP BY doc_id, n_samples, bucket
       |ORDER BY doc_id, bucket""".stripMargin
 
   /** q188/q220: the fused per-source datasheet from scratch —

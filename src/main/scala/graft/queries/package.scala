@@ -27,14 +27,21 @@ package object queries {
     if (r.isNullAt(0)) 0L else math.floor(0.8 * r.getLong(0)).toLong
   }
 
-  /** Per-JVM stored near-dup EDGE artifact over the full corpus —
+  /** Per-JVM stored near-dup artifact over the full corpus —
     * "yesterday's dedup job" whose parquet the stored-backed report
     * variants (q219/q220) READ instead of re-running the whole
-    * shingle → MinHash → verify chain inline. At 100 TB the edge
-    * relation is exactly the artifact a dedup job persists for every
-    * downstream report; the variants' hash gates against the
-    * from-scratch oracles are the stored ≡ recomputed law (the q203 /
-    * q71 protocol).
+    * shingle → MinHash → verify chain inline. The job persists BOTH
+    * grains a downstream consumer needs: the raw edge list
+    * (`edges/` — i, j, jaccard) and the connected-COMPONENT assignment
+    * over it (`components/` — node, component; the q47 output). The
+    * component map matters at scale: the closure is O(|E|)-iterative,
+    * so a dashboard that re-derives it per read pays the whole graph
+    * every time (measured 9.7 s at the 100× decade, VERDICT r12 ask
+    * #2) — stored, the read is a join + rollup, flat in batch count.
+    * At 100 TB these are exactly the artifacts a dedup job persists
+    * for every downstream report; the variants' hash gates against
+    * the from-scratch oracles are the stored ≡ recomputed law (the
+    * q203 / q71 protocol).
     */
   private val edgesCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -44,6 +51,11 @@ package object queries {
       graft.operators.Dedup
         .nearDupEdges(graft.sources.Tables.load(spark, dir, "documents"))
         .write.mode("overwrite").parquet(s"$d/edges")
+      // the closure runs ONCE, at job time, over the just-written narrow
+      // edge parquet — never per dashboard read
+      graft.operators.Components
+        .connected(spark.read.parquet(s"$d/edges"))
+        .write.mode("overwrite").parquet(s"$d/components")
     }
 
   /** "Yesterday's job" stand-in for the stored-index queries: run

@@ -144,6 +144,60 @@ class BenchSpec extends AnyFunSuite {
     assert(cleanups == 2)
   }
 
+  test("guardedInterleavedResults: a pass-spanning contention window earns extra pairs and settles clean") {
+    // the r12 capture mode: contention covering whole passes, so every
+    // query's MEDIAN reads hot against its own min. The guard must add
+    // pass pairs until the clean majority outvotes the window.
+    val suite = Seq("q1" -> 1.0, "q2" -> 2.0)
+    var invocation = 0
+    def contaminated(rs: Seq[(String, Double, Double)]): Boolean = {
+      val tot = rs.map(_._2).sum
+      val totMin = rs.map(_._3).sum
+      totMin > 0 && tot > 1.25 * totMin
+    }
+    val (res, errs, extra) = Bench.guardedInterleavedResults[Double](
+      suite, passes = 3, maxExtraPairs = 2,
+      runner = { base =>
+        invocation += 1
+        // warm-up = invocations 1-2; timed passes 1-2 (invocations 3-6)
+        // are inside the window, pass 3 is clean → median of 3 is hot
+        if (invocation >= 3 && invocation <= 6) base * 10 else base
+      },
+      contaminated = contaminated)
+    assert(errs.isEmpty)
+    assert(extra == 1, s"one extra pair must suffice (3 clean vs 2 hot): $extra")
+    assert(res.forall(r => r._2 == r._3),
+      s"medians must settle to the clean floor: $res")
+    assert(!contaminated(res))
+  }
+
+  test("guardedInterleavedResults: a persistent regression spends its retries and reports dirty") {
+    // a REAL slowdown reproduces in every retry — the guard must not
+    // launder it into a clean record, only spend its budget and stop
+    var invocations = 0
+    val (res, _, extra) = Bench.guardedInterleavedResults[Double](
+      Seq("q1" -> 1.0), passes = 3, maxExtraPairs = 2,
+      runner = { base => invocations += 1; base * 10 }, // always slow
+      contaminated = rs => rs.exists(_._2 > 5.0)) // "3x history" stand-in
+    assert(extra == 2, "retry budget must be spent, then stop")
+    assert(res.head._2 == 10.0, "the reproducing value IS the record")
+    // warm-up + 3 base + 2 pairs × 2 passes = 8 invocations
+    assert(invocations == 8)
+  }
+
+  test("guardedInterleavedResults: a clean run never pays an extra pass") {
+    var invocations = 0
+    val (_, _, extra) = Bench.guardedInterleavedResults[Double](
+      Seq("q1" -> 1.0, "q2" -> 2.0), passes = 3, maxExtraPairs = 2,
+      runner = { base => invocations += 1; base },
+      contaminated = rs => {
+        val tot = rs.map(_._2).sum; val m = rs.map(_._3).sum
+        m > 0 && tot > 1.25 * m
+      })
+    assert(extra == 0)
+    assert(invocations == 8, "warm-up + exactly 3 timed passes")
+  }
+
   test("compactLine: never exceeds the tail-capture budget, parses, accounts for every query") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // 300 queries with long names — far past what any window could hold

@@ -1272,4 +1272,50 @@ class StreamingSpec extends AnyFunSuite {
       Multimodal.pngCorpus(docs.unionByName(extra))).toDF())
     assert(canon(Streams.ingestImageFeaturesRead(spark, state).get) == wantPlus)
   }
+
+  test("ingestImageFeatures end-to-end: file-streamed blobs through writeStream match the batch decode") {
+    // the wrapper itself (writeStream → foreachBatch → start), not just
+    // its batch step: blob files arrive one per micro-batch, the decode
+    // runs once per batch, and the folded feature read equals a batch
+    // decode over everything — the other eleven tiers' e2e coverage
+    // (r12 review finding: only the batch step was driven directly)
+    import graft.operators.Multimodal
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_img_e2e_").toFile
+    val state = new java.io.File(root, "state").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") < 45)
+    val blobs = Multimodal.pngCorpus(docs).toDF()
+    val sch = blobs.schema
+    // three file drops → three micro-batches through the shared protocol
+    (0 until 3).foreach { i =>
+      val tmp = new java.io.File(root, s"tmp_$i")
+      blobs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(src, s"blobs_$i.parquet").toPath)
+      }
+    }
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q = Streams.ingestImageFeatures(stream, state, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3))).toSeq
+    val want = canon(
+      Multimodal.extractImageFeatures(Multimodal.pngCorpus(docs)).toDF())
+    assert(canon(Streams.ingestImageFeaturesRead(spark, state).get) == want,
+      "streamed decode must equal the batch decode")
+    // restart against the same checkpoint with no new files: the
+    // replay-skip protocol must hold through the wrapper too
+    val stream2 = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src.getAbsolutePath)
+    val q2 = Streams.ingestImageFeatures(stream2, state, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(canon(Streams.ingestImageFeaturesRead(spark, state).get) == want)
+  }
 }

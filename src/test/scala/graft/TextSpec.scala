@@ -500,6 +500,66 @@ class TextSpec extends AnyFunSuite {
     assert(ex8.getMessage.contains("16-bit PCM"))
   }
 
+  test("decodeAudio: mixed WAV/AIFF/AU corpus — container varies by magic, features stay the closed form") {
+    // the q224 gate's engine half: one clip per container family, each
+    // byte-identified by its container magic (RIFF / FORM / .snd), each
+    // decoding to the SAME analytic features — container variation law
+    def magic(bytes: Array[Byte]): String =
+      new String(bytes.take(4), "ISO-8859-1")
+    val wantMagic = Map("wav" -> "RIFF", "aiff" -> "FORM", "au" -> ".snd")
+    for (id <- 0L to 8L) {
+      val fmt = Seq("wav", "aiff", "au")((id % 3).toInt)
+      val bytes = Multimodal.encodeSynthAudio(id, fmt)
+      assert(magic(bytes) == wantMagic(fmt), s"doc $id container magic")
+      val f = Multimodal.decodeAudio(Multimodal.Blob(id, bytes))
+      val n = Multimodal.synthAudioLen(id)
+      val want = new Array[Long](16)
+      for (i <- 0 until n)
+        want((Multimodal.synthAudioSample(id, i) + 32768) >> 12) += 1
+      assert(f.sample_rate == 8000L && f.n_samples == n, s"doc $id via $fmt: $f")
+      assert(f.amp_hist == want.toSeq, s"doc $id amplitude histogram via $fmt")
+    }
+    // per-container equality: the SAME doc through all three containers
+    // yields byte-different payloads but identical decoded features
+    for (id <- Seq(7L, 123L)) {
+      val feats = Seq("wav", "aiff", "au").map(f =>
+        Multimodal.decodeAudio(Multimodal.Blob(id,
+          Multimodal.encodeSynthAudio(id, f))))
+      assert(feats.distinct.size == 1, s"doc $id container-independence: $feats")
+    }
+    // compressed/unknown containers stay out by contract
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.encodeSynthAudio(3L, "mp3")
+    }
+    assert(ex.getMessage.contains("lossless PCM containers only"))
+  }
+
+  test("bandNorm: sub-8-bit bands upscale to full range, deep bands high-byte shift, >16 fails") {
+    import java.awt.image.{ComponentSampleModel, DataBuffer, MultiPixelPackedSampleModel}
+    def norm(d: Int): Multimodal.BandNorm = {
+      val sm =
+        if (d <= 8) new MultiPixelPackedSampleModel(DataBuffer.TYPE_BYTE, 4, 4, d)
+        else new ComponentSampleModel(DataBuffer.TYPE_USHORT, 4, 4, 1, 4, Array(0))
+      Multimodal.bandNorm(sm, 1, "test", 1L)
+    }
+    // 4-bit: 0xF is white (255, bucket 15), not near-black 15 (the r12
+    // review finding); interior values spread via s·255/15
+    assert(norm(4)(0, 15) == 255 && norm(4)(0, 0) == 0)
+    assert(norm(4)(0, 8) == 8 * 255 / 15)
+    // 1-bit: {0, 1} → {0, 255}
+    assert(norm(1)(0, 1) == 255 && norm(1)(0, 0) == 0)
+    // 8-bit: identity
+    assert(norm(8)(0, 200) == 200 && norm(8)(0, 0) == 0)
+    // 16-bit: high byte
+    assert(norm(16)(0, 0xFFFF) == 255 && norm(16)(0, 0x1234) == 0x12)
+    // deeper than 16 bits fails loudly
+    val sm32 = new ComponentSampleModel(DataBuffer.TYPE_INT, 4, 4, 1, 4, Array(0))
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.bandNorm(sm32, 1, "test", 9L)
+    }
+    assert(ex.getMessage.contains("32-bit band"))
+  }
+
   test("extractAudioFeatures: decode-then-feature is partitioning-independent") {
     val sample = docs.limit(40)
     def run(parts: Int): Seq[(Long, Long, Long, Seq[Long])] =
