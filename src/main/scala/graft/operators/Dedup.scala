@@ -617,6 +617,15 @@ object Dedup {
     * (DedupSpec), and exercised by the q217 gate at sf0.01 where the
     * 500-doc corpus samples to ~250 docs against an oracle that
     * reproduces the sample bit-for-bit.
+    *
+    * SIZING `targetDocs` (measured operating envelope, [[graft.BandAgreement]]
+    * → bench/band_agreement_r13.json): because pair mass thins as ppm²,
+    * a fixed target keeps ~(target/n)² of the corpus' pairs — at 10× the
+    * gated corpus, target 250 retains ~1e-5 of pairs and the curve
+    * degenerates (0 verified pairs everywhere); target 8000 reproduces
+    * the full curve's precision ordering AND its pairwise direction
+    * exactly. An operator sizes the target for pair confidence, not doc
+    * coverage; cost stays bounded by the target whatever the corpus.
     */
   def bandCurveSampled(docs: DataFrame, targetDocs: Long = BandCurveTargetDocs,
       n: Int = 3, threshold: Double = 0.7,

@@ -146,6 +146,33 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryFile → mixed WAV/AIFF/AU decode: every JDK PCM container rides the production path") {
+    import graft.operators.Multimodal
+    // one file per container family on disk, ingested executor-side
+    // through binaryFile and decoded by the REAL javax.sound codec —
+    // the q224 production path, per container, end to end
+    val dir = new java.io.File(tmp("mixed_audio_payloads")); dir.mkdirs()
+    dir.listFiles().foreach(_.delete())
+    val files = Seq(11L -> "wav", 12L -> "aiff", 13L -> "au")
+    files.foreach { case (id, fmt) =>
+      java.nio.file.Files.write(new java.io.File(dir, s"$id.$fmt").toPath,
+        Multimodal.encodeSynthAudio(id, fmt))
+    }
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.blobsFromFiles(spark, dir.getAbsolutePath))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.keySet == files.map(_._1).toSet)
+    files.foreach { case (id, fmt) =>
+      val n = Multimodal.synthAudioLen(id)
+      assert(feats(id).sample_rate == 8000L && feats(id).n_samples == n,
+        s"file $id.$fmt header")
+      val want = new Array[Long](16)
+      for (i <- 0 until n)
+        want((Multimodal.synthAudioSample(id, i) + 32768) >> 12) += 1
+      assert(feats(id).amp_hist == want.toSeq, s"file $id.$fmt histogram")
+    }
+  }
+
   test("binaryFile → real PNG decode: file-sourced payloads decode to the analytic features") {
     import graft.operators.Multimodal
     // actual .png files on disk, ingested executor-side through the
