@@ -172,7 +172,12 @@ object ScaleBench {
     // codec passes like q215/q216
     "q203_pipeline_manifest", "q218_curation_funnel_stored",
     "q219_dedup_agreement_stored", "q220_source_datasheet_stored",
-    "q222_audio_decode", "q224_audio_decode_mixed")
+    "q222_audio_decode", "q224_audio_decode_mixed",
+    // the stored-edge graph tier: each pays only its graph pass over
+    // the persisted edge relation (edges grow ~linearly with the
+    // corpus; the inline twins q142/q153/q205 measured 0.49/0.57/sub-
+    // linear, so these must come in at-or-under those)
+    "q225_triangles_stored", "q226_kcore_stored", "q227_label_prop_stored")
 
   /** Per-query max-exponent ceilings (VERDICT r12 ask #5): the tiers
     * whose scaling is DECLARED non-linear (or bounded by construction)

@@ -198,6 +198,20 @@ class BenchSpec extends AnyFunSuite {
     assert(invocations == 8, "warm-up + exactly 3 timed passes")
   }
 
+  test("ScaleBench: every ScaleQueries/SlopeCeilings name is a registered query") {
+    // a typo'd name would silently measure nothing (ceilings) or fail a
+    // run at startup (queries) — both lists must stay inside the surface
+    val qs = SparkEntry.queries.keySet
+    val badQ = ScaleBench.ScaleQueries.filterNot(qs)
+    assert(badQ.isEmpty, s"ScaleQueries not in SparkEntry.queries: $badQ")
+    val badC = ScaleBench.SlopeCeilings.keySet.filterNot(qs)
+    assert(badC.isEmpty, s"SlopeCeilings not in SparkEntry.queries: $badC")
+    // every ceiling is positive and every ceiling-gated query that the
+    // default suite measures is actually in the suite OR documented as
+    // an on-demand diagnostic (q210)
+    assert(ScaleBench.SlopeCeilings.values.forall(_ > 0))
+  }
+
   test("compactLine: never exceeds the tail-capture budget, parses, accounts for every query") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // 300 queries with long names — far past what any window could hold
