@@ -198,6 +198,28 @@ class BenchSpec extends AnyFunSuite {
     assert(invocations == 8, "warm-up + exactly 3 timed passes")
   }
 
+  test("BandAgreement.monotoneAgree: pairwise direction over shared defined arms only") {
+    def row(r: Long, p: Long) = (r, 0L, 0L, p)
+    // same ordering, different magnitudes → agree
+    assert(BandAgreement.monotoneAgree(
+      Seq(row(2, 100), row(4, 500), row(8, 900)),
+      Seq(row(2, 10), row(4, 50), row(8, 90))))
+    // one inverted pair → disagree
+    assert(!BandAgreement.monotoneAgree(
+      Seq(row(2, 100), row(4, 500), row(8, 900)),
+      Seq(row(2, 60), row(4, 50), row(8, 90))))
+    // an undefined arm (precision -1, no candidates) is excluded from
+    // the judgment rather than read as "smallest"
+    assert(BandAgreement.monotoneAgree(
+      Seq(row(2, 100), row(4, 500), row(8, 900)),
+      Seq(row(2, -1), row(4, 50), row(8, 90))))
+    // ties must agree with ties
+    assert(BandAgreement.monotoneAgree(
+      Seq(row(4, 500), row(8, 500)), Seq(row(4, 7), row(8, 7))))
+    assert(!BandAgreement.monotoneAgree(
+      Seq(row(4, 500), row(8, 500)), Seq(row(4, 7), row(8, 8))))
+  }
+
   test("ScaleBench: every ScaleQueries/SlopeCeilings name is a registered query") {
     // a typo'd name would silently measure nothing (ceilings) or fail a
     // run at startup (queries) — both lists must stay inside the surface
