@@ -177,7 +177,10 @@ object ScaleBench {
     // the persisted edge relation (edges grow ~linearly with the
     // corpus; the inline twins q142/q153/q205 measured 0.49/0.57/sub-
     // linear, so these must come in at-or-under those)
-    "q225_triangles_stored", "q226_kcore_stored", "q227_label_prop_stored")
+    "q225_triangles_stored", "q226_kcore_stored", "q227_label_prop_stored",
+    // component-map rollups off the same stored artifact — reads are
+    // join + bounded-grain aggs, must stay ~flat like q219
+    "q228_dedup_savings_stored", "q229_dup_cluster_sources_stored")
 
   /** Per-query max-exponent ceilings (VERDICT r12 ask #5): the tiers
     * whose scaling is DECLARED non-linear (or bounded by construction)
@@ -215,7 +218,9 @@ object ScaleBench {
     "q213_manifest_budget" -> 1.0,
     "q218_curation_funnel_stored" -> 1.0,
     "q219_dedup_agreement_stored" -> 1.0,
-    "q220_source_datasheet_stored" -> 1.0)
+    "q220_source_datasheet_stored" -> 1.0,
+    "q228_dedup_savings_stored" -> 1.0,
+    "q229_dup_cluster_sources_stored" -> 1.0)
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

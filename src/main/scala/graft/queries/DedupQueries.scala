@@ -416,23 +416,17 @@ object DedupQueries {
     // Rollup grain is cluster size (bounded), never docs.
     "q135_dedup_savings" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      val comp = Components.connected(Dedup.nearDupEdges(docs))
-      val sized = comp.groupBy("component")
-        .agg(count(lit(1)).as("cluster_size"))
-      // component label IS the min-id keeper, so non-keepers are the
-      // nodes that differ from their label
-      val dropped = comp.filter(col("node") =!= col("component"))
-        .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
-        .groupBy("component").agg(sum(col("n_chars")).as("b"))
-      sized.join(dropped, Seq("component"), "left")
-        .groupBy("cluster_size")
-        .agg(count(lit(1)).as("n_clusters"),
-          sum(coalesce(col("b"), lit(0L))).cast("long").as("bytes_dropped"))
-        .select(col("cluster_size"), col("n_clusters"),
-          (col("cluster_size") * col("n_clusters")).as("n_docs"),
-          ((col("cluster_size") - 1L) * col("n_clusters")).as("n_dropped"),
-          col("bytes_dropped"))
-        .orderBy("cluster_size")
+      dedupSavingsOf(docs, Components.connected(Dedup.nearDupEdges(docs)))
+    }),
+
+    // the STORED-COMPONENT rendering of q135 (r13): the savings report
+    // reads the dedup job's persisted component map — the rollup a
+    // storage owner refreshes per ingest without re-paying the chain
+    // OR the closure; gated against q135's from-scratch oracle
+    "q228_dedup_savings_stored" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      dedupSavingsOf(docs,
+        spark.read.parquet(s"${corpusEdgesDir(spark, dir)}/components"))
     }),
 
     "q55_dedup_minhash_estimate" -> ((spark, dir) =>
@@ -671,6 +665,31 @@ object DedupQueries {
         .groupBy("lex_dup", "sem_dup").agg(count(lit(1)).as("n_docs"))
         .orderBy("lex_dup", "sem_dup")
     }))
+
+  /** q135/q228 rollup over a (node, component) assignment: per cluster
+    * size, cluster count and the doc/byte mass a min-keeper policy
+    * frees. ONE definition so the inline and stored renderings cannot
+    * drift. Component label IS the min-id keeper, so non-keepers are
+    * the nodes that differ from their label.
+    */
+  private def dedupSavingsOf(
+      docs: org.apache.spark.sql.DataFrame,
+      comp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sized = comp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    val dropped = comp.filter(col("node") =!= col("component"))
+      .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+      .groupBy("component").agg(sum(col("n_chars")).as("b"))
+    sized.join(dropped, Seq("component"), "left")
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(coalesce(col("b"), lit(0L))).cast("long").as("bytes_dropped"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1L) * col("n_clusters")).as("n_dropped"),
+        col("bytes_dropped"))
+      .orderBy("cluster_size")
+  }
 
   /** "Yesterday's semantic job" for q219: persist the q86-config
     * SemDeDup keeper assignment once per sf-dir per JVM.
@@ -914,23 +933,10 @@ object DedupQueries {
 
     // q47's closure rolled up to cluster-size grain with the
     // non-keeper byte totals
-    "q135_dedup_savings" ->
-      s"""WITH RECURSIVE $ShinglesSql,
-         |$NearDupPairsSql,
-         |${closureSql("pairs")},
-         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-         |       FROM comp GROUP BY component),
-         |bd AS (SELECT c.component, CAST(sum(d.n_chars) AS BIGINT) AS b
-         |       FROM comp c JOIN documents d ON c.node = d.doc_id
-         |       WHERE c.node != c.component GROUP BY c.component)
-         |SELECT cs.cluster_size,
-         |       CAST(count(*) AS BIGINT) AS n_clusters,
-         |       CAST(cs.cluster_size * count(*) AS BIGINT) AS n_docs,
-         |       CAST((cs.cluster_size - 1) * count(*) AS BIGINT) AS n_dropped,
-         |       CAST(coalesce(sum(bd.b), 0) AS BIGINT) AS bytes_dropped
-         |FROM cs LEFT JOIN bd USING (component)
-         |GROUP BY cs.cluster_size
-         |ORDER BY cs.cluster_size""".stripMargin,
+    "q135_dedup_savings" -> DedupSavingsSql,
+    // the stored-component rendering answers to the same from-scratch
+    // oracle — stored ≡ recomputed at savings grain, driver-enforced
+    "q228_dedup_savings_stored" -> DedupSavingsSql,
 
     // Exact verified Jaccard on the canonical edges, joined with the
     // SHARED q56 split CTE (PrepQueries.SplitCteSql) — only pairs whose
@@ -1236,6 +1242,28 @@ object DedupQueries {
   /** q86/q219: both dedup families from scratch, contingency-rolled —
     * one oracle rendering for the inline and stored gates.
     */
+  /** q135/q228: the canonical chain + recursive closure, rolled up per
+    * cluster size with min-keeper savings — ONE oracle rendering for
+    * the inline and stored-component gates.
+    */
+  private lazy val DedupSavingsSql: String =
+    s"""WITH RECURSIVE $ShinglesSql,
+       |$NearDupPairsSql,
+       |${closureSql("pairs")},
+       |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM comp GROUP BY component),
+       |bd AS (SELECT c.component, CAST(sum(d.n_chars) AS BIGINT) AS b
+       |       FROM comp c JOIN documents d ON c.node = d.doc_id
+       |       WHERE c.node != c.component GROUP BY c.component)
+       |SELECT cs.cluster_size,
+       |       CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(cs.cluster_size * count(*) AS BIGINT) AS n_docs,
+       |       CAST((cs.cluster_size - 1) * count(*) AS BIGINT) AS n_dropped,
+       |       CAST(coalesce(sum(bd.b), 0) AS BIGINT) AS bytes_dropped
+       |FROM cs LEFT JOIN bd USING (component)
+       |GROUP BY cs.cluster_size
+       |ORDER BY cs.cluster_size""".stripMargin
+
   private lazy val DedupAgreementSql: String =
       s"""WITH RECURSIVE $ShinglesSql,
          |$NearDupPairsSql,

@@ -437,15 +437,17 @@ object TextQueries {
     // says whether dedup can shard by source at 100 TB
     "q184_dup_cluster_sources" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      Components.connected(Dedup.nearDupEdges(docs))
-        .join(docs.select(col("doc_id").as("node"), col("source")),
-          Seq("node"))
-        .groupBy("component")
-        .agg(count(lit(1)).as("cluster_size"),
-          countDistinct(col("source")).as("n_sources"))
-        .groupBy("cluster_size", "n_sources")
-        .agg(count(lit(1)).as("n_clusters"))
-        .orderBy("cluster_size", "n_sources")
+      dupClusterSourcesOf(docs,
+        Components.connected(Dedup.nearDupEdges(docs)))
+    }),
+
+    // the STORED-COMPONENT rendering of q184 (r13): cluster provenance
+    // off the dedup job's persisted component map — no chain, no
+    // closure at read time; gated against q184's from-scratch oracle
+    "q229_dup_cluster_sources_stored" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      dupClusterSourcesOf(docs,
+        spark.read.parquet(s"${corpusEdgesDir(spark, dir)}/components"))
     }),
 
     // quality-decile × near-dup-verdict audit: is low-quality text
@@ -673,18 +675,10 @@ object TextQueries {
 
 
     // q47's closure + a source-distinct rollup — the same shared CTEs
-    "q184_dup_cluster_sources" ->
-      s"""WITH RECURSIVE ${DedupQueries.ShinglesSql},
-         |${DedupQueries.NearDupPairsSql},
-         |${DedupQueries.closureSql("pairs")},
-         |cs AS (SELECT c.component,
-         |         CAST(count(*) AS BIGINT) AS cluster_size,
-         |         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
-         |       FROM comp c JOIN documents d ON c.node = d.doc_id
-         |       GROUP BY 1)
-         |SELECT cluster_size, n_sources,
-         |       CAST(count(*) AS BIGINT) AS n_clusters
-         |FROM cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q184_dup_cluster_sources" -> DupClusterSourcesSql,
+    // the stored-component rendering answers to the same from-scratch
+    // oracle — stored ≡ recomputed at provenance grain, driver-enforced
+    "q229_dup_cluster_sources_stored" -> DupClusterSourcesSql,
 
     // q130's decile machinery + q42's drop verdicts, one shared
     // definition each (DecileSql / NearDupPairsSql) so this audit can
@@ -1350,6 +1344,38 @@ object TextQueries {
        |         AS rank,
        |       doc_id, score_ppm, n_hit_terms, n_tokens
        |FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q184/q229 rollup over a (node, component) assignment: per
+    * (cluster_size, distinct sources) cell, cluster count. ONE
+    * definition for the inline and stored-component renderings.
+    */
+  private def dupClusterSourcesOf(
+      docs: org.apache.spark.sql.DataFrame,
+      comp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    comp.join(docs.select(col("doc_id").as("node"), col("source")),
+        Seq("node"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct(col("source")).as("n_sources"))
+      .groupBy("cluster_size", "n_sources")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size", "n_sources")
+
+  /** q184/q229: the canonical chain + recursive closure at provenance
+    * grain — ONE oracle rendering for the inline and stored gates.
+    */
+  private lazy val DupClusterSourcesSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.ShinglesSql},
+       |${DedupQueries.NearDupPairsSql},
+       |${DedupQueries.closureSql("pairs")},
+       |cs AS (SELECT c.component,
+       |         CAST(count(*) AS BIGINT) AS cluster_size,
+       |         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+       |       FROM comp c JOIN documents d ON c.node = d.doc_id
+       |       GROUP BY 1)
+       |SELECT cluster_size, n_sources,
+       |       CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q215/q221: the analytic twin of the engine's encode→decode round
     * trip — pixel (x, y) of doc d is ((d·31 + x·7 + y·3) mod 256) gray
