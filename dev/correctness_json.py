@@ -32,11 +32,21 @@ def main(sf_dir, out_dir, out_path):
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     dumped = sorted(d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d)))
+    # Union with the oracle list so a partial Verify dump (crash midway)
+    # can never read as an all-green artifact: an oracle-bearing query
+    # with no dumped directory records a loud failure, mirroring
+    # dev/compare.py's "no spark output dumped".
+    names = sorted(set(dumped) | set(oracles.keys()))
     res = {}
-    for name in dumped:
+    for name in names:
         pq = os.path.join(out_dir, name)
         rec = {"rows_match": False, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None}
+        if name not in dumped:
+            rec["err"] = "no spark output dumped"
+            rec["hash_match"] = False
+            res[name] = rec
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{pq}/*.parquet')").fetchdf()

@@ -58,7 +58,12 @@ object BandAgreement {
     rows.filter(_._4 >= 0).sortBy(r => (-r._4, r._1)).map(_._1)
 
   /** Both curves give every defined band-shape pair the same pairwise
-    * precision direction (<, =, >).
+    * precision direction (<, =, >). Degenerate curves sharing ≤ 1
+    * defined arm return false (ADVICE r13): with zero comparable pairs
+    * the ∀ is vacuously true, and a sampled curve that collapsed to
+    * nothing (0 verified pairs at a thinned target) would record
+    * monotone_agree:true — a curve that cannot be judged must not read
+    * as agreeing.
     */
   private[graft] def monotoneAgree(
       full: Seq[(Long, Long, Long, Long)],
@@ -66,7 +71,7 @@ object BandAgreement {
     val f = full.filter(_._4 >= 0).map(r => r._1 -> r._4).toMap
     val s = sampled.filter(_._4 >= 0).map(r => r._1 -> r._4).toMap
     val shared = f.keySet.intersect(s.keySet).toSeq.sorted
-    shared.combinations(2).forall { case Seq(a, b) =>
+    shared.size >= 2 && shared.combinations(2).forall { case Seq(a, b) =>
       (f(a) compare f(b)).sign == (s(a) compare s(b)).sign
     }
   }

@@ -220,12 +220,16 @@ object Bench {
     // the record is contaminated when ANY query reads > 3× its own
     // cross-round history median, or the suite's medians run > 25% hot
     // against this run's own mins (the r12 signature: median 35% above
-    // min, four queries 3–5× their 15-round bands)
+    // min, four queries 3–5× their 15-round bands). Sub-floor queries
+    // are excluded from the per-query arm (ADVICE r13): at ~0.1 s a 3×
+    // jitter is one scheduler hiccup, and without a floor it forced up
+    // to 4 extra full-suite passes and marked the record dirty — the
+    // same 0.3 s floor ScaleBench uses for its slope fits.
     def isContaminated(rs: Seq[(String, Double, Double)]): Boolean = {
       val tot = rs.collect { case (_, v, _) if v >= 0 => v }.sum
       val totMin = rs.collect { case (_, _, m) if m >= 0 => m }.sum
       val nHigh = rs.count { case (n, v, _) =>
-        v > 0 && histMed.get(n).exists(h => v > 3.0 * h) }
+        v >= GuardFloorSec && histMed.get(n).exists(h => v > 3.0 * h) }
       nHigh > 0 || (totMin > 0 && tot > 1.25 * totMin)
     }
     val maxExtraPairs =
@@ -279,13 +283,25 @@ object Bench {
     // BASELINE.md protocol: the self-contained official record lives in
     // bench/results.json — a durable file a log-tail capture can't
     // truncate (round 5's stdout-only record lost its head to exactly
-    // that). Written BEFORE anything else so even a crash during the
-    // history append leaves a parseable record behind.
+    // that). Crash-safe capture (VERDICT r13 ask #1): the line ALWAYS
+    // lands in a sibling .attempt.json, but the official path is only
+    // promoted (atomic move) when the run earned it — zero errors. The
+    // r13 incident: a wall-clock-killed run (SparkContext shut down
+    // mid-suite, 149 cascade errors) overwrote the official record in
+    // place; now such a run leaves the prior official record intact
+    // and its partial is inspectable at the attempt path.
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/results.json"))
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(out, line + "\n")
+      val attempt = out.resolveSibling(out.getFileName.toString + ".attempt")
+      java.nio.file.Files.writeString(attempt, line + "\n")
+      if (errors.isEmpty)
+        java.nio.file.Files.move(attempt, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else System.err.println(
+        s"[bench] ${errors.size} errors: official record NOT promoted; partial at $attempt")
     } catch { case e: Throwable => System.err.println(s"[bench] results.json write failed: $e") }
     // cumulative per-run history so round-over-round per-query regressions
     // are machine-diffable (driver reads the stdout line; this appends)
@@ -317,6 +333,12 @@ object Bench {
     * status line.
     */
   private[graft] val CompactBudget = 1750
+
+  /** Minimum official median (sec) for a query to count toward the
+    * contamination guard's per-query arm — ScaleBench's 0.3 s fit
+    * floor, reused so "too small to time reliably" means one thing.
+    */
+  private[graft] val GuardFloorSec = 0.3
 
   private[graft] def compactLine(
       results: Seq[(String, Double, Double)], errors: Seq[(String, String)],

@@ -180,7 +180,14 @@ object ScaleBench {
     "q225_triangles_stored", "q226_kcore_stored", "q227_label_prop_stored",
     // component-map rollups off the same stored artifact — reads are
     // join + bounded-grain aggs, must stay ~flat like q219
-    "q228_dedup_savings_stored", "q229_dup_cluster_sources_stored")
+    "q228_dedup_savings_stored", "q229_dup_cluster_sources_stored",
+    // round-14: q111b rides the q108 machinery for a FIXED 2 rounds
+    // (the q211 bound argument — per-round cost is the guard-bounded
+    // diagonal join), q223 reads the 16-row stored merge table (flat),
+    // q230 is one occurrence explode + a vocab-grain replace chain +
+    // one word equi-join — linear in occurrences like q212
+    "q111b_scrub_fixed2", "q223_bpe_train_stored",
+    "q230_bpe_fertility_trained")
 
   /** Per-query max-exponent ceilings (VERDICT r12 ask #5): the tiers
     * whose scaling is DECLARED non-linear (or bounded by construction)
@@ -220,7 +227,17 @@ object ScaleBench {
     "q219_dedup_agreement_stored" -> 1.0,
     "q220_source_datasheet_stored" -> 1.0,
     "q228_dedup_savings_stored" -> 1.0,
-    "q229_dup_cluster_sources_stored" -> 1.0)
+    "q229_dup_cluster_sources_stored" -> 1.0,
+    // stored-edge graph reads (ADVICE r13): linear-in-edges plus the
+    // documented noise headroom — the ScaleQueries comment's "must come
+    // in at-or-under the inline twins" bound, now actually enforced.
+    "q225_triangles_stored" -> 1.25,
+    "q226_kcore_stored" -> 1.25,
+    "q227_label_prop_stored" -> 1.25,
+    // round-14: q111b = 2 fixed rounds of the q108 machinery — q211's
+    // declared bound; q223 is a constant-size stored-artifact read
+    "q111b_scrub_fixed2" -> 1.3,
+    "q223_bpe_train_stored" -> 1.0)
 
   /** least-squares slope of log(t) on log(scale); None below 2 points. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Option[Double] = {

@@ -430,20 +430,27 @@ object TextAnalysis {
     * exact longs; the one division happens per output row.
     *
     * Scale posture: one word explode into a map-side-combined frequency
-    * agg; the rank window and running sum shuffle the VOCAB (bounded ≪
-    * corpus for natural language), never token occurrences; sizes fan
-    * out over the vocab frame and collapse right back to `sizes.length`
-    * rows.
+    * agg; only ranks ≤ max(sizes) are ever consumed, so the vocab is
+    * pre-truncated to the top max(sizes) types via `orderBy.limit`
+    * (TakeOrderedAndProject — per-partition partial top-k, no global
+    * sort) and the rank/running-sum window runs over the ≤ max(sizes)
+    * survivor frame, bounded by the PARAMETER. At web scale the type
+    * vocabulary is 10⁸–10⁹ rows (hapax-heavy); ranking it in one task
+    * was r13's `weak` finding — the total-token denominator comes from
+    * a separate 1-row agg, so truncation changes no output value.
     */
   def vocabCoverage(docs: DataFrame,
       sizes: Seq[Long] = Seq(100L, 500L, 1000L, 2000L, 5000L)): DataFrame = {
     require(sizes.nonEmpty && sizes.forall(_ >= 1), s"sizes must be >= 1: $sizes")
+    val maxSize = sizes.max
+    require(maxSize <= Int.MaxValue, s"max size must fit an Int: $maxSize")
     val freq = docs.select(explode(expr(WordsExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
-    // single-partition window: the vocab frame is bounded, and the rank
-    // and running sum must be global
+    // (c desc, word) is a TOTAL order, so the top-maxSize cut is
+    // deterministic; the global window then ranks only the survivors
+    val top = freq.orderBy(col("c").desc, col("word")).limit(maxSize.toInt)
     val rk = Window.orderBy(col("c").desc, col("word"))
-    val ranked = freq
+    val ranked = top
       .withColumn("rank", row_number().over(rk).cast("long"))
       .withColumn("cum", sum(col("c")).over(rk))
     val total = freq.select(sum(col("c")).as("total_tokens"))
@@ -484,24 +491,31 @@ object TextAnalysis {
     * consumes, and both numbers are bit-identical in any engine.
     *
     * Shape: one token explode, a vocab-grain count agg (map-side
-    * combined), the global rank window over the VOCAB (bounded, never
-    * occurrences — the [[vocabCoverage]] grain), then one occurrence ⋈
-    * vocab equi-join and a doc-grain agg. Total audit: every doc gets a
-    * row; token-free docs carry NULL score fields rather than divide.
+    * combined), then the in-vocab set = the top-`vocabTopK` types via
+    * `orderBy.limit` (TakeOrderedAndProject — no global vocab sort; at
+    * web scale the type vocabulary is corpus-sized and ranking it in
+    * one task was r13's `weak` finding). Only "rank > vocabTopK" was
+    * ever consumed — a boolean — so membership in the ≤ K survivor set
+    * (broadcastable) replaces the rank with identical semantics: the
+    * (c desc, word) order is total, so the K-boundary cut is the same
+    * one row_number made. Then one occurrence ⋈ vocab equi-join and a
+    * doc-grain agg. Total audit: every doc gets a row; token-free docs
+    * carry NULL score fields rather than divide.
     */
   def lmFamiliarity(docs: DataFrame, vocabTopK: Long = 1000L): DataFrame = {
-    require(vocabTopK >= 1, s"vocabTopK must be >= 1, got $vocabTopK")
+    require(vocabTopK >= 1 && vocabTopK <= Int.MaxValue,
+      s"vocabTopK must be in [1, 2^31): $vocabTopK")
     val toks = docs.select(col("doc_id"), explode(expr(WordsExpr)).as("word"))
     val freq = toks.groupBy("word").agg(count(lit(1)).as("c"))
-    // single-partition window: global rank over the bounded vocab frame
-    val vocab = freq.withColumn("rank",
-      row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+    val inVocab = freq.orderBy(col("c").desc, col("word"))
+      .limit(vocabTopK.toInt).select(col("word"), lit(true).as("_in_vocab"))
     val total = freq.select(sum(col("c")).as("t_total"))
-    val perDoc = toks.join(vocab, "word")
+    val perDoc = toks.join(freq, "word")
+      .join(inVocab, Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("c")).as("_sum_c"),
-        sum(when(col("rank") > vocabTopK, 1L).otherwise(0L)).as("_oov"))
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("_oov"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
@@ -759,8 +773,12 @@ object TextAnalysis {
     * and the df/cf split is what stopword-vs-boilerplate triage needs.
     *
     * Shape: one token explode to a (word, doc) map-side-combined
-    * count, a vocab-grain fold, then the sanctioned global vocab rank
-    * window ([[vocabCoverage]]'s grain — bounded, never occurrences).
+    * count, a vocab-grain fold, then `orderBy.limit(topK)`
+    * (TakeOrderedAndProject — per-partition partial top-k; ranking the
+    * FULL vocab in one task and filtering after was r13's `weak`
+    * finding) and a rank window over only the ≤ topK survivors. The
+    * (cf desc, word) order is total, so the truncated ranks are the
+    * ones the post-filter kept.
     */
   def wordBurstiness(docs: DataFrame, topK: Int = 100): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
@@ -769,8 +787,8 @@ object TextAnalysis {
       .groupBy("word", "doc_id").agg(count(lit(1)).as("k"))
       .groupBy("word")
       .agg(sum(col("k")).as("cf"), count(lit(1)).as("df"))
+      .orderBy(col("cf").desc, col("word")).limit(topK)
       .withColumn("rank", row_number().over(rk).cast("long"))
-      .filter(col("rank") <= topK)
       .select(col("rank"), col("word"), col("cf"), col("df"),
         expr("(cf * 1000) div df").as("burst_milli"))
   }

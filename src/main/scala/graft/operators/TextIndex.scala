@@ -191,19 +191,24 @@ object TextIndex {
     */
   def lmFamiliarity(idx: Index, docs: DataFrame,
       vocabTopK: Long = 1000L): DataFrame = {
-    require(vocabTopK >= 1, s"vocabTopK must be >= 1, got $vocabTopK")
+    require(vocabTopK >= 1 && vocabTopK <= Int.MaxValue,
+      s"vocabTopK must be in [1, 2^31): $vocabTopK")
     val freq = idx.postings.groupBy("word").agg(sum("tf").as("c"))
-    // single-partition window: global rank over the bounded vocab frame
-    val vocab = freq.withColumn("rank",
-      row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+    // in-vocab set = top-K types via orderBy.limit (TakeOrderedAndProject
+    // — no global vocab sort; the q94 de-weak pattern). Membership in the
+    // ≤ K survivor frame replaces "rank ≤ K" exactly: (c desc, word) is a
+    // total order, and corpus-unseen words miss BOTH left joins, landing
+    // in the same OOV arm the old "rank IS NULL" caught.
+    val inVocab = freq.orderBy(col("c").desc, col("word"))
+      .limit(vocabTopK.toInt).select(col("word"), lit(true).as("_in_vocab"))
     val toks = docs.select(col("doc_id"),
       explode(expr(TextAnalysis.WordsExpr)).as("word"))
-    val perDoc = toks.join(vocab, Seq("word"), "left")
+    val perDoc = toks.join(freq, Seq("word"), "left")
+      .join(inVocab, Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("c"), lit(0L))).as("_sum_c"),
-        sum(when(col("rank").isNull || col("rank") > vocabTopK, 1L)
-          .otherwise(0L)).as("_oov"))
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("_oov"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

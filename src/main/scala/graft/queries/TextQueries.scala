@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, Dedup, Multimodal, TextAnalysis, TextIndex}
+import graft.operators.{Bpe, Components, Dedup, Multimodal, TextAnalysis, TextIndex}
 import graft.sources.Tables
 
 /** Oracle-gated text-analysis + multimodal-metadata + dedup-pipeline
@@ -536,7 +536,30 @@ object TextQueries {
     // adjacent character-pair counts, vocab-grain after the one scan
     "q101_bpe_pairs" -> ((spark, dir) =>
       TextAnalysis.bpePairCounts(Tables.load(spark, dir, "documents"), k = 20)
-        .orderBy("rank")))
+        .orderBy("rank")),
+
+    // the MULTI-iteration BPE train q101 scores one pass of, persisted
+    // (the q96/q203 stored protocol) and read back: the stored merge
+    // table, hash-gated against a DuckDB oracle that REPLAYS the whole
+    // training loop from the corpus (macro-expanded iterations — the
+    // strongest stored ≡ recomputed law on the surface)
+    "q223_bpe_train_stored" -> ((spark, dir) =>
+      Bpe.loadMergesDF(spark, bpeDir(spark, dir))
+        .select(col("step"), col("left").as("left_sym"),
+          col("right").as("right_sym"), col("merged"), col("pair_count"))
+        .orderBy("step")),
+
+    // q212's fertility audit re-read off the TRAINED tokenizer: per
+    // language, whitespace tokens vs stored-merge BPE tokens in exact
+    // integer ppm — the number an actual vocab ships with, not the
+    // BPE-ish regex proxy. Tokens-per-word is computed at VOCAB grain
+    // (one replace-chain over distinct words) and joined back to
+    // occurrences; the oracle replays training AND application
+    "q230_bpe_fertility_trained" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Bpe.fertility(docs, Bpe.loadMerges(spark, bpeDir(spark, dir)))
+        .orderBy("lang")
+    }))
 
   /** Fixed probe terms for the BM25 queries (present in the synthetic
     * corpus vocabulary with differing document frequencies).
@@ -566,6 +589,62 @@ object TextQueries {
       val docs = Tables.load(spark, dir, "documents")
       TextIndex.write(docs.filter(col("doc_id") < deltaCut(docs)), d)
     }
+
+  /** Merge count for the stored BPE tokenizer (q223/q230). 16 keeps
+    * the macro-expanded oracle tractable while exercising the regime
+    * that matters: merged symbols merging with merged symbols (the
+    * corpus trains e.g. co+lu → colu → colum by step 16).
+    */
+  private val BpeMergeCount = 16
+
+  /** q223/q230's stored trained tokenizer — "yesterday's BPE training
+    * job" (the [[Bpe.train]] driver loop persisted), built once per
+    * sf-dir per JVM like the index caches above.
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bpeDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    cachedIndexDir(bpeCache, dir, "graft_bpe_") { d =>
+      Bpe.write(Tables.load(spark, dir, "documents"), BpeMergeCount, d)
+    }
+
+  /** The DuckDB replay of [[Bpe.train]]'s first `n` iterations,
+    * macro-expanded (one CTE triple per iteration — pair scoring,
+    * 1-row argmax, merge application): after this prefix, `b{k}` holds
+    * iteration k's winning merge and `s{n}` the fully-merged per-word
+    * symbol strings. Same wrapped-string rendering as [[Bpe]]
+    * ("|a||b|"; plain left-to-right `replace` IS non-overlapping merge
+    * application in both engines), so training replays bit-for-bit.
+    * MATERIALIZED is load-bearing: each s/b is referenced twice, and
+    * inlined CTEs would expand the chain exponentially.
+    */
+  private def bpeTrainSqlPrefix(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH wf AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split_regex(trim(text),
+       |                 '\\s+'), x -> x <> '')) AS w
+       |        FROM documents) GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
+       |  FROM wf)""".stripMargin
+    for (k <- 1 to n) sb ++= s""",
+       |p$k AS MATERIALIZED (
+       |  SELECT ts[i] AS l, ts[i+1] AS r, sum(freq) AS cnt
+       |  FROM (SELECT freq, string_split(s[2:-2], '||') AS ts,
+       |               unnest(generate_series(1,
+       |                 len(string_split(s[2:-2], '||')) - 1)) AS i
+       |        FROM s${k - 1}) GROUP BY 1, 2),
+       |b$k AS MATERIALIZED (
+       |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+       |s$k AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         replace(s, '|'||b.l||'||'||b.r||'|', '|'||b.l||b.r||'|') AS s
+       |  FROM s${k - 1} CROSS JOIN b$k b)""".stripMargin
+    sb.toString
+  }
 
   /** q220's stored per-doc language predictions — "yesterday's
     * text-analysis job" (the q37 pass persisted), built once per
@@ -1304,7 +1383,35 @@ object TextQueries {
          |       FROM pc)
          |SELECT rank, "left", "right", pair_count, n_words
          |FROM rk WHERE rank <= 20
-         |ORDER BY rank""".stripMargin)
+         |ORDER BY rank""".stripMargin,
+
+    // the full training-loop replay: each b{k} is iteration k's argmax
+    // merge — macro-expanded CTE triples, no recursion needed (plain
+    // concatenation, NOT stripMargin: the SQL's own '|' delimiter
+    // literals must survive)
+    "q223_bpe_train_stored" ->
+      (bpeTrainSqlPrefix(BpeMergeCount) + "\n" +
+        (1 to BpeMergeCount).map(k =>
+            s"SELECT CAST($k AS BIGINT) AS step, l AS left_sym, " +
+              s"r AS right_sym, l||r AS merged, " +
+              s"CAST(cnt AS BIGINT) AS pair_count FROM b$k")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY step")),
+
+    // training replay + application: s{N} holds every word's merged
+    // symbol string, so tokens-per-word is one list length, joined to
+    // the occurrence explode at language grain
+    "q230_bpe_fertility_trained" ->
+      (bpeTrainSqlPrefix(BpeMergeCount) + s""",
+occ AS (SELECT lang, unnest(list_filter(string_split_regex(trim(text),
+          '\\s+'), x -> x <> '')) AS word FROM documents),
+v AS (SELECT word, CAST(len(string_split(s[2:-2], '||')) AS BIGINT) AS n_bpe
+      FROM s$BpeMergeCount)
+SELECT lang, count(*) AS ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(sum(n_bpe) AS BIGINT) * 1000000 // count(*) AS fertility_ppm
+FROM occ JOIN v USING (word)
+GROUP BY lang
+ORDER BY lang"""))
 
   /** Rational BM25 in exact BIGINT arithmetic — every constant mirrors
     * `TextIndex` (TfNum/TfDen·, invavg_ppm floored once corpus-wide,

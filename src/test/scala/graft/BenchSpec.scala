@@ -218,6 +218,13 @@ class BenchSpec extends AnyFunSuite {
       Seq(row(4, 500), row(8, 500)), Seq(row(4, 7), row(8, 7))))
     assert(!BandAgreement.monotoneAgree(
       Seq(row(4, 500), row(8, 500)), Seq(row(4, 7), row(8, 8))))
+    // degenerate: ≤ 1 shared defined arm has zero comparable pairs —
+    // a collapsed sampled curve must NOT record agreement vacuously
+    assert(!BandAgreement.monotoneAgree(
+      Seq(row(2, 100), row(4, 500)), Seq(row(2, -1), row(4, -1))))
+    assert(!BandAgreement.monotoneAgree(
+      Seq(row(2, 100), row(4, 500)), Seq(row(2, -1), row(4, 50))))
+    assert(!BandAgreement.monotoneAgree(Seq.empty, Seq.empty))
   }
 
   test("ScaleBench: every ScaleQueries/SlopeCeilings name is a registered query") {

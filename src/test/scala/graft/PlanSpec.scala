@@ -345,6 +345,34 @@ class PlanSpec extends AnyFunSuite {
       s"audit branch planned a cartesian:\n${plan.take(2000)}")
   }
 
+  test("vocab tiers: no unpartitioned window over an unbounded frame (r13 de-weak)") {
+    // q89/q94/q99/q180 used to rank the ENTIRE type vocabulary in one
+    // task (10⁸–10⁹ rows at web scale) when only top-k / a threshold
+    // was consumed. Gate: any unpartitioned logical Window in these
+    // plans must sit above a GlobalLimit (the orderBy.limit truncation
+    // — physically TakeOrderedAndProject), so its input is bounded by a
+    // PARAMETER, never the corpus.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    for (name <- Seq("q89_vocab_coverage", "q94_lm_familiarity",
+        "q99_lm_familiarity_indexed", "q180_word_burstiness")) {
+      val plan = q(name).queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case g: GlobalLimit => g }.isEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"$name has an unpartitioned window over an untruncated frame:\n" +
+          offenders.map(_.simpleString(3)).mkString("\n"))
+    }
+    // and the truncation must plan as TakeOrderedAndProject (partial
+    // per-partition top-k), not a global sort feeding a limit
+    for (name <- Seq("q89_vocab_coverage", "q180_word_burstiness")) {
+      val plan = executedPlan(q(name))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name's vocab truncation must be TakeOrderedAndProject:\n${plan.take(2000)}")
+    }
+  }
+
   test("q113 novelty never shuffles text — only 16-byte (doc, gh) rows cross exchanges") {
     // the scan may read `text` to shingle it, but every exchange after
     // tokenization carries hashed grams/ids only
