@@ -57,7 +57,9 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val gram = (0 until n).map(k => s"w[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
-    docs
+    // tokenize + n-gram explode + per-shingle md5 is the dedup tier's
+    // scan CPU; spread a single-split source so it doesn't run one-task
+    Spread(docs)
       // drop empties explicitly: split of an empty/whitespace-only text
       // yields [""], which at n = 1 would otherwise become the shingle
       // md5("") and make all empty docs mutual duplicates — the word
@@ -1133,7 +1135,7 @@ object Dedup {
     */
   private[graft] def positionalShingles(docs: DataFrame, n: Int): DataFrame = {
     val gram = (0 until n).map(k => s"w[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
-    docs
+    Spread(docs)
       .select(col("doc_id"),
         expr(TextAnalysis.WordsExpr).as("w"))
       .filter(size(col("w")) >= n)

@@ -31,7 +31,14 @@ object Graphs {
     * produced exactly once (its unique (degree, id)-minimum corner).
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("i"), col("j"))
+    // cut the edge pipeline ONCE: sym/deg/oriented fan out to multiple
+    // consumers below (union ×2, two degree joins, the wedge self-join
+    // and its closing semi-join), and without the cut the producer —
+    // e.g. the full LSH verify chain feeding q142 — re-executes per
+    // consumer and the plan tree grows multiplicatively (measured:
+    // 5689-node plan, 26 jobs, 9.9 s at sf0.1 before; the [[Components]]
+    // precedent)
+    val e = Ckpt.narrow(edges.select(col("i"), col("j")))
     val sym = e.union(e.select(col("j").as("i"), col("i").as("j")))
     val deg = sym.groupBy(col("i").as("node")).agg(count(lit(1)).as("d"))
     // orient u -> v iff (d_u, u) < (d_v, v); carry both endpoint
@@ -39,11 +46,13 @@ object Graphs {
     val withDeg = sym
       .join(deg.select(col("node").as("i"), col("d").as("di")), "i")
       .join(deg.select(col("node").as("j"), col("d").as("dj")), "j")
-    val oriented = withDeg
+    // narrow (u, v, dv) frame read three times (both wedge sides + the
+    // closing semi-join) — cut so the orientation joins run once
+    val oriented = Ckpt.narrow(withDeg
       .filter(col("di") < col("dj") ||
         (col("di") === col("dj") && col("i") < col("j")))
       .select(col("i").as("u"), col("j").as("v"),
-        col("dj").as("dv"))
+        col("dj").as("dv")))
     val wedges = oriented.as("x")
       .join(oriented.as("y"), col("x.u") === col("y.u") &&
         (col("x.dv") < col("y.dv") ||
@@ -123,12 +132,16 @@ object Graphs {
   def commonNeighborPredictions(edges: DataFrame,
       maxDegree: Long = 1000L): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
-    val e = edges.select(col("i"), col("j"))
+    // same multi-consumer cut as [[triangles]]: e feeds the union twice
+    // and the anti-join; thin self-joins (both wedge sides); deg joins
+    // back twice — without the cuts the edge producer (the cosine/LSH
+    // pair pipeline of q143/q148) re-executes per consumer
+    val e = Ckpt.narrow(edges.select(col("i"), col("j")))
     val sym = e.union(e.select(col("j").as("i"), col("i").as("j")))
       .toDF("u", "v")
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
     val hubs = deg.filter(col("d") > maxDegree).select(col("node").as("u"))
-    val thin = sym.join(hubs, Seq("u"), "left_anti")
+    val thin = Ckpt.narrow(sym.join(hubs, Seq("u"), "left_anti"))
     val common = thin.as("x")
       .join(thin.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))

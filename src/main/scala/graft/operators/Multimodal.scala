@@ -303,7 +303,7 @@ object Multimodal {
     * read, payload bytes are born and consumed on the executor.
     */
   def pngCorpus(docs: DataFrame): Dataset[Blob] =
-    docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
+    Spread(docs.select(col("doc_id"))).as[Long](Encoders.scalaLong)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => Blob(id, encodeSynthPng(id)))
@@ -317,7 +317,7 @@ object Multimodal {
     * (IndexColorModel) decode path on every gated run.
     */
   def mixedCorpus(docs: DataFrame): Dataset[Blob] =
-    docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
+    Spread(docs.select(col("doc_id"))).as[Long](Encoders.scalaLong)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val fmts = Array("png", "bmp", "gif")
@@ -392,6 +392,9 @@ object Multimodal {
     * audio corpus — the q222 input, same shape as [[pngCorpus]]).
     */
   def wavCorpus(docs: DataFrame): Dataset[Blob] =
+    // NOT spread: javax.sound's AudioSystem provider registry
+    // serializes concurrent encode/decode on a class lock — measured
+    // 1.1 s one-task vs 5.5 s spread over 32 (Probe, r14)
     docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
       .mapPartitions(_.map(id => Blob(id, encodeSynthWav(id))))
 
@@ -403,6 +406,7 @@ object Multimodal {
     * thirds route the big-endian frame path through every gated run.
     */
   def mixedAudioCorpus(docs: DataFrame): Dataset[Blob] =
+    // NOT spread: see wavCorpus — AudioSystem contention inverts the win
     docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
       .mapPartitions { it =>
         val fmts = Array("wav", "aiff", "au")

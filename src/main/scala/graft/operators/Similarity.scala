@@ -63,7 +63,9 @@ object Similarity {
     * (known query set) instead.
     */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val v = withNorm(emb)
+    // the quadratic pair join streams one side through a nested-loop
+    // join; spread so a single-split scan doesn't serialize the kernel
+    val v = withNorm(Spread(emb))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         cosCol(col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm")).as("cos"))
@@ -509,7 +511,10 @@ object Similarity {
     */
   def knnLabelAgreement(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = emb.filter(col("label").isNotNull)
+    // the n² kernel streams this side through a nested-loop join: from
+    // a single-split scan ALL pair work runs in one task (measured
+    // 6.6 s at sf0.1, 7 single-task stages) — spread adaptively
+    val v = Spread(emb).filter(col("label").isNotNull)
       .select(col("vec_id"), col("label"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
     val a = v.select(col("vec_id"), col("label"), col("e"), col("nrm"))

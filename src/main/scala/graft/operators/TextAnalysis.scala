@@ -30,7 +30,7 @@ object TextAnalysis {
     * when n < 1, unlike DuckDB's empty `generate_series`).
     */
   def charTrigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
+    Spread(docs).select(col("doc_id"), col("lang"),
       explode(expr(
         "transform(if(length(text) >= 3, sequence(1, length(text) - 2), " +
           "array()), i -> substring(text, i, 3))")).as("g"))
@@ -180,7 +180,7 @@ object TextAnalysis {
     * joins wider than the final broadcast-size left join back to docs.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val occ = docs.select(col("doc_id"), expr(WordsExpr).as("w"))
+    val occ = Spread(docs).select(col("doc_id"), expr(WordsExpr).as("w"))
       .select(col("doc_id"), explode(expr(
         s"""flatten(array(
            |  transform(${gramList(1)}, g -> struct(1L as n, g as g)),
