@@ -31,8 +31,11 @@ object Components {
     require(maxIter >= 2, s"maxIter must be >= 2 (one double-hop round), got $maxIter")
     // both union branches (and every loop round) read the edge list; cut
     // its lineage ONCE up front — otherwise an expensive producer (the
-    // LSH verification pipeline feeding q47/q48) runs once per branch
-    val e = Ckpt.narrow(edges)
+    // LSH verification pipeline feeding q47/q48) runs once per branch.
+    // LAZY (r15): round 1's convergence count materializes it — block
+    // locks dedup the two union branches' first computes, so the
+    // producer still runs exactly once, minus the eager count() job
+    val e = Ckpt.narrowLazy(edges)
     val sym = e.select(col("i").as("src"), col("j").as("dst"))
       .union(e.select(col("j").as("src"), col("i").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)

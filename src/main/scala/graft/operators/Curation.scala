@@ -42,9 +42,14 @@ object Curation {
 
   private def gates(docs: DataFrame, minQuality: Double): Gates = {
     val base = docs.select(col("doc_id"), col("text"))
-    val quality = Ckpt.narrow(
+    // LAZY cuts (r15, guide §1.5): blocks persist when the first
+    // consumer computes them — same multi-consumer sharing as the eager
+    // form without the two up-front count() jobs, and the gate chain
+    // now materializes inside the near-dup tier's first action instead
+    // of as serial driver steps
+    val quality = Ckpt.narrowLazy(
       TextAnalysis.qualityScores(docs).select("doc_id", "quality"))
-    val passed = Ckpt.narrow(base
+    val passed = Ckpt.narrowLazy(base
       .join(quality.filter(col("quality") >= minQuality), "doc_id")
       .select(col("doc_id"), md5(col("text")).as("fp")))
     val keep1 = passed.groupBy("fp").agg(min("doc_id").as("exact_keep"))

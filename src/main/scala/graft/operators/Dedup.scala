@@ -186,11 +186,16 @@ object Dedup {
       tNum: Long = 4L, tDen: Long = 5L): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
     import org.apache.spark.sql.expressions.Window
-    val sh = Ckpt.narrow(shingles(docs, n))
+    // LAZY cuts (r15, guide §1.5): a lazy localCheckpoint persists its
+    // blocks the first time ANY consumer computes it — multi-consumer
+    // sharing is identical to the eager form, but the per-cut eager
+    // count() job disappears and the whole chain materializes in the
+    // query's own action. Applied to every non-loop cut in this file.
+    val sh = Ckpt.narrowLazy(shingles(docs, n))
     val freq = sh.groupBy("gh").agg(count(lit(1)).as("df"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("gh"))
-    val prefix = Ckpt.narrow(sh.join(freq, "gh").join(sz, "doc_id")
+    val prefix = Ckpt.narrowLazy(sh.join(freq, "gh").join(sz, "doc_id")
       .withColumn("p", row_number().over(byRarity))
       .filter(col("p") <=
         col("m") - expr(s"($tNum * m + ${tDen - 1}) div $tDen") + 1)
@@ -229,7 +234,7 @@ object Dedup {
     * shingles (< n tokens) report 0/0 with NULL ppm.
     */
   def noveltyProfile(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = Ckpt.narrow(shingles(docs, n))
+    val sh = Ckpt.narrowLazy(shingles(docs, n))
     val first = sh.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
     val per = sh.join(first, "gh")
       .groupBy("doc_id")
@@ -264,7 +269,7 @@ object Dedup {
     val candDocs = cand.select(col("i").as("doc_id"))
       .union(cand.select(col("j").as("doc_id"))).distinct()
     val shc0 = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    val shc = if (ckptPruned) Ckpt.narrow(shc0) else shc0
+    val shc = if (ckptPruned) Ckpt.narrowLazy(shc0) else shc0
     val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shc.as("sa"), col("i") === col("sa.doc_id"))
@@ -362,14 +367,14 @@ object Dedup {
       s"numHashes must be in [16, 60], got $numHashes")
     require(rowsPerBand >= 1 && rowsPerBand <= 16,
       s"rowsPerBand must be in [1, 16], got $rowsPerBand")
-    val sh = Ckpt.narrow(shingles(docs, n))
+    val sh = Ckpt.narrowLazy(shingles(docs, n))
     // one aggregation computes all minima; bands draw from the first
     // ≤16 columns (the house 16-hash candidate scheme), the packed
     // signature uses all of them. The band pool is the largest
     // rowsPerBand multiple ≤ 16, so any rowsPerBand in [1, 16] forms
     // full bands — a trailing partial band never silently drops.
     val bandPool = 16 / rowsPerBand * rowsPerBand
-    val wide = Ckpt.narrow(minhashWide(sh, numHashes))
+    val wide = Ckpt.narrowLazy(minhashWide(sh, numHashes))
     val sigExpr = (0 until numHashes)
       .map(s => s"shiftleft(m$s % 2, $s)").mkString(" + ")
     val sig = wide.select(col("doc_id"), expr(sigExpr).as("bsig"))
@@ -450,7 +455,7 @@ object Dedup {
       .union(pass(element_at(col("w"), -1),
         concat_ws(" ", slice(reverse(col("w")), 1, 4))))
       .distinct()
-    jaccardOfCandidates(Ckpt.narrow(shingles(docs, n)), cand, threshold)
+    jaccardOfCandidates(Ckpt.narrowLazy(shingles(docs, n)), cand, threshold)
   }
 
   /** MinHash signatures in long form: (doc_id, s, minh) — the classic
@@ -542,7 +547,7 @@ object Dedup {
     // runs once, not per consumer. `cut = false` when the caller's frame
     // is already a narrow projection of checkpointed blocks — a second
     // eager materialization there is pure overhead
-    val bands = capBuckets(if (cut) Ckpt.narrow(bandFrame) else bandFrame, maxBucketSize)
+    val bands = capBuckets(if (cut) Ckpt.narrowLazy(bandFrame) else bandFrame, maxBucketSize)
     bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.band_key") === col("b.band_key") &&
@@ -572,7 +577,7 @@ object Dedup {
     */
   def bandCurve(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.7): DataFrame =
-    bandCurveOfShingles(Ckpt.narrow(shingles(docs, n)), threshold)
+    bandCurveOfShingles(Ckpt.narrowLazy(shingles(docs, n)), threshold)
 
   private def bandCurveOfShingles(sh: DataFrame, threshold: Double): DataFrame =
     Seq(2, 4, 8).map { r =>
@@ -646,7 +651,7 @@ object Dedup {
     val sampled = docs.filter(
       expr(h60(s"concat('${salt}_', cast(doc_id as string))"))
         % 1000000L < ppm)
-    bandCurveOfShingles(Ckpt.narrow(shingles(sampled, n)), threshold)
+    bandCurveOfShingles(Ckpt.narrowLazy(shingles(sampled, n)), threshold)
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → signature → band →
@@ -668,7 +673,7 @@ object Dedup {
       docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.7,
       maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
-    val sh = Ckpt.narrow(shingles(docs, n))
+    val sh = Ckpt.narrowLazy(shingles(docs, n))
     jaccardOfCandidates(sh,
       minhashCandidates(sh, numHashes, rowsPerBand, maxBucketSize), threshold)
   }
@@ -710,9 +715,9 @@ object Dedup {
       rowsPerBand: Int = 4, threshold: Double = 0.7,
       maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
     // per-doc derivations, so union-of-shingles == shingles-of-union
-    val shAll = Ckpt.narrow(shingles(corpus, n).union(shingles(delta, n)))
+    val shAll = Ckpt.narrowLazy(shingles(corpus, n).union(shingles(delta, n)))
     incrementalEdgesOf(shAll,
-      Ckpt.narrow(lshBands(shAll, numHashes, rowsPerBand)),
+      Ckpt.narrowLazy(lshBands(shAll, numHashes, rowsPerBand)),
       delta.select("doc_id"), threshold, maxBucketSize)
   }
 
@@ -771,8 +776,8 @@ object Dedup {
       corpus: DataFrame, delta: DataFrame, corpusEdges: DataFrame,
       n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7, maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
-    val shAll = Ckpt.narrow(shingles(corpus, n).union(shingles(delta, n)))
-    unionEdgesOf(shAll, Ckpt.narrow(lshBands(shAll, numHashes, rowsPerBand)),
+    val shAll = Ckpt.narrowLazy(shingles(corpus, n).union(shingles(delta, n)))
+    unionEdgesOf(shAll, Ckpt.narrowLazy(lshBands(shAll, numHashes, rowsPerBand)),
       delta.select("doc_id"), corpusEdges, threshold, maxBucketSize)
   }
 
@@ -828,7 +833,7 @@ object Dedup {
     */
   def buildIndex(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4): DedupIndex = {
-    val sh = Ckpt.narrow(shingles(docs, n))
+    val sh = Ckpt.narrowLazy(shingles(docs, n))
     DedupIndex(sh, lshBands(sh, numHashes, rowsPerBand), n, numHashes, rowsPerBand)
   }
 
@@ -842,7 +847,9 @@ object Dedup {
     */
   def writeIndex(docs: DataFrame, dir: String, n: Int = 3,
       numHashes: Int = 16, rowsPerBand: Int = 4): Unit = {
-    val sh = Ckpt.narrow(shingles(docs, n))
+    // lazy: the shingle write itself is the materializing action; the
+    // band write then reads the persisted blocks
+    val sh = Ckpt.narrowLazy(shingles(docs, n))
     try compactIndex(
       DedupIndex(sh, lshBands(sh, numHashes, rowsPerBand),
         n, numHashes, rowsPerBand), dir)
@@ -911,9 +918,9 @@ object Dedup {
     */
   private def indexedUnionFrames(
       index: DedupIndex, delta: DataFrame): (DataFrame, DataFrame) = {
-    val shD = Ckpt.narrow(shingles(delta, index.n))
+    val shD = Ckpt.narrowLazy(shingles(delta, index.n))
     (index.shingles.union(shD),
-      Ckpt.narrow(index.bands.union(
+      Ckpt.narrowLazy(index.bands.union(
         lshBands(shD, index.numHashes, index.rowsPerBand))))
   }
 
@@ -934,7 +941,7 @@ object Dedup {
       rowsPerBand: Int = 4, threshold: Double = 0.5,
       maxBucketSize: Int = NearDupMaxBucket): DataFrame = {
     // ONE signature aggregation serves banding AND both verify sides
-    val wide = Ckpt.narrow(minhashWide(shingles(docs, n), numHashes))
+    val wide = Ckpt.narrowLazy(minhashWide(shingles(docs, n), numHashes))
     val agree = (0 until numHashes)
       .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -1052,7 +1059,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 10, n: Int = 3,
       maxKeySize: Int = NearDupMaxBucket): DataFrame = {
-    val sig = Ckpt.narrow(simhashSignatures(docs, n))
+    val sig = Ckpt.narrowLazy(simhashSignatures(docs, n))
     simhashCandidates(sig, maxHamming, maxKeySize)
       .select(col("i"), col("j"),
         expr("cast(bit_count(si ^ sj) as bigint)").as("hamming"))
@@ -1594,12 +1601,17 @@ object Dedup {
     // dominant linear passes, and the un-shared rendering paid them
     // three times each (measured 10.3s -> 6.4s at sf0.1 from this)
     def spansAndState(cur: DataFrame): (DataFrame, Seq[DataFrame]) = {
-      val ps = Ckpt.narrow(positionalShingles(cur, n))
-      val occ = Ckpt.narrow(ps.groupBy("gh").agg(count(lit(1)).as("_occ")))
-      val kept = Ckpt.narrow(
+      // LAZY cuts (r15): the round's one materialization is the
+      // spans.count() convergence check below — it cascades through
+      // spans → kept → occ → ps, persisting each, so the shared gram
+      // state still computes exactly once per round but the four
+      // per-frame eager count() jobs are gone
+      val ps = Ckpt.narrowLazy(positionalShingles(cur, n))
+      val occ = Ckpt.narrowLazy(ps.groupBy("gh").agg(count(lit(1)).as("_occ")))
+      val kept = Ckpt.narrowLazy(
         ps.join(occ.filter(col("_occ") <= maxPostings).select("gh"), "gh"))
       val hot = ps.join(occ.filter(col("_occ") > maxPostings).select("gh"), "gh")
-      val spans = Ckpt.narrow(crossRunsOf(kept, n, minRun)
+      val spans = Ckpt.narrowLazy(crossRunsOf(kept, n, minRun)
         .select(col("j").as("doc_id"), col("start_j").as("s"),
           (col("start_j") + col("run_tokens")).as("e"))
         .unionByName(selfRunsOf(kept, n, minRun)
@@ -1616,7 +1628,10 @@ object Dedup {
     var converged = false
     while (iters < maxIters && !converged) {
       val (spans, roundState) = spansAndState(cur)
-      if (spans.isEmpty) {
+      // count, not isEmpty: the one action that materializes the whole
+      // lazy round state (isEmpty's limit-1 would leave the checkpoints
+      // partially materialized and pay a backfill job per frame)
+      if (spans.count() == 0) {
         converged = true
         roundState.foreach(Ckpt.release)
       } else {
@@ -1680,8 +1695,11 @@ object Dedup {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(minRun >= n, s"minRun must be >= n = $n, got $minRun")
     def spansOf(cur: DataFrame): DataFrame = {
-      val ps = Ckpt.narrow(positionalShingles(cur, n))
-      val occ = Ckpt.narrow(ps.groupBy("gh").agg(count(lit(1)).as("_occ")))
+      // all-lazy rounds (r15): no convergence probe exists in the fixed
+      // variant, so nothing here needs a driver action — the caller's
+      // one action materializes every round's state in a single cascade
+      val ps = Ckpt.narrowLazy(positionalShingles(cur, n))
+      val occ = Ckpt.narrowLazy(ps.groupBy("gh").agg(count(lit(1)).as("_occ")))
       val kept = ps.join(occ.filter(col("_occ") <= maxPostings).select("gh"), "gh")
       val hot = ps.join(occ.filter(col("_occ") > maxPostings).select("gh"), "gh")
       crossRunsOf(kept, n, minRun)
@@ -1696,7 +1714,7 @@ object Dedup {
     var dropped: DataFrame = null
     var orig: DataFrame = null
     for (_ <- 1 to rounds) {
-      val scrubbed = Ckpt.narrow(applyCutSpans(cur, spansOf(cur)))
+      val scrubbed = Ckpt.narrowLazy(applyCutSpans(cur, spansOf(cur)))
       if (orig == null)
         orig = scrubbed.select(col("doc_id"), col("n_tokens"))
       dropped =

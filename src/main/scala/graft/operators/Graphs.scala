@@ -37,8 +37,9 @@ object Graphs {
     // e.g. the full LSH verify chain feeding q142 — re-executes per
     // consumer and the plan tree grows multiplicatively (measured:
     // 5689-node plan, 26 jobs, 9.9 s at sf0.1 before; the [[Components]]
-    // precedent)
-    val e = Ckpt.narrow(edges.select(col("i"), col("j")))
+    // precedent). LAZY cuts (r15): blocks persist at first consumer
+    // compute — identical sharing, no eager count() job per cut
+    val e = Ckpt.narrowLazy(edges.select(col("i"), col("j")))
     val sym = e.union(e.select(col("j").as("i"), col("i").as("j")))
     val deg = sym.groupBy(col("i").as("node")).agg(count(lit(1)).as("d"))
     // orient u -> v iff (d_u, u) < (d_v, v); carry both endpoint
@@ -48,7 +49,7 @@ object Graphs {
       .join(deg.select(col("node").as("j"), col("d").as("dj")), "j")
     // narrow (u, v, dv) frame read three times (both wedge sides + the
     // closing semi-join) — cut so the orientation joins run once
-    val oriented = Ckpt.narrow(withDeg
+    val oriented = Ckpt.narrowLazy(withDeg
       .filter(col("di") < col("dj") ||
         (col("di") === col("dj") && col("i") < col("j")))
       .select(col("i").as("u"), col("j").as("v"),
@@ -91,23 +92,31 @@ object Graphs {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("i"), col("j"))
-    var sym = Ckpt.narrow(
+    // ALL-LAZY rounds (r15, guide §1.5): the loop has no driver-side
+    // convergence probe and never releases mid-loop, so nothing needs
+    // an eager materialization — each cut still flattens the plan to a
+    // LogicalRDD (bounded plan depth in rounds) and the caller's one
+    // action materializes the whole peel cascade, replacing the 4
+    // eager count() jobs per round (20 jobs at the default 5 rounds)
+    var sym = Ckpt.narrowLazy(
       e.union(e.select(col("j").as("i"), col("i").as("j"))).toDF("u", "v"))
-    var alive = Ckpt.narrow(sym.select(col("u").as("node")).distinct())
-    var removed: DataFrame = null
+    var alive = Ckpt.narrowLazy(sym.select(col("u").as("node")).distinct())
+    // removed-set accumulation needs NO per-round cut: it is a plain
+    // union of the already-cut peel frames, assembled once at the end
+    val peels = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (r <- 1 to rounds) {
       val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-      val peel = Ckpt.narrow(alive
+      val peel = Ckpt.narrowLazy(alive
         .join(deg, Seq("node"), "left")
         .filter(coalesce(col("d"), lit(0L)) < k)
         .select(col("node"), lit(r.toLong).as("removed_round")))
-      removed =
-        if (removed == null) peel else Ckpt.narrow(removed.union(peel))
-      alive = Ckpt.narrow(alive.join(peel, Seq("node"), "left_anti"))
-      sym = Ckpt.narrow(sym
+      peels += peel
+      alive = Ckpt.narrowLazy(alive.join(peel, Seq("node"), "left_anti"))
+      sym = Ckpt.narrowLazy(sym
         .join(peel.select(col("node").as("u")), Seq("u"), "left_anti")
         .join(peel.select(col("node").as("v")), Seq("v"), "left_anti"))
     }
+    val removed = peels.reduce(_.union(_))
     val coreDeg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("cd"))
     val survivors = alive.join(coreDeg, Seq("node"), "left")
       .select(col("node"), lit(null).cast("bigint").as("removed_round"),
@@ -136,12 +145,12 @@ object Graphs {
     // and the anti-join; thin self-joins (both wedge sides); deg joins
     // back twice — without the cuts the edge producer (the cosine/LSH
     // pair pipeline of q143/q148) re-executes per consumer
-    val e = Ckpt.narrow(edges.select(col("i"), col("j")))
+    val e = Ckpt.narrowLazy(edges.select(col("i"), col("j")))
     val sym = e.union(e.select(col("j").as("i"), col("i").as("j")))
       .toDF("u", "v")
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
     val hubs = deg.filter(col("d") > maxDegree).select(col("node").as("u"))
-    val thin = Ckpt.narrow(sym.join(hubs, Seq("u"), "left_anti"))
+    val thin = Ckpt.narrowLazy(sym.join(hubs, Seq("u"), "left_anti"))
     val common = thin.as("x")
       .join(thin.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
@@ -182,9 +191,10 @@ object Graphs {
   def labelPropagate(edges: DataFrame, rounds: Int = 5): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("i"), col("j"))
-    val sym = Ckpt.narrow(
+    // all-lazy rounds — the [[kCorePeel]] rationale
+    val sym = Ckpt.narrowLazy(
       e.union(e.select(col("j").as("i"), col("i").as("j"))).toDF("u", "v"))
-    var lab = Ckpt.narrow(sym.select(col("u").as("node")).distinct()
+    var lab = Ckpt.narrowLazy(sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab")))
     for (_ <- 1 to rounds) {
       val votes = sym
@@ -193,7 +203,7 @@ object Graphs {
       // argmax by (count desc, label asc) as one aggregation: the max
       // struct orders by cnt first, then by -lab — largest negation =
       // smallest label (labels are node ids, so -lab never overflows)
-      lab = Ckpt.narrow(votes
+      lab = Ckpt.narrowLazy(votes
         .groupBy(col("u"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("m"))
         .select(col("u").as("node"), (-col("m.neg")).as("lab")))

@@ -38,39 +38,53 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 1000000L,
       s"scale below 1e6 floors small in-flows to zero, got $scale")
-    val e = Ckpt.narrow(edges.select(col("src"), col("dst")))
-    val deg = Ckpt.narrow(
+    // LAZY cuts + ONE fused setup action (r15, guide §1.5): node count
+    // and dangling-node count come from a single crossJoin of two 1-row
+    // aggregates, whose job also materializes the e and deg checkpoints
+    // — replacing three driver actions (eager e, eager deg + count,
+    // dangling isEmpty) with one
+    val e = Ckpt.narrowLazy(edges.select(col("src"), col("dst")))
+    val deg = Ckpt.narrowLazy(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     val dangling = e.select(col("dst").as("node"))
       .join(deg, Seq("node"), "left_anti")
-    if (!dangling.isEmpty) {
+    val st = deg.agg(count(lit(1)).as("n"))
+      .crossJoin(dangling.agg(count(lit(1)).as("n_dangling"))).head
+    if (st.getAs[Long]("n_dangling") > 0) {
       val sample = dangling.limit(3).collect().map(_.get(0)).mkString(", ")
       throw new IllegalArgumentException(
         s"PageRank.ranks: dst nodes with no outgoing edge (e.g. $sample) — " +
           "symmetrize the edge list or add self-loops")
     }
-    val n = deg.count()
+    val n = st.getAs[Long]("n")
     require(n > 0, "PageRank over an empty edge list")
     val init = scale / n
     val base = init * 15L / 100L
 
     var r = deg.select(col("node"), col("deg"), lit(init).as("rank"))
+    var lastCut: DataFrame = null
     var i = 0
     while (i < iters) {
       val msg = e.join(r, e("src") === r("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div deg")).as("msum"))
-      val prev = r
-      // EAGER cut: the new snapshot must be materialized before the
-      // previous round's blocks are freed — truncated lineage cannot
-      // recompute a released checkpoint (Components orders its
-      // convergence count the same way)
-      r = Ckpt.narrow(
-        deg.join(msg, Seq("node"), "left")
-          .select(col("node"), col("deg"),
-            expr(s"$base + (85 * coalesce(msum, 0)) div 100").as("rank")))
-      if (i > 0) Ckpt.release(prev) // round-0 input is the deg projection
+      r = deg.join(msg, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          expr(s"$base + (85 * coalesce(msum, 0)) div 100").as("rank"))
       i += 1
+      // EAGER cut every SECOND round, never on the final one (r15, the
+      // Components double-hop cadence): plan depth stays bounded at two
+      // rounds per checkpoint while the caller's own action materializes
+      // the ≤2-round tail — half the per-round materialization jobs.
+      // The previous cut's blocks are freed only AFTER the new cut is
+      // materialized: truncated lineage cannot recompute a released
+      // checkpoint.
+      if (i % 2 == 0 && i < iters) {
+        val prevCut = lastCut
+        r = Ckpt.narrow(r)
+        lastCut = r
+        if (prevCut != null) Ckpt.release(prevCut)
+      }
     }
     r
   }

@@ -622,7 +622,7 @@ object TextAnalysis {
     // chain and the final assignment — cut its lineage once or it runs
     // twice (Spark has no cross-branch subtree reuse; the Ckpt doc's
     // measured rationale)
-    val scored = Ckpt.narrow(qualityScores(docs)
+    val scored = Ckpt.narrowLazy(qualityScores(docs)
       .filter(col("quality").isNotNull)
       .select(col("doc_id"),
         expr("cast(round(quality * 10000) as bigint)").as("qs")))

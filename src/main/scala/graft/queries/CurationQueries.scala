@@ -184,10 +184,14 @@ object CurationQueries {
     "q66_training_manifest" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val emb = Tables.load(spark, dir, "embeddings")
-      val verd = Curation.curate(docs).select("doc_id", "verdict")
-      val sem = Similarity
-        .semanticDedup(emb, threshold = 0.9, tables = 16, bits = 12, dim = 64)
-        .select(col("vec_id").as("doc_id"), col("kept").as("sem_kept"))
+      // curation-verdict and semantic-dedup chains are independent until
+      // the final join — build concurrently (guide §2.6; r15) so the two
+      // component loops' jobs overlap
+      val (verd, sem) = graft.operators.Par.both(
+        Curation.curate(docs).select("doc_id", "verdict"),
+        Similarity
+          .semanticDedup(emb, threshold = 0.9, tables = 16, bits = 12, dim = 64)
+          .select(col("vec_id").as("doc_id"), col("kept").as("sem_kept")))
       val spl = Prep.split(docs).select("doc_id", "split")
       val tok = TextAnalysis.tokenCounts(docs).select("doc_id", "ws_tokens")
       // docs without an embedding keep sem_kept = 1 (nothing to dedup)

@@ -621,13 +621,17 @@ object DedupQueries {
     "q86_dedup_agreement" -> ((spark, dir) => {
       import org.apache.spark.sql.functions.{coalesce, count, lit}
       val docs = Tables.load(spark, dir, "documents")
-      val lex = Components
-        .connected(Dedup.nearDupEdges(docs))
-        .withColumnRenamed("node", "doc_id")
-      val sem = graft.operators.Similarity
-        .semanticDedup(Tables.load(spark, dir, "embeddings"),
-          threshold = 0.4, tables = 16, bits = 8, dim = 64)
-        .select(col("vec_id").as("doc_id"), col("kept"))
+      // the lexical and semantic chains are independent until the final
+      // join — build them concurrently so their iterative convergence
+      // loops' jobs back-fill each other (guide §2.6; r15)
+      val (lex, sem) = graft.operators.Par.both(
+        Components
+          .connected(Dedup.nearDupEdges(docs))
+          .withColumnRenamed("node", "doc_id"),
+        graft.operators.Similarity
+          .semanticDedup(Tables.load(spark, dir, "embeddings"),
+            threshold = 0.4, tables = 16, bits = 8, dim = 64)
+          .select(col("vec_id").as("doc_id"), col("kept")))
       docs.select("doc_id")
         .join(lex, Seq("doc_id"), "left")
         .join(sem, Seq("doc_id"), "left")

@@ -382,4 +382,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text#")),
       s"raw text crosses an exchange:\n${exchanges.mkString("\n")}")
   }
+
+  test("Spread is the identity on an input that already has >= parallelism partitions") {
+    // the 100 TB posture claim (r14 Spread, r15 gate): Spread only
+    // repartitions when the planned scan has FEWER splits than the
+    // session's parallelism — at production scale (scan >= cores) it
+    // must insert NO exchange and return the frame unchanged
+    import org.apache.spark.sql.functions.col
+    val p = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, p + 2).select(col("id").as("doc_id"))
+    assert(graft.operators.Spread(wide) eq wide,
+      "Spread must return the SAME frame (no repartition node) on a wide input")
+    val narrow = spark.range(0, 1000, 1, 1).select(col("id").as("doc_id"))
+    val spreadPlan = graft.operators.Spread(narrow).queryExecution
+      .optimizedPlan.toString
+    assert(spreadPlan.contains("Repartition"),
+      s"Spread must round-robin a single-split input:\n$spreadPlan")
+  }
+
+  test("q142/q143 multi-consumer cuts keep the executed plan flat (r14 Ckpt fix pinned)") {
+    // before the Graphs cuts, q142's plan was a 5689-node tree (the LSH
+    // verify chain replicated into every consumer branch). Pin the cut:
+    // the FINAL plan must stay orders of magnitude below that — a
+    // regression that re-inlines the producer per consumer trips this
+    // long before it trips the bench.
+    for (name <- Seq("q142_triangles", "q143_link_predict")) {
+      val df = q(name)
+      df.collect()
+      val nodes = df.queryExecution.executedPlan.collect { case p => p }.size
+      assert(nodes <= 400,
+        s"$name executed plan has $nodes nodes — the multi-consumer cut regressed")
+    }
+  }
 }
