@@ -99,7 +99,7 @@ object Bpe {
     */
   def train(docs: DataFrame, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var state = Ckpt.narrow(initState(wordFreqs(docs)))
+    var state = Ckpt.narrowLazy(initState(wordFreqs(docs)))
     val out = Seq.newBuilder[Merge]
     for (step <- 1 to nMerges) {
       val top = pairCounts(state)
@@ -109,7 +109,7 @@ object Bpe {
         s"corpus pairs exhausted at iteration $step of $nMerges")
       val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       out += Merge(step.toLong, l, r, l + r, c)
-      state = Ckpt.narrow(applyMerge(state, l, r))
+      state = Ckpt.narrowLazy(applyMerge(state, l, r))
     }
     out.result()
   }

@@ -40,8 +40,18 @@ object Components {
       .union(e.select(col("j").as("src"), col("i").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // init = the IDENTITY labeling's first hop, folded into the node
+    // aggregation (r15): component₀ = min(self, direct neighbors) costs
+    // the same one exchange the old distinct() paid but starts the loop
+    // one hop ahead — a diameter-2/3 component (the LSH-cluster shape)
+    // then converges in ONE round instead of two, saving a whole
+    // convergence action + its job cascade. Fixpoint unchanged: this is
+    // exactly hop(identity), so the label sequence is the old one
+    // shifted by one hop.
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("_nbr_min"))
+      .select(col("node"),
+        least(col("node"), col("_nbr_min")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     def hop(lbl: DataFrame): DataFrame = {

@@ -143,7 +143,7 @@ object Sessions {
     // ONE row-grain pass: bounds and the key axis both read the
     // bucket-grain aggregate, not the raw events (three raw scans
     // otherwise — review finding); the cut makes the reuse real
-    val observed = Ckpt.narrow(b.groupBy(keyCol, "bucket_s")
+    val observed = Ckpt.narrowLazy(b.groupBy(keyCol, "bucket_s")
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value")))
     val bounds = observed.agg(min("bucket_s").as("lo"), max("bucket_s").as("hi"))
@@ -181,11 +181,11 @@ object Sessions {
       s"funnel steps must be distinct, got $steps")
     val ev = events.select(col(keyCol).as("k"), col(typeCol).as("t"),
       unix_micros(col("ts")).as("us"))
-    var frames = Vector(Ckpt.narrow(
+    var frames = Vector(Ckpt.narrowLazy(
       ev.filter(col("t") === steps.head)
         .groupBy("k").agg(min(col("us")).as("reach_us"))))
     for (s <- steps.tail) {
-      frames :+= Ckpt.narrow(
+      frames :+= Ckpt.narrowLazy(
         ev.filter(col("t") === s)
           .join(frames.last.select(col("k"), col("reach_us").as("prev_us")),
             "k")
@@ -384,7 +384,7 @@ object Sessions {
       .filter(col(keyCol).isNotNull && col("ts").isNotNull)
       .select(col(keyCol).as("grp"),
         expr("unix_micros(ts) div 1000000 div 86400").as("day"))
-    val counts = Ckpt.narrow(obs
+    val counts = Ckpt.narrowLazy(obs
       .select(col("grp"), expr("pmod(day + 3, 7)").as("dow"))
       .groupBy("grp", "dow").agg(count(lit(1)).as("n_events")))
     val bounds = obs.agg(min("day").as("lo"), max("day").as("hi"))
@@ -414,7 +414,7 @@ object Sessions {
       valueCol: String = "value"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daySec = 86400L
-    val daily = Ckpt.narrow(events
+    val daily = Ckpt.narrowLazy(events
       .filter(col(keyCol).isNotNull && col(valueCol).isNotNull
         && col("ts").isNotNull)
       .groupBy(col(keyCol).as("grp"),
@@ -430,7 +430,7 @@ object Sessions {
       .agg(expr("sum(y) div count(1)").as("target_cents"))
     val w = Window.partitionBy("grp").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cs = Ckpt.narrow(dense.join(targets, Seq("grp"))
+    val cs = Ckpt.narrowLazy(dense.join(targets, Seq("grp"))
       .withColumn("cusum", sum(col("y") - col("target_cents")).over(w)))
     val ext = cs.groupBy("grp")
       .agg(max(col("cusum")).as("max_cusum_cents"),
@@ -462,13 +462,13 @@ object Sessions {
   def cohortLtv(events: DataFrame, keyCol: String = "user_id",
       valueCol: String = "value"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Ckpt.narrow(events
+    val ev = Ckpt.narrowLazy(events
       .filter(col(keyCol).isNotNull && col("ts").isNotNull
         && col(valueCol).isNotNull)
       .select(col(keyCol).as("u"),
         expr("unix_micros(ts) div 1000000 div 604800").as("week"),
         expr(s"cast(round($valueCol * 100) as bigint)").as("cents")))
-    val firstWeek = Ckpt.narrow(
+    val firstWeek = Ckpt.narrowLazy(
       ev.groupBy("u").agg(min(col("week")).as("cohort")))
     val sizes = firstWeek.groupBy("cohort")
       .agg(count(lit(1)).as("cohort_size"))
@@ -509,7 +509,7 @@ object Sessions {
   def rollingActive(events: DataFrame, windowDays: Int = 7,
       keyCol: String = "user_id"): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val pres = Ckpt.narrow(events
+    val pres = Ckpt.narrowLazy(events
       .filter(col(keyCol).isNotNull && col("ts").isNotNull)
       .select(col(keyCol).as("u"),
         expr("unix_micros(ts) div 1000000 div 86400").as("day"))
@@ -555,7 +555,7 @@ object Sessions {
   def rollingActiveMerged(events: DataFrame, windowDays: Int = 90,
       keyCol: String = "user_id"): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val pres = Ckpt.narrow(events
+    val pres = Ckpt.narrowLazy(events
       .filter(col(keyCol).isNotNull && col("ts").isNotNull)
       .select(col(keyCol).as("u"),
         expr("unix_micros(ts) div 1000000 div 86400").as("day"))
@@ -630,7 +630,7 @@ object Sessions {
           .as("is_retained"),
         when(col("prev").isNotNull && col("prev") < col("week") - 1, 1L)
           .otherwise(0L).as("is_resurrected"))
-    val byWeek = Ckpt.narrow(marked.groupBy("week")
+    val byWeek = Ckpt.narrowLazy(marked.groupBy("week")
       .agg(count(lit(1)).as("active"), sum(col("is_new")).as("new_users"),
         sum(col("is_retained")).as("retained"),
         sum(col("is_resurrected")).as("resurrected")))
@@ -671,7 +671,7 @@ object Sessions {
       valueCol: String = "value"): DataFrame = {
     val daySec = 86400L
     val sec = "((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000)"
-    val daily = Ckpt.narrow(events
+    val daily = Ckpt.narrowLazy(events
       .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(keyCol).as("grp"),
         expr(s"($sec - pmod($sec, $daySec)) div $daySec").as("day"))

@@ -84,7 +84,7 @@ object TextIndex {
     * soon as the writes land.
     */
   def write(docs: DataFrame, dir: String): Unit = {
-    val toks = Ckpt.narrow(docs.select(col("doc_id"),
+    val toks = Ckpt.narrowLazy(docs.select(col("doc_id"),
       explode(expr(TextAnalysis.WordsExpr)).as("word")))
     try compact(buildFrom(toks), dir) finally Ckpt.release(toks)
   }
